@@ -1,0 +1,27 @@
+"""bbtools_tpu — a TPU-native sequence-analysis framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of BBTools
+(reference: bbushnell/BBTools v40.02). Not a port: the compute path is
+batched, fixed-shape, and functional so it maps onto the TPU's MXU/VPU and
+XLA's compilation model; the host path (IO, compression, orchestration) is
+an async pipeline feeding device batches.
+
+Layout (mirrors SURVEY.md §7):
+  core/      — global config, flag parsing, DNA codecs, timers
+  io/        — file formats, FASTQ/FASTA/SAM codecs, batch streaming
+  ops/       — device kernels: k-mer extraction, hash/sort indexes,
+               banded alignment DP, overlap scan, entropy (jnp + Pallas)
+  models/    — the user-facing tools (bbduk, bbmap, bbmerge, tadpole,
+               callvariants, ...), each a thin driver over ops/ + io/
+  parallel/  — mesh construction, sharding policies, collectives
+  utils/     — stats/histograms, synthetic-read generators, graders
+"""
+
+# 64-bit integers are required for k-mer keys (k<=31 -> up to 62 bits).
+# This must run before any jax array is created. All code in this package
+# passes explicit dtypes; enabling x64 does not change our float widths.
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

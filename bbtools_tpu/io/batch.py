@@ -1,0 +1,99 @@
+"""ReadBatch — the structure-of-arrays unit of work.
+
+The reference's unit of inter-thread batching is `ListNum<Read>` (~200
+array-of-struct Read objects, stream/Read.java:99, shared/Shared.java:115).
+The TPU-native equivalent is a fixed-shape SoA batch: padded 2-bit base
+codes + phred quals + lengths as device-transferable tensors, with names
+kept host-side. The batch ordinal plays the role of ListNum.id and drives
+ordered output (Appendix A.9 of SURVEY.md).
+
+Padding: bases pad with N_CODE, quals with 0; `lengths` is the source of
+truth. Row length is bucketed (powers-of-two-ish ladder) so jitted kernels
+see a small, stable set of shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.dna import BASE_TO_CODE, CODE_TO_BASE, N_CODE
+
+#: shape ladder for the padded length dimension; each value is a multiple of
+#: 128 beyond 128 so device rows are lane-aligned
+LENGTH_BUCKETS = (32, 64, 128, 256, 384, 512, 1024, 2048, 4096, 8192, 16384)
+
+
+def bucket_length(max_len: int) -> int:
+    for b in LENGTH_BUCKETS:
+        if max_len <= b:
+            return b
+    # beyond the ladder: round up to a multiple of 1024
+    return -(-max_len // 1024) * 1024
+
+
+@dataclass
+class ReadBatch:
+    """A batch of reads as padded SoA arrays (host numpy; device-ready)."""
+
+    bases: np.ndarray  # uint8 [B, L] 2-bit codes, N_CODE padded
+    quals: np.ndarray | None  # uint8 [B, L] phred (offset removed) or None (fasta)
+    lengths: np.ndarray  # int32 [B]
+    ids: list[bytes] = field(default_factory=list)  # read headers (no '@'/'>')
+    ordinal: int = 0  # input-order batch id (ListNum.id analog)
+    numeric_id0: int = 0  # numericID of first read in the batch
+
+    @property
+    def n(self) -> int:
+        return int(self.bases.shape[0])
+
+    @property
+    def padded_len(self) -> int:
+        return int(self.bases.shape[1])
+
+    def valid_mask(self) -> np.ndarray:
+        """bool [B, L]: True within each read's length."""
+        return np.arange(self.padded_len)[None, :] < self.lengths[:, None]
+
+    def sequence(self, i: int) -> bytes:
+        return CODE_TO_BASE[
+            np.minimum(self.bases[i, : self.lengths[i]], N_CODE)
+        ].tobytes()
+
+    def quality_string(self, i: int, offset: int = 33) -> bytes:
+        if self.quals is None:
+            return b""
+        return (self.quals[i, : self.lengths[i]] + offset).astype(np.uint8).tobytes()
+
+    @staticmethod
+    def from_sequences(
+        seqs: list[bytes],
+        quals: list[bytes] | None = None,
+        ids: list[bytes] | None = None,
+        qual_offset: int = 33,
+        pad_to: int | None = None,
+        ordinal: int = 0,
+    ) -> "ReadBatch":
+        """Build a batch from ASCII sequences (and optional ASCII quals)."""
+        n = len(seqs)
+        lengths = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=n)
+        L = pad_to or bucket_length(int(lengths.max(initial=1)))
+        bases = np.full((n, L), N_CODE, dtype=np.uint8)
+        qarr = None
+        if quals is not None:
+            qarr = np.zeros((n, L), dtype=np.uint8)
+        for i, s in enumerate(seqs):
+            m = len(s)
+            bases[i, :m] = BASE_TO_CODE[np.frombuffer(s, dtype=np.uint8)]
+            if quals is not None:
+                qarr[i, :m] = (
+                    np.frombuffer(quals[i], dtype=np.uint8) - qual_offset
+                )
+        return ReadBatch(
+            bases=bases,
+            quals=qarr,
+            lengths=lengths,
+            ids=list(ids) if ids is not None else [b"r%d" % i for i in range(n)],
+            ordinal=ordinal,
+        )

@@ -1,0 +1,275 @@
+"""Vectorized FASTQ codec producing/consuming ReadBatch.
+
+Behavior parity targets (stream/FASTQ.java):
+  - quality-offset autodetection 33 vs 64 from a sample of reads
+    (FASTQ.java:217-266 heuristics; we use the byte-range rule)
+  - interleaved-pair detection from /1 /2 or ' 1:' ' 2:' header suffixes
+  - 4-line records; '+' line content ignored
+
+The parser is numpy-vectorized: one pass finds newlines, then padded base
+and qual matrices are gathered with a single fancy index — no per-base
+Python. Files are streamed in large chunks so memory stays bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+
+from ..core.dna import BASE_TO_CODE, CODE_TO_BASE, N_CODE
+from .batch import ReadBatch, bucket_length
+from .readwrite import open_input, open_output
+
+DEFAULT_BATCH_READS = 16384
+CHUNK_BYTES = 32 << 20
+
+
+def detect_quality_offset(sample_quals: np.ndarray) -> int:
+    """33 vs 64 from raw quality bytes (FASTQ.java:217-266 rule of thumb).
+
+    Bytes below 59 can only occur with offset 33; with all bytes >= 64 and
+    some above 74 ('J', the top of the offset-33 Illumina range) the file is
+    almost certainly offset 64.
+    """
+    if sample_quals.size == 0:
+        return 33
+    lo = int(sample_quals.min())
+    hi = int(sample_quals.max())
+    if lo < 59:
+        return 33
+    if lo >= 64 and hi > 74:
+        return 64
+    return 33
+
+
+def _split_lines(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Return (starts, ends) of lines in a uint8 buffer ending with \\n."""
+    ends = np.flatnonzero(buf == 10)
+    starts = np.empty_like(ends)
+    if len(ends):
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+    # tolerate \r\n
+    if len(ends) and buf[max(0, ends[0] - 1)] == 13:
+        ends = ends - (buf[np.maximum(ends - 1, 0)] == 13).astype(ends.dtype)
+    return starts, ends
+
+
+def _gather_rows(
+    buf: np.ndarray, starts: np.ndarray, lengths: np.ndarray, pad: int, fill: int
+) -> np.ndarray:
+    """Gather variable-length rows into a padded [B, pad] uint8 matrix."""
+    idx = starts[:, None] + np.arange(pad, dtype=starts.dtype)[None, :]
+    np.minimum(idx, len(buf) - 1, out=idx)
+    out = buf[idx]
+    mask = np.arange(pad)[None, :] >= lengths[:, None]
+    out[mask] = fill
+    return out
+
+
+class FastqReader:
+    """Chunked, vectorized FASTQ reader yielding ReadBatch objects."""
+
+    def __init__(
+        self,
+        path: str,
+        batch_reads: int = DEFAULT_BATCH_READS,
+        qual_offset: int | None = None,
+        pad_to: int | None = None,
+    ):
+        self.path = path
+        self.batch_reads = batch_reads
+        self.qual_offset = qual_offset
+        self.pad_to = pad_to
+        self.reads_in = 0
+        self.bases_in = 0
+
+    def __iter__(self) -> Iterator[ReadBatch]:
+        fh = open_input(self.path)
+        leftover = b""
+        ordinal = 0
+        numeric_id = 0
+        pending: list[tuple[np.ndarray, ...]] = []  # parsed record arrays
+        pend_count = 0
+        try:
+            while True:
+                chunk = fh.read(CHUNK_BYTES)
+                if not chunk:
+                    break
+                data = leftover + chunk
+                buf = np.frombuffer(data, dtype=np.uint8)
+                starts, ends = _split_lines(buf)
+                nrec = len(starts) // 4
+                if nrec == 0:
+                    leftover = data
+                    continue
+                cut = int(starts[nrec * 4 - 1] + (ends[nrec * 4 - 1] - starts[nrec * 4 - 1]) + 1)
+                # find true end of last full record (account for \r stripping)
+                raw_ends = np.flatnonzero(buf == 10)
+                cut = int(raw_ends[nrec * 4 - 1]) + 1
+                leftover = data[cut:]
+                pending.append(
+                    (buf[:cut].copy(), starts[: nrec * 4], ends[: nrec * 4])
+                )
+                pend_count += nrec
+                while pend_count >= self.batch_reads:
+                    batch, pending, pend_count = self._emit(
+                        pending, self.batch_reads, ordinal, numeric_id
+                    )
+                    numeric_id += batch.n
+                    ordinal += 1
+                    yield batch
+            if leftover.strip():
+                if not leftover.endswith(b"\n"):
+                    leftover += b"\n"
+                buf = np.frombuffer(leftover, dtype=np.uint8)
+                starts, ends = _split_lines(buf)
+                nrec = len(starts) // 4
+                if nrec:
+                    pending.append((buf, starts[: nrec * 4], ends[: nrec * 4]))
+                    pend_count += nrec
+            while pend_count > 0:
+                batch, pending, pend_count = self._emit(
+                    pending, self.batch_reads, ordinal, numeric_id
+                )
+                numeric_id += batch.n
+                ordinal += 1
+                yield batch
+        finally:
+            if hasattr(fh, "close"):
+                fh.close()
+
+    def _emit(self, pending, want, ordinal, numeric_id):
+        """Assemble up to `want` reads from pending parsed chunks."""
+        take = []
+        count = 0
+        rest = []
+        for buf, starts, ends in pending:
+            n = len(starts) // 4
+            if count >= want:
+                rest.append((buf, starts, ends))
+                continue
+            use = min(n, want - count)
+            take.append((buf, starts[: use * 4], ends[: use * 4]))
+            if use < n:
+                rest.append((buf, starts[use * 4 :], ends[use * 4 :]))
+            count += use
+        batch = self._build(take, ordinal, numeric_id)
+        return batch, rest, sum(len(s) // 4 for _, s, _ in rest)
+
+    def _build(self, parts, ordinal, numeric_id) -> ReadBatch:
+        seq_rows = []
+        qual_rows = []
+        len_rows = []
+        ids: list[bytes] = []
+        maxlen = 1
+        for buf, starts, ends in parts:
+            s_start, s_end = starts[1::4], ends[1::4]
+            lengths = (s_end - s_start).astype(np.int32)
+            maxlen = max(maxlen, int(lengths.max(initial=1)))
+            len_rows.append((buf, starts, ends, lengths))
+        L = self.pad_to or bucket_length(maxlen)
+        for buf, starts, ends, lengths in len_rows:
+            seq_rows.append(_gather_rows(buf, starts[1::4], lengths, L, ord("N")))
+            qual_rows.append(_gather_rows(buf, starts[3::4], lengths, L, 0))
+            h_start, h_end = starts[0::4], ends[0::4]
+            for a, b in zip(h_start, h_end):
+                ids.append(buf[a + 1 : b].tobytes())  # strip '@'
+        seqs = np.concatenate(seq_rows) if len(seq_rows) > 1 else seq_rows[0]
+        quals = np.concatenate(qual_rows) if len(qual_rows) > 1 else qual_rows[0]
+        lengths = np.concatenate([r[3] for r in len_rows])
+        if self.qual_offset is None:
+            sample = quals[: min(1024, len(quals))]
+            self.qual_offset = detect_quality_offset(
+                sample[np.arange(sample.shape[1])[None, :] < lengths[: len(sample), None]]
+            )
+        bases = BASE_TO_CODE[seqs]
+        mask = np.arange(L)[None, :] >= lengths[:, None]
+        bases[mask] = N_CODE
+        q = quals.astype(np.int16) - self.qual_offset
+        np.clip(q, 0, 93, out=q)
+        q = q.astype(np.uint8)
+        q[mask] = 0
+        self.reads_in += len(lengths)
+        self.bases_in += int(lengths.sum())
+        return ReadBatch(
+            bases=bases,
+            quals=q,
+            lengths=lengths,
+            ids=ids,
+            ordinal=ordinal,
+            numeric_id0=numeric_id,
+        )
+
+
+class FastqWriter:
+    """Ordered FASTQ writer. Batches must be added in any order; they are
+    released strictly by ordinal (ConcurrentGenericReadOutputStream.java:87
+    invariant), so output is input-order-deterministic at any parallelism."""
+
+    def __init__(self, path: str, qual_offset: int = 33, ziplevel: int | None = None):
+        self.fh = open_output(path, ziplevel=ziplevel)
+        self.qual_offset = qual_offset
+        self._next = 0
+        self._held: dict[int, bytes] = {}
+        self.reads_out = 0
+        self.bases_out = 0
+
+    def add(self, batch: ReadBatch, keep: np.ndarray | None = None):
+        payload = encode_fastq(batch, keep, self.qual_offset)
+        if keep is None:
+            self.reads_out += batch.n
+            self.bases_out += int(batch.lengths.sum())
+        else:
+            self.reads_out += int(np.count_nonzero(keep))
+            self.bases_out += int(batch.lengths[keep].sum())
+        self._held[batch.ordinal] = payload
+        while self._next in self._held:
+            self.fh.write(self._held.pop(self._next))
+            self._next += 1
+
+    def close(self):
+        for k in sorted(self._held):
+            self.fh.write(self._held.pop(k))
+        if hasattr(self.fh, "close"):
+            self.fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def encode_fastq(
+    batch: ReadBatch, keep: np.ndarray | None = None, qual_offset: int = 33
+) -> bytes:
+    """Serialize (a subset of) a batch to FASTQ bytes."""
+    idxs = range(batch.n) if keep is None else np.flatnonzero(keep)
+    ascii_bases = CODE_TO_BASE[np.minimum(batch.bases, N_CODE)]
+    q = batch.quals
+    ascii_quals = (
+        (q + qual_offset).astype(np.uint8) if q is not None else None
+    )
+    parts: list[bytes] = []
+    lengths = batch.lengths
+    for i in idxs:
+        m = lengths[i]
+        parts.append(b"@" + batch.ids[i] + b"\n")
+        parts.append(ascii_bases[i, :m].tobytes() + b"\n+\n")
+        if ascii_quals is not None:
+            parts.append(ascii_quals[i, :m].tobytes() + b"\n")
+        else:
+            parts.append(b"I" * int(m) + b"\n")
+    return b"".join(parts)
+
+
+def read_fastq(path: str, **kw) -> list[ReadBatch]:
+    return list(FastqReader(path, **kw))
+
+
+def write_fastq(path: str, batches, qual_offset: int = 33):
+    with FastqWriter(path, qual_offset=qual_offset) as w:
+        for b in batches:
+            w.add(b)
