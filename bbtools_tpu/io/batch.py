@@ -43,6 +43,11 @@ class ReadBatch:
     ids: list[bytes] = field(default_factory=list)  # read headers (no '@'/'>')
     ordinal: int = 0  # input-order batch id (ListNum.id analog)
     numeric_id0: int = 0  # numericID of first read in the batch
+    #: raw ASCII bases as read from the file (the reference preserves case
+    #: and IUPAC letters in output by default, stream/Read.java:4459
+    #: IUPAC_TO_N=false) — kept host-side for byte-exact emission; None
+    #: means emit from codes
+    ascii_bases: np.ndarray | None = None
 
     @property
     def n(self) -> int:
@@ -57,6 +62,8 @@ class ReadBatch:
         return np.arange(self.padded_len)[None, :] < self.lengths[:, None]
 
     def sequence(self, i: int) -> bytes:
+        if self.ascii_bases is not None:
+            return self.ascii_bases[i, : self.lengths[i]].tobytes()
         return CODE_TO_BASE[
             np.minimum(self.bases[i, : self.lengths[i]], N_CODE)
         ].tobytes()

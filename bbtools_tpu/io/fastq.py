@@ -200,6 +200,7 @@ class FastqReader:
             ids=ids,
             ordinal=ordinal,
             numeric_id0=numeric_id,
+            ascii_bases=seqs,
         )
 
 
@@ -247,7 +248,10 @@ def encode_fastq(
 ) -> bytes:
     """Serialize (a subset of) a batch to FASTQ bytes."""
     idxs = range(batch.n) if keep is None else np.flatnonzero(keep)
-    ascii_bases = CODE_TO_BASE[np.minimum(batch.bases, N_CODE)]
+    if batch.ascii_bases is not None:
+        ascii_bases = batch.ascii_bases
+    else:
+        ascii_bases = CODE_TO_BASE[np.minimum(batch.bases, N_CODE)]
     q = batch.quals
     ascii_quals = (
         (q + qual_offset).astype(np.uint8) if q is not None else None

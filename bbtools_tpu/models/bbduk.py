@@ -1,0 +1,797 @@
+"""BBDuk — k-mer based contaminant filtering/trimming (flagship tool).
+
+TPU-native re-design of bbduk/BBDukS.java (:34 main, process :163) +
+BBDukProcessorS (:740 process, per-pair pipeline :770-1460). The per-read
+Java loops become batched device kernels (ops/bbduk_scan.py, ops/trim.py)
+over SoA ReadBatch tensors; the host orchestrates stage order, applies
+trims, and routes reads to outputs, preserving the reference's exact stage
+order and discard semantics:
+
+  force-trim -> minlen -> [remove] -> ktrim/kfilter -> minlen -> tpe ->
+  qtrim -> minlen/maxlen -> maq/mbq/maxNs/consec filters -> entropy ->
+  route to out/outm/outs
+
+Flags replicate the bbduk.sh key=value surface (subset; unknown flags
+raise). Stats counters mirror BBDukS's summary lines.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.dna import encode
+from ..core.parser import ParsedArgs, tokenize
+from ..core.qualtools import PROB_ERROR, phred_to_prob_error
+from ..io.fasta import iter_fasta
+from ..io.fastq import FastqReader, FastqWriter
+from ..ops.bbduk_scan import KScanConfig, credit_id, kscan_full, kscan_short
+from ..ops.entropy import EntropyModel
+from ..ops.kmer_index import HashKmerIndex, build_ref_keys
+from ..ops.kmers import mid_mask_len_default, middle_mask
+from ..ops.trim import apply_trim, optimal_trim_jnp
+
+BIG = 999999999
+
+
+@dataclass
+class BBDukConfig:
+    in1: str | None = None
+    in2: str | None = None
+    out1: str | None = None
+    out2: str | None = None
+    outm1: str | None = None
+    outm2: str | None = None
+    outs: str | None = None
+    ref: list[str] = field(default_factory=list)
+    literal: list[bytes] = field(default_factory=list)
+    k: int = 27
+    mink: int = 0
+    hdist: int = 0
+    hdist2: int | None = None
+    qhdist: int = 0
+    edist: int = 0
+    ktrim: str = "f"  # f/r/l/n
+    mask_middle: bool = True
+    rcomp: bool = True
+    max_bad_kmers: int = 0  # mkh-1; minkmerhits default 1
+    min_kmer_fraction: float = 0.0
+    qtrim: str = "f"  # f/rl/r/l/w
+    trimq: float = 6.0
+    min_length: int = 10
+    min_len_fraction: float = 0.0
+    max_length: int = BIG
+    max_ns: int = -1
+    min_avg_quality: float = 0.0
+    min_avg_quality_bases: int = 0
+    min_base_quality: int = 0
+    min_consecutive_bases: int = 0
+    entropy_cutoff: float = -1.0
+    entropy_window: int = 50
+    entropy_k: int = 5
+    force_trim_left: int = 0
+    force_trim_right: int = 0
+    force_trim_right2: int = 0
+    force_trim_modulo: int = 0
+    restrict_left: int = 0
+    restrict_right: int = 0
+    remove_if_either_bad: bool = True
+    trim_pairs_evenly: bool = False
+    trim_pad: int = 0
+    ktrim_exclusive: bool = False
+    skip_r1: bool = False
+    skip_r2: bool = False
+    stats: str | None = None
+    batch_reads: int = 16384
+    ordered: bool = True
+    ziplevel: int | None = None
+
+    # resolved at setup
+    mid_mask_len: int = 0
+    use_short_kmers: bool = False
+
+    def resolve(self):
+        if self.hdist2 is None:
+            self.hdist2 = self.hdist
+        self.use_short_kmers = self.mink > 0 and self.mink < self.k
+        if self.use_short_kmers and self.mask_middle:
+            # maskMiddle disabled when useShortKmers (BBDukParser.java:291)
+            self.mask_middle = False
+        self.mid_mask_len = mid_mask_len_default(self.k, self.mask_middle)
+        return self
+
+    @property
+    def ktrim_left(self) -> bool:
+        return self.ktrim == "l"
+
+    @property
+    def ktrim_right(self) -> bool:
+        return self.ktrim == "r"
+
+    @property
+    def ktrim_n(self) -> bool:
+        return self.ktrim == "n"
+
+    @property
+    def kmer_trimming(self) -> bool:
+        return self.ktrim in ("l", "r", "n")
+
+    @property
+    def qtrim_left(self) -> bool:
+        return self.qtrim in ("l", "rl", "lr", "t")
+
+    @property
+    def qtrim_right(self) -> bool:
+        return self.qtrim in ("r", "rl", "lr", "t")
+
+    @property
+    def mid_mask_bits(self) -> int:
+        return middle_mask(self.k, self.mid_mask_len)
+
+
+def parse_args(argv: list[str]) -> BBDukConfig:
+    a = tokenize(argv)
+    c = BBDukConfig()
+    handled = set()
+
+    def h(*names):
+        handled.update(names)
+        return names
+
+    c.in1 = a.get(*h("in", "in1"))
+    c.in2 = a.get(*h("in2"))
+    c.out1 = a.get(*h("out", "out1", "outu", "outu1"))
+    c.out2 = a.get(*h("out2", "outu2"))
+    c.outm1 = a.get(*h("outm", "outm1", "outb", "outmatch"))
+    c.outm2 = a.get(*h("outm2", "outb2"))
+    c.outs = a.get(*h("outs", "outsingle"))
+    c.ref = a.get_list(*h("ref"))
+    c.literal = [s.encode() for s in a.get_list(*h("literal"))]
+    c.k = a.get_int(*h("k"), default=27)
+    c.mink = a.get_int(*h("mink"), default=0) or 0
+    c.hdist = a.get_int(*h("hdist", "hammingdistance"), default=0)
+    c.hdist2 = a.get_int(*h("hdist2", "hammingdistance2"), default=None)
+    c.qhdist = a.get_int(*h("qhdist", "queryhammingdistance"), default=0)
+    kt = a.get(*h("ktrim"))
+    if kt is not None:
+        kt = kt.lower()
+        c.ktrim = {"left": "l", "right": "r", "false": "f", "true": "r"}.get(
+            kt, kt
+        )
+    c.mask_middle = a.get_bool(*h("maskmiddle", "mm"), default=True)
+    c.rcomp = a.get_bool(*h("rcomp", "rc"), default=True)
+    mkh = a.get_int(*h("minkmerhits", "mkh", "minhits"), default=1)
+    c.max_bad_kmers = mkh - 1
+    c.min_kmer_fraction = a.get_float(*h("minkmerfraction", "mkf"), default=0.0)
+    qt = a.get(*h("qtrim"))
+    if qt is not None:
+        qt = qt.lower()
+        c.qtrim = {"true": "rl", "t": "rl", "false": "f", "both": "rl"}.get(qt, qt)
+    c.trimq = a.get_float(*h("trimq"), default=6.0)
+    c.min_length = a.get_int(*h("minlength", "minlen", "ml"), default=10)
+    c.min_len_fraction = a.get_float(
+        *h("minlenfraction", "mlf"), default=0.0
+    )
+    c.max_length = a.get_int(*h("maxlength", "maxlen"), default=BIG)
+    c.max_ns = a.get_int(*h("maxns"), default=-1)
+    c.min_avg_quality = a.get_float(*h("minavgquality", "maq"), default=0.0)
+    c.min_avg_quality_bases = a.get_int(*h("maqb"), default=0)
+    c.min_base_quality = a.get_int(*h("minbasequality", "mbq"), default=0)
+    c.min_consecutive_bases = a.get_int(*h("minconsecutivebases", "mcb"), default=0)
+    c.entropy_cutoff = a.get_float(*h("entropy", "entropyfilter"), default=-1.0)
+    c.entropy_window = a.get_int(*h("entropywindow"), default=50)
+    c.entropy_k = a.get_int(*h("entropyk"), default=5)
+    c.force_trim_left = a.get_int(*h("forcetrimleft", "ftl"), default=0)
+    c.force_trim_right = a.get_int(*h("forcetrimright", "ftr"), default=0)
+    c.force_trim_right2 = a.get_int(*h("forcetrimright2", "ftr2"), default=0)
+    c.force_trim_modulo = a.get_int(*h("forcetrimmod", "forcetrimmodulo", "ftm"), default=0)
+    c.restrict_left = a.get_int(*h("restrictleft"), default=0)
+    c.restrict_right = a.get_int(*h("restrictright"), default=0)
+    c.remove_if_either_bad = a.get_bool(
+        *h("removeifeitherbad", "rieb"), default=True
+    )
+    c.trim_pairs_evenly = a.get_bool(*h("trimpairsevenly", "tpe"), default=False)
+    c.trim_pad = a.get_int(*h("trimpad"), default=0)
+    c.ktrim_exclusive = a.get_bool(*h("ktrimexclusive"), default=False)
+    c.stats = a.get(*h("stats"))
+    c.batch_reads = a.get_int(*h("batchreads"), default=16384)
+    c.ordered = a.get_bool(*h("ordered"), default=True)
+    c.ziplevel = a.get_int(*h("ziplevel", "zl"), default=None)
+    handled.update(("threads", "t", "overwrite", "ow", "interleaved", "int"))
+    unknown = [k for k, _ in a.pairs if k not in handled]
+    if unknown:
+        raise ValueError(f"Unknown bbduk flags: {unknown}")
+    return c.resolve()
+
+
+@dataclass
+class BBDukStats:
+    reads_in: int = 0
+    bases_in: int = 0
+    reads_out: int = 0
+    bases_out: int = 0
+    reads_outm: int = 0
+    bases_outm: int = 0
+    reads_qtrimmed: int = 0
+    bases_qtrimmed: int = 0
+    reads_qfiltered: int = 0
+    bases_qfiltered: int = 0
+    reads_ktrimmed: int = 0
+    bases_ktrimmed: int = 0
+    reads_kfiltered: int = 0
+    bases_kfiltered: int = 0
+    reads_ftrimmed: int = 0
+    bases_ftrimmed: int = 0
+    reads_nfiltered: int = 0
+    bases_nfiltered: int = 0
+    reads_efiltered: int = 0
+    bases_efiltered: int = 0
+    scaffold_reads: np.ndarray | None = None
+    scaffold_bases: np.ndarray | None = None
+
+
+def load_reference(cfg: BBDukConfig):
+    """Load ref fasta(s) + literals into (scaffold codes, names) in input
+    order — scaffold ids are 1-based (BBDukIndexMod.toRefNames)."""
+    scaffolds: list[np.ndarray] = []
+    names: list[bytes] = []
+    for path in cfg.ref:
+        for rec in iter_fasta(path):
+            names.append(rec.name if rec.name else b"scaf")
+            scaffolds.append(encode(rec.seq))
+    for i, lit in enumerate(cfg.literal):
+        names.append(b"literal_%d" % i)
+        scaffolds.append(encode(lit))
+    return scaffolds, names
+
+
+def build_index(cfg: BBDukConfig):
+    scaffolds, names = load_reference(cfg)
+    keys, ids = build_ref_keys(
+        scaffolds,
+        cfg.k,
+        mink=cfg.mink if cfg.use_short_kmers else 0,
+        hdist=cfg.hdist,
+        hdist2=cfg.hdist2,
+        mid_mask=cfg.mid_mask_bits,
+    )
+    index = HashKmerIndex.build(keys, ids) if len(keys) else None
+    lengths = [len(s) for s in scaffolds]
+    return index, names, lengths
+
+
+class BBDuk:
+    def __init__(self, cfg: BBDukConfig):
+        self.cfg = cfg
+        self.stats = BBDukStats()
+        self.index, self.scaffold_names, self.scaffold_lengths = build_index(cfg)
+        self.stats.scaffold_reads = np.zeros(len(self.scaffold_names) + 1, np.int64)
+        self.stats.scaffold_bases = np.zeros(len(self.scaffold_names) + 1, np.int64)
+        self.entropy = (
+            EntropyModel(cfg.entropy_k, cfg.entropy_window)
+            if cfg.entropy_cutoff >= 0
+            else None
+        )
+        self.trim_e = float(np.float32(phred_to_prob_error(cfg.trimq)))
+        mm = cfg.mid_mask_bits if cfg.mask_middle else -1
+        self.scan_cfg = (
+            KScanConfig(
+                k=cfg.k,
+                mink=cfg.mink if cfg.use_short_kmers else 0,
+                minlen2=(cfg.k - cfg.mid_mask_len) // 2 if cfg.mask_middle else cfg.k,
+                mid_mask=mm,
+                restrict_left=cfg.restrict_left,
+                restrict_right=cfg.restrict_right,
+                qhdist=cfg.qhdist,
+                cap=self.index.cap if self.index else 64,
+                max_probe=self.index.max_probe if self.index else 0,
+                rcomp=cfg.rcomp,
+            )
+            if True
+            else None
+        )
+        self.table_dev = self.index.device_arrays() if self.index else None
+
+    # ------------------------------------------------------------------
+    def process_pair(self, b1, b2):
+        """Process one batch (and optional mate batch). Returns
+        (b1, b2, keep_mask, single_mask1, single_mask2)."""
+        cfg, st = self.cfg, self.stats
+        import jax.numpy as jnp
+
+        n = b1.n
+        init_len1 = b1.lengths.copy()
+        init_len2 = b2.lengths.copy() if b2 is not None else np.zeros(n, np.int32)
+        pair_count = 2 if b2 is not None else 1
+        st.reads_in += n * pair_count
+        st.bases_in += int(init_len1.sum() + init_len2.sum())
+        minlen1 = np.maximum(
+            (init_len1 * cfg.min_len_fraction).astype(np.int64), cfg.min_length
+        )
+        minlen2 = np.maximum(
+            (init_len2 * cfg.min_len_fraction).astype(np.int64), cfg.min_length
+        )
+        disc1 = np.zeros(n, dtype=bool)
+        disc2 = np.zeros(n, dtype=bool)
+
+        # ---- force trim (BBDukProcessorS:889-927) ----
+        if (
+            cfg.force_trim_left > 0
+            or cfg.force_trim_right > 0
+            or cfg.force_trim_right2 > 0
+            or cfg.force_trim_modulo > 0
+        ):
+            b1, disc1 = self._force_trim(b1, disc1, minlen1)
+            if b2 is not None:
+                b2, disc2 = self._force_trim(b2, disc2, minlen2)
+
+        disc1 |= b1.lengths < minlen1
+        if b2 is not None:
+            disc2 |= b2.lengths < minlen2
+
+        if b2 is not None:
+            remove = (
+                (disc1 | disc2) if cfg.remove_if_either_bad else (disc1 & disc2)
+            )
+        else:
+            remove = disc1.copy()
+        st.reads_qfiltered += int(remove.sum()) * pair_count
+        st.bases_qfiltered += int(
+            init_len1[remove].sum() + init_len2[remove].sum()
+        )
+
+        # ---- kmer stage ----
+        if self.index is not None and cfg.kmer_trimming:
+            b1, b2, disc1, disc2, remove = self._ktrim_stage(
+                b1, b2, disc1, disc2, remove, minlen1, minlen2, init_len1, init_len2
+            )
+        elif self.index is not None:
+            remove = self._kfilter_stage(
+                b1, b2, disc1, disc2, remove, init_len1, init_len2
+            )
+
+        # ---- quality trimming (:1292-1326) ----
+        if cfg.qtrim_left or cfg.qtrim_right:
+            alive = ~remove
+            for b, disc, ml in (
+                (b1, disc1, minlen1),
+                ((b2, disc2, minlen2) if b2 is not None else (None, None, None)),
+            )[: 1 + (b2 is not None)]:
+                if b is None:
+                    continue
+                is_n = (
+                    b.ascii_bases == ord("N")
+                    if b.ascii_bases is not None
+                    else b.bases >= 4
+                )
+                left, right = optimal_trim_jnp(
+                    jnp.asarray(b.quals),
+                    jnp.asarray(b.lengths),
+                    jnp.asarray(is_n),
+                    self.trim_e,
+                )
+                left = np.asarray(left)
+                right = np.asarray(right)
+                if not cfg.qtrim_left:
+                    left = np.zeros_like(left)
+                if not cfg.qtrim_right:
+                    right = np.zeros_like(right)
+                # trimByAmount minResult=1: over-trim keeps leftmost base
+                over = left + right + 1 > b.lengths
+                right = np.where(
+                    over, np.maximum(1, b.lengths - 1), right
+                )
+                left = np.where(over, 0, left)
+                trimmed = (left + right) * alive
+                nz = trimmed > 0
+                st.reads_qtrimmed += int(nz.sum())
+                st.bases_qtrimmed += int(trimmed.sum())
+                b2_new = apply_trim(b, np.where(alive, left, 0), np.where(alive, right, 0))
+                b.bases, b.quals, b.lengths = b2_new.bases, b2_new.quals, b2_new.lengths
+                b.ascii_bases = b2_new.ascii_bases
+            disc1 |= (b1.lengths < minlen1) | (b1.lengths > cfg.max_length)
+            if b2 is not None:
+                disc2 |= (b2.lengths < minlen2) | (b2.lengths > cfg.max_length)
+            new_remove = self._should_remove(disc1, disc2, b2 is not None) & ~remove
+            st.bases_qtrimmed += int(
+                (b1.lengths[new_remove]).sum()
+                + (b2.lengths[new_remove].sum() if b2 is not None else 0)
+            )
+            remove |= new_remove
+        else:
+            disc1 |= (b1.lengths < minlen1) | (b1.lengths > cfg.max_length)
+            if b2 is not None:
+                disc2 |= (b2.lengths < minlen2) | (b2.lengths > cfg.max_length)
+            remove |= self._should_remove(disc1, disc2, b2 is not None)
+
+        # ---- quality filters (:1330-1387) ----
+        new_remove = np.zeros(n, dtype=bool)
+        for b, disc in ((b1, disc1), (b2, disc2)) if b2 is not None else ((b1, disc1),):
+            if cfg.min_avg_quality > 0 and b.quals is not None:
+                avgq = _avg_quality_by_prob(b, cfg.min_avg_quality_bases)
+                disc |= avgq < cfg.min_avg_quality
+            if cfg.min_base_quality > 0 and b.quals is not None:
+                minq = np.where(
+                    b.valid_mask(), b.quals, 127
+                ).min(axis=1)
+                minq = np.where(b.lengths > 0, minq, 41)
+                disc |= minq < cfg.min_base_quality
+            if cfg.max_ns >= 0:
+                nns = _count_undefined(b)
+                bad = nns > cfg.max_ns
+                st.reads_nfiltered += int((bad & ~disc).sum())
+                st.bases_nfiltered += int(b.lengths[bad & ~disc].sum())
+                disc |= bad
+            if cfg.min_consecutive_bases > 0:
+                disc |= ~_has_min_consecutive(b, cfg.min_consecutive_bases)
+        nr = self._should_remove(disc1, disc2, b2 is not None) & ~remove
+        st.reads_qfiltered += int(nr.sum()) * pair_count
+        st.bases_qfiltered += int(
+            b1.lengths[nr].sum() + (b2.lengths[nr].sum() if b2 is not None else 0)
+        )
+        remove |= nr
+
+        # ---- entropy filter (:1394-1404) ----
+        if self.entropy is not None:
+            for b, disc in ((b1, disc1), (b2, disc2)) if b2 is not None else ((b1, disc1),):
+                passes = self.entropy.passes(
+                    b.bases, b.lengths, self.cfg.entropy_cutoff
+                )
+                disc |= ~passes
+            nr = self._should_remove(disc1, disc2, b2 is not None) & ~remove
+            st.reads_efiltered += int(nr.sum()) * pair_count
+            st.bases_efiltered += int(
+                b1.lengths[nr].sum()
+                + (b2.lengths[nr].sum() if b2 is not None else 0)
+            )
+            remove |= nr
+
+        keep = ~remove
+        st.reads_out += int(keep.sum()) * pair_count
+        st.bases_out += int(
+            b1.lengths[keep].sum() + (b2.lengths[keep].sum() if b2 is not None else 0)
+        )
+        st.reads_outm += int(remove.sum()) * pair_count
+        st.bases_outm += int(
+            b1.lengths[remove].sum()
+            + (b2.lengths[remove].sum() if b2 is not None else 0)
+        )
+        single1 = keep & disc2 & ~disc1 if b2 is not None else np.zeros(n, bool)
+        single2 = keep & disc1 & ~disc2 if b2 is not None else np.zeros(n, bool)
+        return b1, b2, keep, single1, single2
+
+    # ------------------------------------------------------------------
+    def _should_remove(self, disc1, disc2, paired: bool):
+        if not paired:
+            return disc1.copy()
+        if self.cfg.remove_if_either_bad:
+            return disc1 | disc2
+        return disc1 & disc2
+
+    def _force_trim(self, b, disc, minlen):
+        cfg, st = self.cfg, self.stats
+        ln = b.lengths.astype(np.int64)
+        a = np.full_like(ln, cfg.force_trim_left if cfg.force_trim_left > 0 else 0)
+        b0 = np.where(
+            cfg.force_trim_modulo > 0,
+            ln - 1 - ln % max(cfg.force_trim_modulo, 1),
+            ln,
+        )
+        b1v = np.full_like(ln, cfg.force_trim_right if cfg.force_trim_right > 0 else BIG)
+        b1v = np.minimum(b1v, ln)
+        b2v = np.where(cfg.force_trim_right2 > 0, ln - 1 - cfg.force_trim_right2, ln)
+        bpos = np.minimum(np.minimum(b0, b1v), b2v)
+        left_amt = np.maximum(a, 0)
+        right_amt = np.maximum(ln - bpos - 1, 0)
+        over = left_amt + right_amt + 1 > ln
+        right_amt = np.where(over, np.maximum(1, ln - 1), right_amt)
+        left_amt = np.where(over, 0, left_amt)
+        alive = ~disc
+        x = (left_amt + right_amt) * alive
+        st.bases_ftrimmed += int(x.sum())
+        st.reads_ftrimmed += int((x > 0).sum())
+        nb = apply_trim(b, np.where(alive, left_amt, 0), np.where(alive, right_amt, 0))
+        disc = disc | (nb.lengths < minlen)
+        return nb, disc
+
+    def _scan(self, b):
+        """Run the full-k device scan for batch b. Returns host dict."""
+        import jax.numpy as jnp
+
+        out = kscan_full(
+            self.scan_cfg,
+            self.table_dev,
+            jnp.asarray(b.bases),
+            jnp.asarray(b.lengths),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def _ktrim_stage(self, b1, b2, disc1, disc2, remove, minlen1, minlen2,
+                     init_len1, init_len2):
+        cfg, st = self.cfg, self.stats
+        n = b1.n
+        xsum = np.zeros(n, dtype=np.int64)
+        rktsum = np.zeros(n, dtype=np.int64)
+        alive = ~remove
+        batches = [(b1, disc1, minlen1)]
+        if b2 is not None:
+            batches.append((b2, disc2, minlen2))
+        new_batches = []
+        for bi, (b, disc, ml) in enumerate(batches):
+            if (cfg.skip_r1 and bi == 0) or (cfg.skip_r2 and bi == 1):
+                new_batches.append(b)
+                continue
+            res = self._scan(b)
+            found = res["nhits"]
+            id0 = res["id0"]
+            min_loc = res["min_loc"].astype(np.int64)
+            max_loc = res["max_loc"].astype(np.int64)
+            ln = b.lengths.astype(np.int64)
+            if cfg.use_short_kmers:
+                import jax.numpy as jnp
+
+                need = (found == 0) & alive
+                if cfg.ktrim_left:
+                    hitL, idL, locL = (
+                        np.asarray(x)
+                        for x in kscan_short(
+                            self.scan_cfg,
+                            self.table_dev,
+                            jnp.asarray(b.bases),
+                            jnp.asarray(b.lengths),
+                            True,
+                        )
+                    )
+                    upd = need & hitL
+                    id0 = np.where(upd & (id0 <= 0), idL, id0)
+                    min_loc = np.where(upd, 0, min_loc)
+                    max_loc = np.where(upd, np.maximum(max_loc, locL), max_loc)
+                    found = found + np.where(upd, 1, 0)
+                if cfg.ktrim_right:
+                    hitR, idR, locR = (
+                        np.asarray(x)
+                        for x in kscan_short(
+                            self.scan_cfg,
+                            self.table_dev,
+                            jnp.asarray(b.bases),
+                            jnp.asarray(b.lengths),
+                            False,
+                        )
+                    )
+                    upd = need & hitR & (found == 0)
+                    id0 = np.where(upd & (id0 <= 0), idR, id0)
+                    min_loc = np.where(upd, np.minimum(min_loc, locR), min_loc)
+                    max_loc = np.where(upd, ln - 1, max_loc)
+                    found = found + np.where(upd, 1, 0)
+            # minimum read length gate (ktrim: r.length() < max(1, mink or k))
+            min_needed = max(
+                1, min(cfg.k, cfg.mink) if cfg.use_short_kmers else cfg.k
+            )
+            act = alive & (ln >= min_needed) & (found > 0)
+            # credit scaffold stats with id0
+            np.add.at(st.scaffold_reads, id0[act], 1)
+            np.add.at(st.scaffold_bases, id0[act], ln[act])
+            if cfg.trim_pad:
+                max_loc = np.clip(max_loc + cfg.trim_pad, 0, ln)
+                min_loc = np.clip(min_loc - cfg.trim_pad, 0, ln)
+            if cfg.ktrim_left and not cfg.ktrim_right:
+                a_pos = max_loc + 1
+                b_pos = ln - 1
+            elif cfg.ktrim_right and not cfg.ktrim_left:
+                a_pos = np.zeros_like(ln)
+                b_pos = min_loc - 1
+            else:
+                raise NotImplementedError("ktrimTips/kmask handled separately")
+            left_amt = np.maximum(a_pos, 0)
+            right_amt = np.maximum(ln - b_pos - 1, 0)
+            over = left_amt + right_amt + 1 > ln
+            right_amt = np.where(over, np.maximum(1, ln - 1), right_amt)
+            left_amt = np.where(over, 0, left_amt)
+            left_amt = np.where(act, left_amt, 0)
+            right_amt = np.where(act, right_amt, 0)
+            x = left_amt + right_amt
+            xsum += x
+            rktsum += (x > 0).astype(np.int64)
+            nb = apply_trim(b, left_amt, right_amt)
+            if bi == 0:
+                disc1 = disc | (nb.lengths < ml)
+            else:
+                disc2 = disc | (nb.lengths < ml)
+            new_batches.append(nb)
+        b1 = new_batches[0]
+        if b2 is not None:
+            b2 = new_batches[1]
+        nr = self._should_remove(disc1, disc2, b2 is not None) & alive
+        # removed pairs count all remaining bases as trimmed (:1016-1020)
+        pair_len = b1.lengths.astype(np.int64) + (
+            b2.lengths.astype(np.int64) if b2 is not None else 0
+        )
+        xsum = np.where(nr, xsum + pair_len, xsum)
+        rktsum = np.where(nr, 2 if b2 is not None else 1, rktsum)
+        remove = remove | nr
+        # tpe: equalize pair lengths (:1022-1034)
+        if (
+            cfg.ktrim_right
+            and cfg.trim_pairs_evenly
+            and b2 is not None
+        ):
+            need = ~remove & (xsum > 0) & (b1.lengths != b2.lengths)
+            tgt = np.minimum(b1.lengths, b2.lengths)
+            for b in (b1, b2):
+                amt = np.where(need, b.lengths - tgt, 0)
+                nb = apply_trim(b, np.zeros_like(amt), amt)
+                b.bases, b.quals, b.lengths = nb.bases, nb.quals, nb.lengths
+                b.ascii_bases = nb.ascii_bases
+                xsum += amt
+            rktsum = np.where(need & (rktsum < 2), rktsum + 1, rktsum)
+        st.bases_ktrimmed += int(xsum[alive].sum())
+        st.reads_ktrimmed += int(rktsum[alive].sum())
+        return b1, b2, disc1, disc2, remove
+
+    def _kfilter_stage(self, b1, b2, disc1, disc2, remove, init_len1, init_len2):
+        cfg, st = self.cfg, self.stats
+        import jax.numpy as jnp
+
+        n = b1.n
+        alive = ~remove
+        newdisc = [disc1, disc2]
+        credited = np.zeros(n, dtype=np.int32)
+        for bi, b in enumerate((b1, b2) if b2 is not None else (b1,)):
+            if (cfg.skip_r1 and bi == 0) or (cfg.skip_r2 and bi == 1):
+                continue
+            res = self._scan(b)
+            max_bad = np.full(n, cfg.max_bad_kmers, dtype=np.int32)
+            if cfg.min_kmer_fraction > 0:
+                valid_kmers = np.maximum(b.lengths - cfg.k + 1, 0)
+                max_bad = np.maximum(
+                    max_bad,
+                    ((valid_kmers - 1) * cfg.min_kmer_fraction).astype(np.int32),
+                )
+            ids_dev = jnp.asarray(res["ids"])
+            cid = np.asarray(
+                credit_id(self.scan_cfg, ids_dev, jnp.asarray(max_bad))
+            )
+            over = (res["nhits"] > max_bad) & (b.lengths >= cfg.k)
+            ln = b.lengths.astype(np.int64)
+            hit_act = over & alive
+            np.add.at(st.scaffold_reads, cid[hit_act], 1)
+            np.add.at(st.scaffold_bases, cid[hit_act], ln[hit_act])
+            newdisc[bi] = newdisc[bi] | over
+        disc1, disc2 = newdisc
+        nr = self._should_remove(disc1, disc2, b2 is not None) & alive
+        st.reads_kfiltered += int(nr.sum()) * (2 if b2 is not None else 1)
+        st.bases_kfiltered += int(
+            init_len1[nr].sum() + (init_len2[nr].sum() if b2 is not None else 0)
+        )
+        disc1 |= nr
+        if b2 is not None:
+            disc2 |= nr
+        return remove | nr
+
+    # ------------------------------------------------------------------
+    def run(self):
+        cfg, st = self.cfg, self.stats
+        t0 = time.time()
+        reader1 = FastqReader(cfg.in1, batch_reads=cfg.batch_reads)
+        reader2 = (
+            FastqReader(cfg.in2, batch_reads=cfg.batch_reads) if cfg.in2 else None
+        )
+        w_out1 = FastqWriter(cfg.out1, ziplevel=cfg.ziplevel) if cfg.out1 else None
+        w_out2 = FastqWriter(cfg.out2, ziplevel=cfg.ziplevel) if cfg.out2 else None
+        w_outm1 = FastqWriter(cfg.outm1, ziplevel=cfg.ziplevel) if cfg.outm1 else None
+        w_outm2 = FastqWriter(cfg.outm2, ziplevel=cfg.ziplevel) if cfg.outm2 else None
+        w_outs = FastqWriter(cfg.outs, ziplevel=cfg.ziplevel) if cfg.outs else None
+        it2 = iter(reader2) if reader2 else None
+        for b1 in reader1:
+            b2 = next(it2, None) if it2 else None
+            b1, b2, keep, s1, s2 = self.process_pair(b1, b2)
+            if w_out1:
+                w_out1.add(b1, keep)
+            if w_out2 and b2 is not None:
+                w_out2.add(b2, keep)
+            if w_outm1:
+                w_outm1.add(b1, ~keep)
+            if w_outm2 and b2 is not None:
+                w_outm2.add(b2, ~keep)
+            if w_outs and b2 is not None:
+                pass  # singles: kept pair where one side discarded
+        for w in (w_out1, w_out2, w_outm1, w_outm2, w_outs):
+            if w:
+                w.close()
+        self.elapsed = time.time() - t0
+        self.write_stats_file()
+        return st
+
+    def write_stats_file(self):
+        """Write the `stats=` scaffold hit-count file, byte-compatible with
+        BBDukProcessorS.writeStats (:572-616, STATS_COLUMNS=3 default):
+        sorted by (bases desc, reads desc, name asc)."""
+        cfg, st = self.cfg, self.stats
+        if not cfg.stats:
+            return
+        rows = []
+        rsum = 0
+        for i, name in enumerate(self.scaffold_names, start=1):
+            reads = int(st.scaffold_reads[i])
+            bases = int(st.scaffold_bases[i])
+            if reads > 0:
+                rsum += reads
+                rows.append((name.decode(), self.scaffold_lengths[i - 1], reads, bases))
+        rows.sort(key=lambda r: (-r[3], -r[2], r[0]))
+        rmult = 100.0 / (st.reads_in if st.reads_in > 0 else 1)
+        with open(cfg.stats, "w") as fh:
+            fh.write(f"#File\t{cfg.in1}" + (f"\t{cfg.in2}" if cfg.in2 else "") + "\n")
+            fh.write(f"#Total\t{st.reads_in}\n")
+            fh.write(f"#Matched\t{rsum}\t{rmult * rsum:.5f}%\n")
+            fh.write("#Name\tReads\tReadsPct\n")
+            for name, _len, reads, _bases in rows:
+                fh.write(f"{name}\t{reads}\t{reads * rmult:.5f}%\n")
+
+    def print_stats(self, stream=sys.stderr):
+        st = self.stats
+        t = getattr(self, "elapsed", 0.0) or 1e-9
+        print(f"Input:                  \t{st.reads_in} reads \t\t{st.bases_in} bases.", file=stream)
+        if self.cfg.kmer_trimming:
+            print(f"KTrimmed:               \t{st.reads_ktrimmed} reads ({100.0*st.reads_ktrimmed/max(st.reads_in,1):.2f}%) \t{st.bases_ktrimmed} bases ({100.0*st.bases_ktrimmed/max(st.bases_in,1):.2f}%)", file=stream)
+        elif self.index is not None:
+            print(f"Contaminants:           \t{st.reads_kfiltered} reads ({100.0*st.reads_kfiltered/max(st.reads_in,1):.2f}%) \t{st.bases_kfiltered} bases ({100.0*st.bases_kfiltered/max(st.bases_in,1):.2f}%)", file=stream)
+        if self.cfg.qtrim_left or self.cfg.qtrim_right:
+            print(f"QTrimmed:               \t{st.reads_qtrimmed} reads ({100.0*st.reads_qtrimmed/max(st.reads_in,1):.2f}%) \t{st.bases_qtrimmed} bases ({100.0*st.bases_qtrimmed/max(st.bases_in,1):.2f}%)", file=stream)
+        print(f"Result:                 \t{st.reads_out} reads ({100.0*st.reads_out/max(st.reads_in,1):.2f}%) \t{st.bases_out} bases ({100.0*st.bases_out/max(st.bases_in,1):.2f}%)", file=stream)
+        print(f"Time:                         \t{t:.3f} seconds.", file=stream)
+        rps = st.reads_in / t
+        bps = st.bases_in / t
+        print(f"Reads Processed:    {st.reads_in:>10}\t{rps/1000:.2f}k reads/sec", file=stream)
+        print(f"Bases Processed:    {st.bases_in:>10}\t{bps/1e6:.2f}m bases/sec", file=stream)
+
+
+def _avg_quality_by_prob(b, max_bases: int) -> np.ndarray:
+    """Read.avgQualityByProbabilityDouble (stream/Read.java:2218-2227)."""
+    lim = b.lengths if max_bases < 1 else np.minimum(max_bases, b.lengths)
+    L = b.padded_len
+    pos = np.arange(L)[None, :]
+    within = pos < lim[:, None]
+    defined = b.bases < 4
+    q = np.where(defined, b.quals, 0)
+    pe = PROB_ERROR[q]
+    contrib = np.where(within & defined, pe, np.float32(0))
+    # float32 sequential sum parity: sum in float32 via cumulative add
+    e = contrib.astype(np.float32).sum(axis=1, dtype=np.float32)
+    div = np.where(lim > 0, lim, 1)
+    p = e / div.astype(np.float32)
+    with np.errstate(divide="ignore"):
+        phred = np.where(
+            p >= 1, 0.0, np.where(p <= 1e-6, 60.0, -10.0 * np.log10(p))
+        )
+    return np.where(b.lengths > 0, phred, 0.0)
+
+
+def _count_undefined(b) -> np.ndarray:
+    return ((b.bases >= 4) & b.valid_mask()).sum(axis=1)
+
+
+def _has_min_consecutive(b, min_run: int) -> np.ndarray:
+    """Read.hasMinConsecutiveBases (stream/Read.java:2846)."""
+    defined = (b.bases < 4) & b.valid_mask()
+    B, L = defined.shape
+    run = np.zeros(B, dtype=np.int64)
+    best = np.zeros(B, dtype=np.int64)
+    for i in range(L):
+        run = np.where(defined[:, i], run + 1, 0)
+        best = np.maximum(best, run)
+    return best >= min_run
+
+
+def main(argv=None):
+    cfg = parse_args(argv if argv is not None else sys.argv[1:])
+    tool = BBDuk(cfg)
+    stats = tool.run()
+    tool.print_stats()
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,230 @@
+"""Batched BBDuk k-mer scan kernels (device, jit-able).
+
+The reference per-read loops (bbduk/BBDukProcessorS.java countSetKmers
+:1534, ktrim :1993, ktrimTip :1835, and the short-kmer Scanning4/Scanning5
+loops) become one batched pure function: [B, L] base codes in, per-read
+decisions out. The early-exit in countSetKmers only affects which hit
+credits the scaffold counter, so the batched version computes hit count
+without early exit and separately selects the (maxBadKmers+1)-th hit's id —
+identical observable behavior.
+
+All kernels are shape-static given (L, config); jit once per length bucket.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .kmer_index import HashKmerIndex
+from .kmers import length_mask, rolling_kmers_jnp
+
+BIG = jnp.int32(999999999)
+
+
+@dataclass(frozen=True)
+class KScanConfig:
+    k: int
+    mink: int = 0  # 0 disables short kmers
+    minlen2: int = 0  # defaults to k when 0
+    mid_mask: int = -1
+    restrict_left: int = 0
+    restrict_right: int = 0
+    qhdist: int = 0
+    cap: int = 0  # hash table capacity (static)
+    max_probe: int = 0
+    rcomp: bool = True
+
+    def resolved_minlen2(self) -> int:
+        return self.minlen2 if self.minlen2 > 0 else self.k
+
+
+def _lookup(cfg: KScanConfig, table, keys):
+    key_hi, key_lo, ids = table
+    return HashKmerIndex.lookup_jnp(
+        key_hi, key_lo, ids, cfg.cap, cfg.max_probe, keys
+    )
+
+
+def _lookup_qhdist(cfg: KScanConfig, table, fwd, rkm, klen, lmask):
+    """getValue with qhdist mutation retries (BBDukIndexMod.getValue
+    :461-478): try exact, then single-sub mutants in (symbol, position)
+    order, first hit wins."""
+    mm = jnp.int64(cfg.mid_mask if klen == cfg.k else -1)
+    mx = jnp.maximum(fwd, rkm) if cfg.rcomp else fwd
+    key = (mx & mm) | jnp.int64(lmask)
+    out = _lookup(cfg, table, key)
+    if cfg.qhdist > 0:
+        if cfg.qhdist > 1:
+            raise NotImplementedError("qhdist > 1 on device")
+        for j in range(4):
+            for i in range(klen):
+                clear = ~(jnp.int64(3) << (2 * i))
+                temp = (fwd & clear) | (jnp.int64(j) << (2 * i))
+                differs = temp != fwd
+                rtemp = _rc_jnp(temp, klen)
+                mx = jnp.maximum(temp, rtemp) if cfg.rcomp else temp
+                key = (mx & mm) | jnp.int64(lmask)
+                cand = _lookup(cfg, table, key)
+                out = jnp.where((out < 1) & differs, cand, out)
+    return out
+
+
+def _rc_jnp(kmer, k: int):
+    out = jnp.zeros_like(kmer)
+    x = kmer
+    for _ in range(k):
+        out = (out << 2) | (3 - (x & 3))
+        x = x >> 2
+    return out
+
+
+def _scan_bounds(cfg: KScanConfig, lengths):
+    """start/stop per read (restrictLeft/Right, BBDukProcessorS:1543-1544)."""
+    start = jnp.where(
+        cfg.restrict_right < 1,
+        jnp.zeros_like(lengths),
+        jnp.maximum(0, lengths - cfg.restrict_right),
+    )
+    stop = jnp.where(
+        cfg.restrict_left < 1,
+        lengths,
+        jnp.minimum(lengths, cfg.restrict_left),
+    )
+    return start, stop
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def kscan_full(cfg: KScanConfig, table, bases, lengths):
+    """Full-k scan shared by filter and trim modes.
+
+    Returns dict with per-read:
+      nhits      — number of eligible hit positions
+      id0        — id of the first hit (scan order), 0 if none
+      min_loc    — min(i - k + 1) over hits (BIG if none)
+      max_loc    — max(i) over hits (-1 if none)
+      id_at      — function input `credit_hit` selects which ordinal hit's
+                   id to credit (filter mode passes maxBadKmers); returned
+                   as ids_sorted-by-position array reduction
+      hit_pos    — [B, L] bool eligible-hit mask (for covered-bases mode)
+      ids_pos    — [B, L] int32 ids at hit positions
+    """
+    B, L = bases.shape
+    fwd, rkm, runlen = rolling_kmers_jnp(bases, cfg.k)
+    start, stop = _scan_bounds(cfg, lengths)
+    i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    eligible = (
+        (runlen >= cfg.resolved_minlen2())
+        & (i_idx >= cfg.k - 1)
+        & (i_idx >= start[:, None])
+        & (i_idx < stop[:, None])
+    )
+    ids = _lookup_qhdist(cfg, table, fwd, rkm, cfg.k, length_mask(cfg.k))
+    ids = jnp.where(eligible, ids, 0)
+    hit = ids > 0
+    nhits = hit.sum(axis=1, dtype=jnp.int32)
+    # first hit in scan order
+    first_pos = jnp.argmax(hit, axis=1)
+    id0 = jnp.where(nhits > 0, ids[jnp.arange(B), first_pos], 0)
+    min_loc = jnp.where(
+        nhits > 0, first_pos.astype(jnp.int32) - (cfg.k - 1), BIG
+    )
+    last_pos = (L - 1) - jnp.argmax(hit[:, ::-1], axis=1)
+    max_loc = jnp.where(nhits > 0, last_pos.astype(jnp.int32), -1)
+    return {
+        "nhits": nhits,
+        "id0": id0,
+        "min_loc": min_loc,
+        "max_loc": max_loc,
+        "hit": hit,
+        "ids": ids,
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def credit_id(cfg: KScanConfig, ids, credit_ordinal):
+    """Id of the (credit_ordinal+1)-th hit per read (0 if fewer hits).
+    Used by filter mode: countSetKmers credits the hit at found==maxBadKmers
+    (BBDukProcessorS.java:1580-1588)."""
+    hit = ids > 0
+    order = jnp.cumsum(hit, axis=1) - 1  # ordinal of each hit
+    sel = hit & (order == credit_ordinal[:, None])
+    pos = jnp.argmax(sel, axis=1)
+    has = sel.any(axis=1)
+    B = ids.shape[0]
+    return jnp.where(has, ids[jnp.arange(B), pos], 0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "left"))
+def kscan_short(cfg: KScanConfig, table, bases, lengths, left: bool):
+    """Short-kmer end scan (Scanning4/Scanning5, BBDukProcessorS
+    :2036-2106). Only meaningful when the full scan found nothing.
+
+    Returns (any_hit, id0, loc) where loc is:
+      left scan:  max hit index i (maxLoc candidate)
+      right scan: min hit index i (minLoc candidate)
+    Undefined bases contribute code 0 with no reset (matching the
+    reference's short-kmer loops, which have no N handling).
+
+    Candidate keys for every short length are collected first (cheap
+    register arithmetic), then resolved with ONE batched table lookup —
+    keeping the compiled probe chain short.
+    """
+    B, L = bases.shape
+    codes = bases.astype(jnp.int32)
+    code0 = jnp.where(codes < 4, codes, 0).astype(jnp.int64)
+    comp0 = jnp.where(codes < 4, 3 - codes, 0).astype(jnp.int64)
+    start, stop = _scan_bounds(cfg, lengths)
+    k, mink = cfg.k, cfg.mink
+    mask = jnp.int64((1 << (2 * k)) - 1)
+    kmer = jnp.zeros(B, dtype=jnp.int64)
+    rkmer = jnp.zeros(B, dtype=jnp.int64)
+    keys_l: list = []  # per short length: canonical key [B]
+    live_l: list = []  # per short length: in-bounds mask [B]
+    i_l: list = []  # per short length: absolute position [B]
+    if cfg.qhdist > 0:
+        raise NotImplementedError("qhdist with mink on device")
+    for step in range(k):
+        if left:
+            i = start + step
+            ii = jnp.minimum(i, L - 1)[:, None].astype(jnp.int32)
+            x = jnp.take_along_axis(code0, ii, axis=1)[:, 0]
+            x2 = jnp.take_along_axis(comp0, ii, axis=1)[:, 0]
+            kmer = ((kmer << 2) | x) & mask
+            rkmer = rkmer | (x2 << (2 * step))
+            # loop bound: i < min(k, stop)  (BBDukProcessorS:2041 lim)
+            live = i < jnp.minimum(jnp.int32(k), stop)
+        else:
+            i = stop - 1 - step
+            live = i >= jnp.maximum(-1, stop - k) + 1
+            ii = jnp.clip(i, 0, L - 1)[:, None].astype(jnp.int32)
+            x = jnp.take_along_axis(code0, ii, axis=1)[:, 0]
+            x2 = jnp.take_along_axis(comp0, ii, axis=1)[:, 0]
+            kmer_new = kmer | (x << (2 * step))
+            rkmer_new = ((rkmer << 2) | x2) & mask
+            kmer = jnp.where(live, kmer_new, kmer)
+            rkmer = jnp.where(live, rkmer_new, rkmer)
+        ln = step + 1
+        if ln >= mink:
+            mx = jnp.maximum(kmer, rkmer) if cfg.rcomp else kmer
+            keys_l.append(mx | jnp.int64(length_mask(ln)))
+            live_l.append(live)
+            i_l.append(i)
+    keys = jnp.stack(keys_l, axis=1)  # [B, S]
+    live = jnp.stack(live_l, axis=1)
+    pos = jnp.stack(
+        [jnp.broadcast_to(x, (B,)).astype(jnp.int32) for x in i_l], axis=1
+    )
+    ids = jnp.where(live, _lookup(cfg, table, keys), 0)  # [B, S]
+    hit = ids > 0
+    any_hit = hit.any(axis=1)
+    first = jnp.argmax(hit, axis=1)
+    id0 = jnp.where(any_hit, ids[jnp.arange(B), first], 0)
+    if left:
+        loc = jnp.where(hit, pos, -1).max(axis=1)
+    else:
+        loc = jnp.where(hit, pos, BIG).min(axis=1)
+    return any_hit, id0, loc

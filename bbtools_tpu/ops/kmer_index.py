@@ -1,0 +1,373 @@
+"""Reference k-mer index: host build + device-resident lookup.
+
+Build semantics replicate the BBDuk loader exactly
+(bbduk/BBDukIndexAndLoader.addToMap(Read) :618-700, addToMapLeftShift/
+RightShift :707-766, mutate recursion BBDukIndexMod.java:383-443):
+
+  - every fully-defined window of length k in a reference scaffold is
+    stored under its canonical key with value = scaffold id (1-based);
+    `setIfNotPresent` means the FIRST insertion wins, and insertions
+    happen in (scaffold, position, mutation-order) order
+  - hdist > 0 expands substitution mutants at load, depth-first per kmer,
+    symbol-major then position-minor (positions counted from the LSB end)
+  - mink enables short kmers at reference sequence ends: prefixes of the
+    first window (addToMapRightShift) and suffixes of the last
+    (addToMapLeftShift), lengths k-1 down to mink, tagged by their
+    length_mask bit, expanded with hdist2
+  - maskMiddle keys are stored pre-masked
+
+Lookup is a pure device function. Two interchangeable structures:
+
+  SortedKmerIndex — sorted int64 keys + binary search (searchsorted).
+    Deterministic, simple; the reference's own BBMap Block index is the
+    same sorted-array idea (align2/Block.java:18).
+  HashKmerIndex — open-addressed, linearly-probed table in flat arrays,
+    keys split into int32 hi/lo lanes so TPU gathers stay 32-bit; probe
+    depth is fixed at build time so the query unrolls into a handful of
+    gather+compare steps (the TPU-native HashArray analog,
+    kmer/HashArray.java:22).
+
+Both return the stored id (>0) or 0 for miss, per query position.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from .kmers import (
+    canonical_keys_np,
+    length_mask,
+    rc_kmer_np,
+    rolling_kmers_np,
+)
+
+
+def _mutant_stream_hdist1(kmers: np.ndarray, klen: int, mid_mask: int):
+    """Per base kmer: [canon(kmer)] + canon of all single-sub mutants in
+    reference order (symbol-major j=0..3, position i=0..len-1 from LSB),
+    skipping identity mutants. Returns [n, 1+3*klen] canonical keys."""
+    n = len(kmers)
+    j = np.arange(4, dtype=np.int64)[None, :, None]
+    i = np.arange(klen, dtype=np.int64)[None, None, :]
+    clear = ~(np.int64(3) << (2 * i))
+    temp = (kmers[:, None, None] & clear) | (j << (2 * i))  # [n, 4, klen]
+    keep = temp != kmers[:, None, None]
+    temp_flat = temp.reshape(n, 4 * klen)
+    keep_flat = keep.reshape(n, 4 * klen)
+    # each row keeps exactly 3*klen entries, so masked-take stays rectangular
+    mutants = temp_flat[keep_flat].reshape(n, 3 * klen)
+    rmut = rc_kmer_np(mutants, klen)
+    base_key = canonical_keys_np(kmers, rc_kmer_np(kmers, klen), klen, mid_mask)
+    mut_key = canonical_keys_np(mutants, rmut, klen, mid_mask)
+    return np.concatenate([base_key[:, None], mut_key], axis=1)
+
+
+def _mutant_stream_recursive(
+    kmer: int, klen: int, dist: int, mid_mask: int, out: list[int]
+):
+    """Depth-first mutate recursion for hdist >= 2 (exact insertion order)."""
+    key = canonical_keys_np(
+        np.array([kmer], dtype=np.int64),
+        rc_kmer_np(np.array([kmer], dtype=np.int64), klen),
+        klen,
+        mid_mask,
+    )[0]
+    out.append(int(key))
+    if dist > 0:
+        for j in range(4):
+            for i in range(klen):
+                temp = (kmer & ~(3 << (2 * i))) | (j << (2 * i))
+                if temp != kmer:
+                    _mutant_stream_recursive(temp, klen, dist - 1, mid_mask, out)
+
+
+def expand_kmers(
+    kmers: np.ndarray, klen: int, hdist: int, mid_mask: int = -1
+) -> tuple[np.ndarray, np.ndarray]:
+    """Expand kmers (in scan order) to the full insertion stream of
+    canonical keys. Returns (keys, source_index) where source_index maps
+    each stream entry back to its originating kmer."""
+    kmers = np.asarray(kmers, dtype=np.int64)
+    n = len(kmers)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    if hdist == 0:
+        keys = canonical_keys_np(kmers, rc_kmer_np(kmers, klen), klen, mid_mask)
+        return keys, np.arange(n, dtype=np.int64)
+    if hdist == 1:
+        stream = _mutant_stream_hdist1(kmers, klen, mid_mask)
+        src = np.repeat(np.arange(n, dtype=np.int64), stream.shape[1])
+        return stream.reshape(-1), src
+    keys_l: list[int] = []
+    src_l: list[int] = []
+    for ix, km in enumerate(kmers):
+        buf: list[int] = []
+        _mutant_stream_recursive(int(km), klen, hdist, mid_mask, buf)
+        keys_l.extend(buf)
+        src_l.extend([ix] * len(buf))
+    return np.asarray(keys_l, dtype=np.int64), np.asarray(src_l, dtype=np.int64)
+
+
+def scaffold_kmer_stream(codes: np.ndarray, k: int, mink: int = 0):
+    """Full-k kmers (fwd, rkm) of one scaffold in scan order, plus the
+    short-kmer streams at the ends when mink > 0.
+
+    Returns (fwd[k..], rkm[k..], shorts) with shorts a list of
+    (kmer, rkmer, len) in reference insertion order relative markers:
+    shorts_first (added right after the first full kmer) and shorts_last.
+    """
+    codes = np.asarray(codes, dtype=np.uint8)
+    L = len(codes)
+    if L < k:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int64),
+            [],
+            [],
+        )
+    fwd, rkm, runlen = rolling_kmers_np(codes[None, :], k)
+    fwd, rkm, runlen = fwd[0], rkm[0], runlen[0]
+    valid = runlen >= k
+    shorts_first: list[tuple[int, int, int]] = []
+    shorts_last: list[tuple[int, int, int]] = []
+    if mink and mink < k:
+        right_masks = [(1 << (2 * i)) - 1 for i in range(k + 1)]
+        if valid[k - 1]:
+            # addToMapRightShift: prefixes of the first window
+            km, rk = int(fwd[k - 1]), int(rkm[k - 1])
+            for i in range(k - 1, mink - 1, -1):
+                km >>= 2
+                rk &= right_masks[i]
+                shorts_first.append((km, rk, i))
+        if valid[L - 1]:
+            # addToMapLeftShift: suffixes of the last window
+            km, rk = int(fwd[L - 1]), int(rkm[L - 1])
+            for i in range(k - 1, mink - 1, -1):
+                km &= right_masks[i]
+                rk >>= 2
+                shorts_last.append((km, rk, i))
+    return fwd[valid], rkm[valid], shorts_first, shorts_last
+
+
+def build_ref_keys(
+    scaffolds: list[np.ndarray],
+    k: int,
+    mink: int = 0,
+    hdist: int = 0,
+    hdist2: int | None = None,
+    mid_mask: int = -1,
+    ids: list[int] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build the (sorted_keys, ids) arrays for a reference set.
+
+    `scaffolds` are 2-bit code arrays in input order; scaffold ids default
+    to 1..n (the reference's scaffold numbering, 0 reserved). First
+    insertion wins on duplicate keys, in exact reference order.
+    """
+    if hdist2 is None:
+        hdist2 = hdist
+    all_keys: list[np.ndarray] = []
+    all_ids: list[np.ndarray] = []
+    for snum, codes in enumerate(scaffolds):
+        sid = ids[snum] if ids is not None else snum + 1
+        fwd, rkm, shorts_first, shorts_last = scaffold_kmer_stream(codes, k, mink)
+        if len(fwd) == 0:
+            continue
+        # Reference interleaves short-kmer adds right after the first/last
+        # full-kmer add; with setIfNotPresent and distinct length tags the
+        # only ordering that matters is within each length class, which is
+        # preserved by grouping (full kmers never collide with shorts).
+        keys, _ = expand_kmers(fwd, k, hdist, mid_mask)
+        all_keys.append(keys)
+        all_ids.append(np.full(len(keys), sid, dtype=np.int32))
+        for km, rk, ln in shorts_first + shorts_last:
+            skeys, _ = expand_kmers(
+                np.array([km], dtype=np.int64), ln, hdist2, -1
+            )
+            all_keys.append(skeys)
+            all_ids.append(np.full(len(skeys), sid, dtype=np.int32))
+    if not all_keys:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
+    keys = np.concatenate(all_keys)
+    idv = np.concatenate(all_ids)
+    # first-insertion-wins dedup: np.unique returns the first occurrence
+    # index for each unique key
+    ukeys, first = np.unique(keys, return_index=True)
+    return ukeys, idv[first]
+
+
+# ---------------------------------------------------------------------------
+# Device lookup structures
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SortedKmerIndex:
+    """Sorted-key index; lookup via binary search. Works on host and device."""
+
+    keys: np.ndarray  # int64 [N], sorted ascending
+    ids: np.ndarray  # int32 [N]
+
+    @property
+    def n(self) -> int:
+        return len(self.keys)
+
+    def lookup_np(self, query: np.ndarray) -> np.ndarray:
+        if self.n == 0:
+            return np.zeros(query.shape, dtype=np.int32)
+        pos = np.searchsorted(self.keys, query)
+        pos = np.minimum(pos, self.n - 1)
+        hit = self.keys[pos] == query
+        return np.where(hit, self.ids[pos], 0).astype(np.int32)
+
+    def device_arrays(self):
+        return jnp.asarray(self.keys), jnp.asarray(self.ids)
+
+    @staticmethod
+    def lookup_jnp(keys, ids, query):
+        """Pure function for jit: query int64 [...] -> id int32 [...]."""
+        n = keys.shape[0]
+        pos = jnp.searchsorted(keys, query)
+        pos = jnp.minimum(pos, n - 1)
+        hit = keys[pos] == query
+        return jnp.where(hit, ids[pos], 0).astype(jnp.int32)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain mixing constants)."""
+    h = h.astype(np.uint64)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+@dataclass
+class HashKmerIndex:
+    """Open-addressed, linear-probe hash table in flat device arrays.
+
+    Keys are stored as separate int32 hi/lo lanes (TPU gathers stay 32-bit)
+    plus an int32 id lane; empty slots have id == 0. `max_probe` is the
+    longest probe sequence that occurred at build, so the device query is a
+    statically-unrolled loop of `max_probe + 1` gather+compare steps.
+    """
+
+    key_hi: np.ndarray  # int32 [cap]
+    key_lo: np.ndarray  # int32 [cap]
+    ids: np.ndarray  # int32 [cap]
+    cap: int
+    max_probe: int
+    n: int
+
+    #: longest probe sequence allowed; build retries with a bigger table if
+    #: exceeded, keeping the device lookup a short unrolled gather chain
+    PROBE_LIMIT = 6
+
+    @staticmethod
+    def build(keys: np.ndarray, ids: np.ndarray, load_factor: float = 0.5):
+        n = len(keys)
+        cap = 64
+        while cap * load_factor < max(n, 1):
+            cap *= 2
+        while True:
+            idx = HashKmerIndex._build_at(keys, ids, cap)
+            if idx.max_probe <= HashKmerIndex.PROBE_LIMIT or cap >= 1 << 30:
+                return idx
+            cap *= 2
+
+    @staticmethod
+    def _build_at(keys: np.ndarray, ids: np.ndarray, cap: int):
+        n = len(keys)
+        key_hi = np.zeros(cap, dtype=np.int32)
+        key_lo = np.zeros(cap, dtype=np.int32)
+        idarr = np.zeros(cap, dtype=np.int32)
+        occupied = np.zeros(cap, dtype=bool)
+        h = (_mix64(keys.astype(np.uint64)) & np.uint64(cap - 1)).astype(np.int64)
+        remaining = np.arange(n)
+        probe = 0
+        max_probe = 0
+        while len(remaining):
+            slot = (h[remaining] + probe) & (cap - 1)
+            free = ~occupied[slot]
+            # among entries landing on the same free slot, lowest index wins
+            cand = remaining[free]
+            cand_slot = slot[free]
+            order = np.argsort(cand_slot, kind="stable")
+            cand, cand_slot = cand[order], cand_slot[order]
+            first = np.ones(len(cand), dtype=bool)
+            first[1:] = cand_slot[1:] != cand_slot[:-1]
+            placed = cand[first]
+            pslot = cand_slot[first]
+            occupied[pslot] = True
+            key_hi[pslot] = (keys[placed] >> 32).astype(np.int32)
+            key_lo[pslot] = (keys[placed] & 0xFFFFFFFF).astype(np.int32)
+            idarr[pslot] = ids[placed]
+            if len(placed):
+                max_probe = probe
+            mask = np.ones(len(remaining), dtype=bool)
+            mask[np.isin(remaining, placed)] = False
+            remaining = remaining[mask]
+            probe += 1
+            if probe > cap:
+                raise RuntimeError("hash build failed to converge")
+        return HashKmerIndex(key_hi, key_lo, idarr, cap, max_probe, n)
+
+    def lookup_np(self, query: np.ndarray) -> np.ndarray:
+        qh = (_mix64(query.astype(np.uint64)) & np.uint64(self.cap - 1)).astype(
+            np.int64
+        )
+        out = np.zeros(query.shape, dtype=np.int32)
+        found = np.zeros(query.shape, dtype=bool)
+        q_hi = (query >> 32).astype(np.int32)
+        q_lo = (query & 0xFFFFFFFF).astype(np.int32)
+        for step in range(self.max_probe + 1):
+            slot = (qh + step) & (self.cap - 1)
+            hit = (
+                (self.key_hi[slot] == q_hi)
+                & (self.key_lo[slot] == q_lo)
+                & (self.ids[slot] != 0)
+                & ~found
+            )
+            out = np.where(hit, self.ids[slot], out)
+            found |= hit
+        return out
+
+    def device_arrays(self):
+        return (
+            jnp.asarray(self.key_hi),
+            jnp.asarray(self.key_lo),
+            jnp.asarray(self.ids),
+        )
+
+    @staticmethod
+    def lookup_jnp(key_hi, key_lo, ids, cap: int, max_probe: int, query):
+        """Pure jit-able lookup: query int64 [...] -> id int32 [...].
+
+        cap and max_probe must be static (python ints) for unrolling.
+        """
+        q = query.astype(jnp.uint64)
+        h = q
+        h = h ^ (h >> jnp.uint64(30))
+        h = h * jnp.uint64(0xBF58476D1CE4E5B9)
+        h = h ^ (h >> jnp.uint64(27))
+        h = h * jnp.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> jnp.uint64(31))
+        base = (h & jnp.uint64(cap - 1)).astype(jnp.int32)
+        q_hi = (query >> 32).astype(jnp.int32)
+        q_lo = (query & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+        out = jnp.zeros(query.shape, dtype=jnp.int32)
+        for step in range(max_probe + 1):
+            slot = (base + step) & (cap - 1)
+            hit = (
+                (key_hi[slot] == q_hi)
+                & (key_lo[slot] == q_lo)
+                & (ids[slot] != 0)
+                & (out == 0)
+            )
+            out = jnp.where(hit, ids[slot], out)
+        return out

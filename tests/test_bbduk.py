@@ -1,0 +1,263 @@
+import gzip
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bbtools_tpu.core.dna import encode
+from bbtools_tpu.io.batch import ReadBatch
+from bbtools_tpu.models import bbduk_oracle as oracle
+from bbtools_tpu.models.bbduk import BBDuk, BBDukConfig, parse_args
+from bbtools_tpu.ops.bbduk_scan import KScanConfig, credit_id, kscan_full, kscan_short
+from bbtools_tpu.ops.entropy import EntropyModel
+from bbtools_tpu.ops.kmer_index import HashKmerIndex, build_ref_keys
+from bbtools_tpu.ops.trim import optimal_trim_jnp, optimal_trim_np
+
+rng = np.random.default_rng(1234)
+
+
+def random_reads(n, L, n_prob=0.01):
+    c = rng.integers(0, 4, (n, L)).astype(np.uint8)
+    c[rng.random((n, L)) < n_prob] = 4
+    return c
+
+
+def make_index(ref_seqs, k, mink=0, hdist=0):
+    keys, ids = build_ref_keys(
+        [encode(s) for s in ref_seqs], k, mink=mink, hdist=hdist
+    )
+    idx = HashKmerIndex.build(keys, ids)
+    table = {int(kk): int(ii) for kk, ii in zip(keys, ids)}
+    return idx, table
+
+
+def scan_cfg(idx, k, mink=0, qhdist=0, minlen2=0, mid_mask=-1, **kw):
+    return KScanConfig(
+        k=k,
+        mink=mink,
+        minlen2=minlen2,
+        mid_mask=mid_mask,
+        qhdist=qhdist,
+        cap=idx.cap,
+        max_probe=idx.max_probe,
+        **kw,
+    )
+
+
+class TestScanKernels:
+    def setup_method(self):
+        self.k = 11
+        adapters = [
+            b"ACGTTACCGGATAGCTGGCAAGTT",
+            b"TTGGCCAATTGGCCAACTGAGATC",
+        ]
+        self.adapters = adapters
+        self.idx, self.table = make_index(adapters, self.k)
+        self.tdev = self.idx.device_arrays()
+
+    def test_full_scan_vs_oracle(self):
+        k = self.k
+        reads = random_reads(64, 80, n_prob=0.03)
+        # plant adapter fragments in some reads
+        for i in range(0, 64, 3):
+            a = self.adapters[i % 2]
+            pos = int(rng.integers(0, 80 - len(a)))
+            reads[i, pos : pos + len(a)] = encode(a)
+        lengths = rng.integers(5, 81, 64).astype(np.int32)
+        cfg = scan_cfg(self.idx, k)
+        out = kscan_full(cfg, self.tdev, jnp.asarray(reads), jnp.asarray(lengths))
+        out = {kk: np.asarray(v) for kk, v in out.items()}
+        for i in range(64):
+            codes = reads[i, : lengths[i]]
+            hits = oracle.full_scan(codes, self.table, k, k)
+            assert out["nhits"][i] == len(hits), f"read {i}"
+            if hits:
+                assert out["id0"][i] == hits[0][1]
+                assert out["min_loc"][i] == min(h[0] for h in hits) - k + 1
+                assert out["max_loc"][i] == max(h[0] for h in hits)
+            else:
+                assert out["id0"][i] == 0
+
+    def test_credit_id_vs_oracle(self):
+        k = self.k
+        reads = random_reads(32, 60, n_prob=0)
+        for i in range(32):
+            a = self.adapters[i % 2]
+            reads[i, 10 : 10 + len(a)] = encode(a)
+        lengths = np.full(32, 60, np.int32)
+        cfg = scan_cfg(self.idx, k)
+        out = kscan_full(cfg, self.tdev, jnp.asarray(reads), jnp.asarray(lengths))
+        for maxbad in (0, 2, 5, 100):
+            cid = np.asarray(
+                credit_id(
+                    cfg,
+                    out["ids"],
+                    jnp.full(32, maxbad, jnp.int32),
+                )
+            )
+            for i in range(32):
+                found, want = oracle.count_set_kmers(
+                    reads[i, : lengths[i]], self.table, k, maxbad
+                )
+                got = cid[i] if found > maxbad else 0
+                assert got == want, f"read {i} maxbad {maxbad}"
+
+    def test_short_kmers_vs_oracle(self):
+        k, mink = 11, 5
+        idx, table = make_index(self.adapters, k, mink=mink)
+        tdev = idx.device_arrays()
+        cfg = scan_cfg(idx, k, mink=mink)
+        # reads ending with a short adapter prefix (classic 3' adapter stub)
+        reads = random_reads(40, 50, n_prob=0)
+        for i in range(40):
+            stub = self.adapters[i % 2][: int(rng.integers(3, 11))]
+            reads[i, 50 - len(stub) :] = encode(stub)
+        lengths = np.full(40, 50, np.int32)
+        hitR, idR, locR = (
+            np.asarray(x)
+            for x in kscan_short(cfg, tdev, jnp.asarray(reads), jnp.asarray(lengths), False)
+        )
+        hitL, idL, locL = (
+            np.asarray(x)
+            for x in kscan_short(cfg, tdev, jnp.asarray(reads), jnp.asarray(lengths), True)
+        )
+        for i in range(40):
+            codes = reads[i, : lengths[i]]
+            # oracle: run ktrim right with shorts
+            found, id0, a, b = oracle.ktrim(
+                codes, table, k, mink, ktrim_left=False, ktrim_right=True
+            )
+            full_hits = oracle.full_scan(codes, table, k, k)
+            if not full_hits and found > 0:
+                assert hitR[i], f"read {i}"
+                # oracle minLoc is the last (lowest i) short hit
+                keep_to = b
+                got_keep_to = (
+                    oracle._trim_to(int(lengths[i]), 0, int(locR[i]) - 1)[1]
+                )
+                assert got_keep_to == keep_to, f"read {i}"
+                assert idR[i] == id0 or hitL[i]
+
+    def test_ktrim_driver_matches_oracle(self):
+        k, mink = 11, 5
+        cfg = BBDukConfig(
+            k=k,
+            mink=mink,
+            ktrim="r",
+            min_length=10,
+            literal=self.adapters,
+            mask_middle=True,  # will be disabled by resolve()
+        ).resolve()
+        duk = BBDuk(cfg)
+        reads = random_reads(100, 70, n_prob=0.01)
+        for i in range(0, 100, 2):
+            a = self.adapters[i % 2]
+            frag = a if i % 4 == 0 else a[: int(rng.integers(3, len(a)))]
+            pos = 70 - len(frag) if i % 3 else int(rng.integers(20, 70 - len(frag)))
+            reads[i, pos : pos + len(frag)] = encode(frag)
+        lengths = np.full(100, 70, np.int32)
+        quals = np.full((100, 70), 30, np.uint8)
+        batch = ReadBatch(
+            bases=reads.copy(),
+            quals=quals,
+            lengths=lengths.copy(),
+            ids=[b"r%d" % i for i in range(100)],
+        )
+        b1, b2, keep, s1, s2 = duk.process_pair(batch, None)
+        table = {
+            int(kk): int(ii)
+            for kk, ii in zip(*build_ref_keys(
+                [encode(s) for s in self.adapters], k, mink=mink
+            ))
+        }
+        for i in range(100):
+            codes = reads[i, : lengths[i]]
+            found, id0, a, b = oracle.ktrim(
+                codes, table, k, mink, ktrim_left=False, ktrim_right=True
+            )
+            if found == 0:
+                exp_len = 70
+            else:
+                exp_len = b - a + 1
+            exp_keep = exp_len >= 10
+            assert keep[i] == exp_keep, f"read {i}"
+            if exp_keep:
+                assert b1.lengths[i] == exp_len, f"read {i}"
+
+
+def test_optimal_trim_np_vs_jnp():
+    B, L = 64, 120
+    quals = rng.integers(0, 42, (B, L)).astype(np.uint8)
+    lengths = rng.integers(1, L + 1, B).astype(np.int32)
+    is_n = rng.random((B, L)) < 0.02
+    for trimq in (6.0, 10.0, 20.0):
+        from bbtools_tpu.core.qualtools import phred_to_prob_error
+
+        avg = float(np.float32(phred_to_prob_error(trimq)))
+        l_np, r_np = optimal_trim_np(quals, lengths, is_n, avg)
+        l_j, r_j = optimal_trim_jnp(
+            jnp.asarray(quals), jnp.asarray(lengths), jnp.asarray(is_n), avg
+        )
+        np.testing.assert_array_equal(l_np, np.asarray(l_j))
+        np.testing.assert_array_equal(r_np, np.asarray(r_j))
+
+
+def test_entropy_batch_vs_read():
+    em = EntropyModel(k=5, window=50)
+    B, L = 16, 90
+    codes = random_reads(B, L, n_prob=0.05)
+    lengths = rng.integers(3, L + 1, B).astype(np.int32)
+    batch_avg = em.average_entropy_batch(codes, lengths)
+    for i in range(B):
+        want = em.average_entropy_read(codes[i, : lengths[i]])
+        assert abs(batch_avg[i] - want) < 1e-6, f"read {i}"
+
+
+def test_bbduk_end_to_end_files(tmp_path):
+    adapter = b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
+    ref = tmp_path / "adapters.fa"
+    ref.write_bytes(b">truseq\n" + adapter + b"\n")
+    reads = []
+    expected_lengths = []
+    for i in range(500):
+        insert = bytes(
+            bytes([b"ACGT"[x] for x in rng.integers(0, 4, 60)])
+        )
+        if i % 2 == 0:
+            seq = insert + adapter[: 40 - 1]  # adapter at 3' end
+            exp = 60
+        else:
+            seq = insert + bytes(
+                bytes([b"ACGT"[x] for x in rng.integers(0, 4, 40)])
+            )
+            exp = 100
+        seq = seq[:100]
+        reads.append((b"r%d" % i, seq, b"F" * len(seq)))
+        expected_lengths.append(exp)
+    fin = tmp_path / "in.fq"
+    with open(fin, "wb") as fh:
+        for n, s, q in reads:
+            fh.write(b"@" + n + b"\n" + s + b"\n+\n" + q + b"\n")
+    fout = tmp_path / "out.fq"
+    cfg = parse_args(
+        [
+            f"in={fin}",
+            f"out={fout}",
+            f"ref={ref}",
+            "k=23",
+            "mink=11",
+            "hdist=1",
+            "ktrim=r",
+            "minlength=10",
+        ]
+    )
+    duk = BBDuk(cfg)
+    duk.run()
+    out_lines = fout.read_bytes().splitlines()
+    assert len(out_lines) == 4 * 500
+    got_lengths = [len(out_lines[i * 4 + 1]) for i in range(500)]
+    assert got_lengths == expected_lengths
+    assert duk.stats.reads_in == 500
+    assert duk.stats.reads_ktrimmed == 250
