@@ -30,7 +30,7 @@ from ..io.fasta import iter_fasta
 from ..io.fastq import FastqReader, FastqWriter
 from ..ops.bbduk_scan import KScanConfig, credit_id, kscan_full, kscan_short
 from ..ops.entropy import EntropyModel
-from ..ops.kmer_index import HashKmerIndex, build_ref_keys
+from ..ops.kmer_index import BucketKmerIndex, build_ref_keys
 from ..ops.kmers import mid_mask_len_default, middle_mask
 from ..ops.trim import apply_trim, optimal_trim_jnp
 
@@ -258,7 +258,7 @@ def build_index(cfg: BBDukConfig):
         hdist2=cfg.hdist2,
         mid_mask=cfg.mid_mask_bits,
     )
-    index = HashKmerIndex.build(keys, ids) if len(keys) else None
+    index = BucketKmerIndex.build(keys, ids) if len(keys) else None
     lengths = [len(s) for s in scaffolds]
     return index, names, lengths
 
@@ -286,8 +286,7 @@ class BBDuk:
                 restrict_left=cfg.restrict_left,
                 restrict_right=cfg.restrict_right,
                 qhdist=cfg.qhdist,
-                cap=self.index.cap if self.index else 64,
-                max_probe=self.index.max_probe if self.index else 0,
+                nb=self.index.nb if self.index else 64,
                 rcomp=cfg.rcomp,
             )
             if True

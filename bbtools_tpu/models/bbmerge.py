@@ -1,0 +1,360 @@
+"""BBMerge — paired-read overlap merging (BASELINE config #4).
+
+TPU-native redesign of jgi/BBMerge.java:52: the per-pair Java scan becomes
+a device scan over all candidate inserts (ops/overlap.py) followed by the
+exact sequential accept/ambiguity state machine vectorized across the
+batch; joining is a batched overlay (ops/join.py).
+
+Default path replicated: entropy-derived minOverlap (Tail r1 / Head r2,
+k=3, minscore=39, jgi/BBMerge.java:2373-2388), non-quality ratio mode
+(overlapUsingQuality=false default :3110) with gIncr=bIncr=0.95,
+maxRatio=0.09, margin=5.5, offset=0.55, minSecondRatio=0.1 (:3279-3282),
+efilter (ratio=6, offset=0.05) and pfilter (4e-5) (:3098-3104), strictness
+presets ladder (:1359-1476), RET codes (:3292-3300), insert-size histogram.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.parser import tokenize
+from ..io.fastq import FastqReader, FastqWriter
+from ..io.batch import ReadBatch
+from ..ops.join import join_reads_np
+from ..ops.overlap import (
+    calc_min_overlap_by_entropy_np,
+    expected_mismatches_np,
+    mate_by_overlap_ratio_np,
+    overlap_counts_jnp,
+    probability_np,
+)
+
+RET_NO_SOLUTION = -1
+RET_AMBIG = -2
+RET_BAD = -3
+RET_SHORT = -4
+RET_LONG = -5
+
+
+@dataclass
+class Preset:
+    max_ratio: float = 0.09
+    ratio_margin: float = 5.5
+    ratio_offset: float = 0.55
+    min_second_ratio: float = 0.1
+    efilter_ratio: float = 6.0
+    efilter_offset: float = 0.05
+    pfilter_ratio: float = 0.00004
+    min_overlap: int = 11  # MIN_OVERLAPPING_BASES
+    min_overlap0: int = 8  # MIN_OVERLAPPING_BASES_0
+    ratio_reduction: int = 3
+    min_insert: int = 15
+    min_insert0: int = -1
+    min_entropy_score: int = 39
+
+    def resolve(self):
+        if self.min_insert0 < 0:
+            v = max(int(np.ceil(self.min_insert * 0.75)), 5, self.min_overlap0)
+            self.min_insert0 = min(self.min_insert, v)
+        return self
+
+
+#: strictness ladder (jgi/BBMerge.java findOverlapUStrict..Loose :1359-1476)
+PRESETS = {
+    "default": Preset(),
+    "ustrict": Preset(0.045, 12, 0.5, 0.16, 2, 0.03, 0.03, 14, 3, 0, 35, 20, 56),
+    "vstrict": Preset(0.05, 12, 0.5, 0.16, 2, 0.05, 0.008, 12, 4, 0, 35, 25, 52),
+    "strict": Preset(0.075, 7.5, 0.55, 0.12, 4, 0.05, 0.0008, 11, 5, 0, 35, 25, 42),
+    "loose": Preset(0.11, 4.7, 0.45, 0.1, 8, 0.55, 0.00002, 5, 6, 0, 16, 16, 30),
+}
+
+
+@dataclass
+class BBMergeConfig:
+    in1: str | None = None
+    in2: str | None = None
+    out: str | None = None  # merged
+    outu1: str | None = None  # unmerged r1
+    outu2: str | None = None  # unmerged r2
+    ihist: str | None = None
+    preset: str = "default"
+    min_insert: int | None = None
+    max_read_length: int = -1
+    ecco: bool = False
+    join: bool = True
+    use_entropy: bool = True
+    batch_reads: int = 8192
+    ziplevel: int | None = None
+
+
+def parse_args(argv: list[str]) -> BBMergeConfig:
+    a = tokenize(argv)
+    c = BBMergeConfig()
+    c.in1 = a.get("in", "in1")
+    c.in2 = a.get("in2")
+    c.out = a.get("out", "outm", "outmerged")
+    c.outu1 = a.get("outu", "outu1", "outunmerged")
+    c.outu2 = a.get("outu2")
+    c.ihist = a.get("ihist", "hist")
+    for name in ("ustrict", "vstrict", "strict", "loose", "vloose", "xloose"):
+        if a.get_bool(name, default=False):
+            c.preset = name if name in PRESETS else "loose"
+    c.min_insert = a.get_int("mininsert", default=None)
+    c.ecco = a.get_bool("ecco", default=False)
+    c.use_entropy = a.get_bool("entropy", "useentropy", default=True)
+    c.batch_reads = a.get_int("batchreads", default=8192)
+    c.ziplevel = a.get_int("ziplevel", "zl", default=None)
+    return c
+
+
+class BBMerge:
+    def __init__(self, cfg: BBMergeConfig):
+        self.cfg = cfg
+        self.preset = PRESETS[cfg.preset].resolve()
+        if cfg.min_insert is not None:
+            self.preset.min_insert = cfg.min_insert
+            self.preset.min_insert0 = -1
+            self.preset.resolve()
+        self.hist = np.zeros(2000, dtype=np.int64)
+        self.pairs = 0
+        self.merged = 0
+        self.ambiguous = 0
+        self.no_solution = 0
+        self.too_short = 0
+        self.insert_sum = 0
+
+    def find_inserts(self, b1: ReadBatch, b2: ReadBatch) -> np.ndarray:
+        """Insert size per pair, or a RET_* code. b2 in original orientation."""
+        import jax.numpy as jnp
+
+        p = self.preset
+        B = b1.n
+        alens = b1.lengths.astype(np.int64)
+        blens = b2.lengths.astype(np.int64)
+        # reverse-complement r2 (codes + reversed quals)
+        b_rc = _rc_batch(b2)
+        bq_rev = _rev_quals(b2)
+        # entropy-derived minOverlap (default mode: Tail of r1, Head of r2)
+        if self.cfg.use_entropy:
+            a_e = calc_min_overlap_by_entropy_np(
+                b1.bases, b1.lengths, 3, p.min_entropy_score, from_tail=True
+            )
+            b_e = calc_min_overlap_by_entropy_np(
+                b2.bases, b2.lengths, 3, p.min_entropy_score, from_tail=False
+            )
+            min_overlap = np.maximum(p.min_overlap, np.maximum(a_e, b_e))
+        else:
+            min_overlap = np.full(B, p.min_overlap, dtype=np.int64)
+        mo0 = p.min_overlap0 - p.ratio_reduction
+        mo = min_overlap - p.ratio_reduction
+        L = b1.padded_len
+        n_inserts = int(
+            max(1, (alens + blens).max(initial=0) - p.min_insert0 + 1)
+        )
+        good, bad, olen = (
+            np.asarray(x)
+            for x in overlap_counts_jnp(
+                jnp.asarray(b1.bases),
+                jnp.asarray(b_rc),
+                jnp.asarray(alens),
+                jnp.asarray(blens),
+                p.min_insert0,
+                n_inserts,
+            )
+        )
+        insert, bad_int, ambig = mate_by_overlap_ratio_np(
+            good, bad, olen, alens, blens, p.min_insert0,
+            mo0, mo, p.min_insert0, p.min_insert,
+            p.max_ratio, p.min_second_ratio, p.ratio_margin, p.ratio_offset,
+        )
+        # efilter (BBMerge.findOverlap :1532-1536)
+        has = (insert > 0) & ~ambig
+        if p.efilter_ratio >= 0 and b1.quals is not None and has.any():
+            exp = expected_mismatches_np(
+                b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
+                np.where(has, insert, 1),
+            )
+            kill = has & (
+                (exp + np.float32(p.efilter_offset))
+                * np.float32(p.efilter_ratio)
+                < bad_int
+            )
+            ambig = ambig | kill
+            has &= ~kill
+        if p.pfilter_ratio > 0 and b1.quals is not None and has.any():
+            prob = probability_np(
+                b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
+                np.where(has, insert, 1),
+            )
+            insert = np.where(has & (prob < np.float32(p.pfilter_ratio)), -1, insert)
+        # result codes (processReadPair_inner :2694-2700)
+        result = np.where(ambig, RET_AMBIG, insert)
+        result = np.where(
+            (result > 0) & (result < p.min_insert), RET_SHORT, result
+        )
+        if self.cfg.max_read_length > 0:
+            result = np.where(
+                result > self.cfg.max_read_length, RET_LONG, result
+            )
+        result = np.where(
+            (result <= 0) & (result != RET_AMBIG) & (result != RET_SHORT)
+            & (result != RET_LONG),
+            RET_NO_SOLUTION,
+            result,
+        )
+        # pairs too short to attempt (findOverlap :1494)
+        min_len = np.minimum(alens, blens)
+        result = np.where(
+            (min_len < p.min_overlap) | (min_len < p.min_insert),
+            RET_NO_SOLUTION,
+            result,
+        )
+        return result
+
+    def process_batch(self, b1: ReadBatch, b2: ReadBatch):
+        result = self.find_inserts(b1, b2)
+        B = b1.n
+        self.pairs += B
+        ok = result > 0
+        self.merged += int(ok.sum())
+        self.ambiguous += int((result == RET_AMBIG).sum())
+        self.too_short += int((result == RET_SHORT).sum())
+        self.no_solution += int((result == RET_NO_SOLUTION).sum())
+        ins = result[ok]
+        np.add.at(self.hist, np.minimum(ins, len(self.hist) - 1), 1)
+        self.insert_sum += int(ins.sum())
+        joined = None
+        if ok.any():
+            b_rc = _rc_batch(b2)
+            bq_rev = _rev_quals(b2)
+            out_len = int(max(result.max(initial=1), 1))
+            bases, quals, lengths = join_reads_np(
+                b1.bases, b1.quals, b1.lengths.astype(np.int64),
+                b_rc, bq_rev, b2.lengths.astype(np.int64),
+                np.where(ok, result, 1), out_len,
+            )
+            joined = ReadBatch(
+                bases=bases,
+                quals=quals,
+                lengths=lengths,
+                ids=b1.ids,
+                ordinal=b1.ordinal,
+                numeric_id0=b1.numeric_id0,
+            )
+        return result, ok, joined
+
+    def run(self):
+        cfg = self.cfg
+        t0 = time.time()
+        r1 = FastqReader(cfg.in1, batch_reads=cfg.batch_reads)
+        r2 = FastqReader(cfg.in2, batch_reads=cfg.batch_reads) if cfg.in2 else None
+        if r2 is None:
+            raise NotImplementedError("interleaved input not wired yet")
+        w_m = FastqWriter(cfg.out, ziplevel=cfg.ziplevel) if cfg.out else None
+        w_u1 = FastqWriter(cfg.outu1, ziplevel=cfg.ziplevel) if cfg.outu1 else None
+        w_u2 = FastqWriter(cfg.outu2, ziplevel=cfg.ziplevel) if cfg.outu2 else None
+        it2 = iter(r2)
+        for b1 in r1:
+            b2 = next(it2)
+            result, ok, joined = self.process_batch(b1, b2)
+            if w_m and joined is not None:
+                w_m.add(joined, ok)
+            if w_u1:
+                w_u1.add(b1, ~ok)
+            if w_u2:
+                w_u2.add(b2, ~ok)
+        for w in (w_m, w_u1, w_u2):
+            if w:
+                w.close()
+        if cfg.ihist:
+            self.write_ihist(cfg.ihist)
+        self.elapsed = time.time() - t0
+        return self
+
+    def write_ihist(self, path: str):
+        """Insert-size histogram, BBMerge format: header stats + rows."""
+        with open(path, "w") as fh:
+            mean = self.insert_sum / max(self.merged, 1)
+            fh.write(f"#Mean\t{mean:.3f}\n")
+            nz = np.flatnonzero(self.hist)
+            if len(nz):
+                cum = np.cumsum(self.hist[self.hist > 0])
+                med_idx = np.searchsorted(
+                    np.cumsum(self.hist), (self.merged + 1) // 2
+                )
+                fh.write(f"#Median\t{med_idx}\n")
+                fh.write(f"#Mode\t{int(np.argmax(self.hist))}\n")
+            fh.write(f"#InsertCount\t{self.merged}\n")
+            fh.write("#InsertSize\tCount\n")
+            for i in np.flatnonzero(self.hist):
+                fh.write(f"{i}\t{int(self.hist[i])}\n")
+
+    def print_stats(self, stream=sys.stderr):
+        p = self.pairs or 1
+        print(f"Pairs:               \t{self.pairs}", file=stream)
+        print(
+            f"Joined:              \t{self.merged}      \t{100.0 * self.merged / p:.3f}%",
+            file=stream,
+        )
+        print(
+            f"Ambiguous:           \t{self.ambiguous}      \t{100.0 * self.ambiguous / p:.3f}%",
+            file=stream,
+        )
+        print(
+            f"No Solution:         \t{self.no_solution}      \t{100.0 * self.no_solution / p:.3f}%",
+            file=stream,
+        )
+        print(
+            f"Too Short:           \t{self.too_short}      \t{100.0 * self.too_short / p:.3f}%",
+            file=stream,
+        )
+        if self.merged:
+            print(
+                f"Avg Insert:          \t{self.insert_sum / self.merged:.1f}",
+                file=stream,
+            )
+
+
+def _rc_batch(b: ReadBatch) -> np.ndarray:
+    """Reverse-complement each read's codes in place of its row (padding
+    stays at the tail)."""
+    B, L = b.bases.shape
+    out = np.full((B, L), 4, dtype=np.uint8)
+    lens = b.lengths.astype(np.int64)
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    src = lens[:, None] - 1 - pos
+    live = src >= 0
+    rows = np.arange(B)[:, None]
+    vals = b.bases[rows, np.clip(src, 0, L - 1)]
+    comp = np.where(vals < 4, 3 - vals.astype(np.int16), 4).astype(np.uint8)
+    out[live] = comp[live]
+    return out
+
+
+def _rev_quals(b: ReadBatch) -> np.ndarray:
+    B, L = b.quals.shape
+    out = np.zeros((B, L), dtype=np.uint8)
+    lens = b.lengths.astype(np.int64)
+    pos = np.arange(L, dtype=np.int64)[None, :]
+    src = lens[:, None] - 1 - pos
+    live = src >= 0
+    rows = np.arange(B)[:, None]
+    vals = b.quals[rows, np.clip(src, 0, L - 1)]
+    out[live] = vals[live]
+    return out
+
+
+def main(argv=None):
+    cfg = parse_args(argv if argv is not None else sys.argv[1:])
+    tool = BBMerge(cfg)
+    tool.run()
+    tool.print_stats()
+    return tool
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""KmerCountExact — exact k-mer spectrum, khist, and k-mer dump.
+
+Re-design of jgi/KmerCountExact.java over kmer/KmerTableSet (BASELINE
+config #2: k=31 exact spectrum + khist). Device does extraction +
+sort-reduce per batch (ops/kmer_count.py); the host merges the global
+spectrum and writes:
+
+  khist=  — "#Depth\tCount" rows (AbstractKmerTableSet.makeKhist
+            :563-634; cols=2, optional zeros)
+  dump=   — fasta of kmers, count as header (AbstractKmerTable
+            dumpKmersAsBytes semantics, mincounttodump filter)
+  peaks=  — coverage peak calls (CallPeaks; subset: peak list with
+            center/volume via local maxima of the smoothed histogram)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ..core.dna import kmer_to_text
+from ..core.parser import tokenize
+from ..io.fastq import FastqReader
+from ..io.readwrite import open_output
+from ..ops.kmer_count import KmerSpectrum, count_batch
+
+
+def run(argv: list[str]):
+    a = tokenize(argv)
+    in1 = a.get("in", "in1")
+    in2 = a.get("in2")
+    k = a.get_int("k", default=31)
+    khist = a.get("khist", "hist")
+    dump = a.get("dump", "out")
+    peaks = a.get("peaks")
+    hist_max = a.get_int("histmax", "histlen", "khistlen", default=100000)
+    print_zeros = a.get_bool("printzeros", default=True)
+    min_count_dump = a.get_int("mincounttodump", "mincount", default=1)
+    batch_reads = a.get_int("batchreads", default=16384)
+    if k > 31:
+        raise NotImplementedError("k>31 (ukmer multi-word) not yet available")
+    t0 = time.time()
+    spec = KmerSpectrum(k)
+    reads = bases = 0
+    for path in [p for p in (in1, in2) if p]:
+        reader = FastqReader(path, batch_reads=batch_reads)
+        for b in reader:
+            v, c = count_batch(b.bases, b.lengths, k)
+            spec.add_batch(v, c)
+        reads += reader.reads_in
+        bases += reader.bases_in
+    spec.flush()
+    elapsed = time.time() - t0
+    if khist:
+        h = spec.histogram(hist_max)
+        with open_output(khist) as fh:
+            fh.write(b"#Depth\tCount\n")
+            for depth in range(1, len(h)):
+                if print_zeros or h[depth] > 0:
+                    fh.write(b"%d\t%d\n" % (depth, h[depth]))
+    if dump:
+        with open_output(dump) as fh:
+            for key, cnt in zip(spec.keys, spec.counts):
+                if cnt >= min_count_dump:
+                    fh.write(
+                        b">%d\n%s\n" % (cnt, kmer_to_text(int(key), k).encode())
+                    )
+    if peaks:
+        _write_peaks(peaks, spec.histogram(hist_max), k)
+    print(
+        f"Unique Kmers:               \t{spec.n_unique}",
+        file=sys.stderr,
+    )
+    print(
+        f"Reads Processed:    {reads:>10}\t"
+        f"{reads / max(elapsed, 1e-9) / 1000:.2f}k reads/sec",
+        file=sys.stderr,
+    )
+    return spec
+
+
+def _write_peaks(path: str, hist: np.ndarray, k: int):
+    """Minimal CallPeaks-style output: local maxima of the smoothed
+    histogram with start/center/stop/volume columns."""
+    h = hist.astype(np.float64)
+    # light smoothing (radius 1) to suppress noise
+    sm = h.copy()
+    sm[1:-1] = (h[:-2] + h[1:-1] + h[2:]) / 3
+    rows = []
+    i = 2
+    while i < len(sm) - 1:
+        if sm[i] > sm[i - 1] and sm[i] >= sm[i + 1] and h[i] > 0:
+            lo = i
+            while lo > 1 and sm[lo - 1] < sm[lo]:
+                lo -= 1
+            hi = i
+            while hi < len(sm) - 1 and sm[hi + 1] < sm[hi]:
+                hi += 1
+            vol = int(hist[lo : hi + 1].sum())
+            rows.append((lo, i, hi, int(hist[i]), vol))
+            i = hi + 1
+        else:
+            i += 1
+    with open_output(path) as fh:
+        fh.write(b"#k\t%d\n" % k)
+        fh.write(b"#start\tcenter\tstop\tmax\tvolume\n")
+        for r in rows:
+            fh.write(("\t".join(str(x) for x in r) + "\n").encode())
+
+
+def main(argv=None):
+    return run(argv if argv is not None else sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .kmer_index import HashKmerIndex
+from .kmer_index import BucketKmerIndex
 from .kmers import length_mask, rolling_kmers_jnp
 
 BIG = jnp.int32(999999999)
@@ -34,8 +34,7 @@ class KScanConfig:
     restrict_left: int = 0
     restrict_right: int = 0
     qhdist: int = 0
-    cap: int = 0  # hash table capacity (static)
-    max_probe: int = 0
+    nb: int = 64  # bucket count of the BucketKmerIndex (static)
     rcomp: bool = True
 
     def resolved_minlen2(self) -> int:
@@ -43,10 +42,8 @@ class KScanConfig:
 
 
 def _lookup(cfg: KScanConfig, table, keys):
-    key_hi, key_lo, ids = table
-    return HashKmerIndex.lookup_jnp(
-        key_hi, key_lo, ids, cfg.cap, cfg.max_probe, keys
-    )
+    keys_tbl, ids_tbl = table
+    return BucketKmerIndex.lookup_jnp(keys_tbl, ids_tbl, cfg.nb, keys)
 
 
 def _lookup_qhdist(cfg: KScanConfig, table, fwd, rkm, klen, lmask):

@@ -1,0 +1,46 @@
+"""2-bit base packing for host->device transfer.
+
+The TPU-native wire format for base codes: 4 bases/byte (2-bit codes) plus
+a 1-bit/base N-mask — 2.7x smaller than byte codes. Packing is host numpy;
+unpacking is a handful of vectorized shifts on device (VPU-trivial), so
+transfer-bound pipelines (PCIe, or the dev tunnel here) gain the full
+ratio. The reference's ChromosomeArray had the same motivation
+(dna/ChromosomeArray.java:15 — byte arrays there, but 2-bit on disk).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_bases_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """codes uint8 [B, L] (0..3, >=4 undefined) ->
+    (packed uint8 [B, ceil(L/4)], nmask uint8 [B, ceil(L/8)])."""
+    B, L = codes.shape
+    L4 = -(-L // 4) * 4
+    L8 = -(-L // 8) * 8
+    c = np.zeros((B, L4), dtype=np.uint8)
+    base2 = np.where(codes < 4, codes, 0).astype(np.uint8)
+    c[:, :L] = base2
+    c = c.reshape(B, L4 // 4, 4)
+    packed = c[..., 0] | (c[..., 1] << 2) | (c[..., 2] << 4) | (c[..., 3] << 6)
+    n = np.zeros((B, L8), dtype=np.uint8)
+    n[:, :L] = (codes >= 4).astype(np.uint8)
+    n = n.reshape(B, L8 // 8, 8)
+    nmask = np.zeros(n.shape[:2], dtype=np.uint8)
+    for bit in range(8):
+        nmask |= n[..., bit] << bit
+    return packed, nmask
+
+
+def unpack_bases_jnp(packed, nmask, L: int):
+    """Inverse of pack_bases_np on device -> uint8 codes [B, L]."""
+    B = packed.shape[0]
+    p = packed.astype(jnp.uint8)
+    parts = [(p >> (2 * i)) & 3 for i in range(4)]
+    codes = jnp.stack(parts, axis=-1).reshape(B, -1)[:, :L]
+    m = nmask.astype(jnp.uint8)
+    bits = [(m >> i) & 1 for i in range(8)]
+    nm = jnp.stack(bits, axis=-1).reshape(B, -1)[:, :L]
+    return jnp.where(nm == 1, jnp.uint8(4), codes.astype(jnp.uint8))

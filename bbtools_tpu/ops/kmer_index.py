@@ -349,6 +349,8 @@ class HashKmerIndex:
         """Pure jit-able lookup: query int64 [...] -> id int32 [...].
 
         cap and max_probe must be static (python ints) for unrolling.
+        NOTE: each probe step costs 3 gather ops; prefer BucketKmerIndex on
+        TPU, where gather ops dominate compile time and memory traffic.
         """
         q = query.astype(jnp.uint64)
         h = q
@@ -371,3 +373,75 @@ class HashKmerIndex:
             )
             out = jnp.where(hit, ids[slot], out)
         return out
+
+
+@dataclass
+class BucketKmerIndex:
+    """Bucketed hash table: one row-gather fetches all candidates.
+
+    TPU-native replacement for probe chains: keys hash to one of `nb`
+    buckets of BUCKET slots; a lookup is exactly TWO gather ops (key rows,
+    id rows) regardless of load, with the match selected by a gather-free
+    masked sum (at most one slot can match a given key). This is the
+    device analog of HashArray's probe window (kmer/HashArray.java:154)
+    collapsed into a single coalesced row access.
+    """
+
+    BUCKET = 8
+
+    keys: np.ndarray  # int64 [nb, BUCKET], empty slots = -1
+    ids: np.ndarray  # int32 [nb, BUCKET], empty slots = 0
+    nb: int
+    n: int
+
+    @staticmethod
+    def build(keys: np.ndarray, ids: np.ndarray, fill: float = 0.5):
+        n = len(keys)
+        B = BucketKmerIndex.BUCKET
+        nb = 64
+        while nb * B * fill < max(n, 1):
+            nb *= 2
+        while True:
+            h = (_mix64(keys.astype(np.uint64)) & np.uint64(nb - 1)).astype(
+                np.int64
+            )
+            counts = np.bincount(h, minlength=nb)
+            if counts.max(initial=0) <= B or nb >= 1 << 28:
+                break
+            nb *= 2
+        kt = np.full((nb, B), -1, dtype=np.int64)
+        it = np.zeros((nb, B), dtype=np.int32)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        slot = np.arange(n) - np.searchsorted(hs, hs)  # rank within bucket
+        kt[hs, slot] = keys[order]
+        it[hs, slot] = ids[order]
+        return BucketKmerIndex(keys=kt, ids=it, nb=nb, n=n)
+
+    def lookup_np(self, query: np.ndarray) -> np.ndarray:
+        h = (_mix64(query.astype(np.uint64)) & np.uint64(self.nb - 1)).astype(
+            np.int64
+        )
+        rows_k = self.keys[h]  # [..., B]
+        rows_i = self.ids[h]
+        eq = rows_k == query[..., None]
+        return (rows_i * eq).sum(axis=-1).astype(np.int32)
+
+    def device_arrays(self):
+        return jnp.asarray(self.keys), jnp.asarray(self.ids)
+
+    @staticmethod
+    def lookup_jnp(keys_tbl, ids_tbl, nb: int, query):
+        """query int64 [...] -> id int32 [...]; exactly two gather ops."""
+        q = query.astype(jnp.uint64)
+        h = q
+        h = h ^ (h >> jnp.uint64(30))
+        h = h * jnp.uint64(0xBF58476D1CE4E5B9)
+        h = h ^ (h >> jnp.uint64(27))
+        h = h * jnp.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> jnp.uint64(31))
+        slot = (h & jnp.uint64(nb - 1)).astype(jnp.int32)
+        rows_k = keys_tbl[slot]  # gather 1: [..., B] int64
+        rows_i = ids_tbl[slot]  # gather 2: [..., B] int32
+        eq = rows_k == query[..., None]
+        return (rows_i * eq).sum(axis=-1).astype(jnp.int32)

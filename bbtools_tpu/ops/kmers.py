@@ -121,8 +121,13 @@ def rolling_kmers_jnp(codes, k: int):
     """Device version of rolling_kmers_np for codes [B, L] (uint8).
 
     Returns (fwd int64 [B,L], rkm int64 [B,L], runlen int32 [B,L]).
-    Pure elementwise/shift ops — VPU-friendly; the k-term reduction is
-    unrolled at trace time (k is static).
+
+    Uses log-doubling window combines (O(log k) shifted-OR steps instead of
+    k) — the small compiled graph matters on TPU where int64 ops are
+    emulated. The reference's rkmer reset-at-N (rolling register zeroed,
+    BBDukProcessorS:1549) is reproduced by masking the low 2*(k - runlen)
+    bits of the plain reverse-complement window: exactly the positions at
+    or before the last undefined base.
     """
     codes = codes.astype(jnp.int32)
     defined = codes < int(N_CODE)
@@ -132,16 +137,62 @@ def rolling_kmers_jnp(codes, k: int):
     idx = jnp.arange(L, dtype=jnp.int32)
     marked = jnp.where(defined, -1, idx[None, :])
     lastn = jax_cummax(marked)
-    fwd = jnp.zeros(codes.shape, dtype=jnp.int64)
-    rkm = jnp.zeros(codes.shape, dtype=jnp.int64)
-    for j in range(k):
-        src = shift_right_zero(code0, j)
-        fwd = fwd | (src << (2 * j))
-        csrc = shift_right_zero(comp0, j)
-        live = (idx[None, :] - j) > lastn
-        rkm = rkm | jnp.where(live, csrc, 0) << (2 * (k - 1 - j))
     runlen = idx[None, :] - lastn
+
+    # fwd[i] = sum_j code0[i-j] << 2j via binary-block combination
+    fwd = _window_fwd(code0, k)
+    # rkm_plain[i] = sum_j comp0[i-j] << 2(k-1-j)
+    rkm_plain = _window_rev(comp0, k)
+    # zero contributions from sources at/before the last N: low 2*(k-t) bits
+    t = jnp.minimum(runlen, k).astype(jnp.int64)
+    keep = jnp.where(
+        t >= k, jnp.int64(-1), (jnp.int64(-1) << (2 * (k - t)))
+    )
+    rkm = rkm_plain & keep
     return fwd, rkm, runlen.astype(jnp.int32)
+
+
+def _window_fwd(vals, k: int):
+    """w[i] = sum_{j<k} vals[i-j] << 2j, by combining power-of-2 blocks."""
+    powers = {1: vals}
+    m = 1
+    while m * 2 <= k:
+        s = powers[m]
+        powers[m * 2] = s | (shift_right_zero(s, m) << (2 * m))
+        m *= 2
+    acc = None
+    off = 0
+    bit = 1
+    while bit <= k:
+        if k & bit:
+            blk = shift_right_zero(powers[bit], off) << (2 * off)
+            acc = blk if acc is None else acc | blk
+            off += bit
+        bit <<= 1
+    return acc
+
+
+def _window_rev(vals, k: int):
+    """w[i] = sum_{j<k} vals[i-j] << 2(k-1-j) (newest source at the top)."""
+    powers = {1: vals}
+    m = 1
+    while m * 2 <= k:
+        s = powers[m]
+        # newer block of size m on top of older block of size m
+        powers[m * 2] = (s << (2 * m)) | shift_right_zero(s, m)
+        m *= 2
+    acc = None
+    newer = 0  # sources already placed (newest ones, top bits)
+    bit = 1 << (k.bit_length() - 1)
+    while bit >= 1:
+        if k & bit:
+            # block covers sources [i-newer-bit+1 .. i-newer], occupying
+            # bits [2*(k-newer-bit), 2*(k-newer))
+            blk = shift_right_zero(powers[bit], newer) << (2 * (k - newer - bit))
+            acc = blk if acc is None else acc | blk
+            newer += bit
+        bit >>= 1
+    return acc
 
 
 def jax_cummax(x):

@@ -1,0 +1,348 @@
+"""BBMerge overlap detection — batched counts on device, exact decision on host.
+
+Faithful re-implementation of jgi/BBMergeOverlapper.java:
+  mateByOverlapRatioJava (:368-505, the default non-quality ratio mode,
+  gIncr=bIncr=0.95) + findBestRatio (:560-612 prescan), expectedMismatches
+  (:1139-1176), probability (:1186-1230), calcMinOverlapByEntropy
+  Head/Tail (:1303-1400), and the probCorrect4 lookup table (:1484) —
+  tables copied verbatim per SURVEY.md Appendix A.3.
+
+Key structural insight: the per-insert inner loops' early exits never
+change observable results (bad only grows; rejects are reject either way),
+so per-insert (good, bad) counts are computed batched on device in one
+scan over inserts, and the sequential best/second/ambig state machine runs
+on the host, vectorized across reads, with float32 ops in reference order.
+Float parity note: with constant increments (0.95), the float32 sum is a
+function of the count alone, reproduced via a cumulative-increment table.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_READ = 1024
+
+#: BBMergeOverlapper.probCorrect4 (:1484), copied verbatim
+PROB_CORRECT4 = np.array(
+    [0.0000, 0.2501, 0.3690, 0.4988, 0.6019, 0.6838, 0.7488, 0.8005, 0.8415,
+     0.8741, 0.9000, 0.9206, 0.9369, 0.9499, 0.9602, 0.9684, 0.9749, 0.9800,
+     0.9842, 0.9874, 0.9900, 0.9921, 0.9937, 0.9950, 0.9960, 0.9968, 0.9975,
+     0.9980, 0.9984, 0.9987, 0.9990, 0.9992, 0.9994, 0.9995, 0.9996, 0.9997,
+     0.9997, 0.9998, 0.9998, 0.9999] + [0.9999] * 20,
+    dtype=np.float32,
+)
+
+
+def _incr_table(incr: float, n: int) -> np.ndarray:
+    """t[c] = float32 result of adding `incr` c times sequentially."""
+    t = np.zeros(n + 1, dtype=np.float32)
+    for i in range(1, n + 1):
+        t[i] = np.float32(t[i - 1] + np.float32(incr))
+    return t
+
+
+_INCR_CACHE: dict[tuple[float, int], np.ndarray] = {}
+
+
+def incr_table(incr: float, n: int = MAX_READ) -> np.ndarray:
+    key = (incr, n)
+    if key not in _INCR_CACHE:
+        _INCR_CACHE[key] = _incr_table(incr, n)
+    return _INCR_CACHE[key]
+
+
+@partial(jax.jit, static_argnames=("n_inserts", "min_insert0"))
+def overlap_counts_jnp(a, b_rc, alens, blens, min_insert0: int, n_inserts: int):
+    """Per-insert overlap stats for a batch of pairs.
+
+    a, b_rc: uint8 codes [B, L] (b already reverse-complemented).
+    Returns (good [B,D], bad [B,D], olen [B,D]) int32 where column d is
+    insert = min_insert0 + d. good counts matching non-N positions, bad
+    counts mismatches (N vs base mismatches, N vs N matches-but-uncounted),
+    olen is the overlapLength.
+    """
+    B, L = a.shape
+    ai = a.astype(jnp.int32)
+    bi = b_rc.astype(jnp.int32)
+    i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+
+    def step(_, d):
+        insert = min_insert0 + d
+        shift = insert - blens  # [B]
+        j = i_idx - shift[:, None]
+        valid = (
+            (i_idx < alens[:, None])
+            & (j >= 0)
+            & (j < blens[:, None])
+            & ((i_idx - jnp.maximum(0, shift)[:, None]) < insert)
+        )
+        bj = jnp.take_along_axis(bi, jnp.clip(j, 0, L - 1), axis=1)
+        match = valid & (ai == bj)
+        good = (match & (ai < 4)).sum(axis=1, dtype=jnp.int32)
+        bad = (valid & (ai != bj)).sum(axis=1, dtype=jnp.int32)
+        olen = valid.sum(axis=1, dtype=jnp.int32)
+        return None, (good, bad, olen)
+
+    _, (good, bad, olen) = jax.lax.scan(
+        step, None, jnp.arange(n_inserts, dtype=jnp.int32)
+    )
+    return (
+        jnp.moveaxis(good, 0, 1),
+        jnp.moveaxis(bad, 0, 1),
+        jnp.moveaxis(olen, 0, 1),
+    )
+
+
+def find_best_ratio_np(
+    good_c, bad_c, olen, alens, blens, min_insert0: int,
+    min_overlap0, min_overlap, min_insert: int, max_ratio: float,
+    offset: float, g_incr: float = 0.95, b_incr: float = 0.95,
+):
+    """findBestRatio (non-quality) vectorized over reads.
+
+    good_c/bad_c/olen: [B, D] int counts (column d -> insert min_insert0+d).
+    min_overlap0/min_overlap may be per-read arrays. Returns float32 [B].
+    """
+    f32 = np.float32
+    B, D = good_c.shape
+    gt = incr_table(g_incr)
+    bt = incr_table(b_incr)
+    best = np.full(B, f32(f32(max_ratio) + f32(0.0001)), dtype=np.float32)
+    halfmax = f32(f32(max_ratio) * f32(0.5))
+    returned = np.zeros(B, dtype=bool)
+    result = np.zeros(B, dtype=np.float32)
+    mo0 = np.broadcast_to(np.asarray(min_overlap0), (B,))
+    mo = np.broadcast_to(np.asarray(min_overlap), (B,))
+    largest = alens + blens - mo  # per-read loop start
+    for insert in range(int(largest.max(initial=0)), min_insert - 1, -1):
+        d = insert - min_insert0
+        if d < 0 or d >= D:
+            continue
+        inrange = (insert <= largest) & ~returned
+        if not inrange.any():
+            continue
+        g = gt[good_c[:, d]]
+        b = bt[bad_c[:, d]]
+        ol = olen[:, d].astype(np.float32)
+        badlimit = best * ol  # f32*f32, extraBadlimit=0
+        ok = inrange & (b <= badlimit)
+        # bad==0 && good in (minOverlap0, minOverlap) -> return 100
+        ret100 = ok & (bad_c[:, d] == 0) & (g > mo0) & (g < mo)
+        result[ret100] = f32(100.0)
+        returned |= ret100
+        ok &= ~ret100
+        ratio = np.where(ol > 0, (b + f32(offset)) / np.maximum(ol, 1), f32(1))
+        ratio = ratio.astype(np.float32)
+        improve = ok & (ratio < best)
+        best = np.where(improve, ratio, best)
+        early = improve & (g >= mo) & (ratio < halfmax)
+        result[early] = best[early]
+        returned |= early
+    result[~returned] = best[~returned]
+    return result
+
+
+def mate_by_overlap_ratio_np(
+    good_c, bad_c, olen, alens, blens, min_insert0_col: int,
+    min_overlap0, min_overlap, min_insert0: int, min_insert: int,
+    max_ratio: float, min_second_ratio: float, margin: float,
+    offset: float, g_incr: float = 0.95, b_incr: float = 0.95,
+):
+    """mateByOverlapRatioJava (:368-505) vectorized over reads.
+
+    Returns (best_insert [B] i32 with -1 for no solution, best_bad_int [B],
+    ambig [B] bool). min_overlap0/min_overlap may be per-read arrays.
+    """
+    f32 = np.float32
+    B, D = good_c.shape
+    mo0 = np.broadcast_to(np.asarray(min_overlap0), (B,)).astype(np.int64)
+    mo = np.broadcast_to(np.asarray(min_overlap), (B,)).astype(np.int64)
+    # minOverlap=max(4, minOverlap0, minOverlap); minOverlap0=mid(4, ...)
+    mo_eff = np.maximum(4, np.maximum(mo0, mo))
+    mo0_eff = np.sort(np.stack([np.full(B, 4), mo0, mo_eff]), axis=0)[1]
+    min_len = np.minimum(alens, blens)
+    # prescan
+    x = find_best_ratio_np(
+        good_c, bad_c, olen, alens, blens, min_insert0_col,
+        mo0_eff, mo_eff, min_insert, max_ratio, offset, g_incr, b_incr,
+    )
+    no_sol = x > f32(max_ratio)
+    maxr = np.minimum(f32(max_ratio), x).astype(np.float32)
+
+    gt = incr_table(g_incr)
+    bt = incr_table(b_incr)
+    margin2 = ((f32(margin) + f32(offset)) / min_len.astype(np.float32)).astype(
+        np.float32
+    )
+    best_insert = np.full(B, -1, np.int64)
+    best_bad_int = np.full(B, -1, np.int64)
+    best_ratio = np.ones(B, np.float32)
+    second_ratio = np.ones(B, np.float32)
+    ambig = np.zeros(B, dtype=bool)
+    returned = no_sol.copy()  # early-outs freeze state
+    ret_ambig = np.zeros(B, dtype=bool)
+    extra_mult = f32(1.2)
+    largest = alens + blens - mo0_eff
+    for insert in range(int(largest.max(initial=0)), min_insert0 - 1, -1):
+        d = insert - min_insert0_col
+        if d < 0 or d >= D:
+            continue
+        inrange = (insert <= largest) & ~returned
+        if not inrange.any():
+            continue
+        g = gt[good_c[:, d]]
+        b = bt[bad_c[:, d]]
+        ol = olen[:, d].astype(np.float32)
+        badlimit = (
+            extra_mult * (np.minimum(best_ratio, maxr) * f32(margin) * ol)
+            + f32(1.0)
+        ).astype(np.float32)
+        ok = inrange & (b <= badlimit)
+        # ambiguous early return: bad==0, minOverlap0 < good < minOverlap
+        retA = ok & (bad_c[:, d] == 0) & (g > mo0_eff) & (g < mo_eff)
+        ret_ambig |= retA
+        returned |= retA
+        ok &= ~retA
+        ratio = np.where(ol > 0, (b + f32(offset)) / np.maximum(ol, 1), f32(1))
+        ratio = ratio.astype(np.float32)
+        cand = ok & (ratio < best_ratio * f32(margin))
+        new_ambig = (ratio * f32(margin) >= best_ratio) | (g < mo_eff)
+        ambig = np.where(cand, new_ambig, ambig)
+        improve = cand & (ratio < best_ratio)
+        second = cand & ~improve & (ratio < second_ratio)
+        # shift best -> second on improve
+        second_ratio = np.where(improve, best_ratio, second_ratio)
+        best_insert = np.where(improve, insert, best_insert)
+        best_bad_int = np.where(improve, bad_c[:, d], best_bad_int)
+        best_ratio = np.where(improve, ratio, best_ratio)
+        second_ratio = np.where(second, ratio, second_ratio)
+        retB = cand & (
+            (ambig & (best_ratio < margin2)) | (second_ratio < f32(min_second_ratio))
+        )
+        ret_ambig |= retB
+        returned |= retB
+    normal = ~returned
+    ambig = np.where(normal, ambig | (second_ratio < f32(min_second_ratio)), ambig)
+    # normal end: if !ambig && bestRatio>maxRatio -> no solution (:614)
+    best_insert = np.where(
+        normal & ~ambig & (best_ratio > maxr), -1, best_insert
+    )
+    out_insert = np.where(no_sol | ret_ambig, -1, best_insert)
+    out_bad = np.where(no_sol, min_len, best_bad_int)
+    # caller semantics (BBMerge findOverlap :1528): ambig counts only when
+    # an insert was returned; early-ambig returns -1 with the flag set
+    out_ambig = np.where(
+        no_sol, False, np.where(ret_ambig, False, ambig & (out_insert > -1))
+    )
+    return out_insert.astype(np.int64), out_bad.astype(np.int64), out_ambig
+
+
+def expected_mismatches_np(a, b_rc, aq, bq, alens, blens, overlap):
+    """expectedMismatches (:1139-1176) vectorized; overlap per read [B].
+
+    Sequential float32 sum in i-ascending order (vectorized across reads).
+    """
+    f32 = np.float32
+    B, L = a.shape
+    istart = np.where(overlap <= blens, 0, overlap - blens)
+    jstart = np.where(overlap <= alens, alens - overlap, 0)
+    expected = np.zeros(B, dtype=np.float32)
+    pc4 = PROB_CORRECT4
+    max_steps = int(min(L, np.max(overlap - istart, initial=0)))
+    for t in range(max_steps):
+        i = istart + t
+        j = jstart + t
+        live = (i < overlap) & (i < alens) & (j < blens)
+        ii = np.clip(i, 0, L - 1)
+        jj = np.clip(j, 0, L - 1)
+        rows = np.arange(B)
+        ca = a[rows, ii]
+        cb = b_rc[rows, jj]
+        qa = np.minimum(aq[rows, ii], 59)
+        qb = np.minimum(bq[rows, jj], 59)
+        both_def = (ca < 4) & (cb < 4)
+        prob_c = (pc4[qa] * pc4[qb]).astype(np.float32)
+        prob_e = (f32(1) - prob_c).astype(np.float32)
+        contrib = np.where(live & both_def, prob_e, f32(0))
+        expected = (expected + contrib).astype(np.float32)
+    return expected
+
+
+def probability_np(a, b_rc, aq, bq, alens, blens, insert):
+    """probability (:1186-1230): returns probActual/probCommon [B] f32."""
+    f32 = np.float32
+    B, L = a.shape
+    istart = np.where(insert <= blens, 0, insert - blens)
+    jstart = np.where(insert >= blens, 0, blens - insert)
+    prob_actual = np.ones(B, dtype=np.float32)
+    prob_common = np.ones(B, dtype=np.float32)
+    pc4 = PROB_CORRECT4
+    rows = np.arange(B)
+    max_steps = int(min(L, np.max(insert - istart, initial=0)))
+    for t in range(max_steps):
+        i = istart + t
+        j = jstart + t
+        live = (i < insert) & (i < alens) & (j < blens)
+        ii = np.clip(i, 0, L - 1)
+        jj = np.clip(j, 0, L - 1)
+        ca = a[rows, ii]
+        cb = b_rc[rows, jj]
+        qa = np.minimum(aq[rows, ii], 59)
+        qb = np.minimum(bq[rows, jj], 59)
+        both_def = (ca < 4) & (cb < 4)
+        prob_c = (pc4[qa] * pc4[qb]).astype(np.float32)
+        prob_m = (prob_c + (f32(1) - prob_c) * f32(0.25)).astype(np.float32)
+        prob_e = (f32(1) - prob_m).astype(np.float32)
+        upd = live & both_def
+        pc = np.where(upd, np.maximum(prob_m, prob_e), f32(1))
+        pa = np.where(upd, np.where(ca == cb, prob_m, prob_e), f32(1))
+        prob_common = (prob_common * pc).astype(np.float32)
+        prob_actual = (prob_actual * pa).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = prob_actual / prob_common
+    return np.where(prob_common > 0, r, f32(1)).astype(np.float32)
+
+
+def calc_min_overlap_by_entropy_np(codes, lengths, k: int, minscore: int,
+                                   from_tail: bool):
+    """calcMinOverlapByEntropyHead/Tail (:1303-1400) vectorized over reads.
+
+    Scans 3-mers from one end; returns first index i where
+    ones*4 + twos >= minscore, else length+1.
+    """
+    B, L = codes.shape
+    space = 1 << (2 * k)
+    mask = space - 1
+    counts = np.zeros((B, space), dtype=np.int16)
+    kmer = np.zeros(B, dtype=np.int64)
+    ln = np.zeros(B, dtype=np.int64)
+    ones = np.zeros(B, dtype=np.int64)
+    twos = np.zeros(B, dtype=np.int64)
+    result = lengths.astype(np.int64) + 1
+    done = np.zeros(B, dtype=bool)
+    rows = np.arange(B)
+    for i in range(int(lengths.max(initial=0))):
+        pos = (lengths - 1 - i) if from_tail else np.full(B, i)
+        live = (i < lengths) & ~done
+        pp = np.clip(pos, 0, L - 1)
+        b = codes[rows, pp]
+        defined = b < 4
+        ln = np.where(live & defined, ln + 1, np.where(live, 0, ln))
+        kmer = np.where(
+            live & defined, ((kmer << 2) | np.where(defined, b, 0)) & mask,
+            np.where(live, 0, kmer),
+        )
+        add = live & defined & (ln >= k)
+        old = counts[rows, kmer]
+        counts[rows, kmer] = np.where(add, old + 1, old)
+        newc = counts[rows, kmer]
+        ones = np.where(add & (newc == 1), ones + 1, ones)
+        twos = np.where(add & (newc == 2), twos + 1, twos)
+        hit = add & (ones * 4 + twos >= minscore)
+        result = np.where(hit & ~done, i, result)
+        done |= hit
+    return result

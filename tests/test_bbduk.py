@@ -12,7 +12,7 @@ from bbtools_tpu.models import bbduk_oracle as oracle
 from bbtools_tpu.models.bbduk import BBDuk, BBDukConfig, parse_args
 from bbtools_tpu.ops.bbduk_scan import KScanConfig, credit_id, kscan_full, kscan_short
 from bbtools_tpu.ops.entropy import EntropyModel
-from bbtools_tpu.ops.kmer_index import HashKmerIndex, build_ref_keys
+from bbtools_tpu.ops.kmer_index import BucketKmerIndex, build_ref_keys
 from bbtools_tpu.ops.trim import optimal_trim_jnp, optimal_trim_np
 
 rng = np.random.default_rng(1234)
@@ -28,7 +28,7 @@ def make_index(ref_seqs, k, mink=0, hdist=0):
     keys, ids = build_ref_keys(
         [encode(s) for s in ref_seqs], k, mink=mink, hdist=hdist
     )
-    idx = HashKmerIndex.build(keys, ids)
+    idx = BucketKmerIndex.build(keys, ids)
     table = {int(kk): int(ii) for kk, ii in zip(keys, ids)}
     return idx, table
 
@@ -40,8 +40,7 @@ def scan_cfg(idx, k, mink=0, qhdist=0, minlen2=0, mid_mask=-1, **kw):
         minlen2=minlen2,
         mid_mask=mid_mask,
         qhdist=qhdist,
-        cap=idx.cap,
-        max_probe=idx.max_probe,
+        nb=idx.nb,
         **kw,
     )
 

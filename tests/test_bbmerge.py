@@ -1,0 +1,300 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bbtools_tpu.io.batch import ReadBatch
+from bbtools_tpu.models.bbmerge import BBMerge, BBMergeConfig, _rc_batch, _rev_quals
+from bbtools_tpu.ops.join import join_reads_np
+from bbtools_tpu.ops.overlap import (
+    calc_min_overlap_by_entropy_np,
+    incr_table,
+    mate_by_overlap_ratio_np,
+    overlap_counts_jnp,
+)
+
+rng = np.random.default_rng(77)
+f32 = np.float32
+
+
+def oracle_counts(a, b, insert):
+    """Direct transliteration of the per-insert window scan
+    (BBMergeOverlapper.java:428-446)."""
+    alen, blen = len(a), len(b)
+    istart = 0 if insert <= blen else insert - blen
+    jstart = 0 if insert >= blen else blen - insert
+    olen = min(alen - istart, blen - jstart, insert)
+    good = bad = 0
+    for t in range(olen):
+        ca, cb = a[istart + t], b[jstart + t]
+        if ca == cb:
+            if ca < 4:
+                good += 1
+        else:
+            bad += 1
+    return good, bad, olen
+
+
+def oracle_ratio_mode(a, b, mo0, mo, min_insert0, min_insert, max_ratio,
+                      min_second, margin, offset, g_incr=0.95, b_incr=0.95):
+    """Per-read transliteration of findBestRatio + mateByOverlapRatioJava."""
+    alen, blen = len(a), len(b)
+    min_len = min(alen, blen)
+    mo_eff = max(4, mo0, mo)
+    mo0_eff = sorted((4, mo0, mo_eff))[1]
+
+    def fsum(incr, n):
+        s = f32(0)
+        for _ in range(n):
+            s = f32(s + f32(incr))
+        return s
+
+    # prescan
+    best = f32(f32(max_ratio) + f32(0.0001))
+    halfmax = f32(f32(max_ratio) * f32(0.5))
+    x = None
+    for insert in range(alen + blen - mo_eff, min_insert - 1, -1):
+        good_c, bad_c, olen = oracle_counts(a, b, insert)
+        good, bad = fsum(g_incr, good_c), fsum(b_incr, bad_c)
+        badlimit = f32(best * olen)
+        if bad <= badlimit:
+            if bad_c == 0 and good > mo0_eff and good < mo_eff:
+                x = f32(100.0)
+                break
+            ratio = f32(f32(bad + f32(offset)) / olen)
+            if ratio < best:
+                best = ratio
+                if good >= mo_eff and ratio < halfmax:
+                    x = best
+                    break
+    if x is None:
+        x = best
+    if x > f32(max_ratio):
+        return -1, min_len, False
+    maxr = min(f32(max_ratio), x)
+    margin2 = f32(f32(f32(margin) + f32(offset)) / min_len)
+    best_insert, best_bad_int = -1, -1
+    best_ratio = f32(1)
+    second_ratio = f32(1)
+    ambig = False
+    for insert in range(alen + blen - mo0_eff, min_insert0 - 1, -1):
+        good_c, bad_c, olen = oracle_counts(a, b, insert)
+        good, bad = fsum(g_incr, good_c), fsum(b_incr, bad_c)
+        badlimit = f32(
+            f32(1.2) * f32(f32(f32(min(best_ratio, maxr)) * f32(margin)) * olen)
+            + f32(1.0)
+        )
+        if bad <= badlimit:
+            if bad_c == 0 and good > mo0_eff and good < mo_eff:
+                return -1, best_bad_int, False
+            ratio = f32(f32(bad + f32(offset)) / olen)
+            if ratio < f32(best_ratio * f32(margin)):
+                ambig = bool(f32(ratio * f32(margin)) >= best_ratio or good < mo_eff)
+                if ratio < best_ratio:
+                    second_ratio = best_ratio
+                    best_insert = insert
+                    best_bad_int = bad_c
+                    best_ratio = ratio
+                elif ratio < second_ratio:
+                    second_ratio = ratio
+                if (ambig and best_ratio < margin2) or second_ratio < f32(min_second):
+                    return -1, best_bad_int, False
+    if second_ratio < f32(min_second):
+        ambig = True
+    if not ambig and best_ratio > maxr:
+        best_insert = -1
+    return (
+        -1 if best_insert < 0 else best_insert,
+        best_bad_int,
+        ambig and best_insert > -1,
+    )
+
+
+def make_pair(insert, alen, blen, err=0.0):
+    """Synthesize a pair from a random molecule of `insert` bases."""
+    mol = rng.integers(0, 4, max(insert, alen, blen)).astype(np.uint8)
+    r1 = mol[:alen].copy()
+    r2_fwd = mol[max(0, insert - blen) : insert].copy()
+    # pad r2_fwd to blen if insert < blen
+    if len(r2_fwd) < blen:
+        r2_fwd = np.concatenate(
+            [rng.integers(0, 4, blen - len(r2_fwd)).astype(np.uint8), r2_fwd]
+        )
+    # r2 as sequenced: reverse complement of the molecule's right end
+    r2 = (3 - r2_fwd[::-1]).astype(np.uint8)
+    for r in (r1, r2):
+        e = rng.random(len(r)) < err
+        r[e] = (r[e] + rng.integers(1, 4, e.sum())) % 4
+    return r1, r2
+
+
+def test_overlap_counts_vs_oracle():
+    B = 16
+    alen = blen = 60
+    a = np.zeros((B, alen), np.uint8)
+    b_rc = np.zeros((B, blen), np.uint8)
+    inserts_true = rng.integers(40, 110, B)
+    for i in range(B):
+        r1, r2 = make_pair(int(inserts_true[i]), alen, blen, err=0.02)
+        a[i] = r1
+        b_rc[i] = (3 - r2[::-1]).astype(np.uint8)  # rc back to fwd orientation
+    alens = np.full(B, alen, np.int64)
+    blens = np.full(B, blen, np.int64)
+    min_insert0 = 10
+    D = alen + blen - min_insert0 + 1
+    good, bad, olen = (
+        np.asarray(x)
+        for x in overlap_counts_jnp(
+            jnp.asarray(a), jnp.asarray(b_rc), jnp.asarray(alens),
+            jnp.asarray(blens), min_insert0, D,
+        )
+    )
+    for i in range(B):
+        for d in range(0, D, 7):
+            insert = min_insert0 + d
+            g, bd, ol = oracle_counts(a[i], b_rc[i], insert)
+            assert (good[i, d], bad[i, d], olen[i, d]) == (g, bd, ol), (
+                f"read {i} insert {insert}"
+            )
+
+
+def test_ratio_mode_vs_oracle():
+    B = 48
+    alen = blen = 70
+    a = np.zeros((B, alen), np.uint8)
+    b_rc = np.zeros((B, blen), np.uint8)
+    for i in range(B):
+        true_insert = int(rng.integers(50, 130))
+        r1, r2 = make_pair(true_insert, alen, blen, err=0.01 * (i % 3))
+        a[i] = r1
+        b_rc[i] = (3 - r2[::-1]).astype(np.uint8)
+    alens = np.full(B, alen, np.int64)
+    blens = np.full(B, blen, np.int64)
+    p = dict(mo0=5, mo=8, min_insert0=12, min_insert=15, max_ratio=0.09,
+             min_second=0.1, margin=5.5, offset=0.55)
+    D = alen + blen - p["min_insert0"] + 1
+    good, bad, olen = (
+        np.asarray(x)
+        for x in overlap_counts_jnp(
+            jnp.asarray(a), jnp.asarray(b_rc), jnp.asarray(alens),
+            jnp.asarray(blens), p["min_insert0"], D,
+        )
+    )
+    ins_v, bad_v, amb_v = mate_by_overlap_ratio_np(
+        good, bad, olen, alens, blens, p["min_insert0"],
+        p["mo0"], p["mo"], p["min_insert0"], p["min_insert"],
+        p["max_ratio"], p["min_second"], p["margin"], p["offset"],
+    )
+    for i in range(B):
+        oi, ob, oa = oracle_ratio_mode(
+            a[i], b_rc[i], p["mo0"], p["mo"], p["min_insert0"],
+            p["min_insert"], p["max_ratio"], p["min_second"], p["margin"],
+            p["offset"],
+        )
+        assert ins_v[i] == oi, f"read {i}: {ins_v[i]} vs {oi}"
+        assert amb_v[i] == oa, f"read {i} ambig"
+
+
+def test_incr_table_matches_java_sum():
+    t = incr_table(0.95, 100)
+    s = f32(0)
+    for c in range(100):
+        assert t[c] == s
+        s = f32(s + f32(0.95))
+
+
+def test_join_reads():
+    # overlapping join with one disagreement
+    a = np.array([[0, 1, 2, 3, 0, 1]], np.uint8)
+    aq = np.array([[30, 30, 30, 30, 20, 10]], np.uint8)
+    b_rc = np.array([[2, 3, 1, 1, 3, 0]], np.uint8)
+    bq = np.array([[5, 25, 30, 30, 30, 30]], np.uint8)
+    # insert=8, alen=blen=6 -> overlap=4: positions 2..5 overlap b[0..3]
+    bases, quals, lengths = join_reads_np(
+        a, aq, np.array([6]), b_rc, bq, np.array([6]), np.array([8]), 8
+    )
+    assert lengths[0] == 8
+    # pos2: agree (2), q=min(max(30,5)+min(30,5)//4, 50)=31
+    assert bases[0, 2] == 2 and quals[0, 2] == 31
+    # pos3: agree (3), q=min(30+25//4, 50)=36
+    assert bases[0, 3] == 3 and quals[0, 3] == 36
+    # pos4: a=0 q20 vs b=1 q30 -> b wins, q=10
+    assert bases[0, 4] == 1 and quals[0, 4] == 10
+    # pos5: agree (1), q=min(30+10//4, 50)=32
+    assert bases[0, 5] == 1 and quals[0, 5] == 32
+    # tail from b
+    assert bases[0, 6] == 3 and bases[0, 7] == 0
+
+
+def test_entropy_min_overlap():
+    B = 4
+    L = 50
+    codes = np.zeros((B, L), np.uint8)
+    codes[0] = rng.integers(0, 4, L)  # high entropy -> small result
+    codes[1] = 0  # homopolymer -> low entropy -> large/never
+    lengths = np.full(B, L, np.int64)
+    res = calc_min_overlap_by_entropy_np(codes, lengths, 3, 39, from_tail=True)
+    assert res[0] < L
+    assert res[1] == L + 1 or res[1] > res[0]
+    # oracle check for read 0 (tail scan)
+    counts = np.zeros(64, np.int64)
+    kmer = ln = ones = twos = 0
+    want = L + 1
+    for i in range(L):
+        b = codes[0, L - 1 - i]
+        ln += 1
+        kmer = ((kmer << 2) | int(b)) & 63
+        if ln >= 3:
+            counts[kmer] += 1
+            if counts[kmer] == 1:
+                ones += 1
+            elif counts[kmer] == 2:
+                twos += 1
+            if ones * 4 + twos >= 39:
+                want = i
+                break
+    assert res[0] == want
+
+
+def test_bbmerge_end_to_end(tmp_path):
+    n = 400
+    alen = blen = 90
+    recs1, recs2 = [], []
+    true_inserts = []
+    for i in range(n):
+        insert = int(rng.integers(100, 170))
+        r1, r2 = make_pair(insert, alen, blen, err=0.002)
+        true_inserts.append(insert)
+        s1 = bytes(b"ACGT"[x] for x in r1)
+        s2 = bytes(b"ACGT"[x] for x in r2)
+        q = b"F" * alen
+        recs1.append((b"r%d" % i, s1, q))
+        recs2.append((b"r%d" % i, s2, q))
+    for path, recs in ((tmp_path / "r1.fq", recs1), (tmp_path / "r2.fq", recs2)):
+        with open(path, "wb") as fh:
+            for nm, s, q in recs:
+                fh.write(b"@" + nm + b"\n" + s + b"\n+\n" + q + b"\n")
+    from bbtools_tpu.models.bbmerge import main
+
+    tool = main(
+        [
+            f"in={tmp_path}/r1.fq",
+            f"in2={tmp_path}/r2.fq",
+            f"out={tmp_path}/merged.fq",
+            f"outu={tmp_path}/u1.fq",
+            f"ihist={tmp_path}/ihist.txt",
+        ]
+    )
+    assert tool.pairs == n
+    # most overlapping pairs should merge with the correct insert
+    assert tool.merged > n * 0.8
+    merged = (tmp_path / "merged.fq").read_bytes().splitlines()
+    names = {merged[i * 4][1:]: len(merged[i * 4 + 1]) for i in range(len(merged) // 4)}
+    correct = sum(
+        1
+        for i, ti in enumerate(true_inserts)
+        if names.get(b"r%d" % i) == ti
+    )
+    assert correct > tool.merged * 0.97
+    ihist = (tmp_path / "ihist.txt").read_text()
+    assert "#InsertSize\tCount" in ihist
