@@ -1,0 +1,127 @@
+"""Ungapped site scoring — batched scoreNoIndels.
+
+Exact port of MultiStateAligner11ts.scoreNoIndels (:960-1030): a single
+diagonal scan with (mode, timeInMode) carry producing the same
+streak-dependent match/sub scores; out-of-reference positions score
+POINTS_NOREF. One lax.scan over read positions, vectorized over candidate
+sites (the reference calls this per (read, site) in a loop,
+align2/BBMapThread.java:520).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import msa_constants as C
+
+
+@partial(jax.jit, static_argnames=("R",))
+def score_no_indels(R: int, reads, read_lens, refwins, ref_starts, ref_lens):
+    """Score reads against reference windows at fixed offsets (no indels).
+
+    reads [B, R] uint8; refwins [B, W] uint8 — a window of the reference
+    with the candidate site at column `ref_starts[b]` (may be negative for
+    off-the-end sites, relative to the window); ref_lens = number of valid
+    columns in each window (i.e. scaffold-clipped length).
+
+    Returns score int32 [B].
+    """
+    B, W = refwins.shape
+    i32 = jnp.int32
+    reads_i = reads.astype(i32)
+    refs_i = refwins.astype(i32)
+
+    def step(carry, i):
+        score, mode, tim = carry
+        c = jnp.take_along_axis(reads_i, jnp.full((B, 1), i, i32), axis=1)[:, 0]
+        rpos = ref_starts + i
+        in_ref = (rpos >= 0) & (rpos < ref_lens)
+        r = jnp.take_along_axis(
+            refs_i, jnp.clip(rpos, 0, W - 1)[:, None], axis=1
+        )[:, 0]
+        active = i < read_lens
+        is_match = in_ref & (c == r) & (c < 4)
+        is_nocall = in_ref & ~is_match & (c >= 4)
+        is_noref = ~in_ref | (in_ref & ~is_match & (c < 4) & (r >= 4))
+        is_sub = in_ref & ~is_match & (c < 4) & (r < 4)
+        new_tim = jnp.where(
+            is_match,
+            jnp.where(mode == 0, tim + 1, 0),
+            jnp.where(is_sub, jnp.where(mode == 1, tim + 1, 0), tim),
+        )
+        sub_cost = _sub_array(new_tim + 1)
+        delta = jnp.where(
+            is_match,
+            jnp.where(mode == 0, C.POINTS_MATCH2, C.POINTS_MATCH),
+            jnp.where(
+                is_nocall,
+                C.POINTS_NOCALL,
+                jnp.where(is_noref, C.POINTS_NOREF, sub_cost),
+            ),
+        )
+        new_mode = jnp.where(
+            is_match, 0, jnp.where(is_sub, 1, mode)
+        )
+        score = jnp.where(active, score + delta, score)
+        mode = jnp.where(active & (is_match | is_sub), new_mode, mode)
+        tim = jnp.where(active & (is_match | is_sub), new_tim, tim)
+        return (score, mode, tim), None
+
+    init = (
+        jnp.zeros(B, i32),
+        jnp.full(B, -1, i32),
+        jnp.zeros(B, i32),
+    )
+    (score, _, _), _ = jax.lax.scan(step, init, jnp.arange(R, dtype=i32))
+    return score
+
+
+def _sub_array(i):
+    return jnp.where(
+        i > C.LIMIT_FOR_COST_3,
+        C.POINTS_SUB3,
+        jnp.where(i > 1, C.POINTS_SUB2, C.POINTS_SUB),
+    )
+
+
+def score_no_indels_np(read, ref, ref_start):
+    """Host oracle (direct transliteration) for one (read, site)."""
+    score = 0
+    mode = -1
+    tim = 0
+    read_start = 0
+    read_stop = len(read)
+    ref_stop = ref_start + len(read)
+    if ref_start < 0:
+        read_start = -ref_start
+        score += C.POINTS_NOREF * read_start
+    if ref_stop > len(ref):
+        dif = ref_stop - len(ref)
+        read_stop -= dif
+        score += C.POINTS_NOREF * dif
+    for i in range(read_start, read_stop):
+        c = read[i]
+        r = ref[ref_start + i]
+        if c == r and c < 4:
+            if mode == 0:
+                tim += 1
+                score += C.POINTS_MATCH2
+            else:
+                tim = 0
+                score += C.POINTS_MATCH
+            mode = 0
+        elif c >= 4:
+            score += C.POINTS_NOCALL
+        elif r >= 4:
+            score += C.POINTS_NOREF
+        else:
+            if mode == 1:
+                tim += 1
+            else:
+                tim = 0
+            score += int(C.POINTS_SUB_ARRAY[min(tim + 1, 603)])
+            mode = 1
+    return score

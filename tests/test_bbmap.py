@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+
+from bbtools_tpu.io.fasta import load_reference, write_fasta
+from bbtools_tpu.io.sam import match_to_cigar14, to_mapq
+from bbtools_tpu.models.bbmap import BBMap, BBMapConfig
+from bbtools_tpu.models.bbmap_index import SeedIndex
+from bbtools_tpu.ops.score_ungapped import score_no_indels, score_no_indels_np
+from bbtools_tpu.utils.graders import grade_sam
+from bbtools_tpu.utils.synth import random_genome, random_reads, write_reads
+
+rng = np.random.default_rng(2024)
+
+
+def test_score_no_indels_vs_oracle():
+    import jax.numpy as jnp
+
+    B, R, W = 24, 60, 90
+    reads = rng.integers(0, 4, (B, R)).astype(np.uint8)
+    refs = rng.integers(0, 4, (B, W)).astype(np.uint8)
+    # half the tasks: read copied into ref with some subs
+    starts = rng.integers(-5, 25, B).astype(np.int32)
+    for b in range(0, B, 2):
+        s = int(starts[b])
+        lo, hi = max(s, 0), min(s + R, W)
+        refs[b, lo:hi] = reads[b, lo - s : hi - s]
+    reads[3, 10] = 4
+    refs[5, 30] = 4
+    lens = np.full(B, R, np.int32)
+    got = np.asarray(
+        score_no_indels(
+            R,
+            jnp.asarray(reads),
+            jnp.asarray(lens),
+            jnp.asarray(refs),
+            jnp.asarray(starts),
+            jnp.asarray(np.full(B, W, np.int32)),
+        )
+    )
+    for b in range(B):
+        want = score_no_indels_np(reads[b], refs[b], int(starts[b]))
+        assert got[b] == want, f"task {b}: {got[b]} vs {want}"
+
+
+def test_cigar14():
+    # 5m S 4m I 3m D 2m
+    m = b"mmmmmSmmmmImmmDmm"
+    assert match_to_cigar14(m, 10, 1000) == "5=1X4=1I3=1D2="
+    # out-of-bounds left -> soft clip
+    m2 = b"mmmmmmmmmm"
+    assert match_to_cigar14(m2, -3, 1000) == "3S7="
+    # X tail (off-end insertions) -> I per mapping then clip? X maps to I
+    assert match_to_cigar14(b"XXmmmm", 0, 1000) == "2I4="
+
+
+def test_mapq():
+    assert to_mapq(0, 0, False, False) == 0
+    assert to_mapq(15000, 150, True, False) == to_mapq(15000, 150, True, False)
+    assert to_mapq(14970, 150, True, False) >= 4
+    assert to_mapq(10000, 150, True, True) >= 1
+
+
+@pytest.fixture(scope="module")
+def ecoli_like(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bbmap")
+    genome = random_genome(150_000, n_scaffolds=2, seed=7)
+    ref_fa = tmp / "ref.fa"
+    write_fasta(str(ref_fa), genome)
+    ref = load_reference(str(ref_fa))
+    idx = SeedIndex.build(ref, k=13)
+    return tmp, ref, idx
+
+
+def test_bbmap_end_to_end(ecoli_like):
+    tmp, ref, idx = ecoli_like
+    reads = random_reads(ref, 400, read_len=120, snp_rate=0.01, seed=3)
+    fq = tmp / "reads.fq"
+    write_reads(str(fq), reads)
+    sam = tmp / "out.sam"
+    cfg = BBMapConfig(in1=str(fq), out=str(sam), batch_reads=256)
+    tool = BBMap(cfg, index=idx)
+    tool.run()
+    g = grade_sam(str(sam), ref.names)
+    assert g.total == 400
+    assert g.mapped >= 396, f"mapped {g.mapped}"
+    assert g.correct_strict >= 0.97 * g.mapped, (
+        f"strict {g.correct_strict}/{g.mapped}: {g.details[:5]}"
+    )
+
+
+def test_bbmap_with_indels(ecoli_like):
+    tmp, ref, idx = ecoli_like
+    # reads with planted small indels
+    recs = []
+    codes = ref.scaffold_codes(0)
+    for i in range(120):
+        start = int(rng.integers(0, len(codes) - 160))
+        r = codes[start : start + 130].copy()
+        p = int(rng.integers(20, 100))
+        if i % 2 == 0:
+            r = np.concatenate([r[:p], r[p + 3 :]])[:120]  # 3bp deletion
+        else:
+            ins = rng.integers(0, 4, 3).astype(np.uint8)
+            r = np.concatenate([r[:p], ins, r[p:]])[:120]  # 3bp insertion
+        from bbtools_tpu.core.dna import CODE_TO_BASE
+
+        recs.append(
+            (
+                b"r%d_scaf0_pos%d_strand0_insert0" % (i, start),
+                CODE_TO_BASE[np.minimum(r, 4)].tobytes(),
+                b"F" * len(r),
+            )
+        )
+    fq = tmp / "indel.fq"
+    write_reads(str(fq), recs)
+    sam = tmp / "indel.sam"
+    cfg = BBMapConfig(in1=str(fq), out=str(sam), batch_reads=128)
+    tool = BBMap(cfg, index=idx)
+    tool.run()
+    g = grade_sam(str(sam), ref.names, tolerance=5)
+    assert g.mapped >= 115
+    assert g.correct_loose >= 0.95 * g.mapped, g.details[:5]
+    # check indel CIGARs present
+    text = (sam).read_text()
+    assert "D" in text and "I" in text
