@@ -1,0 +1,414 @@
+"""Tadpole — k-mer extension assembler (BASELINE config #5a, contig mode).
+
+Re-design of assemble/Tadpole.java:49 + Tadpole1.java:34. The reference's
+per-thread greedy contig building (makeContig :705, extendToRight with
+ownership claims) becomes a LOCKSTEP batched walk: every live contig
+extends one base per step, with neighbor counts looked up by vectorized
+binary search into the sorted k-mer spectrum and ownership claims resolved
+deterministically (higher id wins, mirroring AbstractKmerTable.setOwner
+race semantics :316-328).
+
+Extension decision semantics are exact (SURVEY.md Appendix A.8):
+  - DEAD_END if rightMax < minCountExtend
+  - isJunction(max, second) = NOT(second<1 || second*branchMult1<max ||
+      (second<=branchLowerConst && max>=max(minCountExtend,
+      second*branchMult2)))  (Tadpole.java:2556-2560)
+  - F_BRANCH / B_BRANCH / D_BRANCH / hidden-branch (left max != evicted)
+  - LOOP via ownership self-collision; BAD_OWNER on losing a claim
+  - contigs kept when length >= seedlen+minExtension and >= minContigLen
+Defaults: minCountSeed=3, minCountExtend=2, branchMult1=20, branchMult2=3,
+branchLowerConst=3, minExtension=2, minContigLen=max(124, 2k)
+(Tadpole.java:2659-2680, :582).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.dna import CODE_TO_BASE
+from ..core.parser import tokenize
+from ..io.fasta import write_fasta
+from ..io.fastq import FastqReader
+from ..ops.kmer_count import KmerSpectrum, count_batch
+
+# stop codes
+DEAD_END, LOOP, BAD_SEED, BAD_OWNER, F_BRANCH, B_BRANCH, D_BRANCH = range(7)
+RUNNING = 99
+
+
+@dataclass
+class TadpoleConfig:
+    in1: str | None = None
+    out: str | None = None
+    k: int = 31
+    min_count_seed: int = 3
+    min_count_extend: int = 2
+    branch_mult1: float = 20.0
+    branch_mult2: float = 3.0
+    branch_lower_const: int = 3
+    min_extension: int = 2
+    min_contig_len: int = -1
+    max_contig_len: int = 1_000_000
+    batch_reads: int = 16384
+    walk_batch: int = 4096
+
+    def resolve(self):
+        if self.min_contig_len < 0:
+            self.min_contig_len = max(124, 2 * self.k)
+        return self
+
+
+def parse_args(argv):
+    a = tokenize(argv)
+    c = TadpoleConfig()
+    c.in1 = a.get("in", "in1")
+    c.out = a.get("out", "outc", "contigs")
+    c.k = a.get_int("k", default=31)
+    mc = a.get_int("mincount", default=None)
+    if mc is not None:
+        c.min_count_seed = c.min_count_extend = mc
+    c.min_count_seed = a.get_int("mincountseed", "mcs", default=c.min_count_seed)
+    c.min_count_extend = a.get_int("mincountextend", "mce", default=c.min_count_extend)
+    c.branch_mult1 = a.get_float("branchmult1", "bm1", default=20.0)
+    c.branch_mult2 = a.get_float("branchmult2", "bm2", default=3.0)
+    c.branch_lower_const = a.get_int("branchlower", "blc", default=3)
+    c.min_contig_len = a.get_int("mincontig", default=-1) or -1
+    c.min_extension = a.get_int("minextension", default=2)
+    return c.resolve()
+
+
+class SpectrumTable:
+    """Sorted canonical-kmer counts with ownership (host)."""
+
+    def __init__(self, spectrum: KmerSpectrum, k: int):
+        spectrum.flush()
+        self.k = k
+        self.keys = spectrum.keys
+        self.counts = spectrum.counts.astype(np.int64)
+        self.owner = np.full(len(self.keys), -1, dtype=np.int64)
+        self.mask = (1 << (2 * k)) - 1
+        self.shift2 = 2 * (k - 1)
+
+    def find(self, keys: np.ndarray) -> np.ndarray:
+        """Index of each key in the table, or -1."""
+        pos = np.searchsorted(self.keys, keys)
+        pos = np.minimum(pos, max(len(self.keys) - 1, 0))
+        hit = len(self.keys) > 0
+        ok = hit & (self.keys[pos] == keys) if hit else np.zeros(len(keys), bool)
+        return np.where(ok, pos, -1)
+
+    def count_of(self, keys: np.ndarray) -> np.ndarray:
+        idx = self.find(keys)
+        return np.where(idx >= 0, self.counts[np.maximum(idx, 0)], 0)
+
+
+def rc_kmer_arr(kmers: np.ndarray, k: int) -> np.ndarray:
+    out = np.zeros_like(kmers)
+    x = kmers.copy()
+    for _ in range(k):
+        out = (out << 2) | (3 - (x & 3))
+        x >>= 2
+    return out
+
+
+def second_highest_position(counts: np.ndarray) -> np.ndarray:
+    """Tools.secondHighestPosition, vectorized over [A, 4]."""
+    a = counts
+    first0 = a[:, 0] >= a[:, 1]
+    maxP = np.where(first0, 0, 1)
+    maxP2 = np.where(first0, 1, 0)
+    for i in (2, 3):
+        x = a[:, i]
+        cur2 = a[np.arange(len(a)), maxP2]
+        cur1 = a[np.arange(len(a)), maxP]
+        better2 = x > cur2
+        better1 = better2 & (x >= cur1)
+        maxP2 = np.where(better1, maxP, np.where(better2, i, maxP2))
+        maxP = np.where(better1, i, maxP)
+    return maxP2
+
+
+class Tadpole:
+    def __init__(self, cfg: TadpoleConfig):
+        self.cfg = cfg
+        self.table: SpectrumTable | None = None
+        self.contigs: list[bytes] = []
+        self.cov: list[float] = []
+
+    # ------------------------------------------------------------------
+    def load_kmers(self, path: str):
+        spec = KmerSpectrum(self.cfg.k)
+        reader = FastqReader(path, batch_reads=self.cfg.batch_reads)
+        for b in reader:
+            v, c = count_batch(b.bases, b.lengths, self.cfg.k)
+            spec.add_batch(v, c)
+        spec.flush()
+        self.reads_in = reader.reads_in
+        self.table = SpectrumTable(spec, self.cfg.k)
+
+    # ------------------------------------------------------------------
+    def _neighbor_counts(self, kmer, rkmer, side: str):
+        """counts [A,4] + candidate keys for left/right neighbors."""
+        t = self.table
+        k = self.cfg.k
+        if side == "right":
+            km = (kmer << 2) & t.mask
+            rk = rkmer >> 2
+            cand_k = km[:, None] | np.arange(4, dtype=np.int64)[None, :]
+            cand_r = rk[:, None] | (
+                (3 - np.arange(4, dtype=np.int64))[None, :] << t.shift2
+            )
+        else:
+            rk = (rkmer << 2) & t.mask
+            km = kmer >> 2
+            cand_r = rk[:, None] | (3 - np.arange(4, dtype=np.int64))[None, :]
+            cand_k = km[:, None] | (
+                np.arange(4, dtype=np.int64)[None, :] << t.shift2
+            )
+        keys = np.maximum(cand_k, cand_r)
+        counts = t.count_of(keys.reshape(-1)).reshape(-1, 4)
+        return counts, keys
+
+    def _extend_right_lockstep(self, buf, lengths, ids, active):
+        """Extend all active contigs rightward until each stops.
+
+        buf: uint8 [A, maxlen] contig bases (codes); lengths [A];
+        ids [A] ownership ids. Returns stop codes [A].
+        """
+        cfg = self.cfg
+        t = self.table
+        k = cfg.k
+        A = len(lengths)
+        status = np.full(A, RUNNING, dtype=np.int64)
+        status[~active] = BAD_SEED
+        # trailing kmer of each contig
+        kmer = np.zeros(A, dtype=np.int64)
+        for j in range(k):
+            col = lengths - k + j
+            kmer = (kmer << 2) | buf[np.arange(A), np.maximum(col, 0)]
+        kmer &= t.mask
+        rkmer = rc_kmer_arr(kmer, k)
+        key = np.maximum(kmer, rkmer)
+        idx = t.find(key)
+        cnt = np.where(idx >= 0, t.counts[np.maximum(idx, 0)], 0)
+        status[(status == RUNNING) & (cnt < cfg.min_count_seed)] = BAD_SEED
+        # initial owner check: owner > id -> BAD_OWNER
+        own = np.where(idx >= 0, t.owner[np.maximum(idx, 0)], -1)
+        status[(status == RUNNING) & (own > ids)] = BAD_OWNER
+        live = status == RUNNING
+        # initial neighbor counts
+        lc, _ = self._neighbor_counts(kmer, rkmer, "left")
+        rc, _ = self._neighbor_counts(kmer, rkmer, "right")
+        l_max_pos = np.argmax(lc, axis=1)
+        l_max = lc[np.arange(A), l_max_pos]
+        l_second = lc[np.arange(A), second_highest_position(lc)]
+        r_max_pos = np.argmax(rc, axis=1)
+        r_max = rc[np.arange(A), r_max_pos]
+        r_second = rc[np.arange(A), second_highest_position(rc)]
+        jr = self._is_junction(r_max, r_second)
+        jl = self._is_junction(l_max, l_second)
+        dead = live & (r_max < cfg.min_count_extend)
+        status[dead] = DEAD_END
+        live &= ~dead
+        br = live & jr
+        status[br] = np.where(jl[br], D_BRANCH, F_BRANCH)
+        live &= ~br
+        bl = live & jl
+        status[bl] = B_BRANCH
+        live &= ~bl
+        # claim the seed kmer: higher id wins
+        self._claim(idx, ids, live)
+        claimed_ok = np.where(idx >= 0, t.owner[np.maximum(idx, 0)], -1) == ids
+        lost = live & ~claimed_ok
+        status[lost] = BAD_OWNER
+        live &= ~lost
+        maxlen = buf.shape[1]
+        while live.any():
+            la = np.flatnonzero(live)
+            # advance kmer by the chosen right base
+            x = r_max_pos[la]
+            evicted = kmer[la] >> t.shift2
+            kmer_n = ((kmer[la] << 2) | x) & t.mask
+            rkmer_n = (rkmer[la] >> 2) | ((3 - x) << t.shift2)
+            kmer[la] = kmer_n
+            rkmer[la] = rkmer_n
+            key = np.maximum(kmer_n, rkmer_n)
+            idx_n = t.find(key)
+            lc, _ = self._neighbor_counts(kmer_n, rkmer_n, "left")
+            rc, _ = self._neighbor_counts(kmer_n, rkmer_n, "right")
+            lmp = np.argmax(lc, axis=1)
+            lmx = lc[np.arange(len(la)), lmp]
+            lsc = lc[np.arange(len(la)), second_highest_position(lc)]
+            rmp = np.argmax(rc, axis=1)
+            rmx = rc[np.arange(len(la)), rmp]
+            rsc = rc[np.arange(len(la)), second_highest_position(rc)]
+            fbranch = self._is_junction(rmx, rsc)
+            bbranch = self._is_junction(lmx, lsc)
+            hbranch = (lmp != evicted) & (cfg.branch_mult1 > 0)
+            stop_b = bbranch | hbranch
+            code_b = np.where(fbranch, D_BRANCH, B_BRANCH)
+            status[la[stop_b]] = code_b[stop_b]
+            go = ~stop_b
+            ga = la[go]
+            # append base
+            can_append = lengths[ga] < maxlen
+            status[ga[~can_append]] = DEAD_END
+            ga = ga[can_append]
+            buf[ga, lengths[ga]] = x[go][can_append]
+            lengths[ga] += 1
+            # ownership: loop detection + claim
+            ii = idx_n[go][can_append]
+            cur_owner = np.where(ii >= 0, t.owner[np.maximum(ii, 0)], -1)
+            is_loop = cur_owner == ids[ga]
+            status[ga[is_loop]] = np.where(
+                fbranch[go][can_append][is_loop], F_BRANCH, LOOP
+            )
+            rest = ~is_loop
+            ra = ga[rest]
+            self._claim(ii[rest], ids[ra], np.ones(len(ra), bool))
+            lost = np.where(ii[rest] >= 0, t.owner[np.maximum(ii[rest], 0)], -1) != ids[ra]
+            status[ra[lost]] = BAD_OWNER
+            keep = ra[~lost]
+            # forward branch / dead-end checks (post-append)
+            fb = fbranch[go][can_append][rest][~lost]
+            de = rmx[go][can_append][rest][~lost] < cfg.min_count_extend
+            status[keep[fb]] = F_BRANCH
+            status[keep[~fb & de]] = DEAD_END
+            # update live set and rolling state
+            live = status == RUNNING
+            # carry decision state for next iteration (only live entries used)
+            r_max_pos_full = np.zeros(A, dtype=np.int64)
+            r_max_pos_full[la] = rmp
+            r_max_pos = r_max_pos_full
+        return status
+
+    def _is_junction(self, mx, second):
+        cfg = self.cfg
+        not_j = (
+            (second < 1)
+            | (second * cfg.branch_mult1 < mx)
+            | (
+                (second <= cfg.branch_lower_const)
+                & (mx >= np.maximum(cfg.min_count_extend, second * cfg.branch_mult2))
+            )
+        )
+        return ~not_j
+
+    def _claim(self, idx, ids, mask):
+        """Higher id wins (setOwner semantics). Resolves same-step
+        conflicts deterministically via np.maximum.at."""
+        t = self.table
+        ok = mask & (idx >= 0)
+        np.maximum.at(t.owner, idx[ok], ids[ok])
+
+    # ------------------------------------------------------------------
+    def build_contigs(self):
+        cfg = self.cfg
+        t = self.table
+        seeds = np.flatnonzero(t.counts >= cfg.min_count_seed)
+        # process highest-count seeds first (deterministic; reference order
+        # is hash-table iteration, which is arbitrary but fixed)
+        order = np.argsort(-t.counts[seeds], kind="stable")
+        seeds = seeds[order]
+        k = cfg.k
+        maxlen = cfg.max_contig_len
+        contig_id = 1
+        W = cfg.walk_batch
+        next_id = 1
+        for w0 in range(0, len(seeds), W):
+            chunk = seeds[w0 : w0 + W]
+            # skip seeds already claimed
+            unclaimed = t.owner[chunk] < 0
+            chunk = chunk[unclaimed]
+            if not len(chunk):
+                continue
+            A = len(chunk)
+            ids = np.arange(next_id, next_id + A, dtype=np.int64)
+            next_id += A
+            buf = np.zeros((A, min(maxlen, 1 << 20)), dtype=np.uint8)
+            lengths = np.full(A, k, dtype=np.int64)
+            keys = t.keys[chunk]
+            for j in range(k):
+                buf[:, k - 1 - j] = (keys >> (2 * j)) & 3
+            active = np.ones(A, bool)
+            self._extend_right_lockstep(buf, lengths, ids, active)
+            # reverse-complement in place, extend again
+            for a in range(A):
+                n = int(lengths[a])
+                seg = buf[a, :n]
+                buf[a, :n] = 3 - seg[::-1]
+            self._extend_right_lockstep(buf, lengths, ids, active)
+            for a in range(A):
+                n = int(lengths[a])
+                if n >= k + cfg.min_extension and n >= cfg.min_contig_len:
+                    seg = buf[a, :n]
+                    rcseg = 3 - seg[::-1]
+                    cov = float(
+                        t.count_of(
+                            _contig_keys(rcseg, k, t.mask)
+                        ).mean()
+                    )
+                    self.contigs.append(bytes(CODE_TO_BASE[rcseg]))
+                    self.cov.append(cov)
+        # sort by length desc (processContigs)
+        order = sorted(
+            range(len(self.contigs)),
+            key=lambda i: (-len(self.contigs[i]), self.contigs[i]),
+        )
+        self.contigs = [self.contigs[i] for i in order]
+        self.cov = [self.cov[i] for i in order]
+
+    # ------------------------------------------------------------------
+    def run(self):
+        cfg = self.cfg
+        t0 = time.time()
+        self.load_kmers(cfg.in1)
+        self.build_contigs()
+        if cfg.out:
+            write_fasta(
+                cfg.out,
+                [
+                    (
+                        b"contig_%d,length=%d,cov=%.1f" % (i + 1, len(c), cv),
+                        c,
+                    )
+                    for i, (c, cv) in enumerate(zip(self.contigs, self.cov))
+                ],
+            )
+        self.elapsed = time.time() - t0
+        return self
+
+    def print_stats(self, stream=sys.stderr):
+        lens = np.array([len(c) for c in self.contigs], dtype=np.int64)
+        total = int(lens.sum())
+        print(f"Contigs generated:    \t{len(self.contigs)}", file=stream)
+        print(f"Contig length sum:    \t{total}", file=stream)
+        if len(lens):
+            half = total / 2
+            csum = np.cumsum(lens)
+            n50 = int(lens[np.searchsorted(csum, half)])
+            print(f"Contig N50:           \t{n50}", file=stream)
+
+
+def _contig_keys(codes: np.ndarray, k: int, mask: int) -> np.ndarray:
+    from ..ops.kmers import rolling_kmers_np
+
+    fwd, rkm, runlen = rolling_kmers_np(codes[None, :], k)
+    valid = runlen[0] >= k
+    return np.maximum(fwd[0][valid], rkm[0][valid])
+
+
+def main(argv=None):
+    cfg = parse_args(argv if argv is not None else sys.argv[1:])
+    tool = Tadpole(cfg)
+    tool.run()
+    tool.print_stats()
+    return tool
+
+
+if __name__ == "__main__":
+    main()

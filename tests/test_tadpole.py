@@ -1,0 +1,88 @@
+import numpy as np
+
+from bbtools_tpu.io.fasta import load_reference, write_fasta
+from bbtools_tpu.models.tadpole import Tadpole, TadpoleConfig, second_highest_position
+from bbtools_tpu.utils.synth import random_genome, random_reads, write_reads
+
+
+def test_second_highest_position():
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 100, (200, 4)).astype(np.int64)
+    got = second_highest_position(a)
+    for i in range(200):
+        # oracle: Tools.secondHighestPosition transliteration
+        arr = a[i]
+        if arr[0] >= arr[1]:
+            mp, m2 = 0, 1
+        else:
+            mp, m2 = 1, 0
+        for j in (2, 3):
+            x = arr[j]
+            if x > arr[m2]:
+                if x >= arr[mp]:
+                    m2 = mp
+                    mp = j
+                else:
+                    m2 = j
+        assert got[i] == m2, f"row {i}: {arr}"
+
+
+def test_assemble_simple_genome(tmp_path):
+    # unique-ish random genome, deep even coverage -> few long contigs
+    genome = random_genome(20_000, n_scaffolds=1, seed=5)
+    write_fasta(str(tmp_path / "g.fa"), genome)
+    ref = load_reference(str(tmp_path / "g.fa"))
+    reads = random_reads(ref, 4000, read_len=100, snp_rate=0.0, seed=6)
+    write_reads(str(tmp_path / "reads.fq"), reads)
+    cfg = TadpoleConfig(
+        in1=str(tmp_path / "reads.fq"), out=str(tmp_path / "contigs.fa"), k=31
+    ).resolve()
+    tool = Tadpole(cfg)
+    tool.run()
+    assert len(tool.contigs) >= 1
+    total = sum(len(c) for c in tool.contigs)
+    # should reconstruct most of the genome
+    assert total > 18_000, total
+    longest = max(len(c) for c in tool.contigs)
+    assert longest > 5_000, longest
+    # contigs must be substrings of genome (or its rc)
+    g = genome[0][1]
+    from bbtools_tpu.core.dna import reverse_complement
+
+    grc = reverse_complement(g)
+    for c in tool.contigs[:5]:
+        assert c in g or c in grc or reverse_complement(c) in g, len(c)
+
+
+def test_branch_stops(tmp_path):
+    # two scaffolds sharing a 40bp core -> contigs must break at the branch
+    rng = np.random.default_rng(8)
+    core = bytes(b"ACGT"[x] for x in rng.integers(0, 4, 60))
+    left1 = bytes(b"ACGT"[x] for x in rng.integers(0, 4, 400))
+    left2 = bytes(b"ACGT"[x] for x in rng.integers(0, 4, 400))
+    right1 = bytes(b"ACGT"[x] for x in rng.integers(0, 4, 400))
+    right2 = bytes(b"ACGT"[x] for x in rng.integers(0, 4, 400))
+    g1 = left1 + core + right1
+    g2 = left2 + core + right2
+    write_fasta(str(tmp_path / "g.fa"), [(b"a", g1), (b"b", g2)])
+    ref = load_reference(str(tmp_path / "g.fa"))
+    reads = random_reads(ref, 3000, read_len=80, snp_rate=0.0, seed=9)
+    write_reads(str(tmp_path / "reads.fq"), reads)
+    cfg = TadpoleConfig(
+        in1=str(tmp_path / "reads.fq"), out=None, k=31, min_contig_len=100
+    ).resolve()
+    cfg.min_contig_len = 100
+    tool = Tadpole(cfg)
+    tool.load_kmers(cfg.in1)
+    tool.build_contigs()
+    # no contig may span from a unique left flank into a unique right flank
+    for c in tool.contigs:
+        in1 = c in g1 or _rc(c) in g1
+        in2 = c in g2 or _rc(c) in g2
+        assert in1 or in2, f"chimeric contig of length {len(c)}"
+
+
+def _rc(s):
+    from bbtools_tpu.core.dna import reverse_complement
+
+    return reverse_complement(s)
