@@ -1,0 +1,159 @@
+"""Unified CLI — the `tool.sh key=value` surface (SURVEY.md §1 L0).
+
+The reference ships one shell launcher per tool mapping to a main class
+(bbduk.sh -> bbduk.BBDukS, ...). Here one entry point dispatches by tool
+name:  python -m bbtools_tpu <tool> key=value ...
+Also usable per-tool: python -m bbtools_tpu.models.bbduk key=value ...
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _bbduk(args):
+    from .models.bbduk import main
+
+    return main(args)
+
+
+def _bbmap(args):
+    from .models.bbmap import main
+
+    return main(args)
+
+
+def _bbmerge(args):
+    from .models.bbmerge import main
+
+    return main(args)
+
+
+def _tadpole(args):
+    from .models.tadpole import main
+
+    return main(args)
+
+
+def _callvariants(args):
+    from .models.callvariants import main
+
+    return main(args)
+
+
+def _kmercountexact(args):
+    from .models.kmercountexact import main
+
+    return main(args)
+
+
+def _reformat(args):
+    from .models.reformat import main
+
+    return main(args)
+
+
+def _stats(args):
+    from .models.assemblystats import main
+
+    return main(args)
+
+
+def _randomreads(args):
+    from .models.randomreads import main
+
+    return main(args)
+
+
+def _dedupe(args):
+    from .models.dedupe import main
+
+    return main(args)
+
+
+def _bbnorm(args):
+    from .models.bbnorm import main
+
+    return main(args)
+
+
+def _loglog(args):
+    from .models.loglog import main
+
+    return main(args)
+
+
+def _bbmask(args):
+    from .models.bbmask import main
+
+    return main(args)
+
+
+def _seal(args):
+    from .models.seal import main
+
+    return main(args)
+
+
+def _clumpify(args):
+    from .models.clumpify import main
+
+    return main(args)
+
+
+def _bbsplitpairs(args):
+    from .models.splitpairs import main
+
+    return main(args)
+
+
+def _sketch(args):
+    from .models.sketch import main
+
+    return main(args)
+
+
+TOOLS = {
+    "bbduk": _bbduk,
+    "bbmap": _bbmap,
+    "bbmerge": _bbmerge,
+    "tadpole": _tadpole,
+    "callvariants": _callvariants,
+    "kmercountexact": _kmercountexact,
+    "kmercount": _kmercountexact,
+    "reformat": _reformat,
+    "stats": _stats,
+    "assemblystats": _stats,
+    "randomreads": _randomreads,
+    "dedupe": _dedupe,
+    "bbnorm": _bbnorm,
+    "loglog": _loglog,
+    "bbmask": _bbmask,
+    "seal": _seal,
+    "clumpify": _clumpify,
+    "bbsplitpairs": _bbsplitpairs,
+    "splitpairs": _bbsplitpairs,
+    "sendsketch": _sketch,
+    "sketch": _sketch,
+}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print("bbtools_tpu — TPU-native sequence analysis toolkit")
+        print("usage: python -m bbtools_tpu <tool> key=value ...")
+        print("tools:", ", ".join(sorted(set(TOOLS))))
+        return 0
+    tool = argv[0].lower().removesuffix(".sh")
+    fn = TOOLS.get(tool)
+    if fn is None:
+        print(f"Unknown tool: {tool}", file=sys.stderr)
+        print("tools:", ", ".join(sorted(set(TOOLS))), file=sys.stderr)
+        return 2
+    fn(argv[1:])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,6 +85,11 @@ class BBDukConfig:
     skip_r1: bool = False
     skip_r2: bool = False
     stats: str | None = None
+    qhist: str | None = None
+    lhist: str | None = None
+    gchist: str | None = None
+    aqhist: str | None = None
+    bhist: str | None = None
     batch_reads: int = 16384
     ordered: bool = True
     ziplevel: int | None = None
@@ -197,6 +202,11 @@ def parse_args(argv: list[str]) -> BBDukConfig:
     c.trim_pad = a.get_int(*h("trimpad"), default=0)
     c.ktrim_exclusive = a.get_bool(*h("ktrimexclusive"), default=False)
     c.stats = a.get(*h("stats"))
+    c.qhist = a.get(*h("qhist"))
+    c.lhist = a.get(*h("lhist"))
+    c.gchist = a.get(*h("gchist"))
+    c.aqhist = a.get(*h("aqhist"))
+    c.bhist = a.get(*h("bhist"))
     c.batch_reads = a.get_int(*h("batchreads"), default=16384)
     c.ordered = a.get_bool(*h("ordered"), default=True)
     c.ziplevel = a.get_int(*h("ziplevel", "zl"), default=None)
@@ -683,6 +693,11 @@ class BBDuk:
         w_outm1 = FastqWriter(cfg.outm1, ziplevel=cfg.ziplevel) if cfg.outm1 else None
         w_outm2 = FastqWriter(cfg.outm2, ziplevel=cfg.ziplevel) if cfg.outm2 else None
         w_outs = FastqWriter(cfg.outs, ziplevel=cfg.ziplevel) if cfg.outs else None
+        rstats = None
+        if cfg.qhist or cfg.lhist or cfg.gchist or cfg.aqhist or cfg.bhist:
+            from ..utils.readstats import ReadStats
+
+            rstats = ReadStats()
         it2 = iter(reader2) if reader2 else None
         for b1 in reader1:
             b2 = next(it2, None) if it2 else None
@@ -697,11 +712,29 @@ class BBDuk:
                 w_outm2.add(b2, ~keep)
             if w_outs and b2 is not None:
                 pass  # singles: kept pair where one side discarded
+            if rstats is not None:
+                # histograms over surviving reads (addToHistograms after
+                # processing, BBDukProcessorS:1411)
+                rstats.add_batch(_subset(b1, keep), 0)
+                if b2 is not None:
+                    rstats.add_batch(_subset(b2, keep), 1)
         for w in (w_out1, w_out2, w_outm1, w_outm2, w_outs):
             if w:
                 w.close()
         self.elapsed = time.time() - t0
         self.write_stats_file()
+        if rstats is not None:
+            paired = cfg.in2 is not None
+            if cfg.qhist:
+                rstats.write_qhist(cfg.qhist, paired)
+            if cfg.lhist:
+                rstats.write_lhist(cfg.lhist)
+            if cfg.gchist:
+                rstats.write_gchist(cfg.gchist)
+            if cfg.aqhist:
+                rstats.write_aqhist(cfg.aqhist, paired)
+            if cfg.bhist:
+                rstats.write_bhist(cfg.bhist)
         return st
 
     def write_stats_file(self):
@@ -745,6 +778,17 @@ class BBDuk:
         bps = st.bases_in / t
         print(f"Reads Processed:    {st.reads_in:>10}\t{rps/1000:.2f}k reads/sec", file=stream)
         print(f"Bases Processed:    {st.bases_in:>10}\t{bps/1e6:.2f}m bases/sec", file=stream)
+
+
+def _subset(b, keep):
+    from ..io.batch import ReadBatch
+
+    return ReadBatch(
+        bases=b.bases[keep],
+        quals=b.quals[keep] if b.quals is not None else None,
+        lengths=b.lengths[keep],
+        ids=[],
+    )
 
 
 def _avg_quality_by_prob(b, max_bases: int) -> np.ndarray:

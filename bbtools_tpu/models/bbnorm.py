@@ -1,0 +1,101 @@
+"""BBNorm — depth normalization via approximate k-mer counts
+(jgi/KmerNormalize.java:54 over bloom/KCountArray7MTA).
+
+Two-pass (the reference's `passes` loop :239, single-pass variant here):
+pass 1 streams all reads into a count-min sketch; pass 2 estimates each
+read's depth as the `depthpercentile` (default 0.54) percentile of its
+k-mer counts and keeps the read with probability target/depth when depth
+exceeds the target (plus the mindepth discard). Deterministic given the
+seed — the reference uses a hash of the read for the keep decision.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ..core.parser import tokenize
+from ..io.fastq import FastqReader, FastqWriter
+from ..ops.cms import CountMinSketch
+from ..ops.kmer_count import PAD, batch_kmers_jnp
+
+
+def read_depths(cms, bases, lengths, k: int, percentile: float):
+    """Per-read depth estimate: percentile of its kmer counts."""
+    import jax.numpy as jnp
+
+    B, L = bases.shape
+    keys = np.asarray(batch_kmers_jnp(jnp.asarray(bases), jnp.asarray(lengths), k))
+    keys = keys.reshape(B, L)
+    flat = keys.reshape(-1)
+    valid = flat != PAD
+    counts = np.zeros(len(flat), dtype=np.int64)
+    if valid.any():
+        counts[valid] = cms.query(flat[valid])
+    counts = counts.reshape(B, L)
+    depths = np.zeros(B, dtype=np.int64)
+    for b in range(B):
+        c = counts[b][keys[b] != PAD]
+        if len(c) == 0:
+            continue
+        c = np.sort(c)
+        depths[b] = c[min(int(len(c) * percentile), len(c) - 1)]
+    return depths
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    outt = a.get("outt", "outtoss")
+    k = a.get_int("k", default=31)
+    target = a.get_int("target", default=100)
+    mindepth = a.get_int("mindepth", "min", default=5)
+    percentile = a.get_float("depthpercentile", "dp", default=0.54)
+    bits = a.get_int("bits", default=16)
+    hashes = a.get_int("hashes", default=3)
+    seed = a.get_int("seed", default=1)
+    t0 = time.time()
+    cms = CountMinSketch(hashes=hashes)
+    # pass 1: count
+    for b in FastqReader(in1):
+        keys = np.asarray(
+            batch_kmers_jnp(jnp.asarray(b.bases), jnp.asarray(b.lengths), k)
+        )
+        keys = keys[keys != PAD]
+        if len(keys):
+            cms.add(keys)
+    # pass 2: normalize
+    rng = np.random.default_rng(seed)
+    w = FastqWriter(out1) if out1 else None
+    wt = FastqWriter(outt) if outt else None
+    kept = tossed = total = 0
+    reader = FastqReader(in1)
+    for b in reader:
+        depths = read_depths(cms, b.bases, b.lengths.astype(np.int64), k, percentile)
+        keep_prob = np.where(
+            depths <= target, 1.0, target / np.maximum(depths, 1)
+        )
+        keep = (rng.random(b.n) < keep_prob) & (depths >= mindepth)
+        total += b.n
+        kept += int(keep.sum())
+        tossed += int((~keep).sum())
+        if w:
+            w.add(b, keep)
+        if wt:
+            wt.add(b, ~keep)
+    for x in (w, wt):
+        if x:
+            x.close()
+    print(f"Reads In:            \t{total}", file=sys.stderr)
+    print(f"Reads Out:           \t{kept} ({100.0*kept/max(total,1):.2f}%)", file=sys.stderr)
+    print(f"Time:                \t{time.time()-t0:.3f} seconds.", file=sys.stderr)
+    return kept, tossed
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Clumpify — k-mer-pivot read sorting for compression/locality
+(clump/Clumpify.java:28, KmerComparator.java:23).
+
+Reads sharing a pivot k-mer (the minimizer of hashed k-mers) sort
+adjacently, which dramatically improves gzip ratios and enables optical/
+PCR-duplicate marking. TPU-era design: pivot hashing is a batched device
+reduction (min over hashed window k-mers); ordering is one global argsort.
+Optional dedupe=t removes exact duplicates within a clump.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ..core.parser import tokenize
+from ..io.fastq import FastqReader, encode_fastq
+from ..io.readwrite import open_output
+from ..ops.kmer_index import _mix64
+from ..ops.kmers import rolling_kmers_np
+
+
+def pivot_kmers(bases: np.ndarray, lengths: np.ndarray, k: int):
+    """Per-read pivot: the minimum 64-bit-hashed canonical k-mer."""
+    fwd, rkm, runlen = rolling_kmers_np(bases, k)
+    valid = (runlen >= k) & (
+        np.arange(bases.shape[1])[None, :] < lengths[:, None]
+    )
+    keys = np.maximum(fwd, rkm)
+    h = _mix64(keys.astype(np.uint64))
+    h = np.where(valid, h, np.uint64(0xFFFFFFFFFFFFFFFF))
+    piv = h.min(axis=1)
+    pos = h.argmin(axis=1)
+    return piv, pos
+
+
+def main(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    k = a.get_int("k", default=31)
+    dedupe = a.get_bool("dedupe", default=False)
+    t0 = time.time()
+    records = []  # (pivot, pos, name, seq, qual)
+    reader = FastqReader(in1)
+    for b in reader:
+        piv, pos = pivot_kmers(b.bases, b.lengths.astype(np.int64), k)
+        for i in range(b.n):
+            records.append(
+                (int(piv[i]), int(pos[i]), b.ids[i], b.sequence(i), b.quality_string(i))
+            )
+    # sort by (pivot, position-in-read desc, sequence) — KmerComparator order
+    records.sort(key=lambda r: (r[0], -r[1], r[3]))
+    dupes = 0
+    with open_output(out1) as fh:
+        prev_seq = None
+        for piv, pos, name, seq, qual in records:
+            if dedupe and seq == prev_seq:
+                dupes += 1
+                continue
+            fh.write(b"@%s\n%s\n+\n%s\n" % (name, seq, qual))
+            prev_seq = seq
+    n = len(records)
+    print(f"Reads:               \t{n}", file=sys.stderr)
+    if dedupe:
+        print(f"Duplicates removed:  \t{dupes}", file=sys.stderr)
+    print(f"Time:                \t{time.time()-t0:.3f} seconds.", file=sys.stderr)
+    return n, dupes
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..core.dna import kmer_to_text
 from ..core.parser import tokenize
-from ..io.fastq import FastqReader
+from ..io.stream import read_batches
 from ..io.readwrite import open_output
 from ..ops.kmer_count import KmerSpectrum, count_batch
 
@@ -45,7 +45,7 @@ def run(argv: list[str]):
     spec = KmerSpectrum(k)
     reads = bases = 0
     for path in [p for p in (in1, in2) if p]:
-        reader = FastqReader(path, batch_reads=batch_reads)
+        reader = read_batches(path, batch_reads=batch_reads)
         for b in reader:
             v, c = count_batch(b.bases, b.lengths, k)
             spec.add_batch(v, c)

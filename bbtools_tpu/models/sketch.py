@@ -1,0 +1,114 @@
+"""BBSketch — MinHash genome identity (sketch/Sketch.java:27, SketchObject).
+
+Bottom-k MinHash over hashed canonical k-mers: a sketch is the `size`
+smallest 64-bit hashes of a sequence set's k-mers. Jaccard/ANI estimation
+between sketches follows the Mash/BBSketch relation
+  ANI ~ 1 + ln(2J/(1+J))/k.
+Sketching is a batched hash + global partial sort (device-friendly);
+comparison is a sorted-merge intersection count.
+
+Modes: sketch (write .sketch TSV), compare (all-vs-all of inputs).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+
+from ..core.parser import tokenize
+from ..io.fasta import iter_fasta
+from ..io.fastq import FastqReader
+from ..io.fileformat import Format, test_input
+from ..io.readwrite import open_output
+from ..ops.kmer_index import _mix64
+from ..core.dna import encode
+from ..ops.kmers import rolling_kmers_np
+
+
+def sketch_sequences(seq_iter, k: int = 31, size: int = 10000) -> np.ndarray:
+    best = np.zeros(0, dtype=np.uint64)
+    for codes in seq_iter:
+        if len(codes) < k:
+            continue
+        fwd, rkm, runlen = rolling_kmers_np(codes[None, :], k)
+        valid = runlen[0] >= k
+        keys = np.maximum(fwd[0][valid], rkm[0][valid])
+        h = _mix64(keys.astype(np.uint64))
+        merged = np.concatenate([best, h])
+        merged = np.unique(merged)
+        best = merged[:size]
+    return best
+
+
+def sketch_file(path: str, k: int = 31, size: int = 10000) -> np.ndarray:
+    ff = test_input(path)
+    if ff.format is Format.FASTA:
+        return sketch_sequences(
+            (encode(rec.seq) for rec in iter_fasta(path)), k, size
+        )
+    def reads():
+        for b in FastqReader(path):
+            for i in range(b.n):
+                yield b.bases[i, : b.lengths[i]]
+    return sketch_sequences(reads(), k, size)
+
+
+def compare_sketches(a: np.ndarray, b: np.ndarray, k: int = 31):
+    """Returns (jaccard-ish wkid, ani_estimate, matches, size)."""
+    n = min(len(a), len(b))
+    if n == 0:
+        return 0.0, 0.0, 0, 0
+    au, bu = a[:n], b[:n]
+    inter = np.intersect1d(au, bu, assume_unique=True)
+    matches = len(inter)
+    j = matches / n
+    if j <= 0:
+        return 0.0, 0.0, 0, n
+    ani = 1 + math.log(2 * j / (1 + j)) / k
+    return j, max(ani, 0.0), matches, n
+
+
+def write_sketch(path: str, hashes: np.ndarray, name: str, k: int):
+    with open_output(path) as fh:
+        fh.write(b"#SZ:%d\tK:%d\tNM:%s\n" % (len(hashes), k, name.encode()))
+        for h in hashes:
+            fh.write(b"%d\n" % int(h))
+
+
+def read_sketch(path: str):
+    with open(path, "rb") as fh:
+        header = fh.readline()
+        hashes = np.array([int(x) for x in fh.read().split()], dtype=np.uint64)
+    k = int(header.split(b"K:")[1].split(b"\t")[0])
+    return hashes, k
+
+
+def main(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    ins = a.get_list("in") or ([a.get("in1")] if a.get("in1") else [])
+    ref = a.get("ref")
+    out = a.get("out")
+    k = a.get_int("k", default=31)
+    size = a.get_int("size", default=10000)
+    sketches = [(p, sketch_file(p, k, size)) for p in ins]
+    if ref:
+        rs = sketch_file(ref, k, size)
+        print("Query\tRef\tWKID\tANI\tMatches\tSize")
+        for p, s in sketches:
+            j, ani, m, n = compare_sketches(s, rs, k)
+            print(f"{p}\t{ref}\t{j*100:.2f}%\t{ani*100:.2f}%\t{m}\t{n}")
+    elif len(sketches) > 1:
+        print("A\tB\tWKID\tANI\tMatches\tSize")
+        for i in range(len(sketches)):
+            for j2 in range(i + 1, len(sketches)):
+                j, ani, m, n = compare_sketches(sketches[i][1], sketches[j2][1], k)
+                print(f"{sketches[i][0]}\t{sketches[j2][0]}\t{j*100:.2f}%\t{ani*100:.2f}%\t{m}\t{n}")
+    if out and sketches:
+        write_sketch(out, sketches[0][1], sketches[0][0], k)
+    return sketches
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ import numpy as np
 from ..core.dna import CODE_TO_BASE
 from ..core.parser import tokenize
 from ..io.fasta import write_fasta
-from ..io.fastq import FastqReader
+from ..io.stream import read_batches
 from ..ops.kmer_count import KmerSpectrum, count_batch
 
 # stop codes
@@ -142,7 +142,7 @@ class Tadpole:
     # ------------------------------------------------------------------
     def load_kmers(self, path: str):
         spec = KmerSpectrum(self.cfg.k)
-        reader = FastqReader(path, batch_reads=self.cfg.batch_reads)
+        reader = read_batches(path, batch_reads=self.cfg.batch_reads)
         for b in reader:
             v, c = count_batch(b.bases, b.lengths, self.cfg.k)
             spec.add_batch(v, c)

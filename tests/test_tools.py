@@ -1,0 +1,205 @@
+"""Tests for the long-tail tools (reformat/stats/dedupe/loglog/bbmask/
+seal/clumpify/splitpairs/sketch/bbnorm) and the unified CLI."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from bbtools_tpu.io.fasta import load_reference, write_fasta
+from bbtools_tpu.utils.synth import random_genome, random_reads, write_reads
+
+rng = np.random.default_rng(99)
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tools")
+    genome = random_genome(30_000, n_scaffolds=2, seed=13)
+    write_fasta(str(tmp / "ref.fa"), genome)
+    ref = load_reference(str(tmp / "ref.fa"))
+    reads = random_reads(ref, 500, read_len=100, snp_rate=0.01, seed=14)
+    write_reads(str(tmp / "reads.fq"), reads)
+    return tmp, ref, genome
+
+
+def test_reformat_subsample_and_fasta(data):
+    tmp, ref, genome = data
+    from bbtools_tpu.models.reformat import main
+
+    r, b = main([f"in={tmp}/reads.fq", f"out={tmp}/sub.fq", "samplerate=0.5", "sampleseed=7"])
+    assert 150 < r < 350
+    r2, _ = main([f"in={tmp}/reads.fq", f"out={tmp}/conv.fa"])
+    assert r2 == 500
+    text = (tmp / "conv.fa").read_bytes()
+    assert text.startswith(b">")
+
+
+def test_reformat_reads_limit(data):
+    tmp, _, _ = data
+    from bbtools_tpu.models.reformat import main
+
+    r, _ = main([f"in={tmp}/reads.fq", f"out={tmp}/lim.fq", "reads=100"])
+    assert r == 100
+
+
+def test_assemblystats(data, capsys):
+    tmp, ref, genome = data
+    from bbtools_tpu.models.assemblystats import main
+
+    res = main([f"in={tmp}/ref.fa"])
+    assert res["scaffolds"] == 2
+    assert res["total"] == sum(len(s) for _, s in genome)
+    assert res["n50"] > 0
+    out = capsys.readouterr().out
+    assert "N/L50" in out
+
+
+def test_dedupe(data):
+    tmp, _, _ = data
+    # duplicate the file content
+    orig = (tmp / "reads.fq").read_bytes()
+    (tmp / "dup.fq").write_bytes(orig + orig)
+    from bbtools_tpu.models.dedupe import main
+
+    kept, dupes = main([f"in={tmp}/dup.fq", f"out={tmp}/dd.fq"])
+    assert kept == 500
+    assert dupes == 500
+
+
+def test_loglog(data):
+    tmp, _, _ = data
+    from bbtools_tpu.models.loglog import main
+
+    card = main([f"in={tmp}/reads.fq", "k=31"])
+    # ~500 reads x 70 kmers from a 30kb genome -> ~30k distinct (plus error kmers)
+    assert 15_000 < card < 80_000
+
+
+def test_bbmask(tmp_path):
+    from bbtools_tpu.models.bbmask import main
+
+    seq = b"ACGTAGGCTACGATCGTAGCTAACGGATCG" * 10 + b"A" * 120 + b"CGATCGTAGCTAGCTAGCAT" * 10
+    write_fasta(str(tmp_path / "in.fa"), [(b"s", seq)])
+    masked = main([f"in={tmp_path}/in.fa", f"out={tmp_path}/out.fa", "entropy=0.5"])
+    assert masked >= 100  # the poly-A run is masked
+    out = (tmp_path / "out.fa").read_bytes()
+    assert b"NNNN" in out
+
+
+def test_seal(data):
+    tmp, ref, genome = data
+    # two refs: scaffold_0 and scaffold_1 as separate files
+    write_fasta(str(tmp / "refA.fa"), [genome[0]])
+    write_fasta(str(tmp / "refB.fa"), [genome[1]])
+    from bbtools_tpu.models.seal import main
+
+    counts = main(
+        [
+            f"in={tmp}/reads.fq",
+            f"ref={tmp}/refA.fa,{tmp}/refB.fa",
+            f"stats={tmp}/sealstats.txt",
+            "k=31",
+            "pattern=",
+        ]
+    )
+    assert counts[1] + counts[2] >= 490  # nearly all reads attributed
+    assert counts[1] > 100 and counts[2] > 100
+    stats = (tmp / "sealstats.txt").read_text()
+    assert "refA" in stats and "unmatched" in stats
+
+
+def test_clumpify(data):
+    tmp, _, _ = data
+    from bbtools_tpu.models.clumpify import main
+
+    n, _ = main([f"in={tmp}/reads.fq", f"out={tmp}/clumped.fq.gz", "k=21"])
+    assert n == 500
+    # clumped output should compress better than shuffled input
+    raw = (tmp / "reads.fq").read_bytes()
+    clumped = gzip.decompress((tmp / "clumped.fq.gz").read_bytes())
+    assert len(clumped.splitlines()) == len(raw.splitlines())
+
+
+def test_splitpairs(tmp_path):
+    # interleaved -> split -> re-interleave
+    recs = []
+    for i in range(50):
+        recs.append((b"p%d/1" % i, b"ACGTACGTAC", b"IIIIIIIIII"))
+        recs.append((b"p%d/2" % i, b"TTGGCCAATT", b"FFFFFFFFFF"))
+    write_reads(str(tmp_path / "int.fq"), recs)
+    from bbtools_tpu.models.splitpairs import main
+
+    main([f"in={tmp_path}/int.fq", f"out={tmp_path}/r1.fq", f"out2={tmp_path}/r2.fq"])
+    r1 = (tmp_path / "r1.fq").read_bytes().splitlines()
+    r2 = (tmp_path / "r2.fq").read_bytes().splitlines()
+    assert len(r1) == len(r2) == 200
+    assert r1[0].endswith(b"/1") and r2[0].endswith(b"/2")
+
+
+def test_repair(tmp_path):
+    recs = [
+        (b"a/1", b"AAAA", b"IIII"),
+        (b"b/1", b"CCCC", b"IIII"),
+        (b"a/2", b"GGGG", b"IIII"),
+        (b"c/1", b"TTTT", b"IIII"),
+    ]
+    write_reads(str(tmp_path / "mixed.fq"), recs)
+    from bbtools_tpu.models.splitpairs import main
+
+    pairs, singles = main(
+        [
+            f"in={tmp_path}/mixed.fq",
+            f"out={tmp_path}/p1.fq",
+            f"out2={tmp_path}/p2.fq",
+            f"outs={tmp_path}/s.fq",
+            "repair=t",
+        ]
+    )
+    assert pairs == 1 and singles == 2
+
+
+def test_sketch(data, tmp_path):
+    tmp, ref, genome = data
+    from bbtools_tpu.models.sketch import compare_sketches, sketch_file
+
+    s1 = sketch_file(f"{tmp}/ref.fa", k=31, size=2000)
+    s2 = sketch_file(f"{tmp}/reads.fq", k=31, size=2000)
+    j, ani, m, n = compare_sketches(s1, s2, 31)
+    assert ani > 0.9  # reads came from this genome
+    # different genome: low similarity
+    write_fasta(str(tmp_path / "other.fa"), random_genome(30_000, 1, seed=999))
+    s3 = sketch_file(str(tmp_path / "other.fa"), k=31, size=2000)
+    j2, ani2, _, _ = compare_sketches(s1, s3, 31)
+    assert j2 < 0.01
+
+
+def test_bbnorm(data, tmp_path):
+    tmp, ref, genome = data
+    # high coverage of scaffold 0 only
+    reads = random_reads(ref, 3000, read_len=100, snp_rate=0.0, seed=77)
+    write_reads(str(tmp_path / "deep.fq"), reads)
+    from bbtools_tpu.models.bbnorm import main
+
+    kept, tossed = main(
+        [
+            f"in={tmp_path}/deep.fq",
+            f"out={tmp_path}/norm.fq",
+            "target=5",
+            "mindepth=1",
+            "k=31",
+        ]
+    )
+    assert kept < 3000  # downsampled
+    assert kept > 200
+
+
+def test_cli_dispatch(data, capsys, tmp_path):
+    tmp, _, _ = data
+    from bbtools_tpu.cli import main
+
+    rc = main(["stats", f"in={tmp}/ref.fa"])
+    assert rc == 0
+    assert "N/L50" in capsys.readouterr().out
+    assert main(["nosuchtool"]) == 2
+    assert main([]) == 0
