@@ -80,6 +80,8 @@ class BBDukConfig:
     restrict_right: int = 0
     remove_if_either_bad: bool = True
     trim_pairs_evenly: bool = False
+    trim_by_overlap: bool = False
+    kmask_lowercase: bool = False
     trim_pad: int = 0
     ktrim_exclusive: bool = False
     skip_r1: bool = False
@@ -199,6 +201,8 @@ def parse_args(argv: list[str]) -> BBDukConfig:
         *h("removeifeitherbad", "rieb"), default=True
     )
     c.trim_pairs_evenly = a.get_bool(*h("trimpairsevenly", "tpe"), default=False)
+    c.trim_by_overlap = a.get_bool(*h("trimbyoverlap", "tbo"), default=False)
+    c.kmask_lowercase = a.get_bool(*h("kmasklowercase"), default=False)
     c.trim_pad = a.get_int(*h("trimpad"), default=0)
     c.ktrim_exclusive = a.get_bool(*h("ktrimexclusive"), default=False)
     c.stats = a.get(*h("stats"))
@@ -353,7 +357,11 @@ class BBDuk:
         )
 
         # ---- kmer stage ----
-        if self.index is not None and cfg.kmer_trimming:
+        if self.index is not None and cfg.ktrim_n:
+            b1, b2, disc1, disc2, remove = self._kmask_stage(
+                b1, b2, disc1, disc2, remove, minlen1, minlen2
+            )
+        elif self.index is not None and cfg.kmer_trimming:
             b1, b2, disc1, disc2, remove = self._ktrim_stage(
                 b1, b2, disc1, disc2, remove, minlen1, minlen2, init_len1, init_len2
             )
@@ -361,6 +369,10 @@ class BBDuk:
             remove = self._kfilter_stage(
                 b1, b2, disc1, disc2, remove, init_len1, init_len2
             )
+
+        # ---- trim-by-overlap (:1100-1145) ----
+        if cfg.trim_by_overlap and b2 is not None:
+            b1, b2 = self._tbo_stage(b1, b2, remove)
 
         # ---- quality trimming (:1292-1326) ----
         if cfg.qtrim_left or cfg.qtrim_right:
@@ -639,6 +651,103 @@ class BBDuk:
         st.bases_ktrimmed += int(xsum[alive].sum())
         st.reads_ktrimmed += int(rktsum[alive].sum())
         return b1, b2, disc1, disc2, remove
+
+    def _kmask_stage(self, b1, b2, disc1, disc2, remove, minlen1, minlen2):
+        """kmask (ktrim=n): mask hit-covered windows to N/lowercase
+        (BBDukProcessorS.kmask :2147-2330, maskFromBitset :2629)."""
+        cfg, st = self.cfg, self.stats
+        import jax.numpy as jnp
+
+        minus = cfg.k - 1 - cfg.trim_pad
+        plus = cfg.trim_pad + 1
+        alive = ~remove
+        for bi, b in enumerate((b1, b2) if b2 is not None else (b1,)):
+            res = self._scan(b)
+            hit = res["hit"]  # [B, L]
+            B, L = hit.shape
+            # covered[j] iff a hit exists at i in [j-plus+1, j+minus]
+            cum = np.zeros((B, L + 1), dtype=np.int64)
+            np.cumsum(hit, axis=1, out=cum[:, 1:])
+            lo = np.clip(np.arange(L)[None, :] - plus + 1, 0, L)
+            hi = np.clip(np.arange(L)[None, :] + minus + 1, 0, L)
+            rows = np.arange(B)[:, None]
+            covered = (cum[rows, hi] - cum[rows, lo]) > 0
+            if cfg.use_short_kmers:
+                hitL, idL, locL = (
+                    np.asarray(x)
+                    for x in kscan_short(
+                        self.scan_cfg, self.table_dev,
+                        jnp.asarray(b.bases), jnp.asarray(b.lengths), True,
+                    )
+                )
+                hitR, idR, locR = (
+                    np.asarray(x)
+                    for x in kscan_short(
+                        self.scan_cfg, self.table_dev,
+                        jnp.asarray(b.bases), jnp.asarray(b.lengths), False,
+                    )
+                )
+                pos = np.arange(L)[None, :]
+                covered |= hitL[:, None] & (pos <= locL[:, None])
+                covered |= hitR[:, None] & (pos >= locR[:, None])
+            covered &= alive[:, None] & b.valid_mask()
+            was_defined = b.bases < 4
+            to_mask = covered & was_defined
+            masked = to_mask.sum(axis=1)
+            if cfg.kmask_lowercase and b.ascii_bases is not None:
+                b.ascii_bases[covered] |= 0x20
+            else:
+                b.bases[to_mask] = 4
+                if b.quals is not None:
+                    b.quals[to_mask] = 0
+                if b.ascii_bases is not None:
+                    b.ascii_bases[to_mask] = ord("N")
+            st.bases_ktrimmed += int(masked.sum())
+            st.reads_ktrimmed += int((masked > 0).sum())
+            id0 = res["id0"]
+            act = alive & (masked > 0) & (id0 > 0)
+            np.add.at(st.scaffold_reads, id0[act], 1)
+            np.add.at(st.scaffold_bases, id0[act], b.lengths[act].astype(np.int64))
+        return b1, b2, disc1, disc2, remove
+
+    def _tbo_stage(self, b1, b2, remove):
+        """trimByOverlap: detect pair overlap and trim both reads to the
+        insert size (BBDukProcessorS :1100-1145, using the ratio-mode
+        overlap kernel)."""
+        from ..models.bbmerge import _rc_batch
+        from ..ops.overlap import mate_by_overlap_ratio_np, overlap_counts_jnp
+        import jax.numpy as jnp
+
+        alens = b1.lengths.astype(np.int64)
+        blens = b2.lengths.astype(np.int64)
+        b_rc = _rc_batch(b2)
+        min_insert0 = 13  # minInsert0 default in BBDuk tbo (minOverlap0-based)
+        n_inserts = int(max(1, (alens + blens).max(initial=0) - min_insert0 + 1))
+        good, bad, olen = (
+            np.asarray(x)
+            for x in overlap_counts_jnp(
+                jnp.asarray(b1.bases), jnp.asarray(b_rc),
+                jnp.asarray(alens), jnp.asarray(blens),
+                min_insert0, n_inserts,
+            )
+        )
+        insert, bad_int, ambig = mate_by_overlap_ratio_np(
+            good, bad, olen, alens, blens, min_insert0,
+            8, 14, min_insert0, 16, 0.09, 0.1, 5.5, 0.55,
+        )
+        ok = (insert > 0) & ~ambig & ~remove
+        trim1 = np.where(ok & (insert < alens), alens - insert, 0)
+        trim2 = np.where(ok & (insert < blens), blens - insert, 0)
+        nz = (trim1 > 0) | (trim2 > 0)
+        self.stats.reads_qtrimmed += 0  # tracked separately in reference
+        if nz.any():
+            nb1 = apply_trim(b1, np.zeros_like(trim1), trim1)
+            nb2 = apply_trim(b2, np.zeros_like(trim2), trim2)
+            b1.bases, b1.quals, b1.lengths = nb1.bases, nb1.quals, nb1.lengths
+            b1.ascii_bases = nb1.ascii_bases
+            b2.bases, b2.quals, b2.lengths = nb2.bases, nb2.quals, nb2.lengths
+            b2.ascii_bases = nb2.ascii_bases
+        return b1, b2
 
     def _kfilter_stage(self, b1, b2, disc1, disc2, remove, init_len1, init_len2):
         cfg, st = self.cfg, self.stats

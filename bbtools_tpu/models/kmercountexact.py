@@ -39,15 +39,25 @@ def run(argv: list[str]):
     print_zeros = a.get_bool("printzeros", default=True)
     min_count_dump = a.get_int("mincounttodump", "mincount", default=1)
     batch_reads = a.get_int("batchreads", default=16384)
-    if k > 31:
-        raise NotImplementedError("k>31 (ukmer multi-word) not yet available")
+    big = k > 31
+    if big and dump:
+        raise NotImplementedError(
+            "dump= with k>31 uses hashed keys (no kmer text); use khist="
+        )
+    if big:
+        from ..ops.kmers2 import count_batch2
     t0 = time.time()
     spec = KmerSpectrum(k)
     reads = bases = 0
     for path in [p for p in (in1, in2) if p]:
         reader = read_batches(path, batch_reads=batch_reads)
         for b in reader:
-            v, c = count_batch(b.bases, b.lengths, k)
+            if big:
+                import numpy as _np
+
+                v, c = count_batch2(b.bases, b.lengths.astype(_np.int64), k)
+            else:
+                v, c = count_batch(b.bases, b.lengths, k)
             spec.add_batch(v, c)
         reads += reader.reads_in
         bases += reader.bases_in

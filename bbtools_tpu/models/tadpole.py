@@ -132,6 +132,141 @@ def second_highest_position(counts: np.ndarray) -> np.ndarray:
     return maxP2
 
 
+
+
+class SmallKmerEngine:
+    """k <= 31: single int64 registers."""
+
+    def __init__(self, table: SpectrumTable, k: int):
+        self.t = table
+        self.k = k
+
+    def from_buf(self, buf, lengths):
+        A = len(lengths)
+        kmer = np.zeros(A, dtype=np.int64)
+        for j in range(self.k):
+            col = lengths - self.k + j
+            kmer = (kmer << 2) | buf[np.arange(A), np.maximum(col, 0)]
+        kmer &= self.t.mask
+        return {"k": kmer, "r": rc_kmer_arr(kmer, self.k)}
+
+    def key(self, st, sel=None):
+        k = st["k"] if sel is None else st["k"][sel]
+        r = st["r"] if sel is None else st["r"][sel]
+        return np.maximum(k, r)
+
+    def advance_right(self, st, sel, x):
+        t = self.t
+        st["k"][sel] = ((st["k"][sel] << 2) | x) & t.mask
+        st["r"][sel] = (st["r"][sel] >> 2) | ((3 - x) << t.shift2)
+
+    def evicted(self, st, sel):
+        return st["k"][sel] >> self.t.shift2
+
+    def neighbor_counts(self, st, sel, side):
+        t = self.t
+        kmer = st["k"][sel]
+        rkmer = st["r"][sel]
+        if side == "right":
+            km = (kmer << 2) & t.mask
+            rk = rkmer >> 2
+            cand_k = km[:, None] | np.arange(4, dtype=np.int64)[None, :]
+            cand_r = rk[:, None] | (
+                (3 - np.arange(4, dtype=np.int64))[None, :] << t.shift2
+            )
+        else:
+            rk = (rkmer << 2) & t.mask
+            km = kmer >> 2
+            cand_r = rk[:, None] | (3 - np.arange(4, dtype=np.int64))[None, :]
+            cand_k = km[:, None] | (
+                np.arange(4, dtype=np.int64)[None, :] << t.shift2
+            )
+        keys = np.maximum(cand_k, cand_r)
+        return t.count_of(keys.reshape(-1)).reshape(-1, 4)
+
+
+class BigKmerEngine:
+    """31 < k <= 62: (hi, lo) pair registers, hashed spectrum keys
+    (ops/kmers2.py, the ukmer analog)."""
+
+    def __init__(self, table: SpectrumTable, k: int):
+        from ..ops.kmers2 import LO_BASES
+
+        self.t = table
+        self.k = k
+        self.hi_bases = k - LO_BASES
+        self.hi_mask = (1 << (2 * self.hi_bases)) - 1
+        self.lo_mask = (1 << (2 * LO_BASES)) - 1
+        self.lo_top = 2 * (LO_BASES - 1)
+        self.hi_top = 2 * (self.hi_bases - 1)
+
+    def from_buf(self, buf, lengths):
+        from ..ops.kmers2 import LO_BASES
+
+        A = len(lengths)
+        hi = np.zeros(A, dtype=np.int64)
+        lo = np.zeros(A, dtype=np.int64)
+        rhi = np.zeros(A, dtype=np.int64)
+        rlo = np.zeros(A, dtype=np.int64)
+        for j in range(self.k):
+            col = lengths - self.k + j
+            b = buf[np.arange(A), np.maximum(col, 0)].astype(np.int64)
+            # shift pair left by one base, push b
+            hi = ((hi << 2) | (lo >> self.lo_top)) & self.hi_mask
+            lo = ((lo << 2) | b) & self.lo_mask
+            # reverse: shift right, push complement at top of hi
+            carry = rhi & 3
+            rhi = rhi >> 2
+            rlo = (rlo >> 2) | (carry << self.lo_top)
+            rhi = rhi | ((3 - b) << self.hi_top)
+        return {"hi": hi, "lo": lo, "rhi": rhi, "rlo": rlo}
+
+    def _canon_hash(self, hi, lo, rhi, rlo):
+        from ..ops.kmers2 import canonical_pair, pair_hash
+
+        chi, clo = canonical_pair(hi, lo, rhi, rlo)
+        return pair_hash(chi, clo)
+
+    def key(self, st, sel=None):
+        g = (lambda a: a if sel is None else a[sel])
+        return self._canon_hash(g(st["hi"]), g(st["lo"]), g(st["rhi"]), g(st["rlo"]))
+
+    def advance_right(self, st, sel, x):
+        hi, lo = st["hi"][sel], st["lo"][sel]
+        rhi, rlo = st["rhi"][sel], st["rlo"][sel]
+        st["hi"][sel] = ((hi << 2) | (lo >> self.lo_top)) & self.hi_mask
+        st["lo"][sel] = ((lo << 2) | x) & self.lo_mask
+        carry = rhi & 3
+        st["rhi"][sel] = (rhi >> 2) | ((3 - x) << self.hi_top)
+        st["rlo"][sel] = (rlo >> 2) | (carry << self.lo_top)
+
+    def evicted(self, st, sel):
+        return st["hi"][sel] >> self.hi_top
+
+    def neighbor_counts(self, st, sel, side):
+        hi, lo = st["hi"][sel], st["lo"][sel]
+        rhi, rlo = st["rhi"][sel], st["rlo"][sel]
+        xs = np.arange(4, dtype=np.int64)
+        counts = np.zeros((len(hi), 4), dtype=np.int64)
+        for x in range(4):
+            if side == "right":
+                nhi = ((hi << 2) | (lo >> self.lo_top)) & self.hi_mask
+                nlo = ((lo << 2) | x) & self.lo_mask
+                carry = rhi & 3
+                nrhi = (rhi >> 2) | ((3 - x) << self.hi_top)
+                nrlo = (rlo >> 2) | (carry << self.lo_top)
+            else:
+                # prepend base x on the left: forward shifts right
+                carry = hi & 3
+                nhi = (hi >> 2) | (np.int64(x) << self.hi_top)
+                nlo = (lo >> 2) | (carry << self.lo_top)
+                nrhi = ((rhi << 2) | (rlo >> self.lo_top)) & self.hi_mask
+                nrlo = ((rlo << 2) | (3 - x)) & self.lo_mask
+            h = self._canon_hash(nhi, nlo, nrhi, nrlo)
+            counts[:, x] = self.t.count_of(h)
+        return counts
+
+
 class Tadpole:
     def __init__(self, cfg: TadpoleConfig):
         self.cfg = cfg
@@ -143,12 +278,24 @@ class Tadpole:
     def load_kmers(self, path: str):
         spec = KmerSpectrum(self.cfg.k)
         reader = read_batches(path, batch_reads=self.cfg.batch_reads)
+        big = self.cfg.k > 31
+        if big:
+            from ..ops.kmers2 import count_batch2
         for b in reader:
-            v, c = count_batch(b.bases, b.lengths, self.cfg.k)
+            if big:
+                v, c = count_batch2(b.bases, b.lengths.astype(np.int64), self.cfg.k)
+            else:
+                v, c = count_batch(b.bases, b.lengths, self.cfg.k)
             spec.add_batch(v, c)
         spec.flush()
         self.reads_in = reader.reads_in
         self.table = SpectrumTable(spec, self.cfg.k)
+        self.engine = (
+            BigKmerEngine(self.table, self.cfg.k)
+            if big
+            else SmallKmerEngine(self.table, self.cfg.k)
+        )
+        self.in_path = path
 
     # ------------------------------------------------------------------
     def _neighbor_counts(self, kmer, rkmer, side: str):
@@ -183,16 +330,11 @@ class Tadpole:
         t = self.table
         k = cfg.k
         A = len(lengths)
+        eng = self.engine
         status = np.full(A, RUNNING, dtype=np.int64)
         status[~active] = BAD_SEED
-        # trailing kmer of each contig
-        kmer = np.zeros(A, dtype=np.int64)
-        for j in range(k):
-            col = lengths - k + j
-            kmer = (kmer << 2) | buf[np.arange(A), np.maximum(col, 0)]
-        kmer &= t.mask
-        rkmer = rc_kmer_arr(kmer, k)
-        key = np.maximum(kmer, rkmer)
+        st = eng.from_buf(buf, lengths)
+        key = eng.key(st)
         idx = t.find(key)
         cnt = np.where(idx >= 0, t.counts[np.maximum(idx, 0)], 0)
         status[(status == RUNNING) & (cnt < cfg.min_count_seed)] = BAD_SEED
@@ -201,8 +343,8 @@ class Tadpole:
         status[(status == RUNNING) & (own > ids)] = BAD_OWNER
         live = status == RUNNING
         # initial neighbor counts
-        lc, _ = self._neighbor_counts(kmer, rkmer, "left")
-        rc, _ = self._neighbor_counts(kmer, rkmer, "right")
+        lc = eng.neighbor_counts(st, slice(None), "left")
+        rc = eng.neighbor_counts(st, slice(None), "right")
         l_max_pos = np.argmax(lc, axis=1)
         l_max = lc[np.arange(A), l_max_pos]
         l_second = lc[np.arange(A), second_highest_position(lc)]
@@ -231,15 +373,12 @@ class Tadpole:
             la = np.flatnonzero(live)
             # advance kmer by the chosen right base
             x = r_max_pos[la]
-            evicted = kmer[la] >> t.shift2
-            kmer_n = ((kmer[la] << 2) | x) & t.mask
-            rkmer_n = (rkmer[la] >> 2) | ((3 - x) << t.shift2)
-            kmer[la] = kmer_n
-            rkmer[la] = rkmer_n
-            key = np.maximum(kmer_n, rkmer_n)
+            evicted = eng.evicted(st, la)
+            eng.advance_right(st, la, x)
+            key = eng.key(st, la)
             idx_n = t.find(key)
-            lc, _ = self._neighbor_counts(kmer_n, rkmer_n, "left")
-            rc, _ = self._neighbor_counts(kmer_n, rkmer_n, "right")
+            lc = eng.neighbor_counts(st, la, "left")
+            rc = eng.neighbor_counts(st, la, "right")
             lmp = np.argmax(lc, axis=1)
             lmx = lc[np.arange(len(la)), lmp]
             lsc = lc[np.arange(len(la)), second_highest_position(lc)]
@@ -307,6 +446,8 @@ class Tadpole:
 
     # ------------------------------------------------------------------
     def build_contigs(self):
+        if self.cfg.k > 31:
+            return self.build_contigs_bigk()
         cfg = self.cfg
         t = self.table
         seeds = np.flatnonzero(t.counts >= cfg.min_count_seed)
@@ -361,6 +502,82 @@ class Tadpole:
         )
         self.contigs = [self.contigs[i] for i in order]
         self.cov = [self.cov[i] for i in order]
+
+    def build_contigs_bigk(self):
+        """k > 31: seeds come from reads (hashed table stores no kmer
+        text); one best seed window per read, claims dedupe the rest."""
+        from ..ops.kmers2 import canonical_pair, pair_hash, rolling_kmers2_np
+
+        cfg = self.cfg
+        t = self.table
+        k = cfg.k
+        W = cfg.walk_batch
+        next_id = 1
+        pend_bufs = []
+        reader = read_batches(self.in_path, batch_reads=cfg.batch_reads)
+        for b in reader:
+            hi, lo, rhi, rlo, runlen = rolling_kmers2_np(
+                b.bases, k
+            )
+            i_idx = np.arange(b.bases.shape[1])[None, :]
+            valid = (runlen >= k) & (i_idx < b.lengths[:, None])
+            chi, clo = canonical_pair(hi, lo, rhi, rlo)
+            h = pair_hash(chi, clo)
+            counts = np.where(valid, t.count_of(h.reshape(-1)).reshape(h.shape), 0)
+            best_pos = counts.argmax(axis=1)
+            best_cnt = counts[np.arange(b.n), best_pos]
+            for i in np.flatnonzero(best_cnt >= cfg.min_count_seed):
+                end = int(best_pos[i])
+                seed = b.bases[i, end - k + 1 : end + 1]
+                pend_bufs.append(np.array(seed, dtype=np.uint8))
+            while len(pend_bufs) >= W:
+                next_id = self._walk_seed_batch(pend_bufs[:W], next_id)
+                pend_bufs = pend_bufs[W:]
+        if pend_bufs:
+            next_id = self._walk_seed_batch(pend_bufs, next_id)
+        order = sorted(
+            range(len(self.contigs)),
+            key=lambda i: (-len(self.contigs[i]), self.contigs[i]),
+        )
+        self.contigs = [self.contigs[i] for i in order]
+        self.cov = [self.cov[i] for i in order]
+
+    def _walk_seed_batch(self, seeds: list, next_id: int) -> int:
+        cfg = self.cfg
+        t = self.table
+        k = cfg.k
+        A = len(seeds)
+        # skip claimed seeds
+        st = None
+        ids = np.arange(next_id, next_id + A, dtype=np.int64)
+        next_id += A
+        buf = np.zeros((A, min(cfg.max_contig_len, 1 << 20)), dtype=np.uint8)
+        lengths = np.full(A, k, dtype=np.int64)
+        for a, seed in enumerate(seeds):
+            buf[a, :k] = seed
+        active = np.ones(A, bool)
+        # drop seeds whose key is already owned
+        key = self.engine.key(self.engine.from_buf(buf, lengths))
+        idx = t.find(key)
+        owned = np.where(idx >= 0, t.owner[np.maximum(idx, 0)], -1) >= 0
+        active &= ~owned
+        if active.any():
+            self._extend_right_lockstep(buf, lengths, ids, active)
+            for a in range(A):
+                n = int(lengths[a])
+                seg = buf[a, :n]
+                buf[a, :n] = 3 - seg[::-1]
+            self._extend_right_lockstep(buf, lengths, ids, active)
+            for a in np.flatnonzero(active):
+                n = int(lengths[a])
+                if n >= k + cfg.min_extension and n >= cfg.min_contig_len:
+                    seg = buf[a, :n]
+                    rcseg = 3 - seg[::-1]
+                    from ..ops.kmers2 import count_batch2 as _cb2
+
+                    self.contigs.append(bytes(CODE_TO_BASE[rcseg]))
+                    self.cov.append(0.0)
+        return next_id
 
     # ------------------------------------------------------------------
     def run(self):

@@ -95,7 +95,8 @@ def _scan_bounds(cfg: KScanConfig, lengths):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def kscan_full(cfg: KScanConfig, table, bases, lengths):
+def kscan_full(cfg: KScanConfig, table, bases, lengths, bound_start=None,
+               bound_stop=None):
     """Full-k scan shared by filter and trim modes.
 
     Returns dict with per-read:
@@ -112,6 +113,12 @@ def kscan_full(cfg: KScanConfig, table, bases, lengths):
     B, L = bases.shape
     fwd, rkm, runlen = rolling_kmers_jnp(bases, cfg.k)
     start, stop = _scan_bounds(cfg, lengths)
+    if bound_start is not None:
+        # per-read extra bounds (ktrimTips passes mid-based ranges,
+        # BBDukProcessorS.ktrimTips :1813-1826)
+        start = jnp.maximum(start, bound_start)
+    if bound_stop is not None:
+        stop = jnp.minimum(stop, bound_stop)
     i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
     eligible = (
         (runlen >= cfg.resolved_minlen2())

@@ -260,3 +260,58 @@ def test_bbduk_end_to_end_files(tmp_path):
     assert got_lengths == expected_lengths
     assert duk.stats.reads_in == 500
     assert duk.stats.reads_ktrimmed == 250
+
+
+def test_kmask_mode(tmp_path):
+    adapter = b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
+    ref = tmp_path / "a.fa"
+    ref.write_bytes(b">ad\n" + adapter + b"\n")
+    seq = b"ACGTAC" * 10 + adapter + b"TGCATG" * 10
+    fin = tmp_path / "in.fq"
+    fin.write_bytes(b"@r1\n" + seq + b"\n+\n" + b"F" * len(seq) + b"\n")
+    fout = tmp_path / "out.fq"
+    cfg = parse_args(
+        [f"in={fin}", f"out={fout}", f"ref={ref}", "k=23", "ktrim=n", "mm=f"]
+    )
+    duk = BBDuk(cfg)
+    duk.run()
+    out = fout.read_bytes().splitlines()
+    outseq = out[1]
+    assert len(outseq) == len(seq)
+    # adapter region masked to N, flanks untouched
+    assert outseq[:60] == seq[:60]
+    assert outseq[60:60 + len(adapter)] == b"N" * len(adapter)
+    assert outseq[60 + len(adapter):] == seq[60 + len(adapter):]
+    assert duk.stats.bases_ktrimmed == len(adapter)
+
+
+def test_tbo_trims_adapter_readthrough(tmp_path):
+    # pairs with insert < read length: 3' ends read into adapter; tbo trims
+    rng2 = np.random.default_rng(123)
+    insert = 60
+    rl = 90
+    r1s, r2s = [], []
+    for i in range(50):
+        mol = rng2.integers(0, 4, insert)
+        r1 = np.concatenate([mol, rng2.integers(0, 4, rl - insert)])[:rl]
+        r2f = mol
+        r2 = np.concatenate([(3 - r2f[::-1]), rng2.integers(0, 4, rl - insert)])[:rl]
+        conv = lambda a: bytes(b"ACGT"[x] for x in a)
+        r1s.append((b"p%d" % i, conv(r1), b"F" * rl))
+        r2s.append((b"p%d" % i, conv(r2), b"F" * rl))
+    f1, f2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    for f, recs in ((f1, r1s), (f2, r2s)):
+        with open(f, "wb") as fh:
+            for n, s, q in recs:
+                fh.write(b"@" + n + b"\n" + s + b"\n+\n" + q + b"\n")
+    cfg = parse_args(
+        [
+            f"in={f1}", f"in2={f2}", f"out={tmp_path}/o1.fq",
+            f"out2={tmp_path}/o2.fq", "tbo=t", "minlength=10",
+        ]
+    )
+    duk = BBDuk(cfg)
+    duk.run()
+    o1 = (tmp_path / "o1.fq").read_bytes().splitlines()
+    trimmed = sum(1 for i in range(len(o1) // 4) if len(o1[i * 4 + 1]) == insert)
+    assert trimmed >= 45, trimmed

@@ -86,3 +86,26 @@ def _rc(s):
     from bbtools_tpu.core.dna import reverse_complement
 
     return reverse_complement(s)
+
+
+def test_assemble_bigk(tmp_path):
+    genome = random_genome(15_000, n_scaffolds=1, seed=42)
+    write_fasta(str(tmp_path / "g.fa"), genome)
+    ref = load_reference(str(tmp_path / "g.fa"))
+    reads = random_reads(ref, 3000, read_len=120, snp_rate=0.0, seed=43)
+    write_reads(str(tmp_path / "reads.fq"), reads)
+    cfg = TadpoleConfig(
+        in1=str(tmp_path / "reads.fq"), out=str(tmp_path / "c.fa"), k=62
+    ).resolve()
+    from bbtools_tpu.models.tadpole import Tadpole
+
+    tool = Tadpole(cfg)
+    tool.run()
+    assert len(tool.contigs) >= 1
+    total = sum(len(c) for c in tool.contigs)
+    assert total > 13_000, total
+    g = genome[0][1]
+    from bbtools_tpu.core.dna import reverse_complement
+
+    for c in tool.contigs[:3]:
+        assert c in g or reverse_complement(c) in g, len(c)
