@@ -170,6 +170,33 @@ class FastqReader:
             maxlen = max(maxlen, int(lengths.max(initial=1)))
             len_rows.append((buf, starts, ends, lengths))
         L = self.pad_to or bucket_length(maxlen)
+        if self.qual_offset is None:
+            # detect from raw qual bytes of the first up-to-1024 records
+            buf0, starts0, ends0, lengths0 = len_rows[0]
+            nsamp = min(1024, len(starts0) // 4)
+            samp = _gather_rows(
+                buf0, starts0[3::4][:nsamp], lengths0[:nsamp], L, 0
+            )
+            mask = np.arange(L)[None, :] < lengths0[:nsamp, None]
+            self.qual_offset = detect_quality_offset(samp[mask])
+        native = _native_build(len_rows, L, self.qual_offset)
+        if native is not None:
+            bases, q, seqs, lengths = native
+            for buf, starts, ends, _ in len_rows:
+                h_start, h_end = starts[0::4], ends[0::4]
+                for a, b in zip(h_start, h_end):
+                    ids.append(buf[a + 1 : b].tobytes())
+            self.reads_in += len(lengths)
+            self.bases_in += int(lengths.sum())
+            return ReadBatch(
+                bases=bases,
+                quals=q,
+                lengths=lengths,
+                ids=ids,
+                ordinal=ordinal,
+                numeric_id0=numeric_id,
+                ascii_bases=seqs,
+            )
         for buf, starts, ends, lengths in len_rows:
             seq_rows.append(_gather_rows(buf, starts[1::4], lengths, L, ord("N")))
             qual_rows.append(_gather_rows(buf, starts[3::4], lengths, L, 0))
@@ -267,6 +294,28 @@ def encode_fastq(
         else:
             parts.append(b"I" * int(m) + b"\n")
     return b"".join(parts)
+
+
+def _native_build(len_rows, L, qual_offset):
+    """Gather all parts with the native codec; None if unavailable."""
+    try:
+        from ..native import fill_records_native
+    except Exception:
+        return None
+    outs = []
+    for buf, starts, ends, lengths in len_rows:
+        res = fill_records_native(buf, starts, ends, L, qual_offset)
+        if res is None:
+            return None
+        outs.append(res)
+    if len(outs) == 1:
+        b, q, a, ln = outs[0]
+    else:
+        b = np.concatenate([o[0] for o in outs])
+        q = np.concatenate([o[1] for o in outs])
+        a = np.concatenate([o[2] for o in outs])
+        ln = np.concatenate([o[3] for o in outs])
+    return b, q, a, ln
 
 
 def read_fastq(path: str, **kw) -> list[ReadBatch]:

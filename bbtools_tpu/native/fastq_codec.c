@@ -1,0 +1,105 @@
+/* fastq_codec.c — native FASTQ record scanner + base/qual gatherer.
+ *
+ * The host-side analog of the reference's ByteFile/FASTQ fast paths
+ * (fileIO/ByteFile2, stream/FASTQ.java): one pass over a raw byte block
+ * finds the 4-line record boundaries; a second pass fills the padded
+ * SoA matrices (2-bit base codes with N=4, phred-adjusted quals) that
+ * ship to the device. Exposed via ctypes (no pybind11 in this image);
+ * bbtools_tpu/native/__init__.py compiles it on first use with cc -O3.
+ *
+ * Everything is plain C99; buffers are caller-allocated numpy arrays.
+ */
+
+#include <stddef.h>
+#include <stdint.h>
+#include <string.h>
+
+/* Scan `buf[0..n)` for newline positions; writes line-end offsets into
+ * `ends` (capacity `cap`). Returns the number of newlines found. */
+long scan_newlines(const uint8_t *buf, long n, long *ends, long cap) {
+    long count = 0;
+    for (long i = 0; i < n && count < cap; i++) {
+        if (buf[i] == '\n') {
+            ends[count++] = i;
+        }
+    }
+    return count;
+}
+
+/* Fill padded record matrices for `nrec` FASTQ records.
+ *
+ * line_starts/line_ends: 4*nrec line spans (header, seq, plus, qual),
+ * ends exclusive of the newline (and of a trailing \r).
+ * Outputs (caller-allocated):
+ *   bases  [nrec * pad]  2-bit codes, undefined = 4, padding = 4
+ *   quals  [nrec * pad]  phred (qual byte - offset, clamped 0..93)
+ *   ascii  [nrec * pad]  raw sequence bytes, padding = 'N'
+ *   lengths[nrec]
+ * Returns 0, or -1 if any record's seq/qual lengths mismatch.
+ */
+int fill_records(const uint8_t *buf,
+                 const long *line_starts, const long *line_ends,
+                 long nrec, long pad, int qual_offset,
+                 uint8_t *bases, uint8_t *quals, uint8_t *ascii,
+                 int32_t *lengths) {
+    static uint8_t lut[256];
+    static int lut_init = 0;
+    if (!lut_init) {
+        memset(lut, 4, 256);
+        lut['A'] = lut['a'] = 0;
+        lut['C'] = lut['c'] = 1;
+        lut['G'] = lut['g'] = 2;
+        lut['T'] = lut['t'] = 3;
+        lut['U'] = lut['u'] = 3;
+        lut_init = 1;
+    }
+    int rc = 0;
+    for (long r = 0; r < nrec; r++) {
+        long ss = line_starts[4 * r + 1], se = line_ends[4 * r + 1];
+        long qs = line_starts[4 * r + 3], qe = line_ends[4 * r + 3];
+        long len = se - ss;
+        if (qe - qs != len) rc = -1;
+        if (len > pad) len = pad;
+        lengths[r] = (int32_t)len;
+        uint8_t *brow = bases + r * pad;
+        uint8_t *qrow = quals + r * pad;
+        uint8_t *arow = ascii + r * pad;
+        long i = 0;
+        for (; i < len; i++) {
+            uint8_t c = buf[ss + i];
+            arow[i] = c;
+            brow[i] = lut[c];
+            int q = (int)buf[qs + i] - qual_offset;
+            if (q < 0) q = 0;
+            if (q > 93) q = 93;
+            qrow[i] = (uint8_t)q;
+        }
+        for (; i < pad; i++) {
+            brow[i] = 4;
+            qrow[i] = 0;
+            arow[i] = 'N';
+        }
+    }
+    return rc;
+}
+
+/* Pack 2-bit base codes 4-per-byte with a 1-bit-per-base N mask
+ * (the wire format of ops/encode.py). bases [n*pad] -> packed
+ * [n*ceil(pad/4)], nmask [n*ceil(pad/8)]. */
+void pack_2bit(const uint8_t *bases, long n, long pad,
+               uint8_t *packed, uint8_t *nmask) {
+    long pb = (pad + 3) / 4, nb = (pad + 7) / 8;
+    for (long r = 0; r < n; r++) {
+        const uint8_t *row = bases + r * pad;
+        uint8_t *prow = packed + r * pb;
+        uint8_t *mrow = nmask + r * nb;
+        memset(prow, 0, pb);
+        memset(mrow, 0, nb);
+        for (long i = 0; i < pad; i++) {
+            uint8_t c = row[i];
+            uint8_t two = (c < 4) ? c : 0;
+            prow[i >> 2] |= (uint8_t)(two << ((i & 3) * 2));
+            if (c >= 4) mrow[i >> 3] |= (uint8_t)(1 << (i & 7));
+        }
+    }
+}
