@@ -113,6 +113,18 @@ def _sketch(args):
     return main(args)
 
 
+def _pileup(args):
+    from .models.pileup import main
+
+    return main(args)
+
+
+def _gradesam(args):
+    from .models.gradesam import main
+
+    return main(args)
+
+
 TOOLS = {
     "bbduk": _bbduk,
     "bbmap": _bbmap,
@@ -135,6 +147,9 @@ TOOLS = {
     "splitpairs": _bbsplitpairs,
     "sendsketch": _sketch,
     "sketch": _sketch,
+    "pileup": _pileup,
+    "coveragepileup": _pileup,
+    "gradesam": _gradesam,
 }
 
 

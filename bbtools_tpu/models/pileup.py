@@ -1,0 +1,98 @@
+"""CoveragePileup — per-scaffold coverage stats from SAM
+(jgi/CoveragePileup.java, pileup.sh).
+
+Streams SAM once, accumulates per-base coverage arrays per scaffold, and
+writes covstats (per-scaffold summary: Avg_fold, Length, Ref_GC,
+Covered_percent, Covered_bases, Plus/Minus_reads — jgi/CovStatsLine
+column set), plus optional basecov (per-base) and bincov (binned).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.parser import tokenize
+from ..io.fasta import load_reference
+from ..io.readwrite import open_output
+from ..io.sam_read import iter_sam, parse_cigar
+
+
+def main(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    sam = a.get("in", "in1")
+    ref_path = a.get("ref")
+    out = a.get("out", "covstats", "stats")
+    basecov = a.get("basecov")
+    bincov = a.get("bincov")
+    binsize = a.get_int("binsize", default=1000)
+    ref = load_reference(ref_path)
+    name_to_idx = {n.split()[0]: i for i, n in enumerate(ref.names)}
+    cov = [np.zeros(int(l), dtype=np.int32) for l in ref.lengths]
+    plus_reads = np.zeros(ref.n_scaffolds, dtype=np.int64)
+    minus_reads = np.zeros(ref.n_scaffolds, dtype=np.int64)
+    reads = 0
+    for rec in iter_sam(sam):
+        if not rec.mapped or rec.secondary:
+            continue
+        i = name_to_idx.get(rec.rname)
+        if i is None:
+            continue
+        reads += 1
+        span = sum(n for n, op in parse_cigar(rec.cigar) if op in "=XMDN")
+        a0 = rec.pos - 1
+        b0 = min(a0 + span, len(cov[i]))
+        cov[i][max(a0, 0) : b0] += 1
+        if rec.strand:
+            minus_reads[i] += 1
+        else:
+            plus_reads[i] += 1
+    if out:
+        with open_output(out) as fh:
+            fh.write(
+                b"#ID\tAvg_fold\tLength\tRef_GC\tCovered_percent\t"
+                b"Covered_bases\tPlus_reads\tMinus_reads\n"
+            )
+            for i, name in enumerate(ref.names):
+                c = cov[i]
+                codes = ref.scaffold_codes(i)
+                gc = float(((codes == 1) | (codes == 2)).sum()) / max(len(codes), 1)
+                covered = int((c > 0).sum())
+                avg = float(c.sum()) / max(len(c), 1)
+                fh.write(
+                    b"%s\t%.4f\t%d\t%.4f\t%.4f\t%d\t%d\t%d\n"
+                    % (
+                        name.split()[0], avg, len(c), gc,
+                        100.0 * covered / max(len(c), 1), covered,
+                        plus_reads[i], minus_reads[i],
+                    )
+                )
+    if basecov:
+        with open_output(basecov) as fh:
+            fh.write(b"#RefName\tPos\tCoverage\n")
+            for i, name in enumerate(ref.names):
+                for p, c in enumerate(cov[i]):
+                    fh.write(b"%s\t%d\t%d\n" % (name.split()[0], p, c))
+    if bincov:
+        with open_output(bincov) as fh:
+            fh.write(b"#RefName\tCov\tPos\tRunningPos\n")
+            running = 0
+            for i, name in enumerate(ref.names):
+                c = cov[i]
+                for p0 in range(0, len(c), binsize):
+                    seg = c[p0 : p0 + binsize]
+                    fh.write(
+                        b"%s\t%.2f\t%d\t%d\n"
+                        % (name.split()[0], float(seg.mean()), p0, running + p0)
+                    )
+                running += len(c)
+    print(f"Reads:               \t{reads}", file=sys.stderr)
+    total_cov = sum(int(c.sum()) for c in cov)
+    total_len = sum(len(c) for c in cov)
+    print(f"Average coverage:    \t{total_cov/max(total_len,1):.3f}", file=sys.stderr)
+    return cov
+
+
+if __name__ == "__main__":
+    main()

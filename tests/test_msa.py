@@ -173,3 +173,32 @@ class TestTraceback:
             ndiag = want.count(b"m") + want.count(b"S") + want.count(b"N")
             nins = want.count(b"I") + want.count(b"X") + want.count(b"Y")
             assert ndiag + nins == rlens[b]
+
+
+def test_pallas_fill_matches_wavefront():
+    """Pallas MSA kernel (interpret mode) is bit-equal to the XLA path."""
+    import jax.numpy as jnp
+
+    from bbtools_tpu.ops.msa_pallas import msa_fill_pallas, prepare_refp
+
+    B, R, Cc = 8, 48, 80
+    reads = np.zeros((B, R), np.uint8)
+    rlens = np.array([30 + 2 * i for i in range(B)], np.int32)
+    refs = rng.integers(0, 4, (B, Cc)).astype(np.uint8)
+    for b in range(B):
+        rl = int(rlens[b])
+        reads[b, :rl] = refs[b, 5 : 5 + rl]
+        m = rng.random(rl) < 0.06
+        reads[b, :rl][m] = (reads[b, :rl][m] + rng.integers(1, 4, m.sum())) % 4
+    clens = np.full(B, Cc, np.int32)
+    ms, mc, mst = msa_fill_batch(
+        reads, rlens, refs, clens, np.zeros(B, np.int64), prune=False
+    )
+    refp = prepare_refp(refs, R)
+    ps, pc, pst = msa_fill_pallas(
+        R, Cc, jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(refp),
+        tile=8, interpret=True,
+    )
+    np.testing.assert_array_equal(ms, np.asarray(ps))
+    np.testing.assert_array_equal(mc, np.asarray(pc))
+    np.testing.assert_array_equal(mst, np.asarray(pst))

@@ -203,3 +203,23 @@ def test_cli_dispatch(data, capsys, tmp_path):
     assert "N/L50" in capsys.readouterr().out
     assert main(["nosuchtool"]) == 2
     assert main([]) == 0
+
+
+def test_pileup_and_gradesam(data, tmp_path):
+    tmp, ref, genome = data
+    from bbtools_tpu.models.bbmap import BBMap, BBMapConfig
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+
+    idx = SeedIndex.build(ref, k=13)
+    sam = tmp_path / "m.sam"
+    BBMap(BBMapConfig(in1=f"{tmp}/reads.fq", out=str(sam), batch_reads=256), index=idx).run()
+    from bbtools_tpu.models.pileup import main as pileup_main
+
+    cov = pileup_main([f"in={sam}", f"ref={tmp}/ref.fa", f"out={tmp_path}/covstats.txt"])
+    stats = (tmp_path / "covstats.txt").read_text()
+    assert "Avg_fold" in stats
+    assert sum(int(c.sum()) for c in cov) > 0
+    from bbtools_tpu.models.gradesam import main as grade_main
+
+    g = grade_main([f"in={sam}", f"ref={tmp}/ref.fa"])
+    assert g.correct_strict >= 0.95 * g.mapped
