@@ -122,54 +122,71 @@ class BBMap:
         return np.unique(np.linspace(0, n_slots - 1, n_keys).astype(np.int64))
 
     def candidates_for_batch(self, bases: np.ndarray, lengths: np.ndarray):
-        """Seed + cluster phase. Returns list per read of
-        (diag_start, strand, votes) candidate arrays."""
+        """Seed + cluster phase, fully vectorized across the batch.
+
+        Returns list per read of (diag_start, strand, votes) candidates.
+        """
         cfg = self.cfg
         k = cfg.k
         B, L = bases.shape
         fwd, rkm, runlen = rolling_kmers_np(bases, k)
         space_mask = (1 << (2 * k)) - 1
-        out = []
-        for b in range(B):
-            n = int(lengths[b])
-            if n < k:
-                out.append([])
-                continue
-            offs = self.seed_offsets(n)
-            cands = []
-            for strand in (0, 1):
-                # fwd keys at offset o cover read[o:o+k] -> key index o+k-1
-                if strand == 0:
-                    keys = fwd[b, offs + k - 1]
-                    valid = runlen[b, offs + k - 1] >= k
-                    key_off = offs
-                else:
-                    # rc read: key of rc(read) at offset o equals rkm of the
-                    # window ending at n-1-o; rc-read offset o covers
-                    # rc_read[o:o+k] = rc(read[n-o-k:n-o])
-                    keys = rkm[b, (lengths[b] - 1 - offs).astype(np.int64)]
-                    valid = runlen[b, (lengths[b] - 1 - offs).astype(np.int64)] >= k
-                    key_off = offs
-                keys = keys[valid] & space_mask
-                koff = key_off[valid]
-                if len(keys) == 0:
-                    continue
-                sites, owner = self.index.expand(keys.astype(np.int64))
-                if len(sites) == 0:
-                    continue
-                diags = sites.astype(np.int64) - koff[owner]
-                order = np.argsort(diags, kind="stable")
-                dsort = diags[order]
-                # cluster within max_indel
-                boundary = np.ones(len(dsort), dtype=bool)
-                boundary[1:] = np.diff(dsort) > cfg.max_indel
-                cid = np.cumsum(boundary) - 1
-                votes = np.bincount(cid)
-                firsts = dsort[boundary]
-                top = np.argsort(-votes, kind="stable")[: cfg.max_sites]
-                for t in top:
-                    cands.append((int(firsts[t]), strand, int(votes[t])))
-            out.append(cands)
+        lengths = lengths.astype(np.int64)
+        # per-read offsets matrix [B, K]
+        n_slots = np.maximum(lengths - k + 1, 1)
+        K = max(
+            2, min(int(n_slots.max(initial=1)), int(L * cfg.key_density / k))
+        )
+        frac = np.linspace(0, 1, K)
+        offs = np.round(frac[None, :] * (n_slots[:, None] - 1)).astype(np.int64)
+        valid_off = np.ones((B, K), dtype=bool)
+        valid_off[:, 1:] = offs[:, 1:] != offs[:, :-1]  # dedupe equal offsets
+        valid_off &= (lengths >= k)[:, None]
+        rows = np.arange(B)[:, None]
+        # strand 0: key ends at offs+k-1; strand 1: rc-read offset o ->
+        # rkm at forward index n-1-o
+        kidx0 = np.minimum(offs + k - 1, L - 1)
+        kidx1 = np.clip(lengths[:, None] - 1 - offs, 0, L - 1)
+        keys = np.empty((2, B, K), dtype=np.int64)
+        vmask = np.empty((2, B, K), dtype=bool)
+        keys[0] = fwd[rows, kidx0] & space_mask
+        vmask[0] = valid_off & (runlen[rows, kidx0] >= k)
+        keys[1] = rkm[rows, kidx1] & space_mask
+        vmask[1] = valid_off & (runlen[rows, kidx1] >= k)
+        flat_keys = keys.reshape(-1)
+        flat_valid = vmask.reshape(-1)
+        flat_off = np.broadcast_to(offs[None], (2, B, K)).reshape(-1)
+        sel = np.flatnonzero(flat_valid)
+        if len(sel) == 0:
+            return [[] for _ in range(B)]
+        sites, owner = self.index.expand(flat_keys[sel])
+        if len(sites) == 0:
+            return [[] for _ in range(B)]
+        src = sel[owner]  # index into the (2, B, K) flattening
+        strand = src // (B * K)
+        read = (src // K) % B
+        diag = sites.astype(np.int64) - flat_off[src]
+        # group by (read, strand, diag): sort then cluster within max_indel
+        group = (read * 2 + strand) * np.int64(1)
+        order = np.lexsort((diag, group))
+        g = group[order]
+        d = diag[order]
+        boundary = np.ones(len(d), dtype=bool)
+        boundary[1:] = (g[1:] != g[:-1]) | (np.diff(d) > cfg.max_indel)
+        cid = np.cumsum(boundary) - 1
+        votes = np.bincount(cid)
+        firsts = d[boundary]
+        cgroup = g[boundary]
+        # top max_sites clusters per (read, strand) by votes
+        corder = np.lexsort((-votes, cgroup))
+        cg = cgroup[corder]
+        # rank within group: positions since the group start (cg is sorted)
+        rank = np.arange(len(cg)) - np.searchsorted(cg, cg)
+        keep = rank < cfg.max_sites
+        out = [[] for _ in range(B)]
+        for ci in corder[keep]:
+            grp = int(cgroup[ci])
+            out[grp // 2].append((int(firsts[ci]), grp & 1, int(votes[ci])))
         return out
 
     # ------------------------------------------------------------------
@@ -199,15 +216,21 @@ class BBMap:
         t_diag = np.asarray(t_diag, dtype=np.int64)
         t_strand = np.asarray(t_strand)
         T = len(t_read)
-        # task reads (rc for strand 1)
-        rc = np.where(bases < 4, 3 - bases.astype(np.int16), 4).astype(np.uint8)
-        task_reads = np.full((T, L), 4, dtype=np.uint8)
-        for i, (b, s) in enumerate(zip(t_read, t_strand)):
-            n = int(lengths[b])
-            if s == 0:
-                task_reads[i, :n] = bases[b, :n]
-            else:
-                task_reads[i, :n] = rc[b, :n][::-1]
+        # task reads (rc for strand 1), vectorized gather
+        task_lens0 = lengths[t_read]
+        pos = np.arange(L, dtype=np.int64)[None, :]
+        fwd_rows = bases[t_read]
+        rc_src = np.clip(task_lens0[:, None] - 1 - pos, 0, L - 1)
+        rc_vals = bases[t_read[:, None], rc_src]
+        rc_rows = np.where(
+            pos < task_lens0[:, None],
+            np.where(rc_vals < 4, 3 - rc_vals.astype(np.int16), 4),
+            4,
+        ).astype(np.uint8)
+        task_reads = np.where(
+            (t_strand == 0)[:, None], fwd_rows, rc_rows
+        ).astype(np.uint8)
+        task_reads[pos >= task_lens0[:, None]] = 4
         task_lens = lengths[t_read]
         # ungapped scoring at the exact diagonal
         W = L + 2 * cfg.pad
@@ -234,12 +257,29 @@ class BBMap:
         )
         maxq = max_quality(task_lens)
         min_sc = (maxq * cfg.min_ratio).astype(np.int64)
-        # DP pass for tasks that are below perfect but above hopeless
-        need_dp = (ug < maxq) & (task_lens >= cfg.k)
+        # DP only when an indel alignment could beat the ungapped score
+        # (maxImperfectScore gating, MultiStateAligner11ts.java:2293-2304)
+        max_imperfect = maxq + min(MC.POINTS_DEL, MC.POINTS_INS - MC.POINTS_MATCH2)
+        need_dp = (ug <= max_imperfect) & (task_lens >= cfg.k)
+        # only extend the top-2 ungapped candidates per read (the
+        # reference trims the site list before slow alignment,
+        # BBMapThread.java:507 trimList)
+        order = np.lexsort((-ug, t_read))
+        tr = t_read[order]
+        rank = np.arange(len(tr)) - np.searchsorted(tr, tr)
+        topk = np.zeros(T, dtype=bool)
+        topk[order[rank < 2]] = True
+        need_dp &= topk
         dp_score = ug.astype(np.int64).copy()
         dp_col = np.full(T, -1, np.int64)  # end col within window
-        if need_dp.any():
-            sel = np.flatnonzero(need_dp)
+        dp_state = np.full(T, -1, np.int64)
+        dp_subidx = np.full(T, -1, np.int64)  # index into the DP subset
+        dp_planes = None
+        sel = np.flatnonzero(need_dp)
+        if len(sel):
+            # single DP pass WITH traceback planes (kept on device); the
+            # winners' match strings come from these planes, so no second
+            # fill is needed
             sreads = task_reads[sel]
             slens = task_lens[sel].astype(np.int32)
             srefs = refwins[sel]
@@ -248,11 +288,11 @@ class BBMap:
             vert, horiz, floor, subfloor = prepare_limits_np(
                 sreads, slens, srefs, sreflens, ms - MC.MIN_SCORE_ADJUST
             )
-            bs, bc, bst = msa_fill(
+            bs, bc, bst, planes = msa_fill(
                 L,
                 W,
                 True,
-                False,
+                True,
                 jnp.asarray(sreads),
                 jnp.asarray(slens),
                 jnp.asarray(srefs),
@@ -263,8 +303,12 @@ class BBMap:
                 jnp.asarray(subfloor.astype(np.int32)),
             )
             bs = np.asarray(bs).astype(np.int64)
+            dp_better = bs > ug[sel]
             dp_score[sel] = np.maximum(bs, ug[sel])
-            dp_col[sel] = np.asarray(bc)
+            dp_col[sel] = np.where(dp_better, np.asarray(bc), -1)
+            dp_state[sel] = np.where(dp_better, np.asarray(bst), -1)
+            dp_subidx[sel] = np.arange(len(sel))
+            dp_planes = (planes, np.asarray(bc), np.asarray(bst), slens)
         # pick best + second best per read
         best = {}
         second = {}
@@ -276,56 +320,64 @@ class BBMap:
                 best[b] = (s, i)
             elif s > second.get(b, (-BIG, -1))[0]:
                 second[b] = (s, i)
-        # traceback for winners that need a match string
+        # traceback for winners that need a match string; winners resolved
+        # ungapped (no indels possible) get a direct comparison match
+        # string (genMatchNoIndels analog) without a second DP
         win_tasks = []
+        ungapped_winners = []
         for b, (s, i) in best.items():
             if s >= min_score_for(int(lengths[b]), cfg.min_ratio):
-                win_tasks.append((b, i, s))
+                if dp_col[i] < 0:
+                    # winner resolved without an improving DP alignment:
+                    # indel-free -> direct comparison match string
+                    ungapped_winners.append((b, i, s))
+                else:
+                    win_tasks.append((b, i, s))
+        if ungapped_winners:
+            for b, i, s in ungapped_winners:
+                n = int(lengths[b])
+                rd = task_reads[i, :n]
+                rf = refwins[i, cfg.pad : cfg.pad + n]
+                eq = rd == rf
+                m = np.where(
+                    eq & (rd < 4), ord("m"),
+                    np.where((rd >= 4) | (rf >= 4), ord("N"), ord("S")),
+                ).astype(np.uint8)
+                r = results[b]
+                r.mapped = True
+                r.score = int(s)
+                r.strand = int(t_strand[i])
+                r.flat_start = int(t_diag[i])
+                r.match = bytes(m)
+                sec = second.get(b, (-BIG, -1))[0]
+                r.ambig = sec >= r.score
         # build final results with traceback via DP (always run fill with
         # traceback for the winning site to obtain the match string)
-        if win_tasks:
-            wi = np.asarray([w[1] for w in win_tasks])
-            wreads = task_reads[wi]
-            wlens = task_lens[wi].astype(np.int32)
-            wrefs = refwins[wi]
-            wreflens = np.full(len(wi), W, np.int32)
-            vert, horiz, floor, subfloor = prepare_limits_np(
-                wreads, wlens, wrefs, wreflens, np.zeros(len(wi), np.int64)
+        if win_tasks and dp_planes is not None:
+            planes, bc_all, bst_all, slens_all = dp_planes
+            ops, nsteps = msa_walk(
+                L, W, planes, jnp.asarray(slens_all),
+                jnp.asarray(bc_all), jnp.asarray(bst_all),
             )
-            maxgain = (wlens.astype(np.int64) - 1) * MC.POINTS_MATCH2 + MC.POINTS_MATCH
-            bs, bc, bst, planes = msa_fill(
-                L,
-                W,
-                False,
-                True,
-                jnp.asarray(wreads),
-                jnp.asarray(wlens),
-                jnp.asarray(wrefs),
-                jnp.asarray(wreflens),
-                jnp.asarray(vert.astype(np.int32)),
-                jnp.asarray(horiz.astype(np.int32)),
-                jnp.asarray(floor.astype(np.int32)),
-                jnp.asarray((-2 * maxgain).astype(np.int32)),
-            )
-            ops, nsteps = msa_walk(L, W, planes, jnp.asarray(wlens), bc, bst)
+            ops = np.asarray(ops)
+            nsteps = np.asarray(nsteps)
+            sub = np.asarray([dp_subidx[w[1]] for w in win_tasks])
             matches = match_strings_np(
-                np.asarray(ops),
-                np.asarray(nsteps),
-                wreads,
-                wlens,
-                wrefs,
-                wreflens,
-                np.asarray(bc),
+                ops[sub],
+                nsteps[sub],
+                task_reads[sel][sub],
+                slens_all[sub],
+                refwins[sel][sub],
+                np.full(len(sub), W, np.int32),
+                bc_all[sub],
             )
-            bs = np.asarray(bs)
-            bc = np.asarray(bc)
             for j, (b, i, s) in enumerate(win_tasks):
                 m = matches[j]
                 ndiag = sum(m.count(x) for x in (b"m", b"S", b"N", b"D"))
-                start_col = int(bc[j]) - ndiag  # 0-based within window
+                start_col = int(bc_all[sub[j]]) - ndiag
                 r = results[b]
                 r.mapped = True
-                r.score = int(bs[j])
+                r.score = int(s)
                 r.strand = int(t_strand[i])
                 r.flat_start = int(win_start[i] + start_col)
                 r.match = m
