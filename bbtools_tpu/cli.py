@@ -125,6 +125,12 @@ def _gradesam(args):
     return main(args)
 
 
+def _sortbyname(args):
+    from .models.sortbyname import main
+
+    return main(args)
+
+
 TOOLS = {
     "bbduk": _bbduk,
     "bbmap": _bbmap,
@@ -150,6 +156,8 @@ TOOLS = {
     "pileup": _pileup,
     "coveragepileup": _pileup,
     "gradesam": _gradesam,
+    "sortbyname": _sortbyname,
+    "bbsort": _sortbyname,
 }
 
 

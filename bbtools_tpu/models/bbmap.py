@@ -33,7 +33,10 @@ from ..core.parser import tokenize
 from ..io.fasta import load_reference
 from ..io.fastq import FastqReader
 from ..io.sam import (
+    FFIRST,
+    FPAIRED,
     FREVERSE,
+    FSECOND,
     FUNMAPPED,
     SamRecord,
     SamWriter,
@@ -395,6 +398,11 @@ class BBMap:
         cfg = self.cfg
         t0 = time.time()
         reader = FastqReader(cfg.in1, batch_reads=cfg.batch_reads, pad_to=None)
+        reader2 = (
+            FastqReader(cfg.in2, batch_reads=cfg.batch_reads, pad_to=None)
+            if cfg.in2
+            else None
+        )
         writer = (
             SamWriter(
                 cfg.out,
@@ -405,15 +413,107 @@ class BBMap:
             if cfg.out
             else None
         )
+        it2 = iter(reader2) if reader2 else None
         for batch in reader:
             results = self.map_batch(batch)
+            if it2 is not None:
+                batch2 = next(it2)
+                results2 = self.map_batch(batch2)
+                payload = self.to_sam_paired(batch, results, batch2, results2)
+            else:
+                payload = self.to_sam(batch, results) if writer else b""
             if writer:
-                payload = self.to_sam(batch, results)
                 writer.add_batch(batch.ordinal, payload)
         if writer:
             writer.close()
         self.elapsed = time.time() - t0
         return self
+
+    def to_sam_paired(self, b1, r1s, b2, r2s) -> bytes:
+        """Emit pair records with mate fields (SamLine pairing semantics:
+        flags 0x1/0x2/0x20/0x40/0x80, RNEXT/PNEXT/TLEN; proper pair =
+        same scaffold, opposite strands, |TLEN| <= pairlen limit)."""
+        out = []
+        ref = self.ref
+        for b in range(len(r1s)):
+            recs = []
+            for pairnum, (batch, r, mate) in enumerate(
+                ((b1, r1s[b], r2s[b]), (b2, r2s[b], r1s[b]))
+            ):
+                n = int(batch.lengths[b])
+                name = batch.ids[b].split()[0]
+                flag = FPAIRED | (FFIRST if pairnum == 0 else FSECOND)
+                scaf = rstart0 = -1
+                cigar = "*"
+                mapq = 0
+                tags = []
+                if r.mapped:
+                    scaf = int(ref.scaffold_of(np.array([max(r.flat_start, 0)]))[0])
+                    scaf_start = int(ref.starts[scaf])
+                    rstart0 = r.flat_start - scaf_start
+                    cigar = match_to_cigar14(r.match, rstart0, int(ref.lengths[scaf]))
+                    mapq = to_mapq(r.score, n, True, r.ambig)
+                    if r.strand:
+                        flag |= FREVERSE
+                    tags = [b"AS:i:%d" % r.score, b"NM:i:%d" % _nm(r.match)]
+                else:
+                    flag |= FUNMAPPED
+                mate_scaf = -1
+                if mate.mapped:
+                    mate_scaf = int(
+                        ref.scaffold_of(np.array([max(mate.flat_start, 0)]))[0]
+                    )
+                    if mate.strand:
+                        flag |= 0x20  # mate reverse
+                else:
+                    flag |= 0x8  # mate unmapped
+                tlen = 0
+                rnext = b"*"
+                pnext = 0
+                if r.mapped and mate.mapped and mate_scaf == scaf:
+                    rnext = b"="
+                    mate_start0 = mate.flat_start - int(ref.starts[scaf])
+                    pnext = max(mate_start0, 0) + 1
+                    left = min(rstart0, mate_start0)
+                    right = max(
+                        rstart0 + _reflen(r.match), mate_start0 + _reflen(mate.match)
+                    )
+                    tlen = right - left
+                    if rstart0 > mate_start0 or (
+                        rstart0 == mate_start0 and pairnum == 1
+                    ):
+                        tlen = -tlen
+                    # proper pair: opposite strands, sane insert
+                    if r.strand != mate.strand and abs(tlen) < 32000:
+                        flag |= 0x2
+                elif mate.mapped:
+                    rnext = ref.names[mate_scaf].split()[0]
+                    pnext = max(mate.flat_start - int(ref.starts[mate_scaf]), 0) + 1
+                seq = batch.sequence(b)
+                qual = batch.quality_string(b)
+                if r.mapped and r.strand:
+                    from ..core.dna import reverse_complement
+
+                    seq = reverse_complement(seq)
+                    qual = qual[::-1]
+                recs.append(
+                    SamRecord(
+                        qname=name,
+                        flag=flag,
+                        rname=ref.names[scaf].split()[0] if r.mapped else b"*",
+                        pos=(max(rstart0, 0) + 1) if r.mapped else 0,
+                        mapq=mapq,
+                        cigar=cigar,
+                        rnext=rnext,
+                        pnext=pnext,
+                        tlen=tlen,
+                        seq=seq,
+                        qual=qual,
+                        tags=tags,
+                    ).to_bytes()
+                )
+            out.extend(recs)
+        return b"".join(out)
 
     def to_sam(self, batch, results) -> bytes:
         out = []
@@ -473,6 +573,10 @@ class BBMap:
             f"Reads/sec:           \t{self.reads_in / t:.2f}",
             file=stream,
         )
+
+
+def _reflen(match: bytes) -> int:
+    return sum(match.count(x) for x in (b"m", b"S", b"N", b"D"))
 
 
 def _nm(match: bytes) -> int:

@@ -105,6 +105,8 @@ def parse_args(argv: list[str]) -> BBMergeConfig:
             c.preset = name if name in PRESETS else "loose"
     c.min_insert = a.get_int("mininsert", default=None)
     c.ecco = a.get_bool("ecco", default=False)
+    if c.ecco and not c.outu1:
+        pass  # ecco emits corrected pairs through out/outu2
     c.use_entropy = a.get_bool("entropy", "useentropy", default=True)
     c.batch_reads = a.get_int("batchreads", default=8192)
     c.ziplevel = a.get_int("ziplevel", "zl", default=None)
@@ -261,6 +263,16 @@ class BBMerge:
         for b1 in r1:
             b2 = next(it2)
             result, ok, joined = self.process_batch(b1, b2)
+            if cfg.ecco and joined is not None:
+                # error-correct by overlap: both reads take the consensus
+                # (BBMerge.errorCorrectWithInsert :1577-1625); pair is
+                # emitted (corrected), not merged
+                self._apply_ecco(b1, b2, result, ok, joined)
+                if w_m:
+                    w_m.add(b1)
+                if w_u2:
+                    w_u2.add(b2)
+                continue
             if w_m and joined is not None:
                 w_m.add(joined, ok)
             if w_u1:
@@ -274,6 +286,29 @@ class BBMerge:
             self.write_ihist(cfg.ihist)
         self.elapsed = time.time() - t0
         return self
+
+    def _apply_ecco(self, b1, b2, result, ok, joined):
+        """Overlay consensus back onto the original pair orientation."""
+        import numpy as np
+
+        for i in np.flatnonzero(ok):
+            insert = int(result[i])
+            n1 = int(b1.lengths[i])
+            n2 = int(b2.lengths[i])
+            lim1 = min(insert, n1)
+            b1.bases[i, :lim1] = joined.bases[i, :lim1]
+            if b1.quals is not None and joined.quals is not None:
+                b1.quals[i, :lim1] = joined.quals[i, :lim1]
+            if b1.ascii_bases is not None:
+                b1.ascii_bases = None
+            lim2 = min(insert, n2)
+            tail = joined.bases[i, insert - lim2 : insert]
+            rc = np.where(tail < 4, 3 - tail.astype(np.int16), 4).astype(np.uint8)
+            b2.bases[i, :lim2] = rc[::-1]
+            if b2.quals is not None and joined.quals is not None:
+                b2.quals[i, :lim2] = joined.quals[i, insert - lim2 : insert][::-1]
+            if b2.ascii_bases is not None:
+                b2.ascii_bases = None
 
     def write_ihist(self, path: str):
         """Insert-size histogram, BBMerge format: header stats + rows."""

@@ -123,3 +123,36 @@ def test_bbmap_with_indels(ecoli_like):
     # check indel CIGARs present
     text = (sam).read_text()
     assert "D" in text and "I" in text
+
+
+def test_bbmap_paired(ecoli_like):
+    tmp, ref, idx = ecoli_like
+    reads = random_reads(ref, 200, read_len=100, paired=True,
+                         insert_range=(180, 320), snp_rate=0.005, seed=8)
+    from bbtools_tpu.utils.synth import write_reads
+
+    write_reads(str(tmp / "p1.fq"), [p[0] for p in reads])
+    write_reads(str(tmp / "p2.fq"), [p[1] for p in reads])
+    sam = tmp / "paired.sam"
+    cfg = BBMapConfig(
+        in1=str(tmp / "p1.fq"), in2=str(tmp / "p2.fq"), out=str(sam),
+        batch_reads=128,
+    )
+    BBMap(cfg, index=idx).run()
+    lines = [l for l in sam.read_bytes().splitlines() if not l.startswith(b"@")]
+    assert len(lines) == 400
+    proper = 0
+    tlens = []
+    for l in lines:
+        f = l.split(b"\t")
+        flag = int(f[1])
+        assert flag & 0x1  # paired
+        if flag & 0x2:
+            proper += 1
+            if int(f[8]) > 0:
+                tlens.append(int(f[8]))
+        if not flag & 0x4:
+            assert f[6] in (b"=",) or f[6] != b"*"
+    assert proper >= 380, proper
+    tl = np.array(tlens)
+    assert 180 <= np.median(tl) <= 320, np.median(tl)

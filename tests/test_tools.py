@@ -223,3 +223,56 @@ def test_pileup_and_gradesam(data, tmp_path):
 
     g = grade_main([f"in={sam}", f"ref={tmp}/ref.fa"])
     assert g.correct_strict >= 0.95 * g.mapped
+
+
+def test_sortbyname(tmp_path):
+    recs = [(b"z", b"AAAA", b"IIII"), (b"a", b"CCCC", b"IIII"), (b"m", b"GGGG", b"IIII")]
+    write_reads(str(tmp_path / "u.fq"), recs)
+    from bbtools_tpu.models.sortbyname import main
+
+    n = main([f"in={tmp_path}/u.fq", f"out={tmp_path}/s.fq"])
+    assert n == 3
+    lines = (tmp_path / "s.fq").read_bytes().splitlines()
+    assert lines[0] == b"@a" and lines[4] == b"@m" and lines[8] == b"@z"
+
+
+def test_bbmerge_ecco(tmp_path):
+    rng2 = np.random.default_rng(5)
+    insert, rl = 140, 100
+    r1s, r2s, mols = [], [], []
+    for i in range(100):
+        mol = rng2.integers(0, 4, insert)
+        mols.append(mol)
+        r1 = mol[:rl].copy()
+        r2f = mol[insert - rl:]
+        r2 = (3 - r2f[::-1]).copy()
+        # plant one error in the overlap region of r1 (low qual) so the
+        # consensus fixes it using r2's higher quality
+        p = rl - 10  # inside overlap (overlap = 60)
+        r1[p] = (r1[p] + 1) % 4
+        q1 = bytearray(b"F" * rl); q1[p] = ord("#")
+        conv = lambda a: bytes(b"ACGT"[x] for x in a)
+        r1s.append((b"p%d" % i, conv(r1), bytes(q1)))
+        r2s.append((b"p%d" % i, conv(r2), b"F" * rl))
+    write_reads(str(tmp_path / "e1.fq"), r1s)
+    write_reads(str(tmp_path / "e2.fq"), r2s)
+    from bbtools_tpu.models.bbmerge import main
+
+    tool = main(
+        [
+            f"in={tmp_path}/e1.fq", f"in2={tmp_path}/e2.fq",
+            f"out={tmp_path}/c1.fq", f"outu2={tmp_path}/c2.fq", "ecco=t",
+        ]
+    )
+    assert tool.merged >= 90
+    out1 = (tmp_path / "c1.fq").read_bytes().splitlines()
+    fixed = 0
+    for i in range(len(out1) // 4):
+        name = out1[i * 4][1:]
+        idx = int(name[1:])
+        mol = mols[idx]
+        seq = out1[i * 4 + 1]
+        conv = bytes(b"ACGT"[x] for x in mol[:rl])
+        if seq == conv:
+            fixed += 1
+    assert fixed >= 85, fixed
