@@ -87,6 +87,7 @@ class BBDukConfig:
     skip_r1: bool = False
     skip_r2: bool = False
     stats: str | None = None
+    json_out: bool = False
     qhist: str | None = None
     lhist: str | None = None
     gchist: str | None = None
@@ -206,6 +207,7 @@ def parse_args(argv: list[str]) -> BBDukConfig:
     c.trim_pad = a.get_int(*h("trimpad"), default=0)
     c.ktrim_exclusive = a.get_bool(*h("ktrimexclusive"), default=False)
     c.stats = a.get(*h("stats"))
+    c.json_out = a.get_bool(*h("json"), default=False)
     c.qhist = a.get(*h("qhist"))
     c.lhist = a.get(*h("lhist"))
     c.gchist = a.get(*h("gchist"))
@@ -874,6 +876,30 @@ class BBDuk:
     def print_stats(self, stream=sys.stderr):
         st = self.stats
         t = getattr(self, "elapsed", 0.0) or 1e-9
+        if self.cfg.json_out:
+            # JSON stats mode (PreParser json flag, BBDukProcessorS.toJson)
+            import json as _json
+
+            obj = {
+                "readsIn": st.reads_in,
+                "basesIn": st.bases_in,
+                "readsRemoved": st.reads_outm,
+                "basesRemoved": st.bases_outm,
+                "readsOut": st.reads_out,
+                "basesOut": st.bases_out,
+                "qtrimmedReads": st.reads_qtrimmed,
+                "qtrimmedBases": st.bases_qtrimmed,
+                "qfilteredReads": st.reads_qfiltered,
+                "qfilteredBases": st.bases_qfiltered,
+                "ktrimmedReads": st.reads_ktrimmed,
+                "ktrimmedBases": st.bases_ktrimmed,
+                "kfilteredReads": st.reads_kfiltered,
+                "kfilteredBases": st.bases_kfiltered,
+                "mode": "ktrim" if self.cfg.kmer_trimming else "kFilter",
+                "time": t,
+            }
+            print(_json.dumps(obj), file=stream)
+            return
         print(f"Input:                  \t{st.reads_in} reads \t\t{st.bases_in} bases.", file=stream)
         if self.cfg.kmer_trimming:
             print(f"KTrimmed:               \t{st.reads_ktrimmed} reads ({100.0*st.reads_ktrimmed/max(st.reads_in,1):.2f}%) \t{st.bases_ktrimmed} bases ({100.0*st.bases_ktrimmed/max(st.bases_in,1):.2f}%)", file=stream)
