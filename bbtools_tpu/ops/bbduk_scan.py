@@ -164,6 +164,65 @@ def credit_id(cfg: KScanConfig, ids, credit_ordinal):
 
 @partial(jax.jit, static_argnames=("cfg", "left"))
 def kscan_short(cfg: KScanConfig, table, bases, lengths, left: bool):
+    if cfg.restrict_left < 1 and cfg.restrict_right < 1 and cfg.qhdist == 0:
+        return _kscan_short_fast(cfg, table, bases, lengths, left)
+    return _kscan_short_loop(cfg, table, bases, lengths, left)
+
+
+def _kscan_short_fast(cfg: KScanConfig, table, bases, lengths, left: bool):
+    """Gather-light short-kmer scan: prefix/suffix kmers of every length
+    are bit-slices of the rolling registers (one take_along_axis for the
+    read-end values; static columns for the read-start values)."""
+    from .kmers import rolling_kmers_plain_jnp
+
+    B, L = bases.shape
+    k, mink = cfg.k, cfg.mink
+    fwd, rkm, rkm_plain, runlen = rolling_kmers_plain_jnp(bases, k)
+    keys_l, live_l, i_l = [], [], []
+    if left:
+        # prefix of length ln ends at static column ln-1:
+        #   kmer  = fwd[:, ln-1] & ((1<<2ln)-1)   (register low bits)
+        #   rkmer = rkm_plain[:, ln-1] >> 2(k-ln)
+        for ln in range(mink, k + 1):
+            col = ln - 1
+            kmer = fwd[:, col] & jnp.int64((1 << (2 * ln)) - 1)
+            rkmer = rkm_plain[:, col] >> (2 * (k - ln))
+            mx = jnp.maximum(kmer, rkmer) if cfg.rcomp else kmer
+            keys_l.append(mx | jnp.int64(length_mask(ln)))
+            # loop bound: i < min(k, stop) with stop = length
+            live_l.append(col < jnp.minimum(jnp.int32(k), lengths))
+            i_l.append(jnp.full((B,), col, jnp.int32))
+    else:
+        # suffix of length ln ends at the read's last base (one gather)
+        last = jnp.maximum(lengths - 1, 0)[:, None]
+        f_end = jnp.take_along_axis(fwd, last, axis=1)[:, 0]
+        r_end = jnp.take_along_axis(rkm_plain, last, axis=1)[:, 0]
+        for ln in range(mink, k + 1):
+            kmer = f_end & jnp.int64((1 << (2 * ln)) - 1)
+            rkmer = r_end >> (2 * (k - ln))
+            mx = jnp.maximum(kmer, rkmer) if cfg.rcomp else kmer
+            keys_l.append(mx | jnp.int64(length_mask(ln)))
+            # loop: i from stop-1 down, i > max(-1, stop-k); hit position
+            # i = stop - ln
+            i_pos = (lengths - ln).astype(jnp.int32)
+            live_l.append(i_pos > jnp.maximum(-1, lengths - k) + 1 - 1)
+            i_l.append(i_pos)
+    keys = jnp.stack(keys_l, axis=1)
+    live = jnp.stack(live_l, axis=1)
+    pos = jnp.stack(i_l, axis=1)
+    ids = jnp.where(live, _lookup(cfg, table, keys), 0)
+    hit = ids > 0
+    any_hit = hit.any(axis=1)
+    first = jnp.argmax(hit, axis=1)
+    id0 = jnp.where(any_hit, ids[jnp.arange(B), first], 0)
+    if left:
+        loc = jnp.where(hit, pos, -1).max(axis=1)
+    else:
+        loc = jnp.where(hit, pos, BIG).min(axis=1)
+    return any_hit, id0, loc
+
+
+def _kscan_short_loop(cfg: KScanConfig, table, bases, lengths, left: bool):
     """Short-kmer end scan (Scanning4/Scanning5, BBDukProcessorS
     :2036-2106). Only meaningful when the full scan found nothing.
 

@@ -141,7 +141,8 @@ def rolling_kmers_jnp(codes, k: int):
 
     # fwd[i] = sum_j code0[i-j] << 2j via binary-block combination
     fwd = _window_fwd(code0, k)
-    # rkm_plain[i] = sum_j comp0[i-j] << 2(k-1-j)
+    # rkm_plain[i] = sum_j comp0[i-j] << 2(k-1-j)  (no N reset; the
+    # short-kmer scans use this directly)
     rkm_plain = _window_rev(comp0, k)
     # zero contributions from sources at/before the last N: low 2*(k-t) bits
     t = jnp.minimum(runlen, k).astype(jnp.int64)
@@ -224,3 +225,24 @@ def canonical_keys_np(
 def canonical_keys_jnp(fwd, rkm, k: int, mid_mask: int = -1, rcomp: bool = True):
     mx = jnp.maximum(fwd, rkm) if rcomp else fwd
     return (mx & jnp.int64(mid_mask)) | jnp.int64(length_mask(k))
+
+
+def rolling_kmers_plain_jnp(codes, k: int):
+    """Like rolling_kmers_jnp but also returns the un-reset reverse window
+    (rkm_plain), which the reference's short-kmer end scans use (their
+    loops have no N handling, BBDukProcessorS Scanning4/5)."""
+    codes = codes.astype(jnp.int32)
+    defined = codes < int(N_CODE)
+    code0 = jnp.where(defined, codes, 0).astype(jnp.int64)
+    comp0 = jnp.where(defined, 3 - codes, 0).astype(jnp.int64)
+    L = codes.shape[-1]
+    idx = jnp.arange(L, dtype=jnp.int32)
+    marked = jnp.where(defined, -1, idx[None, :])
+    lastn = jax_cummax(marked)
+    runlen = idx[None, :] - lastn
+    fwd = _window_fwd(code0, k)
+    rkm_plain = _window_rev(comp0, k)
+    t = jnp.minimum(runlen, k).astype(jnp.int64)
+    keep = jnp.where(t >= k, jnp.int64(-1), (jnp.int64(-1) << (2 * (k - t))))
+    rkm = rkm_plain & keep
+    return fwd, rkm, rkm_plain, runlen.astype(jnp.int32)
