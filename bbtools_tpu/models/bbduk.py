@@ -72,6 +72,8 @@ class BBDukConfig:
     entropy_cutoff: float = -1.0
     entropy_window: int = 50
     entropy_k: int = 5
+    entropy_trim: str = "f"  # f/l/r/rl
+    entropy_mask: bool = False
     force_trim_left: int = 0
     force_trim_right: int = 0
     force_trim_right2: int = 0
@@ -190,6 +192,20 @@ def parse_args(argv: list[str]) -> BBDukConfig:
     c.min_base_quality = a.get_int(*h("minbasequality", "mbq"), default=0)
     c.min_consecutive_bases = a.get_int(*h("minconsecutivebases", "mcb"), default=0)
     c.entropy_cutoff = a.get_float(*h("entropy", "entropyfilter"), default=-1.0)
+    et = a.get(*h("entropytrim", "etrim"))
+    if et:
+        c.entropy_trim = {"true": "rl", "t": "rl", "lr": "rl"}.get(
+            et.lower(), et.lower()
+        )
+        if c.entropy_trim not in ("f", "false", "l", "r", "rl"):
+            raise ValueError(
+                f"entropytrim={et}: expected f, l, r, or rl"
+            )
+        if c.entropy_trim == "false":
+            c.entropy_trim = "f"
+    c.entropy_mask = a.get_bool(*h("entropymask", "emask"), default=False)
+    if (c.entropy_trim != "f" or c.entropy_mask) and c.entropy_cutoff < 0:
+        raise ValueError("entropytrim/entropymask require entropy=<0..1>")
     c.entropy_window = a.get_int(*h("entropywindow"), default=50)
     c.entropy_k = a.get_int(*h("entropyk"), default=5)
     c.force_trim_left = a.get_int(*h("forcetrimleft", "ftl"), default=0)
@@ -457,8 +473,56 @@ class BBDuk:
         )
         remove |= nr
 
+        # ---- entropy trim/mask (:1273-1286) ----
+        if self.entropy is not None and (cfg.entropy_trim != "f" or cfg.entropy_mask):
+            for b in (b1, b2) if b2 is not None else (b1,):
+                low = self._low_entropy_windows(b)
+                if cfg.entropy_mask:
+                    to_mask = low & (b.bases < 4) & ~remove[:, None]
+                    st.bases_efiltered += int(to_mask.sum())
+                    st.reads_efiltered += int(to_mask.any(axis=1).sum())
+                    b.bases[to_mask] = 4
+                    if b.quals is not None:
+                        b.quals[to_mask] = 0
+                    if b.ascii_bases is not None:
+                        b.ascii_bases[to_mask] = ord("N")
+                else:
+                    # trim low-entropy ends: left run and/or right run
+                    ln = b.lengths.astype(np.int64)
+                    left_amt = np.zeros(b.n, dtype=np.int64)
+                    right_amt = np.zeros(b.n, dtype=np.int64)
+                    if cfg.entropy_trim in ("l", "rl"):
+                        first_good = np.argmin(low, axis=1)
+                        all_low = low.all(axis=1)
+                        left_amt = np.where(all_low, ln, first_good)
+                    if cfg.entropy_trim in ("r", "rl"):
+                        L = low.shape[1]
+                        # mark padding as "low" so the scan from the padded
+                        # end skips straight to the read's real tail
+                        lowr = low | (np.arange(L)[None, :] >= ln[:, None])
+                        pad_low = L - ln
+                        all_low = lowr.all(axis=1)
+                        first_good_r = np.argmin(lowr[:, ::-1], axis=1) - pad_low
+                        right_amt = np.where(
+                            all_low, ln, np.maximum(first_good_r, 0)
+                        )
+                    left_amt = np.where(remove, 0, np.minimum(left_amt, ln))
+                    right_amt = np.where(
+                        remove, 0, np.minimum(right_amt, ln - left_amt)
+                    )
+                    x = left_amt + right_amt
+                    st.bases_efiltered += int(x.sum())
+                    st.reads_efiltered += int((x > 0).sum())
+                    nb = apply_trim(b, left_amt, right_amt)
+                    b.bases, b.quals, b.lengths = nb.bases, nb.quals, nb.lengths
+                    b.ascii_bases = nb.ascii_bases
+            disc1 |= b1.lengths < minlen1
+            if b2 is not None:
+                disc2 |= b2.lengths < minlen2
+            remove |= self._should_remove(disc1, disc2, b2 is not None)
+
         # ---- entropy filter (:1394-1404) ----
-        if self.entropy is not None:
+        if self.entropy is not None and cfg.entropy_trim == "f" and not cfg.entropy_mask:
             for b, disc in ((b1, disc1), (b2, disc2)) if b2 is not None else ((b1, disc1),):
                 passes = self.entropy.passes(
                     b.bases, b.lengths, self.cfg.entropy_cutoff
@@ -487,6 +551,33 @@ class BBDuk:
         return b1, b2, keep, single1, single2
 
     # ------------------------------------------------------------------
+    def _low_entropy_windows(self, b):
+        """bool [B, L]: positions covered by a window whose entropy is
+        below the cutoff (maskLowEntropy coverage semantics)."""
+        em = self.entropy
+        cfg = self.cfg
+        B, L = b.bases.shape
+        W = em.window
+        low = np.zeros((B, L), dtype=bool)
+        lengths = b.lengths.astype(np.int64)
+        if L < W:
+            return low
+        starts = np.arange(0, L - W + 1)
+        # evaluate every window of every read (batch over reads, chunked
+        # over window starts)
+        for c0 in range(0, len(starts), 64):
+            cs = starts[c0 : c0 + 64]
+            wins = np.stack([b.bases[:, s0 : s0 + W] for s0 in cs], axis=1)
+            wl = wins.reshape(-1, W)
+            vals = em.average_entropy_batch(
+                wl, np.full(len(wl), W, dtype=np.int64)
+            ).reshape(B, len(cs))
+            below = vals < np.float32(cfg.entropy_cutoff)
+            for j, s0 in enumerate(cs):
+                sel = below[:, j] & (s0 + W <= lengths)
+                low[sel, s0 : s0 + W] = True
+        return low
+
     def _should_remove(self, disc1, disc2, paired: bool):
         if not paired:
             return disc1.copy()

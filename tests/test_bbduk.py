@@ -315,3 +315,25 @@ def test_tbo_trims_adapter_readthrough(tmp_path):
     o1 = (tmp_path / "o1.fq").read_bytes().splitlines()
     trimmed = sum(1 for i in range(len(o1) // 4) if len(o1[i * 4 + 1]) == insert)
     assert trimmed >= 45, trimmed
+
+
+def test_entropy_mask_and_trim(tmp_path):
+    good = b"ACGTAGGCTACGATCGTAGCTAACGGATCGAT" * 4  # 128bp complex
+    lowc = b"ATATATATATATATATATATATATATATATAT" * 2  # 64bp dinucleotide repeat
+    seq = good + lowc
+    fin = tmp_path / "in.fq"
+    fin.write_bytes(b"@r1\n" + seq + b"\n+\n" + b"F" * len(seq) + b"\n")
+    # mask mode
+    fout = tmp_path / "m.fq"
+    cfg = parse_args([f"in={fin}", f"out={fout}", "entropy=0.6", "entropymask=t"])
+    BBDuk(cfg).run()
+    out = fout.read_bytes().splitlines()[1]
+    assert out[:80] == seq[:80]  # complex region intact
+    assert out.count(b"N") >= 50  # repeat masked
+    # trim mode (right)
+    fout2 = tmp_path / "t.fq"
+    cfg2 = parse_args([f"in={fin}", f"out={fout2}", "entropy=0.6", "entropytrim=r"])
+    BBDuk(cfg2).run()
+    out2 = fout2.read_bytes().splitlines()[1]
+    assert len(out2) < len(seq)
+    assert out2 == seq[: len(out2)]
