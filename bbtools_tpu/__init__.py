@@ -20,8 +20,16 @@ Layout (mirrors SURVEY.md §7):
 # 64-bit integers are required for k-mer keys (k<=31 -> up to 62 bits).
 # This must run before any jax array is created. All code in this package
 # passes explicit dtypes; enabling x64 does not change our float widths.
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Respect an explicit JAX_PLATFORMS env var even when a site hook has
+# already forced jax_platforms via jax.config (config wins over env, so
+# re-apply the env choice here).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 __version__ = "0.1.0"

@@ -131,6 +131,12 @@ def _sortbyname(args):
     return main(args)
 
 
+def _calctruequality(args):
+    from .models.calctruequality import main
+
+    return main(args)
+
+
 TOOLS = {
     "bbduk": _bbduk,
     "bbmap": _bbmap,
@@ -158,6 +164,7 @@ TOOLS = {
     "gradesam": _gradesam,
     "sortbyname": _sortbyname,
     "bbsort": _sortbyname,
+    "calctruequality": _calctruequality,
 }
 
 

@@ -74,6 +74,9 @@ class BBDukConfig:
     entropy_k: int = 5
     entropy_trim: str = "f"  # f/l/r/rl
     entropy_mask: bool = False
+    recalibrate: bool = False
+    recal_path: str = "."
+    recal_passes: int = 2
     force_trim_left: int = 0
     force_trim_right: int = 0
     force_trim_right2: int = 0
@@ -206,6 +209,9 @@ def parse_args(argv: list[str]) -> BBDukConfig:
     c.entropy_mask = a.get_bool(*h("entropymask", "emask"), default=False)
     if (c.entropy_trim != "f" or c.entropy_mask) and c.entropy_cutoff < 0:
         raise ValueError("entropytrim/entropymask require entropy=<0..1>")
+    c.recalibrate = a.get_bool(*h("recalibrate", "recal"), default=False)
+    c.recal_path = a.get(*h("path", "recalpath"), default=".") or "."
+    c.recal_passes = a.get_int(*h("recalpasses"), default=2)
     c.entropy_window = a.get_int(*h("entropywindow"), default=50)
     c.entropy_k = a.get_int(*h("entropyk"), default=5)
     c.force_trim_left = a.get_int(*h("forcetrimleft", "ftl"), default=0)
@@ -325,6 +331,13 @@ class BBDuk:
             else None
         )
         self.table_dev = self.index.device_arrays() if self.index else None
+        self.recalibrator = None
+        if cfg.recalibrate:
+            from .calctruequality import Recalibrator
+
+            self.recalibrator = Recalibrator(
+                cfg.recal_path, passes=cfg.recal_passes
+            )
 
     # ------------------------------------------------------------------
     def process_pair(self, b1, b2):
@@ -347,6 +360,14 @@ class BBDuk:
         )
         disc1 = np.zeros(n, dtype=bool)
         disc2 = np.zeros(n, dtype=bool)
+
+        # ---- quality recalibration (BBDuk.java:2634-2640) ----
+        if self.recalibrator is not None:
+            for pairnum, b in enumerate((b1, b2) if b2 is not None else (b1,)):
+                if b.quals is not None:
+                    b.quals = self.recalibrator.recalibrate(
+                        b.bases, b.quals, b.lengths, pairnum=pairnum
+                    )
 
         # ---- force trim (BBDukProcessorS:889-927) ----
         if (
