@@ -130,30 +130,71 @@ class SamRecord:
 
 
 class SamWriter:
+    """Ordered SAM/BAM writer. A `.bam` path switches to the binary BAM
+    codec (io/bam.py, in-process BGZF — the reference needs samtools for
+    this, fileIO/ReadWrite.java)."""
+
     def __init__(self, path: str, ref_names: list[bytes], ref_lengths,
                  program: bytes = b"bbtools_tpu", version: bytes = b"0.1.0",
                  cmdline: bytes = b""):
-        self.fh = open_output(path)
-        self.fh.write(b"@HD\tVN:1.4\tSO:unsorted\n")
+        header = bytearray(b"@HD\tVN:1.4\tSO:unsorted\n")
         for name, ln in zip(ref_names, ref_lengths):
-            self.fh.write(b"@SQ\tSN:" + name.split()[0] + b"\tLN:%d\n" % int(ln))
-        self.fh.write(
+            header += b"@SQ\tSN:" + name.split()[0] + b"\tLN:%d\n" % int(ln)
+        header += (
             b"@PG\tID:" + program + b"\tPN:" + program + b"\tVN:" + version
             + (b"\tCL:" + cmdline if cmdline else b"") + b"\n"
         )
+        self._bam = None
+        if path.endswith(".bam"):
+            from .bam import BamWriter
+
+            refs = [
+                (n.split()[0], int(ln))
+                for n, ln in zip(ref_names, ref_lengths)
+            ]
+            self._bam = BamWriter(path, bytes(header), refs)
+            self.fh = None
+        else:
+            self.fh = open_output(path)
+            self.fh.write(bytes(header))
         self._held: dict[int, bytes] = {}
         self._next = 0
+
+    def _emit(self, payload: bytes):
+        if self._bam is None:
+            self.fh.write(payload)
+            return
+        from .bam import encode_record, encode_tags
+        from .sam_read import SamRecord as _SR
+
+        for line in payload.splitlines():
+            if not line or line.startswith(b"@"):
+                continue
+            f = line.split(b"\t")
+            rec = _SR(
+                qname=f[0], flag=int(f[1]), rname=f[2], pos=int(f[3]),
+                mapq=int(f[4]), cigar=f[5].decode(), seq=f[9], qual=f[10],
+            )
+            self._bam.write_record(
+                rec,
+                mate_rname=f[6],
+                mate_pos=int(f[7]),
+                tlen=int(f[8]),
+                tags=encode_tags(f[11:]),
+            )
 
     def add_batch(self, ordinal: int, payload: bytes):
         self._held[ordinal] = payload
         while self._next in self._held:
-            self.fh.write(self._held.pop(self._next))
+            self._emit(self._held.pop(self._next))
             self._next += 1
 
     def close(self):
         for k in sorted(self._held):
-            self.fh.write(self._held.pop(k))
-        if hasattr(self.fh, "close"):
+            self._emit(self._held.pop(k))
+        if self._bam is not None:
+            self._bam.close()
+        elif hasattr(self.fh, "close"):
             self.fh.close()
 
     def __enter__(self):

@@ -49,7 +49,14 @@ class SamRecord:
 
 
 def iter_sam(path: str):
-    """Yield (headers, records): headers first as a list, then SamRecords."""
+    """Yield SamRecords from a SAM or BAM file (by extension/magic)."""
+    if path.endswith(".bam"):
+        from .bam import read_bam
+
+        it = read_bam(path)
+        next(it)  # (header_text, refs)
+        yield from it
+        return
     with open_input(path) as fh:
         for line in fh:
             if line.startswith(b"@"):

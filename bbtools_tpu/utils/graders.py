@@ -26,12 +26,11 @@ class SamGrade:
 def grade_sam(path: str, scaffold_names: list[bytes], tolerance: int = 20) -> SamGrade:
     g = SamGrade()
     name_to_idx = {n.split()[0]: i for i, n in enumerate(scaffold_names)}
-    with open(path, "rb") as fh:
-        for line in fh:
-            if line.startswith(b"@"):
-                continue
-            f = line.rstrip(b"\n").split(b"\t")
-            qname, flag, rname, pos = f[0], int(f[1]), f[2], int(f[3])
+    from ..io.sam_read import iter_sam
+
+    if True:
+        for rec in iter_sam(path):
+            qname, flag, rname, pos = rec.qname, rec.flag, rec.rname, rec.pos
             if flag & 0x100 or flag & 0x800:
                 continue  # secondary/supplementary
             g.total += 1
@@ -44,7 +43,7 @@ def grade_sam(path: str, scaffold_names: list[bytes], tolerance: int = 20) -> Sa
             scaf = name_to_idx.get(rname, -1)
             # account for leading soft clips: POS refers to first aligned
             # base; truth is the read start
-            cigar = f[5].decode()
+            cigar = rec.cigar
             lead_clip = _leading_clip(cigar)
             pos0 = pos - 1 - (lead_clip if strand == 0 else 0)
             if strand == 1:
