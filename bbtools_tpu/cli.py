@@ -137,6 +137,12 @@ def _calctruequality(args):
     return main(args)
 
 
+def _demux(args):
+    from .models.demux import main
+
+    return main(args)
+
+
 TOOLS = {
     "bbduk": _bbduk,
     "bbmap": _bbmap,
@@ -165,6 +171,8 @@ TOOLS = {
     "sortbyname": _sortbyname,
     "bbsort": _sortbyname,
     "calctruequality": _calctruequality,
+    "demuxbyname": _demux,
+    "demux": _demux,
 }
 
 

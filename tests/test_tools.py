@@ -276,3 +276,38 @@ def test_bbmerge_ecco(tmp_path):
         if seq == conv:
             fixed += 1
     assert fixed >= 85, fixed
+
+
+def test_demux_barcode(tmp_path):
+    from bbtools_tpu.models.demux import Demux, parse_args as demux_parse
+
+    fin = tmp_path / "in.fq"
+    recs = []
+    bcs = ["ACGTAC", "TTGGCA", "GGATCC"]
+    for i in range(30):
+        bc = bcs[i % 3]
+        if i == 9:
+            bc = "ACGTAA"  # 1-mismatch of ACGTAC
+        recs.append(
+            (f"@m:{i}:{bc}".encode(), b"ACGTACGTAC", b"FFFFFFFFFF")
+        )
+    with open(fin, "wb") as fh:
+        for n, s, q in recs:
+            fh.write(n + b"\n" + s + b"\n+\n" + q + b"\n")
+    out = tmp_path / "out_%.fq"
+    cfg = demux_parse(
+        [
+            f"in={fin}",
+            f"out={out}",
+            f"outu={tmp_path/'un.fq'}",
+            "barcode=t",
+            "names=" + ",".join(bcs),
+            "hdist=1",
+        ]
+    )
+    d = Demux(cfg).run()
+    assert d.counts["ACGTAC"] == 10  # includes the 1-mismatch read
+    assert d.counts["TTGGCA"] == 10
+    assert (tmp_path / "out_ACGTAC.fq").exists()
+    n_lines = len((tmp_path / "out_ACGTAC.fq").read_bytes().splitlines())
+    assert n_lines == 40
