@@ -55,6 +55,9 @@ class TadpoleConfig:
     max_contig_len: int = 1_000_000
     batch_reads: int = 16384
     walk_batch: int = 4096
+    mode: str = "contig"  # contig | correct
+    ecc_pincer: bool = True
+    ecc_tail: bool = True
 
     def resolve(self):
         if self.min_contig_len < 0:
@@ -78,6 +81,13 @@ def parse_args(argv):
     c.branch_lower_const = a.get_int("branchlower", "blc", default=3)
     c.min_contig_len = a.get_int("mincontig", default=-1) or -1
     c.min_extension = a.get_int("minextension", default=2)
+    m = (a.get("mode") or "contig").lower()
+    if m in ("correct", "ecc"):
+        c.mode = "correct"
+    if a.get_bool("ecc", default=False):
+        c.mode = "correct"
+    c.ecc_pincer = a.get_bool("eccpincer", "pincer", default=True)
+    c.ecc_tail = a.get_bool("ecctail", "tail", default=True)
     return c.resolve()
 
 
@@ -582,6 +592,8 @@ class Tadpole:
     # ------------------------------------------------------------------
     def run(self):
         cfg = self.cfg
+        if cfg.mode == "correct":
+            return self.run_correct()
         t0 = time.time()
         self.load_kmers(cfg.in1)
         self.build_contigs()
@@ -599,7 +611,57 @@ class Tadpole:
         self.elapsed = time.time() - t0
         return self
 
+    def run_correct(self):
+        """mode=correct: count input kmers, then stream the reads back
+        through the ecc engine (Tadpole.java processReadPair ecc path
+        :1800-1812) and write corrected reads."""
+        from ..io.fastq import FastqWriter
+        from .tadpole_ecc import EccConfig, EccEngine
+
+        cfg = self.cfg
+        t0 = time.time()
+        self.load_kmers(cfg.in1)
+        ecc = EccEngine(
+            self.table,
+            cfg.k,
+            EccConfig(pincer=cfg.ecc_pincer, tail=cfg.ecc_tail),
+        )
+        self.ecc = ecc
+        writer = FastqWriter(cfg.out) if cfg.out else None
+        reader = read_batches(cfg.in1, batch_reads=cfg.batch_reads)
+        total_corr = 0
+        for b in reader:
+            nc = ecc.correct_batch(b.bases, b.lengths, b.quals)
+            total_corr += int(nc.sum())
+            if writer is not None:
+                changed = nc > 0
+                if changed.any():
+                    from ..core.dna import CODE_TO_BASE
+
+                    for i in np.nonzero(changed)[0]:
+                        L = int(b.lengths[i])
+                        if b.ascii_bases is not None:
+                            b.ascii_bases[i, :L] = CODE_TO_BASE[
+                                np.minimum(b.bases[i, :L], 4)
+                            ]
+                writer.add(b)
+        if writer is not None:
+            writer.close()
+        self.errors_corrected = total_corr
+        self.elapsed = time.time() - t0
+        print(
+            f"Errors corrected:     \t{total_corr} "
+            f"(pincer {ecc.stats['errors_corrected_pincer']}, "
+            f"tail {ecc.stats['errors_corrected_tail']}, "
+            f"rollbacks {ecc.stats['rollbacks']})",
+            file=sys.stderr,
+        )
+        return self
+
     def print_stats(self, stream=sys.stderr):
+        if self.cfg.mode == "correct":
+            print(f"Reads In:             \t{self.reads_in}", file=stream)
+            return
         lens = np.array([len(c) for c in self.contigs], dtype=np.int64)
         total = int(lens.sum())
         print(f"Contigs generated:    \t{len(self.contigs)}", file=stream)

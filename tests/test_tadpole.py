@@ -109,3 +109,54 @@ def test_assemble_bigk(tmp_path):
 
     for c in tool.contigs[:3]:
         assert c in g or reverse_complement(c) in g, len(c)
+
+
+def test_ecc_corrects_substitutions(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import BASE_TO_CODE, CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.tadpole import Tadpole, parse_args as tadparse
+    from bbtools_tpu.utils.synth import random_genome
+
+    genome = random_genome(8_000, n_scaffolds=1, seed=21)
+    write_fasta(str(tmp_path / "g.fa"), genome)
+    codes = load_reference(str(tmp_path / "g.fa")).scaffold_codes(0)
+    rng = np.random.default_rng(3)
+    recs = []
+    mutated = {}
+    for i in range(600):
+        s0 = int(rng.integers(0, len(codes) - 110))
+        r = codes[s0 : s0 + 100].copy()
+        if i % 5 == 0:  # 20% of reads get one substitution mid-read
+            p = int(rng.integers(40, 60))
+            r[p] = (r[p] + 1) % 4
+            mutated[i] = s0
+        recs.append(
+            (b"r%d" % i, CODE_TO_BASE[np.minimum(r, 4)].tobytes(), b"F" * 100)
+        )
+    fin = tmp_path / "in.fq"
+    with open(fin, "wb") as fh:
+        for n, s, q in recs:
+            fh.write(b"@" + n + b"\n" + s + b"\n+\n" + q + b"\n")
+    fout = tmp_path / "ecc.fq"
+    cfg = tadparse([f"in={fin}", f"out={fout}", "mode=correct", "k=31"])
+    t = Tadpole(cfg).run()
+    assert t.errors_corrected >= 0.7 * len(mutated), (
+        t.errors_corrected,
+        len(mutated),
+    )
+    # corrected mutant reads should now match the genome exactly
+    out = fout.read_bytes().splitlines()
+    fixed = total = 0
+    for j in range(0, len(out), 4):
+        ridx = int(out[j][2:])
+        if ridx not in mutated:
+            continue
+        total += 1
+        s0 = mutated[ridx]
+        want = CODE_TO_BASE[np.minimum(codes[s0 : s0 + 100], 4)].tobytes()
+        if out[j + 1] == want:
+            fixed += 1
+    assert total == len(mutated)
+    assert fixed >= 0.7 * total, (fixed, total)
