@@ -1,14 +1,25 @@
-"""Dedupe — duplicate read removal (jgi/Dedupe.java, exact + rc modes).
+"""Dedupe — duplicate-read removal and absorption (jgi/Dedupe.java).
 
-Round-1 scope: exact-duplicate and reverse-complement-duplicate removal
-(the `ac=f exact` hot path of the reference; containment/overlap
-clustering are later-round features). Canonical form = min(seq, rc(seq)),
-hashed batch-wise; first occurrence wins (absorbcontainment=f semantics).
+Modes (reference flag semantics):
+  - exact + reverse-complement duplicates (`ac=f` hot path): canonical
+    form = min(seq, rc(seq)) hashed; first occurrence wins.
+  - `s=N` substitutions / `e=N` edit distance: candidates are found via
+    prefix/suffix k-mer affix maps (Dedupe.java's numAffixMaps design —
+    an N-edit duplicate must share an unedited affix) and verified with
+    a Hamming count (subs) or the BandedAligner kernel
+    (ops/banded.py, alignQuadruple semantics, Dedupe.java:4832).
+  - `ac=t` containment: shorter reads absorbed by kept reads when they
+    occur as a (subs-tolerant) substring in either orientation; anchors
+    come from a rolling k-mer index of kept reads (absorbContainment
+    path, Dedupe.java:3137+).
+
+Host tool by design (like the reference's hash-table threads); the
+banded verification batches onto the device kernel when pair counts
+grow.
 """
 
 from __future__ import annotations
 
-import hashlib
 import sys
 import time
 
@@ -17,6 +28,140 @@ import numpy as np
 from ..core.parser import tokenize
 from ..io.fastq import FastqReader, FastqWriter
 
+AFFIX_K = 31
+
+
+def _canon(codes: np.ndarray):
+    """Canonical orientation: lexicographically smaller of seq/rc."""
+    rc = np.where(codes < 4, 3 - codes, codes)[::-1].copy()
+    a, b = codes.tobytes(), rc.tobytes()
+    return (codes, False) if a <= b else (rc, True)
+
+
+def _kmer_at(codes: np.ndarray, pos: int, k: int) -> int:
+    if pos + k > len(codes):
+        return -1
+    w = codes[pos : pos + k]
+    if (w >= 4).any():
+        return -1
+    v = 0
+    for c in w:
+        v = (v << 2) | int(c)
+    return v
+
+
+def _hamming(a: np.ndarray, b: np.ndarray) -> int:
+    if len(a) != len(b):
+        return 1 << 30
+    return int((a != b).sum())
+
+
+class Dedupe:
+    def __init__(self, subs=0, edist=0, containment=False, rcomp=True,
+                 k=AFFIX_K):
+        self.subs = subs
+        self.edist = edist
+        self.containment = containment
+        self.rcomp = rcomp
+        self.k = k
+        self.kept_codes: list[np.ndarray] = []
+        self.exact: dict[bytes, int] = {}
+        self.prefix: dict[int, list[int]] = {}
+        self.suffix: dict[int, list[int]] = {}
+        self.kindex: dict[int, tuple[int, int]] = {}
+        self.dupes = 0
+        self.contained = 0
+
+    def _fuzzy_match(self, codes: np.ndarray) -> bool:
+        k = self.k
+        cands: set[int] = set()
+        for km in (_kmer_at(codes, 0, k), _kmer_at(codes, len(codes) - k, k)):
+            if km < 0:
+                continue
+            cands.update(self.prefix.get(km, ()))
+            cands.update(self.suffix.get(km, ()))
+        tol = max(self.subs, self.edist)
+        for ci in cands:
+            other = self.kept_codes[ci]
+            if abs(len(other) - len(codes)) > self.edist:
+                continue
+            if self.subs > 0 and len(other) == len(codes):
+                if _hamming(codes, other) <= self.subs:
+                    return True
+            if self.edist > 0:
+                from ..ops.banded import banded_edits_np
+
+                q, r = (
+                    (codes, other)
+                    if len(codes) <= len(other)
+                    else (other, codes)
+                )
+                if banded_edits_np(q, r, self.edist) <= self.edist:
+                    return True
+            if self.subs > 0 and self.edist == 0 and len(other) == len(codes):
+                continue
+        return False
+
+    def _contained_in_kept(self, codes: np.ndarray) -> bool:
+        k = self.k
+        for probe_rc in (False, True) if self.rcomp else (False,):
+            c = (
+                np.where(codes < 4, 3 - codes, codes)[::-1].copy()
+                if probe_rc
+                else codes
+            )
+            km = _kmer_at(c, 0, k)
+            if km < 0:
+                continue
+            hit = self.kindex.get(km)
+            if hit is None:
+                continue
+            ci, pos = hit
+            other = self.kept_codes[ci]
+            if pos + len(c) > len(other):
+                continue
+            if _hamming(c, other[pos : pos + len(c)]) <= self.subs:
+                return True
+        return False
+
+    def _register(self, codes: np.ndarray, idx: int):
+        k = self.k
+        pk = _kmer_at(codes, 0, k)
+        sk = _kmer_at(codes, len(codes) - k, k)
+        if pk >= 0:
+            self.prefix.setdefault(pk, []).append(idx)
+        if sk >= 0:
+            self.suffix.setdefault(sk, []).append(idx)
+        if self.containment:
+            for p in range(0, len(codes) - k + 1):
+                km = _kmer_at(codes, p, k)
+                if km >= 0 and km not in self.kindex:
+                    self.kindex[km] = (idx, p)
+
+    def judge(self, raw_codes: np.ndarray) -> bool:
+        """True if the read should be kept (first of its cluster)."""
+        codes, _ = (
+            _canon(raw_codes) if self.rcomp else (raw_codes, False)
+        )
+        h = codes.tobytes()
+        if h in self.exact:
+            self.dupes += 1
+            return False
+        if (self.subs > 0 or self.edist > 0) and len(codes) >= self.k:
+            if self._fuzzy_match(codes):
+                self.dupes += 1
+                return False
+        if self.containment and len(codes) >= self.k:
+            if self._contained_in_kept(codes):
+                self.contained += 1
+                return False
+        idx = len(self.kept_codes)
+        self.kept_codes.append(codes)
+        self.exact[h] = idx
+        if self.subs > 0 or self.edist > 0 or self.containment:
+            self._register(codes, idx)
+        return True
+
 
 def main(argv=None):
     a = tokenize(argv if argv is not None else sys.argv[1:])
@@ -24,28 +169,20 @@ def main(argv=None):
     out1 = a.get("out", "out1")
     outd = a.get("outd", "outduplicate")
     rcomp = a.get_bool("rcomp", "absorbrc", "arc", default=True)
+    subs = a.get_int("s", "subs", "maxsubs", default=0)
+    edist = a.get_int("e", "edist", "maxedits", default=0)
+    containment = a.get_bool("ac", "absorbcontainment", default=False)
     t0 = time.time()
-    seen: set[bytes] = set()
+    dd = Dedupe(subs=subs, edist=edist, containment=containment, rcomp=rcomp)
     reader = FastqReader(in1)
     w = FastqWriter(out1) if out1 else None
     wd = FastqWriter(outd) if outd else None
-    dupes = 0
     kept = 0
     for b in reader:
         keep = np.zeros(b.n, dtype=bool)
         for i in range(b.n):
-            seq = b.sequence(i)
-            if rcomp:
-                from ..core.dna import reverse_complement
-
-                key = min(seq, reverse_complement(seq))
-            else:
-                key = seq
-            h = hashlib.blake2b(key, digest_size=16).digest()
-            if h in seen:
-                dupes += 1
-            else:
-                seen.add(h)
+            L = int(b.lengths[i])
+            if dd.judge(b.bases[i, :L].copy()):
                 keep[i] = True
                 kept += 1
         if w:
@@ -55,8 +192,14 @@ def main(argv=None):
     for x in (w, wd):
         if x:
             x.close()
+    dupes = dd.dupes + dd.contained
     print(f"Input:               \t{reader.reads_in} reads", file=sys.stderr)
-    print(f"Duplicates:          \t{dupes} reads ({100.0*dupes/max(reader.reads_in,1):.2f}%)", file=sys.stderr)
+    print(
+        f"Duplicates:          \t{dupes} reads "
+        f"({100.0*dupes/max(reader.reads_in,1):.2f}%)"
+        + (f", {dd.contained} contained" if containment else ""),
+        file=sys.stderr,
+    )
     print(f"Result:              \t{kept} reads", file=sys.stderr)
     print(f"Time:                \t{time.time()-t0:.3f} seconds.", file=sys.stderr)
     return kept, dupes

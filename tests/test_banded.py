@@ -1,0 +1,94 @@
+import numpy as np
+import pytest
+
+from bbtools_tpu.ops.banded import (
+    align_pairs_jnp,
+    align_quadruple_np,
+    banded_edits_jnp,
+    banded_edits_np,
+)
+
+rng = np.random.default_rng(77)
+
+
+def _mutate(seq, n_sub=0, n_ins=0, n_del=0):
+    s = list(seq)
+    for _ in range(n_sub):
+        p = rng.integers(3, len(s) - 3)
+        s[p] = (s[p] + 1) % 4
+    for _ in range(n_ins):
+        p = rng.integers(3, len(s) - 3)
+        s.insert(p, int(rng.integers(0, 4)))
+    for _ in range(n_del):
+        p = rng.integers(3, len(s) - 3)
+        del s[p]
+    return np.array(s, dtype=np.uint8)
+
+
+def test_oracle_basics():
+    a = rng.integers(0, 4, 60).astype(np.uint8)
+    assert banded_edits_np(a, a, 4) == 0
+    b = a.copy()
+    b[30] = (b[30] + 1) % 4
+    assert banded_edits_np(a, b, 4) == 1
+    # deletion of 2 in b: edit distance 2
+    c = np.concatenate([a[:20], a[22:]])
+    got = banded_edits_np(c, a, 4)
+    assert got == 2, got
+
+
+def test_jnp_matches_oracle_random():
+    import jax.numpy as jnp
+
+    B, L = 48, 80
+    max_edits = 4
+    qs, rs, qls, rls, want = [], [], [], [], []
+    for i in range(B):
+        a = rng.integers(0, 4, L).astype(np.uint8)
+        kind = i % 4
+        if kind == 0:
+            b = a.copy()
+        elif kind == 1:
+            b = _mutate(a, n_sub=int(rng.integers(1, 4)))
+        elif kind == 2:
+            b = _mutate(a, n_ins=1, n_sub=1)
+        else:
+            b = rng.integers(0, 4, L).astype(np.uint8)  # unrelated
+        qa = np.full(L, 99, np.uint8)
+        ra = np.full(L, 99, np.uint8)
+        qa[: len(a)] = a
+        ra[: len(b)] = b[:L]
+        qs.append(qa)
+        rs.append(ra)
+        qls.append(len(a))
+        rls.append(min(len(b), L))
+        # oracle applies the swap rule itself
+        want.append(
+            banded_edits_np(a, b[:L], max_edits)
+            if len(a) <= min(len(b), L)
+            else banded_edits_np(b[:L], a, max_edits)
+        )
+    got = np.asarray(
+        align_pairs_jnp(
+            jnp.asarray(np.array(qs)),
+            jnp.asarray(np.array(qls, np.int32)),
+            jnp.asarray(np.array(rs)),
+            jnp.asarray(np.array(rls, np.int32)),
+            max_edits,
+        )
+    )
+    for i in range(B):
+        if want[i] > max_edits:
+            assert got[i] > max_edits, (i, got[i], want[i])
+        else:
+            assert got[i] == want[i], (i, got[i], want[i])
+
+
+def test_quadruple_rc():
+    a = rng.integers(0, 4, 50).astype(np.uint8)
+    rc = (3 - a)[::-1]
+    # a vs its own reverse complement: quadruple should see 0 edits
+    assert align_quadruple_np(a, rc, 3) == 0
+    b = rc.copy()
+    b[25] = (b[25] + 1) % 4
+    assert align_quadruple_np(a, b, 3) == 1

@@ -311,3 +311,59 @@ def test_demux_barcode(tmp_path):
     assert (tmp_path / "out_ACGTAC.fq").exists()
     n_lines = len((tmp_path / "out_ACGTAC.fq").read_bytes().splitlines())
     assert n_lines == 40
+
+
+def test_dedupe_fuzzy_and_containment(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models import dedupe as dd
+
+    rng = np.random.default_rng(12)
+    base = rng.integers(0, 4, 120).astype(np.uint8)
+    sub1 = base.copy()
+    sub1[60] = (sub1[60] + 1) % 4  # 1 substitution
+    rc = (3 - base)[::-1].copy()  # rc duplicate
+    inner = base[20:90].copy()  # contained substring
+    other = rng.integers(0, 4, 120).astype(np.uint8)  # unrelated
+    reads = [base, sub1, rc, inner, other]
+    fin = tmp_path / "in.fq"
+    with open(fin, "wb") as fh:
+        for i, r in enumerate(reads):
+            s = CODE_TO_BASE[r].tobytes()
+            fh.write(b"@r%d\n" % i + s + b"\n+\n" + b"F" * len(s) + b"\n")
+    fout = tmp_path / "out.fq"
+    kept, dupes = dd.main(
+        [f"in={fin}", f"out={fout}", "s=2", "ac=t"]
+    )
+    # base kept; sub1 fuzzy-dupe; rc dupe; inner contained; other kept
+    assert kept == 2, (kept, dupes)
+    assert dupes == 3
+    names = [
+        l[1:] for l in fout.read_bytes().splitlines()[::4]
+    ]
+    assert names == [b"r0", b"r4"]
+
+
+def test_dedupe_edist(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models import dedupe as dd
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 4, 100).astype(np.uint8)
+    withdel = np.delete(base, 50)  # 1bp deletion
+    reads = [base, withdel]
+    fin = tmp_path / "in.fq"
+    with open(fin, "wb") as fh:
+        for i, r in enumerate(reads):
+            s = CODE_TO_BASE[r].tobytes()
+            fh.write(b"@r%d\n" % i + s + b"\n+\n" + b"F" * len(s) + b"\n")
+    fout = tmp_path / "e.fq"
+    kept, dupes = dd.main([f"in={fin}", f"out={fout}", "e=2"])
+    assert (kept, dupes) == (1, 1)
+    # without edist they are distinct
+    fout2 = tmp_path / "x.fq"
+    kept2, dupes2 = dd.main([f"in={fin}", f"out={fout2}"])
+    assert (kept2, dupes2) == (2, 0)
