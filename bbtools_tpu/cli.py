@@ -143,6 +143,12 @@ def _demux(args):
     return main(args)
 
 
+def _consensus(args):
+    from .models.consensus import main
+
+    return main(args)
+
+
 TOOLS = {
     "bbduk": _bbduk,
     "bbmap": _bbmap,
@@ -173,6 +179,8 @@ TOOLS = {
     "calctruequality": _calctruequality,
     "demuxbyname": _demux,
     "demux": _demux,
+    "consensus": _consensus,
+    "consensusmaker": _consensus,
 }
 
 

@@ -367,3 +367,55 @@ def test_dedupe_edist(tmp_path):
     fout2 = tmp_path / "x.fq"
     kept2, dupes2 = dd.main([f"in={fin}", f"out={fout2}"])
     assert (kept2, dupes2) == (2, 0)
+
+
+def test_consensus_maker(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.bbmap import BBMap, BBMapConfig
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+    from bbtools_tpu.models.consensus import main as consensus_main
+    from bbtools_tpu.utils.synth import random_genome, write_reads
+
+    # truth genome; the given reference has 3 planted errors
+    genome = random_genome(12_000, n_scaffolds=1, seed=5)
+    write_fasta(str(tmp_path / "truth.fa"), genome)
+    truth = load_reference(str(tmp_path / "truth.fa")).scaffold_codes(0)
+    wrong = truth.copy()
+    err_pos = [3000, 6000, 9000]
+    for p in err_pos:
+        wrong[p] = (wrong[p] + 1) % 4
+    write_fasta(
+        str(tmp_path / "ref.fa"),
+        [(b"scaffold_0", CODE_TO_BASE[np.minimum(wrong, 4)].tobytes())],
+    )
+    # reads sampled from the TRUTH at ~15x
+    rng = np.random.default_rng(6)
+    recs = []
+    for i in range(1800):
+        s0 = int(rng.integers(0, len(truth) - 110))
+        r = truth[s0 : s0 + 100]
+        recs.append(
+            (b"r%d" % i, CODE_TO_BASE[np.minimum(r, 4)].tobytes(), b"F" * 100)
+        )
+    write_reads(str(tmp_path / "r.fq"), recs)
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    idx = SeedIndex.build(ref, k=13)
+    sam = str(tmp_path / "m.sam")
+    BBMap(
+        BBMapConfig(in1=str(tmp_path / "r.fq"), out=sam, batch_reads=512),
+        index=idx,
+    ).run()
+    stats = consensus_main(
+        [f"in={sam}", f"ref={tmp_path/'ref.fa'}", f"out={tmp_path/'cons.fa'}"]
+    )
+    assert stats["sub"] >= 3  # the planted errors got corrected
+    cons = load_reference(str(tmp_path / "cons.fa")).scaffold_codes(0)
+    assert len(cons) == len(truth)
+    # consensus equals the truth at the planted positions
+    for p in err_pos:
+        assert cons[p] == truth[p]
+    # and essentially everywhere (covered regions)
+    assert (cons == truth).mean() > 0.995
