@@ -149,6 +149,12 @@ def _consensus(args):
     return main(args)
 
 
+def _bbsplit(args):
+    from .models.bbsplit import main
+
+    return main(args)
+
+
 TOOLS = {
     "bbduk": _bbduk,
     "bbmap": _bbmap,
@@ -181,6 +187,7 @@ TOOLS = {
     "demux": _demux,
     "consensus": _consensus,
     "consensusmaker": _consensus,
+    "bbsplit": _bbsplit,
 }
 
 

@@ -419,3 +419,54 @@ def test_consensus_maker(tmp_path):
         assert cons[p] == truth[p]
     # and essentially everywhere (covered regions)
     assert (cons == truth).mean() > 0.995
+
+
+def test_bbsplit(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.bbsplit import BBSplit, parse_args as sp_parse
+    from bbtools_tpu.utils.synth import random_genome, write_reads
+
+    ga = random_genome(20_000, n_scaffolds=1, seed=31)
+    gb = random_genome(20_000, n_scaffolds=1, seed=32)
+    write_fasta(str(tmp_path / "orgA.fa"), ga)
+    write_fasta(str(tmp_path / "orgB.fa"), gb)
+    ca = load_reference(str(tmp_path / "orgA.fa")).scaffold_codes(0)
+    cb = load_reference(str(tmp_path / "orgB.fa")).scaffold_codes(0)
+    rng = np.random.default_rng(33)
+    recs = []
+    for i in range(120):
+        src = ca if i % 2 == 0 else cb
+        s0 = int(rng.integers(0, len(src) - 110))
+        recs.append(
+            (
+                b"%s_%d" % (b"A" if i % 2 == 0 else b"B", i),
+                CODE_TO_BASE[np.minimum(src[s0 : s0 + 100], 4)].tobytes(),
+                b"F" * 100,
+            )
+        )
+    # plus unmappable reads
+    for i in range(10):
+        recs.append(
+            (b"X_%d" % i,
+             CODE_TO_BASE[rng.integers(0, 4, 100)].tobytes(), b"F" * 100)
+        )
+    write_reads(str(tmp_path / "r.fq"), recs)
+    cfg = sp_parse(
+        [
+            f"in={tmp_path/'r.fq'}",
+            f"ref={tmp_path/'orgA.fa'},{tmp_path/'orgB.fa'}",
+            f"basename={tmp_path/'out_%.fq'}",
+            f"outu={tmp_path/'un.fq'}",
+            f"refstats={tmp_path/'refstats.txt'}",
+        ]
+    )
+    BBSplit(cfg, tmpdir=str(tmp_path)).run()
+    a_names = (tmp_path / "out_orgA.fq").read_bytes().splitlines()[::4]
+    b_names = (tmp_path / "out_orgB.fq").read_bytes().splitlines()[::4]
+    assert len(a_names) >= 55 and all(n.startswith(b"@A_") for n in a_names)
+    assert len(b_names) >= 55 and all(n.startswith(b"@B_") for n in b_names)
+    stats = (tmp_path / "refstats.txt").read_text()
+    assert "orgA" in stats and "orgB" in stats
