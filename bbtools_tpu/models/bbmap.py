@@ -60,6 +60,8 @@ BIG = 1 << 30
 @dataclass
 class BBMapConfig:
     ref: str | None = None
+    index_path: str | None = None
+    overwrite_index: bool = False
     in1: str | None = None
     in2: str | None = None
     out: str | None = None
@@ -78,6 +80,11 @@ def parse_args(argv):
     a = tokenize(argv)
     c = BBMapConfig()
     c.ref = a.get("ref")
+    if not a.get_bool("nodisk", default=True):
+        c.index_path = a.get("path", "indexpath", default=".") or "."
+    elif a.get("path", "indexpath"):
+        c.index_path = a.get("path", "indexpath")
+    c.overwrite_index = a.get_bool("overwrite", "ow", default=False)
     c.in1 = a.get("in", "in1")
     c.in2 = a.get("in2")
     c.out = a.get("out", "outm")
@@ -109,13 +116,43 @@ class BBMap:
     def __init__(self, cfg: BBMapConfig, index: SeedIndex | None = None):
         self.cfg = cfg
         if index is None:
-            ref = load_ref(cfg.ref)
-            index = SeedIndex.build(ref, k=cfg.k, max_hits=cfg.max_hits_per_key)
+            index = self._load_or_build_index()
         self.index = index
         self.ref = index.ref
         self.reads_mapped = 0
         self.reads_unmapped = 0
         self.reads_in = 0
+
+    def _load_or_build_index(self) -> SeedIndex:
+        """Build the seed index, caching it under `path=` like the
+        reference's on-disk genome index (align2/IndexMaker4; reuse unless
+        nodisk/overwrite)."""
+        import os
+        import sys as _sys
+        import time as _time
+
+        cfg = self.cfg
+        cache = None
+        if cfg.index_path:
+            os.makedirs(cfg.index_path, exist_ok=True)
+            tag = os.path.basename(cfg.ref or "ref")
+            cache = os.path.join(
+                cfg.index_path, f"{tag}.k{cfg.k}.seedindex.npz"
+            )
+            if os.path.exists(cache) and not cfg.overwrite_index:
+                t0 = _time.time()
+                idx = SeedIndex.load(cache)
+                print(
+                    f"Loaded index {cache} in {_time.time()-t0:.2f}s",
+                    file=_sys.stderr,
+                )
+                return idx
+        ref = load_ref(cfg.ref)
+        idx = SeedIndex.build(ref, k=cfg.k, max_hits=cfg.max_hits_per_key)
+        if cache is not None:
+            idx.save(cache)
+            print(f"Wrote index {cache}", file=_sys.stderr)
+        return idx
 
     # ------------------------------------------------------------------
     def seed_offsets(self, length: int) -> np.ndarray:

@@ -25,6 +25,8 @@ import numpy as np
 from ..io.fasta import Reference
 from ..ops.kmers import rolling_kmers_np
 
+INDEX_VERSION = 1
+
 
 @dataclass
 class SeedIndex:
@@ -32,6 +34,58 @@ class SeedIndex:
     starts: np.ndarray  # int64 [4^k + 1]
     sites: np.ndarray  # int32 [n_sites] -- flat reference positions
     ref: Reference
+
+    # ---- persistence (the reference caches built indexes under path=,
+    # align2/IndexMaker4 writes block files reused on later runs) ----
+    def save(self, path: str) -> None:
+        """Serialize to one compressed npz. The 4^k `starts` table is
+        stored as per-key counts — sparse (key, count) pairs when under
+        quarter-full (small references), dense uint16 otherwise — so the
+        load path never decompresses hundreds of idle megabytes."""
+        counts = np.diff(self.starts)
+        nz = np.flatnonzero(counts)
+        payload = dict(
+            version=np.int64(INDEX_VERSION),
+            k=np.int64(self.k),
+            space=np.int64(len(counts)),
+            sites=self.sites,
+            ref_codes=self.ref.codes,
+            ref_starts=self.ref.starts,
+            ref_lengths=self.ref.lengths,
+            ref_names=np.array([n.decode() for n in self.ref.names]),
+        )
+        if len(nz) * 4 < len(counts):
+            payload["nz_keys"] = nz.astype(np.int64)
+            payload["nz_counts"] = counts[nz].astype(np.uint16)
+        else:
+            payload["counts"] = counts.astype(np.uint16)
+        np.savez_compressed(path, **payload)
+
+    @staticmethod
+    def load(path: str) -> "SeedIndex":
+        z = np.load(path, allow_pickle=False)
+        if int(z["version"]) != INDEX_VERSION:
+            raise ValueError(
+                f"{path}: index version {int(z['version'])}, "
+                f"expected {INDEX_VERSION} — rebuild with overwrite=t"
+            )
+        space = int(z["space"])
+        starts = np.zeros(space + 1, dtype=np.int64)
+        if "counts" in z:
+            np.cumsum(z["counts"].astype(np.int64), out=starts[1:])
+        else:
+            counts = np.zeros(space, dtype=np.int64)
+            counts[z["nz_keys"]] = z["nz_counts"]
+            np.cumsum(counts, out=starts[1:])
+        ref = Reference(
+            codes=z["ref_codes"],
+            names=[n.encode() for n in z["ref_names"]],
+            starts=z["ref_starts"],
+            lengths=z["ref_lengths"],
+        )
+        return SeedIndex(
+            k=int(z["k"]), starts=starts, sites=z["sites"], ref=ref
+        )
 
     @staticmethod
     def build(ref: Reference, k: int = 13, max_hits: int = 2000):

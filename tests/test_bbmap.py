@@ -156,3 +156,25 @@ def test_bbmap_paired(ecoli_like):
     assert proper >= 380, proper
     tl = np.array(tlens)
     assert 180 <= np.median(tl) <= 320, np.median(tl)
+
+
+def test_index_save_load_roundtrip(tmp_path, ecoli_like):
+    _, ref, idx = ecoli_like
+    p = str(tmp_path / "idx.npz")
+    idx.save(p)
+    idx2 = SeedIndex.load(p)
+    assert idx2.k == idx.k
+    np.testing.assert_array_equal(idx2.starts, idx.starts)
+    np.testing.assert_array_equal(idx2.sites, idx.sites)
+    np.testing.assert_array_equal(idx2.ref.codes, idx.ref.codes)
+    assert idx2.ref.names == idx.ref.names
+    # mapping through a loaded index gives identical SAM
+    reads = random_reads(ref, 50, read_len=100, snp_rate=0.01, seed=44)
+    fq = tmp_path / "rr.fq"
+    write_reads(str(fq), reads)
+    s1, s2 = tmp_path / "a.sam", tmp_path / "b.sam"
+    BBMap(BBMapConfig(in1=str(fq), out=str(s1), batch_reads=64), index=idx).run()
+    BBMap(BBMapConfig(in1=str(fq), out=str(s2), batch_reads=64), index=idx2).run()
+    a = [l for l in s1.read_bytes().splitlines() if not l.startswith(b"@PG")]
+    b = [l for l in s2.read_bytes().splitlines() if not l.startswith(b"@PG")]
+    assert a == b
