@@ -1,10 +1,14 @@
 """Seal — multi-reference k-mer quantification/binning (jgi/Seal.java:59).
 
-BBDuk with per-REFERENCE values: k-mers map to reference ids (first-wins
-like BBDuk, or per-ref counting); reads are scored against every matching
-reference and attributed to the best (ambiguous modes: first/toss/all).
-Outputs per-ref read/base counts (stats= in the refstats format) and
-optional per-ref demultiplexed FASTQs (pattern out=%.fq).
+BBDuk with per-REFERENCE values. Unlike BBDuk's single-id tables, Seal
+k-mers are MULTI-VALUED: a k-mer shared by several references credits all
+of them (Seal.java keeps id lists per kmer). Here the per-kmer value is a
+REFERENCE BITSET (bit rid-1), OR-merged at build — so the one-gather
+bucket lookup stays unchanged and per-ref votes are popcounts over the
+scan plane (TPU-native: no lists, no extra gathers). Reads are attributed
+per `ambig=` (first | all | toss | best; Seal.java:280-291). Outputs
+per-ref read/base counts (refstats format) and optional per-ref FASTQs
+(pattern out=%.fq). Bitset values cap at 30 reference files for now.
 """
 
 from __future__ import annotations
@@ -32,19 +36,34 @@ def main(argv=None):
     stats = a.get("stats", "refstats")
     k = a.get_int("k", default=31)
     mkh = a.get_int("minkmerhits", "mkh", default=1)
+    ambig = (a.get("ambiguous", "ambig") or "first").lower()
     t0 = time.time()
     # one id per REFERENCE FILE (Seal's ref-level attribution); scaffolds
     # within a file share the id
-    scaffolds = []
-    ids = []
+    if len(refs) > 30:
+        raise ValueError("seal: more than 30 reference files not yet supported")
+    # per-ref key sets (dedup inside one ref is harmless: same bit),
+    # then OR-merge the bitsets of keys shared ACROSS refs
+    all_keys = []
+    all_masks = []
     names = []
     for rid, path in enumerate(refs, start=1):
         names.append(path.encode())
-        for rec in iter_fasta(path):
-            scaffolds.append(encode(rec.seq))
-            ids.append(rid)
-    keys, kid = build_ref_keys(scaffolds, k, ids=ids)
-    idx = BucketKmerIndex.build(keys, kid)
+        scaffolds = [encode(rec.seq) for rec in iter_fasta(path)]
+        rk, _ = build_ref_keys(scaffolds, k)
+        all_keys.append(rk)
+        all_masks.append(
+            np.full(len(rk), np.int64(1) << (rid - 1), dtype=np.int64)
+        )
+    keys = np.concatenate(all_keys)
+    masks = np.concatenate(all_masks)
+    order = np.argsort(keys, kind="stable")
+    sk, sm = keys[order], masks[order]
+    group_start = np.flatnonzero(
+        np.concatenate([[True], sk[1:] != sk[:-1]])
+    )
+    or_masks = np.bitwise_or.reduceat(sm, group_start)
+    idx = BucketKmerIndex.build(sk[group_start], or_masks.astype(np.int32))
     cfg = KScanConfig(k=k, nb=idx.nb)
     table = idx.device_arrays()
     nref = len(refs)
@@ -54,22 +73,27 @@ def main(argv=None):
     reader = FastqReader(in1)
     for b in reader:
         out = kscan_full(cfg, table, jnp.asarray(b.bases), jnp.asarray(b.lengths))
-        ids_pos = np.asarray(out["ids"])  # [B, L]
+        ids_pos = np.asarray(out["ids"])  # [B, L] ref bitsets per position
         B = b.n
-        # votes per ref per read
-        best = np.zeros(B, dtype=np.int64)
-        best_votes = np.zeros(B, dtype=np.int64)
+        # votes per ref per read: popcount of bit rid-1 over positions
+        votes = np.zeros((nref + 1, B), dtype=np.int64)
         for rid in range(1, nref + 1):
-            votes = (ids_pos == rid).sum(axis=1)
-            better = votes > best_votes
-            best = np.where(better, rid, best)
-            best_votes = np.where(better, votes, best_votes)
-        best = np.where(best_votes >= mkh, best, 0)
+            votes[rid] = ((ids_pos >> (rid - 1)) & 1).sum(axis=1)
+        best_votes = votes[1:].max(axis=0)
+        best = np.where(
+            best_votes >= mkh, votes[1:].argmax(axis=0) + 1, 0
+        )  # argmax = lowest rid on ties (AMBIG_FIRST)
+        if ambig == "toss":
+            n_top = (votes[1:] == best_votes[None, :]).sum(axis=0)
+            best = np.where((n_top > 1) & (best > 0), 0, best)
         np.add.at(read_counts, best, 1)
         np.add.at(base_counts, best, b.lengths.astype(np.int64))
+        credit = votes[1:] >= mkh if ambig == "all" else None
         if out_pattern:
             for rid in range(1, nref + 1):
-                keep = best == rid
+                keep = (
+                    credit[rid - 1] if credit is not None else best == rid
+                )
                 if not keep.any():
                     continue
                 if rid not in writers:

@@ -470,3 +470,60 @@ def test_bbsplit(tmp_path):
     assert len(b_names) >= 55 and all(n.startswith(b"@B_") for n in b_names)
     stats = (tmp_path / "refstats.txt").read_text()
     assert "orgA" in stats and "orgB" in stats
+
+
+def test_seal_shared_kmers_multivalued(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models import seal
+
+    rng = np.random.default_rng(41)
+    shared = rng.integers(0, 4, 200).astype(np.uint8)  # region in BOTH refs
+    a_only = rng.integers(0, 4, 200).astype(np.uint8)
+    b_only = rng.integers(0, 4, 200).astype(np.uint8)
+    refa = np.concatenate([a_only, shared])
+    refb = np.concatenate([shared, b_only])
+
+    def fa(path, name, codes):
+        with open(path, "wb") as fh:
+            fh.write(
+                b">" + name + b"\n" + CODE_TO_BASE[codes].tobytes() + b"\n"
+            )
+
+    fa(tmp_path / "a.fa", b"A", refa)
+    fa(tmp_path / "b.fa", b"B", refb)
+    # reads: from shared region (hits both), from a_only, from b_only
+    reads = [
+        (b"shared", shared[50:150]),
+        (b"aonly", a_only[50:150]),
+        (b"bonly", b_only[50:150]),
+    ]
+    with open(tmp_path / "r.fq", "wb") as fh:
+        for n, c in reads:
+            s = CODE_TO_BASE[c].tobytes()
+            fh.write(b"@" + n + b"\n" + s + b"\n+\n" + b"F" * len(s) + b"\n")
+    # ambig=all: the shared read lands in BOTH outputs
+    counts = seal.main(
+        [
+            f"in={tmp_path/'r.fq'}",
+            f"ref={tmp_path/'a.fa'},{tmp_path/'b.fa'}",
+            f"pattern={tmp_path/'s_%.fq'}",
+            "ambig=all",
+            "k=31",
+        ]
+    )
+    a_out = (tmp_path / "s_a.fq").read_bytes().splitlines()[::4]
+    b_out = (tmp_path / "s_b.fq").read_bytes().splitlines()[::4]
+    assert b"@shared" in a_out and b"@aonly" in a_out
+    assert b"@shared" in b_out and b"@bonly" in b_out
+    # ambig=toss: shared read unmatched
+    counts2 = seal.main(
+        [
+            f"in={tmp_path/'r.fq'}",
+            f"ref={tmp_path/'a.fa'},{tmp_path/'b.fa'}",
+            "ambig=toss",
+            "k=31",
+        ]
+    )
+    assert counts2[0] == 1 and counts2[1] == 1 and counts2[2] == 1
