@@ -6,6 +6,12 @@ adjacently, which dramatically improves gzip ratios and enables optical/
 PCR-duplicate marking. TPU-era design: pivot hashing is a batched device
 reduction (min over hashed window k-mers); ordering is one global argsort.
 Optional dedupe=t removes exact duplicates within a clump.
+
+`groups=N` enables the reference's EXTERNAL 2-pass shuffle
+(Clumpify.java:88-97, KmerSplit -> KmerSort): pass 1 streams reads into N
+temp partitions by pivot hash (memory = one batch), pass 2 sorts each
+partition independently and concatenates — pivot-partitioning makes the
+concatenation globally clump-ordered without a global sort.
 """
 
 from __future__ import annotations
@@ -36,33 +42,81 @@ def pivot_kmers(bases: np.ndarray, lengths: np.ndarray, k: int):
     return piv, pos
 
 
+def _sort_and_write(records, fh, dedupe: bool) -> int:
+    """KmerComparator order: (pivot, position-in-read desc, sequence)."""
+    records.sort(key=lambda r: (r[0], -r[1], r[3]))
+    dupes = 0
+    prev_seq = None
+    for piv, pos, name, seq, qual in records:
+        if dedupe and seq == prev_seq:
+            dupes += 1
+            continue
+        fh.write(b"@%s\n%s\n+\n%s\n" % (name, seq, qual))
+        prev_seq = seq
+    return dupes
+
+
 def main(argv=None):
+    import os
+    import tempfile
+
     a = tokenize(argv if argv is not None else sys.argv[1:])
     in1 = a.get("in", "in1")
     out1 = a.get("out", "out1")
     k = a.get_int("k", default=31)
     dedupe = a.get_bool("dedupe", default=False)
+    groups = a.get_int("groups", "g", default=1)
     t0 = time.time()
-    records = []  # (pivot, pos, name, seq, qual)
-    reader = FastqReader(in1)
-    for b in reader:
-        piv, pos = pivot_kmers(b.bases, b.lengths.astype(np.int64), k)
-        for i in range(b.n):
-            records.append(
-                (int(piv[i]), int(pos[i]), b.ids[i], b.sequence(i), b.quality_string(i))
-            )
-    # sort by (pivot, position-in-read desc, sequence) — KmerComparator order
-    records.sort(key=lambda r: (r[0], -r[1], r[3]))
     dupes = 0
-    with open_output(out1) as fh:
-        prev_seq = None
-        for piv, pos, name, seq, qual in records:
-            if dedupe and seq == prev_seq:
-                dupes += 1
-                continue
-            fh.write(b"@%s\n%s\n+\n%s\n" % (name, seq, qual))
-            prev_seq = seq
-    n = len(records)
+    n = 0
+    reader = FastqReader(in1)
+    if groups <= 1:
+        records = []  # (pivot, pos, name, seq, qual)
+        for b in reader:
+            piv, pos = pivot_kmers(b.bases, b.lengths.astype(np.int64), k)
+            for i in range(b.n):
+                records.append(
+                    (int(piv[i]), int(pos[i]), b.ids[i], b.sequence(i),
+                     b.quality_string(i))
+                )
+        n = len(records)
+        with open_output(out1) as fh:
+            dupes = _sort_and_write(records, fh, dedupe)
+    else:
+        # pass 1 (KmerSplit): partition by pivot into temp files. The
+        # partition key uses the TOP bits so groups are pivot-ordered and
+        # per-group sorted outputs concatenate into a global clump order.
+        with tempfile.TemporaryDirectory(prefix="clumpify_") as td:
+            parts = [
+                open(os.path.join(td, f"g{g}.fq"), "wb")
+                for g in range(groups)
+            ]
+            for b in reader:
+                piv, pos = pivot_kmers(b.bases, b.lengths.astype(np.int64), k)
+                gid = (piv.astype(np.uint64) >> np.uint64(64 - 16)).astype(
+                    np.int64
+                ) * groups // (1 << 16)
+                for g in range(groups):
+                    rows = np.flatnonzero(gid == g)
+                    if len(rows):
+                        parts[g].write(encode_fastq(b, gid == g))
+                n += b.n
+            for fh in parts:
+                fh.close()
+            # pass 2 (KmerSort): sort each partition independently
+            with open_output(out1) as fh:
+                for g in range(groups):
+                    records = []
+                    for b in FastqReader(os.path.join(td, f"g{g}.fq")):
+                        piv, pos = pivot_kmers(
+                            b.bases, b.lengths.astype(np.int64), k
+                        )
+                        for i in range(b.n):
+                            records.append(
+                                (int(piv[i]), int(pos[i]), b.ids[i],
+                                 b.sequence(i), b.quality_string(i))
+                            )
+                    dupes += _sort_and_write(records, fh, dedupe)
     print(f"Reads:               \t{n}", file=sys.stderr)
     if dedupe:
         print(f"Duplicates removed:  \t{dupes}", file=sys.stderr)

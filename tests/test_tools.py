@@ -527,3 +527,25 @@ def test_seal_shared_kmers_multivalued(tmp_path):
         ]
     )
     assert counts2[0] == 1 and counts2[1] == 1 and counts2[2] == 1
+
+
+def test_clumpify_external_groups(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models import clumpify
+
+    rng = np.random.default_rng(51)
+    with open(tmp_path / "in.fq", "wb") as fh:
+        for i in range(300):
+            c = rng.integers(0, 4, 100).astype(np.uint8)
+            s = CODE_TO_BASE[c].tobytes()
+            fh.write(b"@r%d\n" % i + s + b"\n+\n" + b"F" * 100 + b"\n")
+    clumpify.main(
+        [f"in={tmp_path/'in.fq'}", f"out={tmp_path/'g1.fq'}", "groups=1"]
+    )
+    clumpify.main(
+        [f"in={tmp_path/'in.fq'}", f"out={tmp_path/'g4.fq'}", "groups=4"]
+    )
+    # external sort produces the same global clump order as in-memory
+    assert (tmp_path / "g1.fq").read_bytes() == (tmp_path / "g4.fq").read_bytes()
