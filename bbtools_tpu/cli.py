@@ -155,6 +155,18 @@ def _bbsplit(args):
     return main(args)
 
 
+def _taxonomy(args):
+    from .models.taxonomy import main
+
+    return main(args)
+
+
+def _filterbytaxa(args):
+    from .models.taxonomy import filter_by_taxa
+
+    return filter_by_taxa(args)
+
+
 TOOLS = {
     "bbduk": _bbduk,
     "bbmap": _bbmap,
@@ -188,6 +200,9 @@ TOOLS = {
     "consensus": _consensus,
     "consensusmaker": _consensus,
     "bbsplit": _bbsplit,
+    "taxonomy": _taxonomy,
+    "taxtree": _taxonomy,
+    "filterbytaxa": _filterbytaxa,
 }
 
 

@@ -1,0 +1,228 @@
+"""Taxonomy — NCBI tree loading and lineage queries (tax/ package).
+
+Reference: tax/TaxTree.java — parses NCBI `names.dmp`/`nodes.dmp`
+(tab-pipe-delimited; getNodes :431-470, getNames), normalizes ranks to the
+canonical level ladder (taxLevelNames :2611: no rank, subspecies, species,
+genus, family, order, class, phylum, kingdom, superkingdom/domain, life),
+and answers ancestry queries (commonAncestor :959-975, getAncestorAtLevel,
+getLineage). tax/GiToTaxid + AccessionToTaxid map sequence ids; here a
+simple `accession<TAB>taxid` table covers that role. The tool surface is
+`taxonomy` (print lineages) and `filterbytaxa` (keep/exclude sequences
+under given nodes — tax/FilterByTaxa.java).
+
+Host-side component by design: the tree is pointer-chasing metadata, not a
+device workload; arrays are numpy (id -> parent / level vectors) so
+lineage walks are tight loops over int arrays.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.parser import tokenize
+
+LEVELS = [
+    "no rank", "subspecies", "species", "genus", "family", "order",
+    "class", "phylum", "kingdom", "superkingdom", "domain", "life",
+]
+LEVEL_OF = {n: i for i, n in enumerate(LEVELS)}
+# NCBI rank aliases seen in nodes.dmp, mapped onto the canonical ladder
+ALIASES = {
+    "strain": "subspecies", "varietas": "subspecies", "forma": "subspecies",
+    "subgenus": "genus", "species group": "genus",
+    "species subgroup": "genus", "subfamily": "family", "tribe": "family",
+    "subtribe": "family", "superfamily": "order", "suborder": "order",
+    "infraorder": "order", "parvorder": "order", "superorder": "class",
+    "subclass": "class", "infraclass": "class", "cohort": "class",
+    "subcohort": "class", "superclass": "phylum", "subphylum": "phylum",
+    "subkingdom": "kingdom", "superphylum": "kingdom",
+    "cellular root": "domain", "acellular root": "domain", "realm": "domain",
+    "clade": "no rank", "section": "genus", "series": "genus",
+    "subsection": "genus", "pathogroup": "species", "serogroup": "species",
+    "serotype": "subspecies", "genotype": "subspecies",
+    "morph": "subspecies", "isolate": "subspecies", "biotype": "subspecies",
+    "forma specialis": "subspecies",
+}
+LIFE_ID = 1
+
+
+@dataclass
+class TaxNode:
+    id: int
+    pid: int
+    level: int
+    name: str = ""
+
+
+class TaxTree:
+    def __init__(self, parent: np.ndarray, level: np.ndarray, names: dict):
+        self.parent = parent  # int64 [max_id+1], -1 = absent
+        self.level = level  # int8
+        self.names = names  # id -> scientific name
+        self.name_to_id = {v.lower(): k for k, v in names.items()}
+
+    # ---- construction ----
+    @classmethod
+    def load(cls, names_dmp: str, nodes_dmp: str) -> "TaxTree":
+        ids, pids, levels = [], [], []
+        with open(nodes_dmp) as fh:
+            for line in fh:
+                parts = [p.strip() for p in line.split("|")]
+                tid, pid, rank = int(parts[0]), int(parts[1]), parts[2]
+                rank = ALIASES.get(rank, rank)
+                ids.append(tid)
+                pids.append(pid)
+                levels.append(LEVEL_OF.get(rank, 0))
+        size = max(ids) + 1
+        parent = np.full(size, -1, dtype=np.int64)
+        level = np.zeros(size, dtype=np.int8)
+        parent[ids] = pids
+        level[ids] = levels
+        if parent[LIFE_ID] == LIFE_ID:
+            level[LIFE_ID] = LEVEL_OF["life"]
+        names = {}
+        with open(names_dmp) as fh:
+            for line in fh:
+                parts = [p.strip() for p in line.split("|")]
+                if len(parts) >= 4 and parts[3] == "scientific name":
+                    names[int(parts[0])] = parts[1]
+        return cls(parent, level, names)
+
+    # ---- queries (TaxTree.java :925-1005) ----
+    def valid(self, tid: int) -> bool:
+        return 0 <= tid < len(self.parent) and self.parent[tid] >= 0
+
+    def lineage(self, tid: int) -> list[int]:
+        out = []
+        while self.valid(tid):
+            out.append(tid)
+            p = int(self.parent[tid])
+            if p == tid:
+                break
+            tid = p
+        return out
+
+    def ancestor_at_level(self, tid: int, level_name: str) -> int:
+        want = LEVEL_OF[level_name]
+        for t in self.lineage(tid):
+            if int(self.level[t]) >= want:
+                return t
+        return -1
+
+    def common_ancestor(self, a: int, b: int) -> int:
+        seen = set(self.lineage(a))
+        for t in self.lineage(b):
+            if t in seen:
+                return t
+        return -1
+
+    def is_descendant(self, tid: int, ancestor: int) -> bool:
+        return ancestor in self.lineage(tid)
+
+    def name_of(self, tid: int) -> str:
+        return self.names.get(tid, f"tid_{tid}")
+
+    def id_of(self, name: str) -> int:
+        return self.name_to_id.get(name.lower(), -1)
+
+    def lineage_string(self, tid: int) -> str:
+        """kingdom;...;species formatted lineage (printTaxonomy style)."""
+        parts = []
+        for t in reversed(self.lineage(tid)):
+            lv = int(self.level[t])
+            if lv > 0 or t == tid:
+                parts.append(f"{LEVELS[lv]}:{self.name_of(t)}")
+        return ";".join(parts)
+
+    def resolve(self, token: str) -> int:
+        """taxid, name, or accession-style token -> taxid."""
+        if token.isdigit():
+            return int(token)
+        return self.id_of(token)
+
+
+def load_accession_map(path: str) -> dict:
+    """accession<TAB>taxid table (AccessionToTaxid's role)."""
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            f = line.rstrip("\n").split("\t")
+            if len(f) >= 2 and f[1].lstrip("-").isdigit():
+                out[f[0]] = int(f[1])
+    return out
+
+
+def taxid_of_header(header: bytes, acc_map: dict | None) -> int:
+    """Sequence header -> taxid: `tid|1234|...` (reference ncbi style),
+    or accession lookup on the first token."""
+    s = header.decode(errors="replace")
+    if s.startswith("tid|"):
+        try:
+            return int(s.split("|")[1])
+        except (IndexError, ValueError):
+            return -1
+    tok = s.split()[0].split(".")[0] if s else ""
+    if acc_map:
+        return acc_map.get(tok, acc_map.get(s.split()[0] if s else "", -1))
+    return -1
+
+
+def filter_by_taxa(argv) -> tuple[int, int]:
+    """FilterByTaxa: keep (or exclude) fasta records under given nodes."""
+    from ..io.fasta import iter_fasta, write_fasta
+
+    a = tokenize(argv)
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    tree = TaxTree.load(a.get("names"), a.get("nodes"))
+    acc_map = (
+        load_accession_map(a.get("accession"))
+        if a.get("accession")
+        else None
+    )
+    include = a.get_bool("include", default=True)
+    wanted = set()
+    for token in (a.get("ids", "id", "taxa") or "").split(","):
+        token = token.strip()
+        if token:
+            t = tree.resolve(token)
+            if t < 0:
+                raise ValueError(f"unknown taxon {token!r}")
+            wanted.add(t)
+    level = a.get("level")  # optional: promote each read's tid to level
+    kept, dropped = 0, 0
+    records = []
+    for rec in iter_fasta(in1):
+        tid = taxid_of_header(rec.name, acc_map)
+        if level and tid >= 0:
+            tid = tree.ancestor_at_level(tid, level)
+        hit = any(tree.is_descendant(tid, w) for w in wanted) if tid >= 0 else False
+        if hit == include:
+            records.append((rec.name, rec.seq))
+            kept += 1
+        else:
+            dropped += 1
+    if out1:
+        write_fasta(out1, records)
+    print(f"Kept:                \t{kept}", file=sys.stderr)
+    print(f"Dropped:             \t{dropped}", file=sys.stderr)
+    return kept, dropped
+
+
+def main(argv=None):
+    """`taxonomy names= nodes= ids=...` prints lineages."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    tree = TaxTree.load(a.get("names"), a.get("nodes"))
+    for token in (a.get("ids", "id", "taxa") or "").split(","):
+        token = token.strip()
+        if not token:
+            continue
+        tid = tree.resolve(token)
+        if tid < 0 or not tree.valid(tid):
+            print(f"{token}\t<not found>")
+        else:
+            print(f"{token}\t{tree.lineage_string(tid)}")
+    return tree
