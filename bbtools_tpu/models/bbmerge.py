@@ -89,6 +89,9 @@ class BBMergeConfig:
     use_entropy: bool = True
     batch_reads: int = 8192
     ziplevel: int | None = None
+    extend2: int = 0  # kmer-extend unmerged pairs and retry (BBMerge:653)
+    ecct: bool = False  # tadpole error-correct reads pre-overlap (:657)
+    extend_k: int = 31
 
 
 def parse_args(argv: list[str]) -> BBMergeConfig:
@@ -110,6 +113,9 @@ def parse_args(argv: list[str]) -> BBMergeConfig:
     c.use_entropy = a.get_bool("entropy", "useentropy", default=True)
     c.batch_reads = a.get_int("batchreads", default=8192)
     c.ziplevel = a.get_int("ziplevel", "zl", default=None)
+    c.extend2 = a.get_int("extend2", "extendright2", "er2", default=0)
+    c.ecct = a.get_bool("ecct", "ecctadpole", default=False)
+    c.extend_k = min(a.get_int("k", default=31), 31)
     return c
 
 
@@ -117,6 +123,8 @@ class BBMerge:
     def __init__(self, cfg: BBMergeConfig):
         self.cfg = cfg
         self.preset = PRESETS[cfg.preset].resolve()
+        self.ecc_engine = None
+        self.merged_by_extension = 0
         if cfg.min_insert is not None:
             self.preset.min_insert = cfg.min_insert
             self.preset.min_insert0 = -1
@@ -217,18 +225,20 @@ class BBMerge:
         )
         return result
 
-    def process_batch(self, b1: ReadBatch, b2: ReadBatch):
+    def process_batch(self, b1: ReadBatch, b2: ReadBatch,
+                      count_stats: bool = True):
         result = self.find_inserts(b1, b2)
         B = b1.n
-        self.pairs += B
         ok = result > 0
-        self.merged += int(ok.sum())
-        self.ambiguous += int((result == RET_AMBIG).sum())
-        self.too_short += int((result == RET_SHORT).sum())
-        self.no_solution += int((result == RET_NO_SOLUTION).sum())
-        ins = result[ok]
-        np.add.at(self.hist, np.minimum(ins, len(self.hist) - 1), 1)
-        self.insert_sum += int(ins.sum())
+        if count_stats:
+            self.pairs += B
+            self.merged += int(ok.sum())
+            self.ambiguous += int((result == RET_AMBIG).sum())
+            self.too_short += int((result == RET_SHORT).sum())
+            self.no_solution += int((result == RET_NO_SOLUTION).sum())
+            ins = result[ok]
+            np.add.at(self.hist, np.minimum(ins, len(self.hist) - 1), 1)
+            self.insert_sum += int(ins.sum())
         joined = None
         if ok.any():
             b_rc = _rc_batch(b2)
@@ -249,9 +259,69 @@ class BBMerge:
             )
         return result, ok, joined
 
+    def _build_spectrum(self):
+        """Count input kmers for extension/ecc (the loadKmers pre-pass the
+        reference runs when extendRight2/eccTadpole are set, BBMerge:824)."""
+        from ..ops.kmer_count import KmerSpectrum, count_batch
+        from .tadpole import SpectrumTable
+        from .tadpole_ecc import EccConfig, EccEngine
+
+        cfg = self.cfg
+        spec = KmerSpectrum(cfg.extend_k)
+        for path in (cfg.in1, cfg.in2):
+            if not path:
+                continue
+            for b in FastqReader(path, batch_reads=cfg.batch_reads):
+                v, c = count_batch(b.bases, b.lengths, cfg.extend_k)
+                spec.add_batch(v, c)
+        spec.flush()
+        table = SpectrumTable(spec, cfg.extend_k)
+        self.ecc_engine = EccEngine(table, cfg.extend_k, EccConfig())
+
+    def _extend_rows(self, b: ReadBatch, rows: np.ndarray, dist: int):
+        """Extend each selected read 3' by up to `dist` bases via the kmer
+        table (extendToRight2 walk); returns new padded arrays."""
+        eng = self.ecc_engine
+        k = self.cfg.extend_k
+        L = b.bases.shape[1]
+        newL = L + dist
+        bases = np.full((b.n, newL), 4, dtype=b.bases.dtype)
+        bases[:, :L] = b.bases
+        quals = None
+        if b.quals is not None:
+            quals = np.zeros((b.n, newL), dtype=b.quals.dtype)
+            quals[:, :L] = b.quals
+        lengths = b.lengths.astype(np.int64).copy()
+        for i in rows:
+            ln = int(lengths[i])
+            if ln < k:
+                continue
+            tail = bases[i, ln - k : ln]
+            if (tail >= 4).any():
+                continue
+            kmer = 0
+            for c in tail:
+                kmer = (kmer << 2) | int(c)
+            ext, n_ext = eng._extend_right(kmer, dist)
+            if n_ext:
+                bases[i, ln : ln + n_ext] = ext
+                if quals is not None:
+                    quals[i, ln : ln + n_ext] = 20
+                lengths[i] += n_ext
+        return ReadBatch(
+            bases=bases,
+            quals=quals if quals is not None else b.quals,
+            lengths=lengths.astype(b.lengths.dtype),
+            ids=b.ids,
+            ordinal=b.ordinal,
+            numeric_id0=b.numeric_id0,
+        )
+
     def run(self):
         cfg = self.cfg
         t0 = time.time()
+        if cfg.extend2 > 0 or cfg.ecct:
+            self._build_spectrum()
         r1 = FastqReader(cfg.in1, batch_reads=cfg.batch_reads)
         r2 = FastqReader(cfg.in2, batch_reads=cfg.batch_reads) if cfg.in2 else None
         if r2 is None:
@@ -262,7 +332,41 @@ class BBMerge:
         it2 = iter(r2)
         for b1 in r1:
             b2 = next(it2)
+            if cfg.ecct and self.ecc_engine is not None:
+                self.ecc_engine.correct_batch(b1.bases, b1.lengths, b1.quals)
+                self.ecc_engine.correct_batch(b2.bases, b2.lengths, b2.quals)
             result, ok, joined = self.process_batch(b1, b2)
+            if cfg.extend2 > 0 and (~ok).any():
+                rows = np.flatnonzero(~ok)
+                e1 = self._extend_rows(b1, rows, cfg.extend2)
+                e2 = self._extend_rows(b2, rows, cfg.extend2)
+                r2nd, ok2, joined2 = self.process_batch(
+                    e1, e2, count_stats=False
+                )
+                newly = ok2 & ~ok  # credit only previously-unmerged pairs
+                if newly.any():
+                    n_new = int(newly.sum())
+                    self.merged_by_extension += n_new
+                    self.merged += n_new
+                    self.no_solution -= int(
+                        (newly & (result == RET_NO_SOLUTION)).sum()
+                    )
+                    self.too_short -= int(
+                        (newly & (result == RET_SHORT)).sum()
+                    )
+                    self.ambiguous -= int(
+                        (newly & (result == RET_AMBIG)).sum()
+                    )
+                    ins2 = r2nd[newly]
+                    np.add.at(
+                        self.hist,
+                        np.minimum(ins2, len(self.hist) - 1),
+                        1,
+                    )
+                    self.insert_sum += int(ins2.sum())
+                    if w_m and joined2 is not None:
+                        w_m.add(joined2, newly)
+                    ok = ok | newly
             if cfg.ecco and joined is not None:
                 # error-correct by overlap: both reads take the consensus
                 # (BBMerge.errorCorrectWithInsert :1577-1625); pair is
@@ -329,6 +433,11 @@ class BBMerge:
                 fh.write(f"{i}\t{int(self.hist[i])}\n")
 
     def print_stats(self, stream=sys.stderr):
+        if self.merged_by_extension:
+            print(
+                f"Merged by extension: \t{self.merged_by_extension}",
+                file=stream,
+            )
         p = self.pairs or 1
         print(f"Pairs:               \t{self.pairs}", file=stream)
         print(

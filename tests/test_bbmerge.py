@@ -298,3 +298,48 @@ def test_bbmerge_end_to_end(tmp_path):
     assert correct > tool.merged * 0.97
     ihist = (tmp_path / "ihist.txt").read_text()
     assert "#InsertSize\tCount" in ihist
+
+
+def test_extend2_merges_long_inserts(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models.bbmerge import BBMerge, parse_args as bm_parse
+    from bbtools_tpu.utils.synth import random_genome
+
+    # inserts of 260 with 100bp reads: 60bp gap -> only extension can merge
+    rng = np.random.default_rng(61)
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+
+    write_fasta(str(tmp_path / "g.fa"), random_genome(30_000, 1, seed=61))
+    g = load_reference(str(tmp_path / "g.fa")).scaffold_codes(0)
+    f1, f2 = open(tmp_path / "r1.fq", "wb"), open(tmp_path / "r2.fq", "wb")
+    INSERT, RL = 260, 100
+    for i in range(1200):
+        s0 = int(rng.integers(0, len(g) - INSERT - 10))
+        frag = g[s0 : s0 + INSERT]
+        r1 = frag[:RL]
+        r2 = np.where(frag[-RL:] < 4, 3 - frag[-RL:], 4)[::-1]
+        f1.write(b"@p%d\n" % i + CODE_TO_BASE[r1].tobytes() + b"\n+\n" + b"F" * RL + b"\n")
+        f2.write(b"@p%d\n" % i + CODE_TO_BASE[r2].tobytes() + b"\n+\n" + b"F" * RL + b"\n")
+    f1.close()
+    f2.close()
+    out = tmp_path / "m.fq"
+    cfg = bm_parse(
+        [
+            f"in={tmp_path/'r1.fq'}",
+            f"in2={tmp_path/'r2.fq'}",
+            f"out={out}",
+            "extend2=60",
+        ]
+    )
+    tool = BBMerge(cfg).run()
+    assert tool.merged_by_extension >= 600, tool.merged_by_extension
+    # merged reads reconstruct true inserts
+    lines = out.read_bytes().splitlines()
+    n_exact = 0
+    for j in range(0, len(lines), 4):
+        seq = lines[j + 1]
+        if len(seq) == INSERT:
+            n_exact += 1
+    assert n_exact >= 0.9 * (len(lines) // 4), (n_exact, len(lines) // 4)
