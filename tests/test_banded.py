@@ -92,3 +92,48 @@ def test_quadruple_rc():
     b = rc.copy()
     b[25] = (b[25] + 1) % 4
     assert align_quadruple_np(a, b, 3) == 1
+
+
+def test_glocal_identity():
+    from bbtools_tpu.ops.idalign import glocal_align_np, make_id_aligner
+
+    rng2 = np.random.default_rng(5)
+    r = rng2.integers(0, 4, 200).astype(np.uint8)
+    q = r[50:150].copy()
+    ident, rstart, rstop = glocal_align_np(q, r)
+    assert ident == 1.0
+    assert (rstart, rstop) == (50, 149)
+    # 5 substitutions -> identity 95/100
+    q2 = q.copy()
+    for p in (10, 30, 50, 70, 90):
+        q2[p] = (q2[p] + 1) % 4
+    ident2, a, b = glocal_align_np(q2, r)
+    assert abs(ident2 - 0.95) < 1e-6
+    # deletion in query: 99 matches / 100 cols
+    q3 = np.delete(q, 40)
+    ident3, _, _ = glocal_align_np(q3, r)
+    assert abs(ident3 - 99 / 100) < 1e-6
+    # factory + interface
+    al = make_id_aligner("glocal")
+    pos = [0, 0]
+    assert al.align(q, r, pos) == 1.0 and pos == [50, 149]
+    bd = make_id_aligner("banded")
+    assert bd.align(q, q2) > 0.94
+
+
+def test_banded_batch_identity():
+    from bbtools_tpu.ops.idalign import BandedIDAligner
+
+    rng2 = np.random.default_rng(6)
+    B, L = 16, 120
+    qs = rng2.integers(0, 4, (B, L)).astype(np.uint8)
+    rs = qs.copy()
+    for i in range(B):
+        for _ in range(i % 5):
+            p = rng2.integers(5, L - 5)
+            rs[i, p] = (rs[i, p] + 1) % 4
+    ident = BandedIDAligner().align_batch(
+        qs, np.full(B, L, np.int32), rs, np.full(B, L, np.int32)
+    )
+    for i in range(B):
+        assert ident[i] >= 1.0 - (i % 5) / L - 1e-6
