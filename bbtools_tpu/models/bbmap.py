@@ -67,6 +67,8 @@ class BBMapConfig:
     out: str | None = None
     k: int = 13
     min_ratio: float = 0.56  # BBMap.java:62 minratio
+    rescue_mates: bool = True  # AbstractMapThread rescue (paired only)
+    rescue_dist: int = 800  # ungapped mate-search window beyond the anchor
     max_indel: int = 100  # window for diagonal clustering (ref: 16000)
     max_sites: int = 8  # candidate clusters per read/strand
     key_density: float = 1.9  # keys per (len-k+1)/... (KeyRing density)
@@ -90,6 +92,8 @@ def parse_args(argv):
     c.out = a.get("out", "outm")
     c.k = a.get_int("k", default=13)
     c.min_ratio = a.get_float("minratio", "minid", default=0.56)
+    c.rescue_mates = a.get_bool("rescuemates", "rescue", default=True)
+    c.rescue_dist = a.get_int("rescuedist", default=800)
     c.max_indel = a.get_int("maxindel", default=100)
     c.max_sites = a.get_int("maxsites", default=8)
     c.ambig = a.get("ambiguous", "ambig", default="best") or "best"
@@ -122,6 +126,7 @@ class BBMap:
         self.reads_mapped = 0
         self.reads_unmapped = 0
         self.reads_in = 0
+        self.rescued = 0
 
     def _load_or_build_index(self) -> SeedIndex:
         """Build the seed index, caching it under `path=` like the
@@ -456,6 +461,9 @@ class BBMap:
             if it2 is not None:
                 batch2 = next(it2)
                 results2 = self.map_batch(batch2)
+                if cfg.rescue_mates:
+                    self.rescue(batch, results, batch2, results2)
+                    self.rescue(batch2, results2, batch, results)
                 payload = self.to_sam_paired(batch, results, batch2, results2)
             else:
                 payload = self.to_sam(batch, results) if writer else b""
@@ -465,6 +473,112 @@ class BBMap:
             writer.close()
         self.elapsed = time.time() - t0
         return self
+
+    def rescue(self, ba, ra, bb, rb):
+        """Mate rescue (AbstractMapThread.rescue): when read A mapped and
+        its mate B did not, slide mate-rc ungapped across the expected
+        insert window next to A and accept the best offset above the
+        rescue threshold. One batched score_no_indels call covers every
+        (candidate, offset) pair."""
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        cands = [
+            i
+            for i in range(ba.n)
+            if ra[i].mapped and not rb[i].mapped
+            and int(bb.lengths[i]) >= 20
+        ]
+        if not cands:
+            return
+        G = len(self.ref.codes)
+        Lb = bb.bases.shape[1]
+        STEP = 1
+        tasks_read = []
+        tasks_win = []
+        tasks_off = []
+        tasks_cand = []
+        wlen = cfg.rescue_dist + Lb
+        for i in cands:
+            ln_b = int(bb.lengths[i])
+            anchor = ra[i].flat_start
+            if ra[i].strand == 0:
+                w0 = anchor
+            else:
+                w0 = anchor + int(ba.lengths[i]) - wlen
+            w0 = max(0, min(w0, G - 1))
+            w1 = min(G, w0 + wlen)
+            win = np.full(wlen, 4, dtype=np.uint8)
+            win[: w1 - w0] = self.ref.codes[w0:w1]
+            # mate orientation is opposite the anchor's
+            row = bb.bases[i, :ln_b]
+            mate = (
+                np.where(row < 4, 3 - row, 4)[::-1]
+                if ra[i].strand == 0
+                else row
+            )
+            mrow = np.full(Lb, 4, dtype=np.uint8)
+            mrow[:ln_b] = mate
+            n_off = max(1, (wlen - ln_b) // STEP)
+            for o in range(0, n_off, STEP):
+                tasks_read.append(mrow)
+                tasks_win.append(win)
+                tasks_off.append(o)
+                tasks_cand.append((i, w0, o))
+        if not tasks_read:
+            return
+        scores = np.asarray(
+            score_no_indels(
+                Lb,
+                jnp.asarray(np.array(tasks_read)),
+                jnp.asarray(
+                    np.array(
+                        [int(bb.lengths[c[0]]) for c in tasks_cand], np.int32
+                    )
+                ),
+                jnp.asarray(np.array(tasks_win)),
+                jnp.asarray(np.array(tasks_off, np.int32)),
+                jnp.asarray(np.full(len(tasks_read), wlen, np.int32)),
+            )
+        )
+        best: dict[int, tuple[int, int, int]] = {}
+        for t, (i, w0, o) in enumerate(tasks_cand):
+            sc = int(scores[t])
+            if i not in best or sc > best[i][0]:
+                best[i] = (sc, w0, o)
+        for i, (sc, w0, o) in best.items():
+            ln_b = int(bb.lengths[i])
+            # rescue threshold: half the normal ratio floor (the reference
+            # accepts rescued sites below minRatio but above a floor)
+            if sc < min_score_for(ln_b, cfg.min_ratio * 0.7):
+                continue
+            row = bb.bases[i, :ln_b]
+            mate = (
+                np.where(row < 4, 3 - row, 4)[::-1]
+                if ra[i].strand == 0
+                else row
+            )
+            refseg = self.ref.codes[w0 + o : w0 + o + ln_b]
+            if len(refseg) < ln_b:
+                continue
+            m = bytearray()
+            for x, y in zip(mate, refseg):
+                if x >= 4 or y >= 4:
+                    m += b"N"
+                elif x == y:
+                    m += b"m"
+                else:
+                    m += b"S"
+            r = rb[i]
+            r.mapped = True
+            r.flat_start = w0 + o
+            r.strand = 1 - ra[i].strand
+            r.score = sc
+            r.match = bytes(m)
+            r.ambig = False
+            self.reads_mapped += 1
+            self.reads_unmapped -= 1
+            self.rescued += 1
 
     def to_sam_paired(self, b1, r1s, b2, r2s) -> bytes:
         """Emit pair records with mate fields (SamLine pairing semantics:
@@ -602,6 +716,8 @@ class BBMap:
         return b"".join(out)
 
     def print_stats(self, stream=sys.stderr):
+        if self.rescued:
+            print(f"rescued mates:       \t{self.rescued}", file=stream)
         t = getattr(self, "elapsed", 0) or 1e-9
         print(f"Reads Used:          \t{self.reads_in}", file=stream)
         pct = 100.0 * self.reads_mapped / max(self.reads_in, 1)

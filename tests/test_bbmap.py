@@ -178,3 +178,44 @@ def test_index_save_load_roundtrip(tmp_path, ecoli_like):
     a = [l for l in s1.read_bytes().splitlines() if not l.startswith(b"@PG")]
     b = [l for l in s2.read_bytes().splitlines() if not l.startswith(b"@PG")]
     assert a == b
+
+
+def test_mate_rescue(ecoli_like):
+    tmp, ref, idx = ecoli_like
+    # r2 reads carry heavy 5' corruption (seeds destroyed) but intact 3'
+    rng2 = np.random.default_rng(71)
+    codes = ref.scaffold_codes(0)
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+
+    p1, p2 = [], []
+    for i in range(60):
+        start = int(rng2.integers(0, len(codes) - 400))
+        insert = 300
+        frag = codes[start : start + insert]
+        r1 = frag[:100].copy()
+        r2 = np.where(frag[-100:] < 4, 3 - frag[-100:], 4)[::-1].copy()
+        # corrupt scattered bases across r2 so no 13-mer seed survives,
+        # but >70% identity remains for the ungapped rescue
+        pos = np.arange(4, 100, 7)
+        r2[pos] = (r2[pos] + 1) % 4
+        nm = b"p%d_scaf0_pos%d_strand0_insert%d" % (i, start, insert)
+        p1.append((nm, CODE_TO_BASE[r1].tobytes(), b"F" * 100))
+        p2.append((nm, CODE_TO_BASE[r2].tobytes(), b"F" * 100))
+    write_reads(str(tmp / "mr1.fq"), p1)
+    write_reads(str(tmp / "mr2.fq"), p2)
+    sam = tmp / "mr.sam"
+    cfg = BBMapConfig(
+        in1=str(tmp / "mr1.fq"), in2=str(tmp / "mr2.fq"), out=str(sam),
+        batch_reads=64,
+    )
+    tool = BBMap(cfg, index=idx)
+    tool.run()
+    assert tool.rescued >= 40, tool.rescued
+    lines = [
+        l for l in sam.read_bytes().splitlines() if not l.startswith(b"@")
+    ]
+    r2_mapped = [
+        l for l in lines if int(l.split(b"\t")[1]) & 0x80
+        and not int(l.split(b"\t")[1]) & 0x4
+    ]
+    assert len(r2_mapped) >= 40
