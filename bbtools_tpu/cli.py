@@ -155,6 +155,12 @@ def _bbsplit(args):
     return main(args)
 
 
+def _filterbytile(args):
+    from .models.filterbytile import main
+
+    return main(args)
+
+
 def _taxonomy(args):
     from .models.taxonomy import main
 
@@ -200,6 +206,8 @@ TOOLS = {
     "consensus": _consensus,
     "consensusmaker": _consensus,
     "bbsplit": _bbsplit,
+    "filterbytile": _filterbytile,
+    "analyzeflowcell": _filterbytile,
     "taxonomy": _taxonomy,
     "taxtree": _taxonomy,
     "filterbytaxa": _filterbytaxa,

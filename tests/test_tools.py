@@ -549,3 +549,39 @@ def test_clumpify_external_groups(tmp_path):
     )
     # external sort produces the same global clump order as in-memory
     assert (tmp_path / "g1.fq").read_bytes() == (tmp_path / "g4.fq").read_bytes()
+
+
+def test_filterbytile(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.models.filterbytile import FilterByTile, parse_args as fbt
+
+    rng = np.random.default_rng(81)
+    # tile 1101 region (0,0) is bad (q12); everything else q35
+    with open(tmp_path / "in.fq", "wb") as fh:
+        for i in range(3000):
+            tile = 1101 if i % 3 == 0 else 1102
+            x = int(rng.integers(0, 2000))
+            y = int(rng.integers(0, 2000))
+            bad = tile == 1101 and x < 500 and y < 500
+            q = 12 if bad else 35
+            name = b"M01:5:FC1:1:%d:%d:%d" % (tile, x, y)
+            seq = b"ACGT" * 25
+            fh.write(
+                b"@" + name + b"\n" + seq + b"\n+\n"
+                + bytes([33 + q]) * 100 + b"\n"
+            )
+    cfg = fbt(
+        [f"in={tmp_path/'in.fq'}", f"out={tmp_path/'good.fq'}",
+         f"outb={tmp_path/'bad.fq'}"]
+    )
+    t = FilterByTile(cfg).run()
+    assert (1101, 0, 0) in t.bad_keys
+    assert len(t.bad_keys) <= 2
+    bad_names = (tmp_path / "bad.fq").read_bytes().splitlines()[::4]
+    for n in bad_names:
+        f = n.split(b":")
+        assert int(f[4]) == 1101 and int(f[5]) < 500 and int(f[6]) < 500
+    good = (tmp_path / "good.fq").read_bytes().splitlines()[::4]
+    assert len(good) + len(bad_names) == 3000
+    assert len(bad_names) >= 40  # ~1000/16 reads land in the bad cell
