@@ -155,6 +155,12 @@ def _bbsplit(args):
     return main(args)
 
 
+def _server(args):
+    from .models.server import main
+
+    return main(args)
+
+
 def _filterbytile(args):
     from .models.filterbytile import main
 
@@ -207,6 +213,9 @@ TOOLS = {
     "consensusmaker": _consensus,
     "bbsplit": _bbsplit,
     "filterbytile": _filterbytile,
+    "taxserver": _server,
+    "sketchserver": _server,
+    "server": _server,
     "analyzeflowcell": _filterbytile,
     "taxonomy": _taxonomy,
     "taxtree": _taxonomy,

@@ -101,3 +101,48 @@ def test_header_taxid():
     assert taxid_of_header(b"tid|562|seq desc", None) == 562
     assert taxid_of_header(b"NC_000913.3 E. coli", {"NC_000913": 562}) == 562
     assert taxid_of_header(b"unknown", None) == -1
+
+
+def test_server_endpoints(tiny_tree, tmp_path):
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models.server import ServerState, send_sketch, start_server
+    from bbtools_tpu.utils.synth import random_genome
+    from bbtools_tpu.io.fasta import write_fasta
+
+    d, _tree = tiny_tree
+    write_fasta(str(tmp_path / "refA.fa"), random_genome(15_000, 1, seed=91))
+    write_fasta(str(tmp_path / "refB.fa"), random_genome(15_000, 1, seed=92))
+    state = ServerState()
+    state.load_tax(str(d / "names.dmp"), str(d / "nodes.dmp"))
+    state.add_reference_fasta(str(tmp_path / "refA.fa"))
+    state.add_reference_fasta(str(tmp_path / "refB.fa"))
+    srv, port = start_server(state)
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/tax/562") as r:
+            body = json.loads(r.read())
+            assert body["name"] == "Escherichia coli"
+            assert "genus:Escherichia" in body["lineage"]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/tax/ancestor/83333/9606"
+        ) as r:
+            assert json.loads(r.read())["ancestor"] in (131567, 1)
+        # SendSketch client round trip: query == refA -> refA top hit
+        res = send_sketch("127.0.0.1", port, str(tmp_path / "refA.fa"))
+        top = res["results"][0]
+        assert "refA" in top["ref"] and top["wkid"] > 0.9
+        assert res["results"][1]["matches"] < top["matches"] * 0.1
+        # probe: unknown taxid -> 404
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/tax/424242")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
