@@ -155,6 +155,12 @@ def _bbsplit(args):
     return main(args)
 
 
+def _icecream(args):
+    from .models.icecream import main
+
+    return main(args)
+
+
 def _server(args):
     from .models.server import main
 
@@ -213,6 +219,8 @@ TOOLS = {
     "consensusmaker": _consensus,
     "bbsplit": _bbsplit,
     "filterbytile": _filterbytile,
+    "icecream": _icecream,
+    "icecreamfinder": _icecream,
     "taxserver": _server,
     "sketchserver": _server,
     "server": _server,

@@ -1,0 +1,154 @@
+"""IceCreamFinder — detect PacBio missing-adapter (inverted-repeat)
+artifacts ("ice cream cones" / triangle reads).
+
+Reference: icecream/IceCreamFinder.java (icecreamfinder.sh) +
+IceCreamAlignerJava/JNI — one of the four JNI kernel families (SURVEY.md
+§2.4). Detection (processReadPair/checkRead :1280-1380): take the first
+(and last) qlen bases — qlen = clamp(minQlen=100, len*0.15,
+targetQlen=352) — reverse-complement them, and align against the rest of
+the read. A hit above minRatio1=0.59 (refined pass minRatio2=0.64) means
+the read straddles a missed adapter: the second pass realigns with a
+query sized to the putative junction (:1315-1329), junction =
+maxRpos/2 for a left-tip hit (:1300-1306). Reads whose junction sits
+mid-read (junctionFraction >= 0.4) are flagged ice cream; outputs split
+good/bad, or trim at the junction (`trim=t`).
+
+The alignment engine here is the glocal identity aligner
+(ops/idalign.py), which plays the IceCreamAligner role: query global,
+free location in the remainder of the read.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.parser import tokenize
+from ..io.fastq import FastqReader, FastqWriter
+from ..ops.idalign import glocal_align_np
+
+TARGET_QLEN = 352
+MIN_QLEN = 100
+MAX_QLEN_FRACTION = 0.15
+MIN_RATIO1 = 0.59
+MIN_RATIO2 = 0.64
+MIN_JUNCTION_FRACTION = 0.4
+
+
+@dataclass
+class ICConfig:
+    in1: str = ""
+    outg: str | None = None  # good
+    outb: str | None = None  # ice cream
+    trim: bool = False
+    min_ratio1: float = MIN_RATIO1
+    min_ratio2: float = MIN_RATIO2
+
+
+def parse_args(argv) -> ICConfig:
+    a = tokenize(argv)
+    c = ICConfig()
+    c.in1 = a.get("in", "in1", default="")
+    c.outg = a.get("outg", "outgood", "out")
+    c.outb = a.get("outb", "outbad")
+    c.trim = a.get_bool("trim", "trimreads", default=False)
+    c.min_ratio1 = a.get_float("minratio1", "ratio1", default=MIN_RATIO1)
+    c.min_ratio2 = a.get_float("minratio2", "ratio2", default=MIN_RATIO2)
+    return c
+
+
+def _rc(codes: np.ndarray) -> np.ndarray:
+    return np.where(codes < 4, 3 - codes, 4)[::-1].copy()
+
+
+def check_read(codes: np.ndarray, cfg: ICConfig):
+    """Returns (is_icecream, junction) — junction in read coords or -1."""
+    n = len(codes)
+    qlen = int(max(MIN_QLEN, min(TARGET_QLEN, n * MAX_QLEN_FRACTION)))
+    if qlen > 0.45 * n:
+        return False, -1
+    # left tip vs remainder
+    ident_l, rs_l, re_l = glocal_align_np(_rc(codes[:qlen]), codes[qlen:])
+    # right tip vs remainder
+    ident_r, rs_r, re_r = glocal_align_np(_rc(codes[-qlen:]), codes[:-qlen])
+    left = ident_l >= ident_r
+    ident = max(ident_l, ident_r)
+    if ident < cfg.min_ratio1:
+        return False, -1
+    if left:
+        max_rpos = qlen + re_l  # end of the IR copy, whole-read coords
+        junction = max_rpos // 2
+    else:
+        inner_left = rs_r
+        inner_right = n - qlen
+        junction = (inner_left + inner_right) // 2
+    # refinement pass with a junction-sized query (:1315-1329)
+    expected = n // 2
+    if junction < expected:
+        q2 = int(junction * 0.9)
+        if q2 >= qlen:
+            ident2, _, re2 = glocal_align_np(_rc(codes[:q2]), codes[q2:])
+            if ident2 < cfg.min_ratio2:
+                return False, -1
+            junction = (q2 + re2) // 2
+    else:
+        q2 = int((n - junction) * 0.9)
+        if q2 >= qlen:
+            ident2, rs2, _ = glocal_align_np(_rc(codes[-q2:]), codes[:-q2])
+            if ident2 < cfg.min_ratio2:
+                return False, -1
+            junction = (rs2 + (n - q2)) // 2
+    frac = (
+        junction / n if left else (n - junction) / n
+    )
+    return frac >= MIN_JUNCTION_FRACTION, junction
+
+
+class IceCreamFinder:
+    def __init__(self, cfg: ICConfig):
+        self.cfg = cfg
+        self.flagged = 0
+        self.kept = 0
+        self.trimmed_bases = 0
+
+    def run(self):
+        cfg = self.cfg
+        wg = FastqWriter(cfg.outg) if cfg.outg else None
+        wb = FastqWriter(cfg.outb) if cfg.outb else None
+        for b in FastqReader(cfg.in1):
+            bad = np.zeros(b.n, dtype=bool)
+            for i in range(b.n):
+                L = int(b.lengths[i])
+                ic, junction = check_read(b.bases[i, :L], cfg)
+                if ic:
+                    bad[i] = True
+                    self.flagged += 1
+                    if cfg.trim and junction > 0:
+                        self.trimmed_bases += L - junction
+                        b.lengths[i] = junction
+                        b.bases[i, junction:] = 4
+                        bad[i] = False  # trimmed read is kept as good
+                else:
+                    self.kept += 1
+            if wg:
+                wg.add(b, ~bad)
+            if wb:
+                wb.add(b, bad)
+        for w in (wg, wb):
+            if w:
+                w.close()
+        print(f"Ice cream flagged:   \t{self.flagged}", file=sys.stderr)
+        if cfg.trim:
+            print(
+                f"Bases trimmed:       \t{self.trimmed_bases}",
+                file=sys.stderr,
+            )
+        return self
+
+
+def main(argv=None):
+    return IceCreamFinder(
+        parse_args(argv if argv is not None else sys.argv[1:])
+    ).run()

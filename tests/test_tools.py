@@ -585,3 +585,41 @@ def test_filterbytile(tmp_path):
     good = (tmp_path / "good.fq").read_bytes().splitlines()[::4]
     assert len(good) + len(bad_names) == 3000
     assert len(bad_names) >= 40  # ~1000/16 reads land in the bad cell
+
+
+def test_icecream_detection(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models.icecream import IceCreamFinder, parse_args as ic
+
+    rng = np.random.default_rng(91)
+    reads = []
+    # normal long reads
+    for i in range(6):
+        reads.append((b"good%d" % i, rng.integers(0, 4, 1600).astype(np.uint8)))
+    # triangle reads: fwd + rc(fwd) mirrored at the middle (missed adapter)
+    for i in range(6):
+        half = rng.integers(0, 4, 800).astype(np.uint8)
+        tri = np.concatenate([half, np.where(half < 4, 3 - half, 4)[::-1]])
+        reads.append((b"ice%d" % i, tri))
+    fin = tmp_path / "zmw.fq"
+    with open(fin, "wb") as fh:
+        for n, c in reads:
+            s = CODE_TO_BASE[c].tobytes()
+            fh.write(b"@" + n + b"\n" + s + b"\n+\n" + b"F" * len(s) + b"\n")
+    cfg = ic([f"in={fin}", f"outg={tmp_path/'good.fq'}", f"outb={tmp_path/'bad.fq'}"])
+    t = IceCreamFinder(cfg).run()
+    good = (tmp_path / "good.fq").read_bytes().splitlines()[::4]
+    bad = (tmp_path / "bad.fq").read_bytes().splitlines()[::4]
+    assert all(n.startswith(b"@good") for n in good), good
+    assert all(n.startswith(b"@ice") for n in bad), bad
+    assert len(bad) == 6 and len(good) == 6
+    # trim mode: triangle reads cut at the junction (~800)
+    cfg2 = ic([f"in={fin}", f"outg={tmp_path/'t.fq'}", "trim=t"])
+    IceCreamFinder(cfg2).run()
+    lines = (tmp_path / "t.fq").read_bytes().splitlines()
+    lens = {lines[j][1:]: len(lines[j + 1]) for j in range(0, len(lines), 4)}
+    for i in range(6):
+        assert lens[b"good%d" % i] == 1600
+        assert 640 <= lens[b"ice%d" % i] <= 960, lens[b"ice%d" % i]
