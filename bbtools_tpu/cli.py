@@ -155,6 +155,30 @@ def _bbsplit(args):
     return main(args)
 
 
+def _shred(args):
+    from .models.smalltools import shred
+
+    return shred(args)
+
+
+def _fuse(args):
+    from .models.smalltools import fuse
+
+    return fuse(args)
+
+
+def _partition(args):
+    from .models.smalltools import partition
+
+    return partition(args)
+
+
+def _countunique(args):
+    from .models.smalltools import count_uniqueness
+
+    return count_uniqueness(args)
+
+
 def _icecream(args):
     from .models.icecream import main
 
@@ -219,6 +243,13 @@ TOOLS = {
     "consensusmaker": _consensus,
     "bbsplit": _bbsplit,
     "filterbytile": _filterbytile,
+    "shred": _shred,
+    "fuse": _fuse,
+    "fusesequence": _fuse,
+    "partition": _partition,
+    "partitionreads": _partition,
+    "bbcountunique": _countunique,
+    "calcuniqueness": _countunique,
     "icecream": _icecream,
     "icecreamfinder": _icecream,
     "taxserver": _server,

@@ -623,3 +623,63 @@ def test_icecream_detection(tmp_path):
     for i in range(6):
         assert lens[b"good%d" % i] == 1600
         assert 640 <= lens[b"ice%d" % i] <= 960, lens[b"ice%d" % i]
+
+
+def test_smalltools(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import write_fasta
+    from bbtools_tpu.models.smalltools import (
+        count_uniqueness,
+        fuse,
+        partition,
+        shred,
+    )
+
+    rng = np.random.default_rng(99)
+    seqs = [
+        (b"s1", CODE_TO_BASE[rng.integers(0, 4, 1250)].tobytes()),
+        (b"s2", CODE_TO_BASE[rng.integers(0, 4, 300)].tobytes()),
+    ]
+    write_fasta(str(tmp_path / "in.fa"), seqs)
+    recs = shred(
+        [f"in={tmp_path/'in.fa'}", f"out={tmp_path/'sh.fa'}",
+         "length=500", "minlength=100"]
+    )
+    lens = [len(s) for _, s in recs]
+    assert lens == [500, 500, 250, 300]
+    assert recs[0][0] == b"s1_0-500"
+
+    fused = fuse(
+        [f"in={tmp_path/'in.fa'}", f"out={tmp_path/'fu.fa'}", "pad=10"]
+    )
+    assert len(fused) == 1250 + 10 + 300
+
+    with open(tmp_path / "r.fq", "wb") as fh:
+        for i in range(10):
+            fh.write(b"@r%d\nACGTACGTAC\n+\nFFFFFFFFFF\n" % i)
+    n = partition(
+        [f"in={tmp_path/'r.fq'}", f"out={tmp_path/'p_%.fq'}", "ways=3"]
+    )
+    assert n == 10
+    sizes = [
+        len((tmp_path / f"p_{w}.fq").read_bytes().splitlines()) // 4
+        for w in range(3)
+    ]
+    assert sorted(sizes) == [3, 3, 4]
+
+    # uniqueness: duplicated reads drive percent down in second interval
+    with open(tmp_path / "u.fq", "wb") as fh:
+        seqs100 = [
+            CODE_TO_BASE[rng.integers(0, 4, 50)].tobytes() for _ in range(100)
+        ]
+        for s in seqs100:  # first 100: all unique
+            fh.write(b"@a\n" + s + b"\n+\n" + b"F" * 50 + b"\n")
+        for s in seqs100:  # next 100: all repeats
+            fh.write(b"@b\n" + s + b"\n+\n" + b"F" * 50 + b"\n")
+    rows = count_uniqueness(
+        [f"in={tmp_path/'u.fq'}", f"out={tmp_path/'uu.txt'}", "interval=100"]
+    )
+    assert rows[0][1] == 100.0  # first interval fully unique
+    assert rows[1][1] == 0.0  # second interval fully duplicate
