@@ -605,8 +605,12 @@ class CallVariants:
         self.qual_n = 0
         self.mapq_sum = 0
         self.len_sum = 0
+        self.realigned = 0
 
-    def add_sam(self, path: str):
+    REALIGN_PAD = 200  # var2/Realigner.java:208 defaultPadding
+
+    def add_sam(self, path: str, realign: bool = False):
+        pending = []
         for rec in iter_sam(path):
             if not rec.mapped or rec.secondary:
                 continue
@@ -621,27 +625,117 @@ class CallVariants:
             )
             ref_codes = self.ref.scaffold_codes(scafnum)
             match = cigar_to_match(rec, ref_codes)
-            # coverage over aligned ref span
-            rlen_ref = sum(n for n, op in parse_cigar(rec.cigar) if op in "=XMDN")
-            a = rec.pos - 1
-            b = min(a + rlen_ref, len(self.coverage[scafnum]))
-            self.coverage[scafnum][max(a, 0) : b] += 1
-            if rec.flag & 0x1:
-                self.paired += 1
-                if rec.proper_pair:
-                    self.proper += 1
-            if quals is not None:
-                self.qual_sum += int(quals.sum())
-                self.qual_n += len(quals)
-            self.mapq_sum += rec.mapq
-            self.len_sum += len(rec.seq)
-            for v in extract_vars(rec, match, scafnum, quals):
-                cur = self.varmap.get(v.key())
-                if cur is None:
-                    self.varmap[v.key()] = v
-                else:
-                    cur.merge(v)
+            if realign and self._should_realign(match):
+                pending.append((rec, match, scafnum, quals))
+                if len(pending) >= 128:
+                    self._realign_flush(pending)
+                    pending = []
+                continue
+            self._tally(rec, match, scafnum, quals, rec.pos)
+        if pending:
+            self._realign_flush(pending)
         return self
+
+    # ---- realignment (var2/Realigner.java :36-160) ----
+    @staticmethod
+    def _should_realign(match: bytes) -> bool:
+        """Realigner gate (:80-88): clips, or many mismatches, or a
+        complex indel pattern."""
+        mS = match.count(b"S")
+        mC = match.count(b"C")
+        runs_i = match.count(b"Im") + match.endswith(b"I")
+        runs_d = match.count(b"Dm") + match.endswith(b"D")
+        sum_indel = runs_i + runs_d
+        sum_bad = mS + sum_indel
+        if mC > 0:
+            pass
+        elif sum_bad > 3:
+            pass
+        elif sum_indel > 1 or (sum_indel > 0 and mS > 1):
+            pass
+        else:
+            return False
+        if mS < 3 and mC == 0 and runs_i < 2 and runs_d < 2 and sum_bad < 3                 and sum_indel < 2:
+            return False
+        return True
+
+    def _realign_flush(self, pending):
+        """MSA the pending reads against padded windows; keep the new
+        alignment when it has fewer bad symbols (score-improvement
+        acceptance, :140-155)."""
+        from ..core.dna import BASE_TO_CODE
+        from ..ops.msa import realign_batch
+
+        pad = self.REALIGN_PAD
+        R = max(len(rec.seq) for rec, _, _, _ in pending)
+        starts = []
+        wins = []
+        wlens = []
+        reads = np.full((len(pending), R), 4, dtype=np.uint8)
+        rlens = np.zeros(len(pending), dtype=np.int32)
+        W = 0
+        metas = []
+        for t, (rec, match, scafnum, quals) in enumerate(pending):
+            codes = BASE_TO_CODE[np.frombuffer(rec.seq, np.uint8)]
+            reads[t, : len(codes)] = codes
+            rlens[t] = len(codes)
+            ref_codes = self.ref.scaffold_codes(scafnum)
+            rlen_ref = sum(
+                1 for m in match if m in b"mSND"
+            )
+            a = max(0, rec.pos - 1 - pad)
+            bnd = min(len(ref_codes), rec.pos - 1 + rlen_ref + pad)
+            wins.append(ref_codes[a:bnd])
+            starts.append(a)
+            wlens.append(bnd - a)
+            W = max(W, bnd - a)
+            metas.append((rec, match, scafnum, quals))
+        winarr = np.full((len(pending), W), 4, dtype=np.uint8)
+        for t, wv in enumerate(wins):
+            winarr[t, : len(wv)] = wv
+        matches2, start_cols, _sc = realign_batch(
+            reads, rlens, winarr, np.asarray(wlens, np.int32)
+        )
+
+        def badness(m):
+            return (
+                m.count(b"S") + m.count(b"C")
+                + 2 * (m.count(b"I") + m.count(b"D"))
+            )
+
+        for t, (rec, match, scafnum, quals) in enumerate(metas):
+            m2 = matches2[t]
+            if m2 and badness(m2) < badness(match):
+                new_pos = starts[t] + int(start_cols[t]) + 1
+                self.realigned += 1
+                self._tally(rec, m2, scafnum, quals, new_pos)
+            else:
+                self._tally(rec, match, scafnum, quals, rec.pos)
+
+    def _tally(self, rec, match, scafnum, quals, pos):
+        import dataclasses
+
+        if pos != rec.pos:
+            rec = dataclasses.replace(rec, pos=pos)
+        rlen_ref = sum(1 for m in match if m in b"mSND")
+        a = rec.pos - 1
+        b = min(a + rlen_ref, len(self.coverage[scafnum]))
+        self.coverage[scafnum][max(a, 0) : b] += 1
+        if rec.flag & 0x1:
+            self.paired += 1
+            if rec.proper_pair:
+                self.proper += 1
+        if quals is not None:
+            self.qual_sum += int(quals.sum())
+            self.qual_n += len(quals)
+        self.mapq_sum += rec.mapq
+        self.len_sum += len(rec.seq)
+        for v in extract_vars(rec, match, scafnum, quals):
+            cur = self.varmap.get(v.key())
+            if cur is None:
+                self.varmap[v.key()] = v
+            else:
+                cur.merge(v)
 
     def finish(self):
         for v in self.varmap.values():
@@ -753,9 +847,12 @@ def main(argv=None):
     f.min_score = a.get_float("minscore", default=20.0)
     f.min_allele_depth = a.get_int("minreads", "minad", default=2)
     cv = CallVariants(ref, f, ploidy=ploidy)
-    cv.add_sam(sam).finish()
+    realign = a.get_bool("realign", default=False)
+    cv.add_sam(sam, realign=realign).finish()
     n_pass = cv.write_vcf(out) if out else 0
     print(f"Reads:               \t{cv.reads}", file=sys.stderr)
+    if cv.realigned:
+        print(f"Realigned:           \t{cv.realigned}", file=sys.stderr)
     print(f"Variants found:      \t{len(cv.varmap)}", file=sys.stderr)
     print(f"Passing:             \t{n_pass}", file=sys.stderr)
     print(f"Time:                \t{time.time() - t0:.3f} seconds.", file=sys.stderr)

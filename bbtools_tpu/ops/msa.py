@@ -586,3 +586,51 @@ def match_strings_np(ops, nsteps, reads, read_lens, refs, ref_lens, max_col):
         n = int(nsteps[b])
         result.append(bytes(chars[b, :n][::-1]))
     return result
+
+
+def realign_batch(reads, read_lens, refs, ref_lens):
+    """Full-alignment helper (the var2/Realigner use-case): glocal MSA of
+    each read against its padded reference window, with traceback.
+
+    Returns (match_strings list[bytes], start_cols int array, scores).
+    start_col is the window column where the alignment begins.
+    """
+    import jax.numpy as jnp
+
+    reads = np.asarray(reads, np.uint8)
+    refs = np.asarray(refs, np.uint8)
+    read_lens = np.asarray(read_lens, np.int32)
+    ref_lens = np.asarray(ref_lens, np.int32)
+    B, R = reads.shape
+    Cc = refs.shape[1]
+    ms = np.zeros(B, dtype=np.int64)
+    vert, horiz, floor, subfloor = prepare_limits_np(
+        reads, read_lens, refs, ref_lens, ms
+    )
+    maxgain = (read_lens.astype(np.int64) - 1) * C.POINTS_MATCH2 + C.POINTS_MATCH
+    subfloor = -2 * maxgain
+    score, max_col, max_state, planes = msa_fill(
+        R, Cc, False, True,
+        jnp.asarray(reads), jnp.asarray(read_lens),
+        jnp.asarray(refs), jnp.asarray(ref_lens),
+        jnp.asarray(vert), jnp.asarray(horiz),
+        jnp.asarray(floor.astype(np.int32)),
+        jnp.asarray(subfloor.astype(np.int32)),
+    )
+    ops, nsteps = msa_walk(
+        R, Cc, planes, jnp.asarray(read_lens),
+        jnp.asarray(max_col), jnp.asarray(max_state),
+    )
+    ops = np.asarray(ops)
+    nsteps = np.asarray(nsteps)
+    score = np.asarray(score)
+    max_col = np.asarray(max_col)
+    matches = match_strings_np(
+        ops, nsteps, reads, read_lens, refs, ref_lens, max_col
+    )
+    start_cols = np.empty(B, dtype=np.int64)
+    for b in range(B):
+        m = matches[b]
+        ndiag = sum(m.count(x) for x in (b"m", b"S", b"N", b"D"))
+        start_cols[b] = int(max_col[b]) - ndiag
+    return matches, start_cols, score

@@ -111,3 +111,60 @@ def test_to_phred_score():
     assert to_phred_score(0) == 0
     assert to_phred_score(0.9) > 20 / 2.5
     assert to_phred_score(0.999) > to_phred_score(0.9)
+
+
+def test_realign_recovers_deletion(tmp_path):
+    """A read whose SAM alignment soft-clips an indel tail: realignment
+    should recover the deletion variant."""
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.io.sam import SamWriter
+    from bbtools_tpu.models.callvariants import CallVariants, VarFilter
+    from bbtools_tpu.utils.synth import random_genome
+
+    write_fasta(str(tmp_path / "ref.fa"), random_genome(5_000, 1, seed=77))
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    codes = ref.scaffold_codes(0)
+    # reads spanning a 3bp deletion at ref pos 2000, but written to SAM as
+    # aligned with the indel-containing tail soft-clipped (the misalignment
+    # the Realigner exists to fix)
+    sam = str(tmp_path / "mis.sam")
+    w = SamWriter(sam, ref.names, ref.lengths)
+    lines = []
+    for i in range(10):
+        start = 1950 - i * 4
+        read = np.concatenate(
+            [codes[start:2000], codes[2003 : 2003 + (100 - (2000 - start))]]
+        )
+        seq = CODE_TO_BASE[np.minimum(read, 4)].tobytes()
+        n_pre = 2000 - start  # bases before the deletion
+        cigar = b"%d=%dS" % (n_pre, 100 - n_pre)
+        lines.append(
+            b"\t".join(
+                [
+                    b"r%d" % i, b"0", ref.names[0].split()[0],
+                    str(start + 1).encode(), b"40", cigar, b"*", b"0",
+                    b"0", seq, b"F" * 100,
+                ]
+            )
+            + b"\n"
+        )
+    w.add_batch(0, b"".join(lines))
+    w.close()
+    f = VarFilter()
+    f.min_allele_depth = 2
+    f.min_score = 0.0
+    # without realignment: no deletion found
+    cv0 = CallVariants(ref, f, ploidy=1).add_sam(sam).finish()
+    from bbtools_tpu.models.callvariants import DEL
+
+    dels0 = [v for v in cv0.varmap.values() if v.type == DEL]
+    assert not dels0
+    cv1 = CallVariants(ref, f, ploidy=1).add_sam(sam, realign=True).finish()
+    assert cv1.realigned >= 8, cv1.realigned
+    dels1 = [v for v in cv1.varmap.values() if v.type == DEL]
+    assert any(v.start == 2000 and v.reflen() == 3 for v in dels1), [
+        (v.start, v.reflen()) for v in dels1
+    ]
