@@ -155,6 +155,18 @@ def _bbsplit(args):
     return main(args)
 
 
+def _gradevcf(args):
+    from .utils.graders2 import grade_vcf_main
+
+    return grade_vcf_main(args)
+
+
+def _grademerged(args):
+    from .utils.graders2 import grade_merged_main
+
+    return grade_merged_main(args)
+
+
 def _shred(args):
     from .models.smalltools import shred
 
@@ -243,6 +255,10 @@ TOOLS = {
     "consensusmaker": _consensus,
     "bbsplit": _bbsplit,
     "filterbytile": _filterbytile,
+    "gradevcf": _gradevcf,
+    "comparevcf": _gradevcf,
+    "grademerged": _grademerged,
+    "grademergedreads": _grademerged,
     "shred": _shred,
     "fuse": _fuse,
     "fusesequence": _fuse,

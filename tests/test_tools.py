@@ -683,3 +683,29 @@ def test_smalltools(tmp_path):
     )
     assert rows[0][1] == 100.0  # first interval fully unique
     assert rows[1][1] == 0.0  # second interval fully duplicate
+
+
+def test_grade_vcf_and_merged(tmp_path):
+    from bbtools_tpu.utils.graders2 import grade_vcf, parse_insert
+
+    truth = tmp_path / "truth.vcf"
+    truth.write_text(
+        "#chrom\tpos\tid\tref\talt\n"
+        "s0\t100\t.\tA\tT\t50\tPASS\t.\n"
+        "s0\t200\t.\tG\tGA\t50\tPASS\t.\n"
+        "s0\t300\t.\tCT\tC\t50\tPASS\t.\n"
+    )
+    called = tmp_path / "called.vcf"
+    called.write_text(
+        "#c\n"
+        "s0\t100\t.\tA\tT\t44\tPASS\t.\n"  # TP
+        "s0\t300\t.\tCT\tC\t31\tPASS\t.\n"  # TP
+        "s0\t400\t.\tA\tG\t10\tPASS\t.\n"  # FP
+    )
+    g = grade_vcf(str(called), str(truth))
+    assert (g.tp, g.fp, g.fn) == (2, 1, 1)
+    assert abs(g.precision - 2 / 3) < 1e-9
+    assert abs(g.recall - 2 / 3) < 1e-9
+    assert parse_insert(b"r5_scaf0_pos7_strand0_insert240") == 240
+    assert parse_insert(b"pair insert=311 x") == 311
+    assert parse_insert(b"noinfo") == -1
