@@ -155,6 +155,18 @@ def _bbsplit(args):
     return main(args)
 
 
+def _crosscontaminate(args):
+    from .models.contam import cross_contaminate
+
+    return cross_contaminate(args)
+
+
+def _makecontaminated(args):
+    from .models.contam import make_contaminated
+
+    return make_contaminated(args)
+
+
 def _gradevcf(args):
     from .utils.graders2 import grade_vcf_main
 
@@ -224,6 +236,10 @@ def _filterbytaxa(args):
 TOOLS = {
     "bbduk": _bbduk,
     "bbmap": _bbmap,
+    "bbwrap": _bbmap,
+    "bbmapskimmer": _bbmap,
+    "mappacbio": _bbmap,
+    "comparesketch": _sketch,
     "bbmerge": _bbmerge,
     "tadpole": _tadpole,
     "callvariants": _callvariants,
@@ -255,6 +271,8 @@ TOOLS = {
     "consensusmaker": _consensus,
     "bbsplit": _bbsplit,
     "filterbytile": _filterbytile,
+    "crosscontaminate": _crosscontaminate,
+    "makecontaminatedgenomes": _makecontaminated,
     "gradevcf": _gradevcf,
     "comparevcf": _gradevcf,
     "grademerged": _grademerged,

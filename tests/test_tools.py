@@ -709,3 +709,42 @@ def test_grade_vcf_and_merged(tmp_path):
     assert parse_insert(b"r5_scaf0_pos7_strand0_insert240") == 240
     assert parse_insert(b"pair insert=311 x") == 311
     assert parse_insert(b"noinfo") == -1
+
+
+def test_contamination_tools(tmp_path):
+    from bbtools_tpu.models.contam import cross_contaminate, make_contaminated
+
+    for nm in ("x", "y"):
+        with open(tmp_path / f"{nm}.fq", "wb") as fh:
+            for i in range(200):
+                fh.write(
+                    b"@%s%d\nACGTACGTAC\n+\nFFFFFFFFFF\n" % (nm.encode(), i)
+                )
+    swapped, total = cross_contaminate(
+        [
+            f"in={tmp_path/'x.fq'},{tmp_path/'y.fq'}",
+            f"out={tmp_path/'x2.fq'},{tmp_path/'y2.fq'}",
+            "rate=0.05",
+            "seed=7",
+        ]
+    )
+    assert total == 400 and 5 <= swapped <= 50
+    x2 = (tmp_path / "x2.fq").read_bytes().splitlines()[::4]
+    assert any(n.startswith(b"@y") for n in x2)
+
+    with open(tmp_path / "h.fa", "wb") as fh:
+        fh.write(b">h\n" + b"ACGT" * 2500 + b"\n")
+    with open(tmp_path / "c.fa", "wb") as fh:
+        fh.write(b">c\n" + b"TTGG" * 2500 + b"\n")
+    ins, tot = make_contaminated(
+        [
+            f"ref={tmp_path/'h.fa'}",
+            f"contam={tmp_path/'c.fa'}",
+            f"out={tmp_path/'m.fa'}",
+            "fraction=0.1",
+            "fragsize=500",
+        ]
+    )
+    assert tot == 10000 and 500 <= ins <= 2000
+    data = (tmp_path / "m.fa").read_bytes()
+    assert b"TTGGTTGG" in data
