@@ -37,6 +37,23 @@ from ..ops.trim import apply_trim, optimal_trim_jnp
 BIG = 999999999
 
 
+RESOURCE_REFS = {"adapters", "artifacts", "phix"}
+
+
+def resolve_ref_keyword(token: str) -> str:
+    """`ref=adapters` -> bundled resource fasta (BBDukParser's literal
+    keyword handling for resources/adapters.fa etc.)."""
+    import os
+
+    if token.lower() in RESOURCE_REFS:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(here, "resources", f"{token.lower()}.fa")
+        if os.path.exists(path):
+            return path
+        raise FileNotFoundError(f"bundled resource {token} not available")
+    return token
+
+
 @dataclass
 class BBDukConfig:
     in1: str | None = None
@@ -161,7 +178,7 @@ def parse_args(argv: list[str]) -> BBDukConfig:
     c.outm1 = a.get(*h("outm", "outm1", "outb", "outmatch"))
     c.outm2 = a.get(*h("outm2", "outb2"))
     c.outs = a.get(*h("outs", "outsingle"))
-    c.ref = a.get_list(*h("ref"))
+    c.ref = [resolve_ref_keyword(r) for r in a.get_list(*h("ref"))]
     c.literal = [s.encode() for s in a.get_list(*h("literal"))]
     c.k = a.get_int(*h("k"), default=27)
     c.mink = a.get_int(*h("mink"), default=0) or 0

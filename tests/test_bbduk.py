@@ -337,3 +337,28 @@ def test_entropy_mask_and_trim(tmp_path):
     out2 = fout2.read_bytes().splitlines()[1]
     assert len(out2) < len(seq)
     assert out2 == seq[: len(out2)]
+
+
+def test_ref_adapters_keyword(tmp_path):
+    import random
+
+    random.seed(1)
+    ad = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCAC"  # TruSeq R1
+    fin = tmp_path / "in.fq"
+    with open(fin, "w") as f:
+        for i in range(20):
+            ins = "".join(random.choice("ACGT") for _ in range(60))
+            seq = (ins + ad + "ACGTACGTAC")[:100].ljust(100, "T")
+            f.write(f"@r{i}\n{seq}\n+\n{'F'*100}\n")
+    fout = tmp_path / "out.fq"
+    cfg = parse_args(
+        [f"in={fin}", f"out={fout}", "ref=adapters", "ktrim=r", "k=23",
+         "mink=11", "hdist=1"]
+    )
+    BBDuk(cfg).run()
+    lens = [
+        len(l.strip())
+        for i, l in enumerate(open(fout, "rb"))
+        if i % 4 == 1
+    ]
+    assert sum(lens) / len(lens) <= 61
