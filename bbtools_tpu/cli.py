@@ -155,6 +155,12 @@ def _bbsplit(args):
     return main(args)
 
 
+def _callgenes(args):
+    from .models.callgenes import main
+
+    return main(args)
+
+
 def _crosscontaminate(args):
     from .models.contam import cross_contaminate
 
@@ -271,6 +277,7 @@ TOOLS = {
     "consensusmaker": _consensus,
     "bbsplit": _bbsplit,
     "filterbytile": _filterbytile,
+    "callgenes": _callgenes,
     "crosscontaminate": _crosscontaminate,
     "makecontaminatedgenomes": _makecontaminated,
     "gradevcf": _gradevcf,

@@ -748,3 +748,52 @@ def test_contamination_tools(tmp_path):
     assert tot == 10000 and 500 <= ins <= 2000
     data = (tmp_path / "m.fa").read_bytes()
     assert b"TTGGTTGG" in data
+
+
+def test_callgenes(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import BASE_TO_CODE
+    from bbtools_tpu.models.callgenes import call_scaffold, main as cg_main, translate
+
+    rng = np.random.default_rng(101)
+    # build a synthetic gene: ATG + 120 sense codons (no stops) + TAA
+    sense = [c for c in range(64) if c not in (48, 50, 56)]
+    gene = [14] + list(rng.choice(sense, 120)) + [48]
+
+    def codon_to_bases(c):
+        return [c >> 4, (c >> 2) & 3, c & 3]
+
+    gene_nt = np.array(sum((codon_to_bases(c) for c in gene), []), np.uint8)
+    pad1 = rng.integers(0, 4, 47).astype(np.uint8)
+    pad2 = rng.integers(0, 4, 53).astype(np.uint8)
+    scaf = np.concatenate([pad1, gene_nt, pad2])
+    genes = call_scaffold(scaf, 0, minlen_nt=300)
+    assert any(
+        g.start == 47 and g.stop == 47 + len(gene_nt) - 1 and g.strand == 0
+        for g in genes
+    ), [(g.start, g.stop, g.strand) for g in genes]
+    # translation starts with M, has no internal stops
+    aa = translate(scaf[47 : 47 + len(gene_nt)])
+    assert aa[0] == "M" and aa[-1] == "*" and "*" not in aa[:-1]
+
+    # reverse-strand gene detected too
+    rc = np.where(scaf < 4, 3 - scaf, 4)[::-1].copy()
+    genes_rc = call_scaffold(rc, 0, minlen_nt=300)
+    assert any(g.strand == 1 for g in genes_rc)
+
+    # end-to-end with GFF + protein outputs
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import write_fasta
+
+    write_fasta(
+        str(tmp_path / "g.fa"), [(b"chr", CODE_TO_BASE[scaf].tobytes())]
+    )
+    out = cg_main(
+        [f"in={tmp_path/'g.fa'}", f"out={tmp_path/'g.gff'}",
+         f"outa={tmp_path/'g.faa'}"]
+    )
+    gff = (tmp_path / "g.gff").read_text()
+    assert "##gff-version 3" in gff and "\tCDS\t48\t" in gff
+    faa = (tmp_path / "g.faa").read_bytes()
+    assert faa.startswith(b">gene_1\nM")
