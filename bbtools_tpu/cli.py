@@ -155,6 +155,12 @@ def _bbsplit(args):
     return main(args)
 
 
+def _quickclade(args):
+    from .models.clade import main
+
+    return main(args)
+
+
 def _callgenes(args):
     from .models.callgenes import main
 
@@ -277,6 +283,8 @@ TOOLS = {
     "consensusmaker": _consensus,
     "bbsplit": _bbsplit,
     "filterbytile": _filterbytile,
+    "quickclade": _quickclade,
+    "clade": _quickclade,
     "callgenes": _callgenes,
     "crosscontaminate": _crosscontaminate,
     "makecontaminatedgenomes": _makecontaminated,

@@ -797,3 +797,30 @@ def test_callgenes(tmp_path):
     assert "##gff-version 3" in gff and "\tCDS\t48\t" in gff
     faa = (tmp_path / "g.faa").read_bytes()
     assert faa.startswith(b">gene_1\nM")
+
+
+def test_quickclade(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import write_fasta
+    from bbtools_tpu.models.clade import classify, profile_fasta
+    from bbtools_tpu.utils.synth import mutate_genome, random_genome
+
+    # two genomes with different composition biases
+    rng = np.random.default_rng(111)
+    ga = rng.choice(4, 40_000, p=[0.35, 0.15, 0.15, 0.35]).astype(np.uint8)
+    gb = rng.choice(4, 40_000, p=[0.15, 0.35, 0.35, 0.15]).astype(np.uint8)
+    write_fasta(str(tmp_path / "a.fa"), [(b"A", CODE_TO_BASE[ga].tobytes())])
+    write_fasta(str(tmp_path / "b.fa"), [(b"B", CODE_TO_BASE[gb].tobytes())])
+    ra = profile_fasta(str(tmp_path / "a.fa"))
+    rb = profile_fasta(str(tmp_path / "b.fa"))
+    # query: a diverged fragment of A (5% substitutions)
+    frag = ga[5000:25000].copy()
+    m = rng.random(len(frag)) < 0.05
+    frag[m] = (frag[m] + 1) % 4
+    write_fasta(str(tmp_path / "q.fa"), [(b"q", CODE_TO_BASE[frag].tobytes())])
+    q = profile_fasta(str(tmp_path / "q.fa"))
+    scored = classify(q, [ra, rb])
+    assert scored[0][1].name.endswith("a.fa")
+    assert scored[0][0] < 0.5 * scored[1][0]
