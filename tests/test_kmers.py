@@ -204,3 +204,13 @@ def test_index_lookup(builder):
         )
         got = np.asarray(f(queries))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_distributed_helpers():
+    from bbtools_tpu.parallel.distributed import global_mesh, initialize
+
+    assert initialize() is False  # single-host no-op
+    m = global_mesh()
+    assert m.shape["dp"] * m.shape["tp"] == 8
+    m2 = global_mesh(tp=4)
+    assert m2.shape == {"dp": 2, "tp": 4}
