@@ -155,6 +155,12 @@ def _bbsplit(args):
     return main(args)
 
 
+def _quickbin(args):
+    from .models.quickbin import main
+
+    return main(args)
+
+
 def _quickclade(args):
     from .models.clade import main
 
@@ -283,6 +289,7 @@ TOOLS = {
     "consensusmaker": _consensus,
     "bbsplit": _bbsplit,
     "filterbytile": _filterbytile,
+    "quickbin": _quickbin,
     "quickclade": _quickclade,
     "clade": _quickclade,
     "callgenes": _callgenes,

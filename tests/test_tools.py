@@ -824,3 +824,39 @@ def test_quickclade(tmp_path):
     scored = classify(q, [ra, rb])
     assert scored[0][1].name.endswith("a.fa")
     assert scored[0][0] < 0.5 * scored[1][0]
+
+
+def test_quickbin(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import write_fasta
+    from bbtools_tpu.models.quickbin import main as qb_main
+
+    rng = np.random.default_rng(121)
+    # two organisms with distinct composition; contigs are fragments
+    ga = rng.choice(4, 60_000, p=[0.32, 0.18, 0.18, 0.32]).astype(np.uint8)
+    gb = rng.choice(4, 60_000, p=[0.18, 0.32, 0.32, 0.18]).astype(np.uint8)
+    recs = []
+    truth = {}
+    for j in range(6):
+        for src, g, depth in (("A", ga, 30.0), ("B", gb, 8.0)):
+            s0 = j * 9000
+            nm = b"%s_ctg%d" % (src.encode(), j)
+            recs.append((nm, CODE_TO_BASE[g[s0 : s0 + 8000]].tobytes()))
+            truth[nm] = src
+    write_fasta(str(tmp_path / "asm.fa"), recs)
+    cov = tmp_path / "cov.txt"
+    with open(cov, "w") as fh:
+        fh.write("#ID\tAvg_fold\n")
+        for nm, src in truth.items():
+            fh.write(f"{nm.decode()}\t{30.0 if src == 'A' else 8.0}\n")
+    bins = qb_main(
+        [f"in={tmp_path/'asm.fa'}", f"cov={cov}",
+         f"out={tmp_path/'bin_%.fa'}"]
+    )
+    assert len(bins) == 2
+    for members in bins:
+        srcs = {truth[c.name.split()[0]] for c in members}
+        assert len(srcs) == 1, srcs  # no mixed bins
+        assert len(members) == 6
