@@ -138,3 +138,26 @@ def _read_config(path: str) -> ParsedArgs:
             if line:
                 lines.append(line)
     return tokenize(lines)
+
+
+def test_output_files(overwrite: bool, *paths, inputs=()):
+    """Output-collision guard (shared/Tools.testOutputFiles): refuse
+    duplicate output paths, outputs that shadow inputs, and existing
+    files unless overwrite is set. Returns the validated list."""
+    import os
+
+    outs = [p for p in paths if p]
+    seen = set()
+    ins = {os.path.abspath(p) for p in inputs if p}
+    for p in outs:
+        ap = os.path.abspath(p)
+        if ap in seen:
+            raise ValueError(f"duplicate output file: {p}")
+        seen.add(ap)
+        if ap in ins:
+            raise ValueError(f"output file {p} is also an input")
+        if os.path.exists(p) and not overwrite:
+            raise ValueError(
+                f"output file {p} exists; use overwrite=t (ow) to replace"
+            )
+    return outs

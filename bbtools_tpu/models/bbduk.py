@@ -24,7 +24,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..core.dna import encode
-from ..core.parser import ParsedArgs, tokenize
+from ..core.parser import test_output_files, ParsedArgs, tokenize
 from ..core.qualtools import PROB_ERROR, phred_to_prob_error
 from ..io.fasta import iter_fasta
 from ..io.fastq import FastqReader, FastqWriter
@@ -227,6 +227,11 @@ def parse_args(argv: list[str]) -> BBDukConfig:
     if (c.entropy_trim != "f" or c.entropy_mask) and c.entropy_cutoff < 0:
         raise ValueError("entropytrim/entropymask require entropy=<0..1>")
     c.recalibrate = a.get_bool(*h("recalibrate", "recal"), default=False)
+    overwrite = a.get_bool("overwrite", "ow", default=True)
+    test_output_files(
+        overwrite, c.out1, c.out2, c.outm1, c.outm2,
+        inputs=[c.in1, c.in2] + list(c.ref or []),
+    )
     c.recal_path = a.get(*h("path", "recalpath"), default=".") or "."
     c.recal_passes = a.get_int(*h("recalpasses"), default=2)
     c.entropy_window = a.get_int(*h("entropywindow"), default=50)
