@@ -42,17 +42,51 @@ def pivot_kmers(bases: np.ndarray, lengths: np.ndarray, k: int):
     return piv, pos
 
 
-def _sort_and_write(records, fh, dedupe: bool) -> int:
-    """KmerComparator order: (pivot, position-in-read desc, sequence)."""
+def _coords(name: bytes):
+    """(lane, tile, x, y) from an Illumina header, or None."""
+    parts = name.split(b" ")[0].split(b":")
+    if len(parts) >= 7:
+        try:
+            return (int(parts[3]), int(parts[4]), int(parts[5]),
+                    int(parts[6]))
+        except ValueError:
+            return None
+    return None
+
+
+def _sort_and_write(records, fh, dedupe: bool, optical: bool = False,
+                    dupedist: int = 40) -> int:
+    """KmerComparator order: (pivot, position-in-read desc, sequence).
+
+    optical=t restricts duplicate removal to reads whose flowcell
+    coordinates are within `dupedist` on the same lane+tile (Clumpify's
+    optical-duplicate mode, clump/Clump.java dist semantics)."""
     records.sort(key=lambda r: (r[0], -r[1], r[3]))
     dupes = 0
     prev_seq = None
+    run = []  # coords of kept copies of the current identical sequence
     for piv, pos, name, seq, qual in records:
         if dedupe and seq == prev_seq:
-            dupes += 1
-            continue
+            if not optical:
+                dupes += 1
+                continue
+            c = _coords(name)
+            near = c is not None and any(
+                k is not None
+                and k[0] == c[0]
+                and k[1] == c[1]
+                and (k[2] - c[2]) ** 2 + (k[3] - c[3]) ** 2
+                <= dupedist * dupedist
+                for k in run
+            )
+            if near:
+                dupes += 1
+                continue
+        else:
+            run = []
         fh.write(b"@%s\n%s\n+\n%s\n" % (name, seq, qual))
         prev_seq = seq
+        run.append(_coords(name))
     return dupes
 
 
@@ -65,6 +99,8 @@ def main(argv=None):
     out1 = a.get("out", "out1")
     k = a.get_int("k", default=31)
     dedupe = a.get_bool("dedupe", default=False)
+    optical = a.get_bool("optical", "opticalonly", default=False)
+    dupedist = a.get_int("dupedist", "dist", default=40)
     groups = a.get_int("groups", "g", default=1)
     t0 = time.time()
     dupes = 0
@@ -81,7 +117,7 @@ def main(argv=None):
                 )
         n = len(records)
         with open_output(out1) as fh:
-            dupes = _sort_and_write(records, fh, dedupe)
+            dupes = _sort_and_write(records, fh, dedupe, optical, dupedist)
     else:
         # pass 1 (KmerSplit): partition by pivot into temp files. The
         # partition key uses the TOP bits so groups are pivot-ordered and
@@ -116,7 +152,9 @@ def main(argv=None):
                                 (int(piv[i]), int(pos[i]), b.ids[i],
                                  b.sequence(i), b.quality_string(i))
                             )
-                    dupes += _sort_and_write(records, fh, dedupe)
+                    dupes += _sort_and_write(
+                        records, fh, dedupe, optical, dupedist
+                    )
     print(f"Reads:               \t{n}", file=sys.stderr)
     if dedupe:
         print(f"Duplicates removed:  \t{dupes}", file=sys.stderr)

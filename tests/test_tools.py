@@ -860,3 +860,28 @@ def test_quickbin(tmp_path):
         srcs = {truth[c.name.split()[0]] for c in members}
         assert len(srcs) == 1, srcs  # no mixed bins
         assert len(members) == 6
+
+
+def test_clumpify_optical_dedupe(tmp_path):
+    from bbtools_tpu.models import clumpify
+
+    seq = b"ACGTAGGCTACGATCGTAGCTAACGGATCGAT" * 3
+    with open(tmp_path / "in.fq", "wb") as fh:
+        # same sequence: close pair (optical dup) + far copy (PCR-ish)
+        for name in (
+            b"M:1:FC:1:1101:1000:2000",
+            b"M:1:FC:1:1101:1010:2015",  # within 40px -> optical dup
+            b"M:1:FC:1:1101:9000:9000",  # far -> kept
+            b"M:1:FC:1:2203:1000:2000",  # other tile -> kept
+        ):
+            fh.write(b"@" + name + b"\n" + seq + b"\n+\n" + b"F" * len(seq) + b"\n")
+    n, d = clumpify.main(
+        [f"in={tmp_path/'in.fq'}", f"out={tmp_path/'o1.fq'}",
+         "dedupe=t", "optical=t", "dupedist=40"]
+    )
+    assert (n, d) == (4, 1)
+    # plain dedupe removes all 3 copies
+    n2, d2 = clumpify.main(
+        [f"in={tmp_path/'in.fq'}", f"out={tmp_path/'o2.fq'}", "dedupe=t"]
+    )
+    assert (n2, d2) == (4, 3)
