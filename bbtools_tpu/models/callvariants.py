@@ -753,7 +753,23 @@ class CallVariants:
         self.read_length_avg = self.len_sum / max(self.reads, 1)
         return self
 
-    def write_vcf(self, path: str):
+    def sample_column(self, key):
+        """GT:DP:AD:AF column text for one var key ('.' when absent)."""
+        v = self.varmap.get(key)
+        if v is None:
+            return b"0:.:0:0.0000"
+        count = v.allele_count()
+        gt = b"1" if v.allele_fraction() > 0.5 else b"0/1"
+        return b"%s:%d:%d:%.4f" % (
+            gt, max(v.coverage, count), count, v.allele_fraction()
+        )
+
+    def write_vcf(self, path: str, samples=None):
+        """Single-sample VCF, or — with `samples` = [(name, CallVariants),
+        ...] — a multisample VCF whose variant set is the union over
+        samples and whose FORMAT columns are per-sample
+        (CallVariants.java multisample mode; this instance provides the
+        pooled INFO stats)."""
         f = self.filter
         args = (
             self.pairing_rate,
@@ -773,9 +789,20 @@ class CallVariants:
                     b"##contig=<ID=%s,length=%d>\n"
                     % (name.split()[0], int(self.ref.lengths[i]))
                 )
-            fh.write(
-                b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tSAMPLE\n"
-            )
+            if samples:
+                header_cols = b"\t".join(
+                    nm.encode() if isinstance(nm, str) else nm
+                    for nm, _ in samples
+                )
+                fh.write(
+                    b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+                    b"\tFORMAT\t" + header_cols + b"\n"
+                )
+            else:
+                fh.write(
+                    b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+                    b"\tFORMAT\tSAMPLE\n"
+                )
             for key in sorted(self.varmap):
                 v = self.varmap[key]
                 phred = v.phred_score(*args)
@@ -818,10 +845,12 @@ class CallVariants:
                         phred,
                     )
                 )
-                gt = b"1" if v.allele_fraction() > 0.5 else b"0/1"
-                sample = b"%s:%d:%d:%.4f" % (
-                    gt, max(v.coverage, count), count, v.allele_fraction()
-                )
+                if samples:
+                    sample = b"\t".join(
+                        cv.sample_column(key) for _, cv in samples
+                    )
+                else:
+                    sample = self.sample_column(key)
                 fh.write(
                     b"%s\t%d\t.\t%s\t%s\t%.2f\t%s\t%s\tGT:DP:AD:AF\t%s\n"
                     % (
@@ -846,10 +875,29 @@ def main(argv=None):
     f.min_allele_fraction = a.get_float("minallelefraction", "maf", default=0.1)
     f.min_score = a.get_float("minscore", default=20.0)
     f.min_allele_depth = a.get_int("minreads", "minad", default=2)
-    cv = CallVariants(ref, f, ploidy=ploidy)
     realign = a.get_bool("realign", default=False)
-    cv.add_sam(sam, realign=realign).finish()
-    n_pass = cv.write_vcf(out) if out else 0
+    multi = a.get_bool("multisample", "multi", default=False)
+    sams = [p.strip() for p in (sam or "").split(",") if p.strip()]
+    if multi and len(sams) > 1:
+        # pooled instance drives the union + INFO; per-sample instances
+        # provide the FORMAT columns (CallVariants multisample mode)
+        import os
+
+        cv = CallVariants(ref, f, ploidy=ploidy)
+        per = []
+        for p in sams:
+            cvs = CallVariants(ref, f, ploidy=ploidy)
+            cvs.add_sam(p, realign=realign).finish()
+            per.append((os.path.basename(p).split(".")[0], cvs))
+            cv.add_sam(p, realign=realign)
+        cv.finish()
+        n_pass = cv.write_vcf(out, samples=per) if out else 0
+    else:
+        cv = CallVariants(ref, f, ploidy=ploidy)
+        for p in sams:
+            cv.add_sam(p, realign=realign)
+        cv.finish()
+        n_pass = cv.write_vcf(out) if out else 0
     print(f"Reads:               \t{cv.reads}", file=sys.stderr)
     if cv.realigned:
         print(f"Realigned:           \t{cv.realigned}", file=sys.stderr)

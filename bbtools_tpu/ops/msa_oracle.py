@@ -13,7 +13,6 @@ import numpy as np
 
 from .msa_constants import (
     POINTS_SUB3,
-    BAD,
     BARRIER_D1,
     BARRIER_I1,
     LIMIT_FOR_COST_3,

@@ -168,3 +168,65 @@ def test_realign_recovers_deletion(tmp_path):
     assert any(v.start == 2000 and v.reflen() == 3 for v in dels1), [
         (v.start, v.reflen()) for v in dels1
     ]
+
+
+def test_multisample_vcf(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.io.sam import SamWriter
+    from bbtools_tpu.models.callvariants import main as cv_main
+    from bbtools_tpu.utils.synth import random_genome
+
+    write_fasta(str(tmp_path / "ref.fa"), random_genome(3_000, 1, seed=88))
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    codes = ref.scaffold_codes(0)
+
+    def write_sample(path, var_pos):
+        w = SamWriter(str(path), ref.names, ref.lengths)
+        rows = []
+        for i in range(6):
+            start = var_pos - 50 + i * 3
+            read = codes[start : start + 100].copy()
+            read[var_pos - start] = (read[var_pos - start] + 1) % 4
+            rows.append(
+                b"\t".join(
+                    [
+                        b"r%d" % i, b"0", ref.names[0].split()[0],
+                        str(start + 1).encode(), b"40",
+                        b"%d=1X%d=" % (var_pos - start, 99 - (var_pos - start)),
+                        b"*", b"0", b"0",
+                        CODE_TO_BASE[np.minimum(read, 4)].tobytes(),
+                        b"F" * 100,
+                    ]
+                )
+                + b"\n"
+            )
+        w.add_batch(0, b"".join(rows))
+        w.close()
+
+    write_sample(tmp_path / "s1.sam", 1000)  # sample 1 has var at 1000
+    write_sample(tmp_path / "s2.sam", 2000)  # sample 2 has var at 2000
+    vcf = tmp_path / "multi.vcf"
+    cv_main(
+        [
+            f"in={tmp_path/'s1.sam'},{tmp_path/'s2.sam'}",
+            f"ref={tmp_path/'ref.fa'}",
+            f"vcf={vcf}",
+            "multisample=t",
+            "minscore=0",
+            "minreads=2",
+        ]
+    )
+    lines = [l for l in vcf.read_text().splitlines() if not l.startswith("##")]
+    header = lines[0].split("\t")
+    assert header[-2:] == ["s1", "s2"]
+    rows = [l.split("\t") for l in lines[1:]]
+    assert len(rows) == 2
+    by_pos = {int(r[1]): r for r in rows}
+    # var at 1001 present in s1, absent in s2 (and vice versa)
+    assert by_pos[1001][9].startswith(("1:", "0/1:"))
+    assert by_pos[1001][10].startswith("0:")
+    assert by_pos[2001][10].startswith(("1:", "0/1:"))
+    assert by_pos[2001][9].startswith("0:")
