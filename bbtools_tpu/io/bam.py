@@ -147,9 +147,13 @@ class BamWriter:
 
     header_text: the SAM header (@HD/@SQ lines, bytes);
     refs: ordered list of (name_bytes, length).
+    index=True also writes `path.bai` (BamIndexWriter analog,
+    stream/bam/BamIndexWriter in the reference) — requires coordinate-
+    sorted input, which the caller is responsible for.
     """
 
-    def __init__(self, path: str, header_text: bytes, refs, threads: int = 4):
+    def __init__(self, path: str, header_text: bytes, refs, threads: int = 4,
+                 index: bool = False):
         self._fh = BgzfWriter(open(path, "wb"), threads=threads)
         self.ref_ids = {name: i for i, (name, _) in enumerate(refs)}
         hdr = b"BAM\x01" + struct.pack("<i", len(header_text)) + header_text
@@ -158,12 +162,24 @@ class BamWriter:
             hdr += struct.pack("<i", len(name) + 1) + name + b"\0"
             hdr += struct.pack("<i", length)
         self._fh.write(hdr)
+        self._index = BaiBuilder(len(refs), path + ".bai") if index else None
 
     def write_record(self, rec, **kw) -> None:
-        self._fh.write(encode_record(rec, self.ref_ids, **kw))
+        if self._index is not None:
+            vbeg = self._fh.tell_virtual()
+            self._fh.write(encode_record(rec, self.ref_ids, **kw))
+            vend = self._fh.tell_virtual()
+            refid = self.ref_ids.get(rec.rname, -1)
+            pos0 = rec.pos - 1
+            span = _ref_span(rec.cigar if rec.cigar != "*" else "")
+            self._index.add(refid, pos0, pos0 + max(span, 1), vbeg, vend)
+        else:
+            self._fh.write(encode_record(rec, self.ref_ids, **kw))
 
     def close(self) -> None:
         self._fh.close()
+        if self._index is not None:
+            self._index.write()
 
     def __enter__(self):
         return self
@@ -239,3 +255,173 @@ def read_bam(path: str):
             qual=qual if l_seq else b"*",
         )
     fh.close()
+
+
+class BaiBuilder:
+    """BAI index accumulator (SAM spec §5.2; BamIndexWriter analog)."""
+
+    def __init__(self, n_ref: int, path: str):
+        self.path = path
+        self.bins = [dict() for _ in range(n_ref)]  # bin -> [(beg,end)...]
+        self.linear = [dict() for _ in range(n_ref)]  # 16kb win -> min voff
+
+    def add(self, refid, beg, end, vbeg, vend):
+        if refid < 0:
+            return
+        b = reg2bin(beg, end)
+        self.bins[refid].setdefault(b, []).append((vbeg, vend))
+        for w in range(beg >> 14, ((max(end, beg + 1) - 1) >> 14) + 1):
+            cur = self.linear[refid].get(w)
+            if cur is None or vbeg < cur:
+                self.linear[refid][w] = vbeg
+
+    def write(self):
+        out = bytearray(b"BAI\x01")
+        out += struct.pack("<i", len(self.bins))
+        for refid in range(len(self.bins)):
+            bins = self.bins[refid]
+            out += struct.pack("<i", len(bins))
+            for b, chunks in sorted(bins.items()):
+                # merge adjacent chunks
+                merged = []
+                for beg, end in sorted(chunks):
+                    if merged and beg <= merged[-1][1]:
+                        merged[-1] = (merged[-1][0], max(end, merged[-1][1]))
+                    else:
+                        merged.append((beg, end))
+                out += struct.pack("<Ii", b, len(merged))
+                for beg, end in merged:
+                    out += struct.pack("<QQ", beg, end)
+            lin = self.linear[refid]
+            n = (max(lin) + 1) if lin else 0
+            out += struct.pack("<i", n)
+            prev = 0
+            for w in range(n):
+                v = lin.get(w, prev)
+                out += struct.pack("<Q", v)
+                prev = v
+        with open(self.path, "wb") as fh:
+            fh.write(bytes(out))
+
+
+def _reg2bins(beg: int, end: int):
+    """All bins overlapping [beg, end) (SAM spec §5.3 reg2bins)."""
+    end -= 1
+    out = [0]
+    for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        out += list(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return out
+
+
+def read_bai(path: str):
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"BAI\x01":
+        raise ValueError(f"{path}: not a BAI index")
+    off = 4
+    (n_ref,) = struct.unpack_from("<i", data, off)
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, off)
+        off += 4
+        bins = {}
+        for _ in range(n_bin):
+            b, n_chunk = struct.unpack_from("<Ii", data, off)
+            off += 8
+            chunks = []
+            for _ in range(n_chunk):
+                beg, end = struct.unpack_from("<QQ", data, off)
+                off += 16
+                chunks.append((beg, end))
+            bins[b] = chunks
+        (n_intv,) = struct.unpack_from("<i", data, off)
+        off += 4
+        linear = list(
+            struct.unpack_from(f"<{n_intv}Q", data, off)
+        )
+        off += 8 * n_intv
+        refs.append((bins, linear))
+    return refs
+
+
+def fetch(bam_path: str, rname: bytes, beg: int, end: int):
+    """Random-access region query via the .bai index: yields overlapping
+    SamRecords without scanning the whole file."""
+    import io as _io
+
+    index = read_bai(bam_path + ".bai")
+    # find refid from the BAM header
+    it = read_bam(bam_path)
+    _header, refs = next(it)
+    it.close() if hasattr(it, "close") else None
+    refid = next(
+        (i for i, r in enumerate(refs) if r.name == rname), -1
+    )
+    if refid < 0 or refid >= len(index):
+        return
+    bins, linear = index[refid]
+    min_voff = linear[beg >> 14] if (beg >> 14) < len(linear) else 0
+    chunks = []
+    for b in _reg2bins(beg, end):
+        for c in bins.get(b, ()):
+            if c[1] > min_voff:
+                chunks.append(c)
+    if not chunks:
+        return
+    # coordinate-sorted input: seek to the earliest candidate chunk and
+    # scan forward until records start past the region
+    vbeg = min(c[0] for c in chunks)
+    raw = open(bam_path, "rb")
+    coffset, uoffset = vbeg >> 16, vbeg & 0xFFFF
+    raw.seek(coffset)
+    reader = BgzfReader(raw)
+    reader.read(uoffset)  # skip into the block
+    while True:
+        head = reader.read(4)
+        if len(head) < 4:
+            break
+        (block_size,) = struct.unpack("<I", head)
+        body = reader.read(block_size)
+        rec = _decode_record_body(body, refs)
+        if rec.rname == rname and rec.pos - 1 >= end:
+            break
+        if rec.rname != rname:
+            continue
+        span = _ref_span(rec.cigar if rec.cigar != "*" else "")
+        if rec.pos - 1 + max(span, 1) > beg:
+            yield rec
+    raw.close()
+
+
+def _decode_record_body(body: bytes, refs):
+    (
+        refid, pos0, l_name, mapq, _bin, n_cigar, flag, l_seq,
+        next_refid, next_pos0, tlen,
+    ) = _REC_HEAD.unpack_from(body, 0)
+    off = _REC_HEAD.size
+    name = body[off : off + l_name - 1]
+    off += l_name
+    cigar_ops = struct.unpack_from(f"<{n_cigar}I", body, off)
+    off += 4 * n_cigar
+    cigar = (
+        "".join(f"{v >> 4}{CIGAR_OPS[v & 0xF]}" for v in cigar_ops) or "*"
+    )
+    nseq = (l_seq + 1) // 2
+    seq_bytes = np.frombuffer(body[off : off + nseq], np.uint8)
+    off += nseq
+    nib = np.empty(nseq * 2, np.uint8)
+    nib[0::2] = seq_bytes >> 4
+    nib[1::2] = seq_bytes & 0xF
+    seq = np.frombuffer(SEQ_NIBBLE, np.uint8)[nib[:l_seq]].tobytes()
+    qual_raw = body[off : off + l_seq]
+    if l_seq and qual_raw and qual_raw[0] == 0xFF:
+        qual = b"*"
+    else:
+        qual = (np.frombuffer(qual_raw, np.uint8) + 33).tobytes()
+    rname = refs[refid].name if refid >= 0 else b"*"
+    return SamRecord(
+        qname=name, flag=flag, rname=rname, pos=pos0 + 1, mapq=mapq,
+        cigar=cigar, seq=seq if l_seq else b"*",
+        qual=qual if l_seq else b"*",
+    )

@@ -87,3 +87,38 @@ def test_bbmap_bam_output(tmp_path):
     g = grade_sam(bam, ref.names)
     assert g.total == 100 and g.mapped >= 98
     assert g.correct_strict >= 0.97 * g.mapped
+
+
+def test_bai_index_and_fetch(tmp_path):
+    import struct
+
+    from bbtools_tpu.io.bam import BamWriter, fetch, read_bai
+    from bbtools_tpu.io.sam_read import SamRecord
+
+    p = str(tmp_path / "sorted.bam")
+    refs = [(b"chr1", 200_000)]
+    w = BamWriter(p, b"@HD\tVN:1.4\tSO:coordinate\n", refs, index=True)
+    # coordinate-sorted records every 1000bp
+    for i in range(150):
+        pos = 1 + i * 1000
+        w.write_record(
+            SamRecord(
+                qname=b"r%d" % i, flag=0, rname=b"chr1", pos=pos, mapq=40,
+                cigar="100=", seq=b"A" * 100, qual=b"F" * 100,
+            )
+        )
+    w.close()
+    import os
+
+    assert os.path.exists(p + ".bai")
+    idx = read_bai(p + ".bai")
+    assert len(idx) == 1
+    bins, linear = idx[0]
+    assert bins and linear
+    # region query returns exactly the overlapping records
+    got = [r.qname for r in fetch(p, b"chr1", 50_000, 55_000)]
+    want = [b"r%d" % i for i in range(150) if 1 + i * 1000 + 99 > 50_000
+            and i * 1000 < 55_000]
+    assert got == want, (got[:3], want[:3])
+    # empty region
+    assert list(fetch(p, b"chr1", 190_000, 195_000)) == []
