@@ -40,25 +40,24 @@ def run(argv: list[str]):
     min_count_dump = a.get_int("mincounttodump", "mincount", default=1)
     batch_reads = a.get_int("batchreads", default=16384)
     big = k > 31
-    if big and dump:
-        raise NotImplementedError(
-            "dump= with k>31 uses hashed keys (no kmer text); use khist="
-        )
     if big:
-        from ..ops.kmers2 import count_batch2
+        import numpy as _np
+
+        from ..ops.kmers2 import BigSpectrum, count_batch2_exact
     t0 = time.time()
-    spec = KmerSpectrum(k)
+    spec = BigSpectrum(k) if big else KmerSpectrum(k)
     reads = bases = 0
     for path in [p for p in (in1, in2) if p]:
         reader = read_batches(path, batch_reads=batch_reads)
         for b in reader:
             if big:
-                import numpy as _np
-
-                v, c = count_batch2(b.bases, b.lengths.astype(_np.int64), k)
+                hi, lo, c = count_batch2_exact(
+                    b.bases, b.lengths.astype(_np.int64), k
+                )
+                spec.add_batch(hi, lo, c)
             else:
                 v, c = count_batch(b.bases, b.lengths, k)
-            spec.add_batch(v, c)
+                spec.add_batch(v, c)
         reads += reader.reads_in
         bases += reader.bases_in
     spec.flush()
@@ -72,11 +71,23 @@ def run(argv: list[str]):
                     fh.write(b"%d\t%d\n" % (depth, h[depth]))
     if dump:
         with open_output(dump) as fh:
-            for key, cnt in zip(spec.keys, spec.counts):
-                if cnt >= min_count_dump:
-                    fh.write(
-                        b">%d\n%s\n" % (cnt, kmer_to_text(int(key), k).encode())
-                    )
+            if big:
+                from ..ops.kmers2 import LO_BASES
+
+                for h, l, cnt in zip(spec.hi, spec.lo, spec.counts):
+                    if cnt >= min_count_dump:
+                        text = (
+                            kmer_to_text(int(h), k - LO_BASES)
+                            + kmer_to_text(int(l), LO_BASES)
+                        )
+                        fh.write(b">%d\n%s\n" % (cnt, text.encode()))
+            else:
+                for key, cnt in zip(spec.keys, spec.counts):
+                    if cnt >= min_count_dump:
+                        fh.write(
+                            b">%d\n%s\n"
+                            % (cnt, kmer_to_text(int(key), k).encode())
+                        )
     if peaks:
         _write_peaks(peaks, spec.histogram(hist_max), k)
     print(

@@ -95,3 +95,99 @@ def count_batch2(bases: np.ndarray, lengths: np.ndarray, k: int):
     h = pair_hash(chi[valid], clo[valid])
     values, counts = np.unique(h, return_counts=True)
     return values, counts.astype(np.int64)
+
+
+def count_batch2_exact(bases: np.ndarray, lengths: np.ndarray, k: int):
+    """Exact big-k counting: canonical (hi, lo) word pairs + counts.
+
+    The exact-table analog of ukmer's multi-word keys (Kmer.java): no
+    64-bit hashing, so distinct k-mers can never collide. Returns
+    (hi int64 [n], lo int64 [n], counts int64 [n]) sorted lexicographically
+    by (hi, lo).
+    """
+    hi, lo, rhi, rlo, runlen = rolling_kmers2_np(bases, k)
+    i_idx = np.arange(bases.shape[1])[None, :]
+    valid = (runlen >= k) & (i_idx < np.asarray(lengths)[:, None])
+    chi, clo = canonical_pair(hi, lo, rhi, rlo)
+    chi = chi[valid]
+    clo = clo[valid]
+    order = np.lexsort((clo, chi))
+    chi, clo = chi[order], clo[order]
+    if len(chi) == 0:
+        return chi, clo, np.zeros(0, np.int64)
+    new = np.concatenate(
+        [[True], (chi[1:] != chi[:-1]) | (clo[1:] != clo[:-1])]
+    )
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(chi)))
+    return chi[starts], clo[starts], counts.astype(np.int64)
+
+
+class BigSpectrum:
+    """Exact two-word k-mer spectrum with mergeable batches and a
+    two-level (hi -> lo segment) exact lookup — the KmerTableSetU /
+    HashArrayU analog with sorted arrays instead of probe chains."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.hi = np.zeros(0, np.int64)
+        self.lo = np.zeros(0, np.int64)
+        self.counts = np.zeros(0, np.int64)
+
+    def add_batch(self, hi, lo, counts):
+        self.hi = np.concatenate([self.hi, hi])
+        self.lo = np.concatenate([self.lo, lo])
+        self.counts = np.concatenate([self.counts, counts])
+        if len(self.hi) > 8_000_000:
+            self.flush()
+
+    def flush(self):
+        if len(self.hi) == 0:
+            return
+        order = np.lexsort((self.lo, self.hi))
+        hi, lo, c = self.hi[order], self.lo[order], self.counts[order]
+        new = np.concatenate(
+            [[True], (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+        )
+        starts = np.flatnonzero(new)
+        self.hi, self.lo = hi[starts], lo[starts]
+        self.counts = np.add.reduceat(c, starts)
+        # two-level index: unique hi values -> lo segment bounds
+        hnew = np.concatenate(
+            [[True], self.hi[1:] != self.hi[:-1]]
+        )
+        self._hi_vals = self.hi[hnew]
+        self._hi_starts = np.append(
+            np.flatnonzero(hnew), len(self.hi)
+        ).astype(np.int64)
+
+    def count_of(self, hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+        """Exact count lookup, vectorized over queries."""
+        if len(self.hi) == 0:
+            return np.zeros(len(hi), np.int64)
+        seg = np.searchsorted(self._hi_vals, hi)
+        seg = np.minimum(seg, len(self._hi_vals) - 1)
+        hit_hi = self._hi_vals[seg] == hi
+        out = np.zeros(len(hi), np.int64)
+        a = self._hi_starts[seg]
+        b = self._hi_starts[seg + 1]
+        # per-query binary search within the lo segment
+        for i in np.flatnonzero(hit_hi):
+            s, e = int(a[i]), int(b[i])
+            j = s + np.searchsorted(self.lo[s:e], lo[i])
+            if j < e and self.lo[j] == lo[i]:
+                out[i] = self.counts[j]
+        return out
+
+    @property
+    def n(self):
+        return len(self.hi)
+
+    @property
+    def n_unique(self):
+        return len(self.hi)
+
+    def histogram(self, hist_max: int) -> np.ndarray:
+        h = np.zeros(hist_max + 1, dtype=np.int64)
+        np.add.at(h, np.minimum(self.counts, hist_max), 1)
+        return h

@@ -79,3 +79,65 @@ def test_kmercountexact_files(tmp_path):
     assert len(dump_lines) == 2 * n_kmers
     assert dump_lines[0] == b">10"
     assert len(dump_lines[1]) == 15
+
+
+def test_bigk_exact_spectrum():
+    import numpy as np
+
+    from bbtools_tpu.ops.kmers2 import (
+        BigSpectrum,
+        count_batch2_exact,
+        rolling_kmers2_np,
+        canonical_pair,
+    )
+
+    rng = np.random.default_rng(7)
+    k = 45
+    # one read repeated 3x plus a distinct read: repeat kmers count 3
+    r1 = rng.integers(0, 4, 120).astype(np.uint8)
+    r2 = rng.integers(0, 4, 120).astype(np.uint8)
+    bases = np.stack([r1, r1, r1, r2])
+    lens = np.full(4, 120, np.int64)
+    hi, lo, c = count_batch2_exact(bases, lens, k)
+    n_per_read = 120 - k + 1
+    assert c.sum() == 4 * n_per_read
+    assert sorted(set(c.tolist())) == [1, 3]
+    assert (c == 3).sum() == n_per_read  # r1 kmers (assuming no overlap)
+
+    spec = BigSpectrum(k)
+    # two batches merge exactly
+    spec.add_batch(*count_batch2_exact(bases[:2], lens[:2], k))
+    spec.add_batch(*count_batch2_exact(bases[2:], lens[2:], k))
+    spec.flush()
+    assert spec.counts.sum() == 4 * n_per_read
+    assert sorted(set(spec.counts.tolist())) == [1, 3]
+
+    # exact lookup round trip
+    got = spec.count_of(hi, lo)
+    np.testing.assert_array_equal(got, c)
+    # absent kmer -> 0
+    assert spec.count_of(np.array([123456]), np.array([654321]))[0] == 0
+
+
+def test_bigk_dump_text(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models.kmercountexact import main as kce_main
+
+    rng = np.random.default_rng(8)
+    seq = CODE_TO_BASE[rng.integers(0, 4, 80)].tobytes()
+    fin = tmp_path / "in.fq"
+    fin.write_bytes(b"@r\n" + seq + b"\n+\n" + b"F" * 80 + b"\n")
+    dump = tmp_path / "kmers.fa"
+    kce_main([f"in={fin}", f"out={dump}", "k=40"])
+    lines = dump.read_bytes().splitlines()
+    assert len(lines) == 2 * (80 - 40 + 1)
+    # each dumped kmer is 40bp and occurs in the read or its rc
+    from bbtools_tpu.core.dna import reverse_complement
+
+    rc = reverse_complement(seq)
+    for j in range(1, len(lines), 2):
+        km = lines[j]
+        assert len(km) == 40
+        assert km in seq or km in rc
