@@ -653,6 +653,7 @@ class Tadpole:
             f"Errors corrected:     \t{total_corr} "
             f"(pincer {ecc.stats['errors_corrected_pincer']}, "
             f"tail {ecc.stats['errors_corrected_tail']}, "
+            f"reassemble {ecc.stats.get('errors_corrected_reassemble', 0)}, "
             f"rollbacks {ecc.stats['rollbacks']})",
             file=sys.stderr,
         )

@@ -50,10 +50,13 @@ BRANCH_LOWER_CONST = 3
 class EccConfig:
     pincer: bool = True
     tail: bool = True
+    reassemble: bool = True  # ECC_REASSEMBLE (:895, runs when the other
+    # passes leave suspected errors)
     ecc_all: bool = True  # tail scan from position 0
     rollback: bool = True
     error_extension_pincer: int = 5
     error_extension_tail: int = 9
+    error_extension_reassemble: int = 5
     dead_zone: int = 0
 
 
@@ -200,7 +203,16 @@ class EccEngine:
                 codes[:] = np.where(rc < 4, 3 - rc, 4)[::-1]
                 corrected_t += ct2
 
-        total = corrected_p + corrected_t
+        corrected_r = 0
+        if cfg.reassemble:
+            # only when the cheaper passes left work (:1745-1748)
+            counts_now, _ = self.read_counts(codes)
+            if (corrected_p + corrected_t) < 1 or count_errors(
+                counts_now, quals, self.k
+            ) > 0:
+                corrected_r = self._reassemble_pass(codes, quals)
+
+        total = corrected_p + corrected_t + corrected_r
         if total == 0:
             return 0
 
@@ -234,6 +246,9 @@ class EccEngine:
         self.stats["reads_corrected"] += 1
         self.stats["errors_corrected_pincer"] += corrected_p
         self.stats["errors_corrected_tail"] += corrected_t
+        self.stats["errors_corrected_reassemble"] = (
+            self.stats.get("errors_corrected_reassemble", 0) + corrected_r
+        )
         return total
 
     def _pincer_pass(self, codes, quals, counts, fwds) -> int:
@@ -332,6 +347,60 @@ class EccEngine:
                         corrected += 1
                         counts, fwds = self.read_counts(codes)
             a += 1
+        return corrected
+
+    def _reassemble_pass(self, codes, quals) -> int:
+        """reassemble_inner (Tadpole1.java:2255-2330): at each suspected
+        substitution, replace the base with the strongest right-extension
+        of the preceding kmer when that consensus is unambiguous."""
+        cfg, k = self.cfg, self.k
+        ee = cfg.error_extension_reassemble
+        counts, fwds = self.read_counts(codes)
+        n = len(counts)
+        if len(codes) < k + 1 + cfg.dead_zone:
+            return 0
+        corrected = 0
+        ca = 0
+        lim = n - cfg.dead_zone - 1
+        while ca < lim:
+            aC, bC = int(counts[ca]), int(counts[ca + 1])
+            b = ca + k  # read position of the suspect base
+            qb = float(quals[b]) if quals is not None else 20.0
+            lo1 = max(ca - ee, 0)
+            sim_left = (
+                bool(is_similar(aC, counts[lo1:ca]).all()) if ca > lo1 else True
+            )
+            hi2 = min(ca + k, n - 1)
+            err_right = (
+                bool(is_error(aC, counts[ca + 2 : hi2 + 1], qb).all())
+                if ca + 2 <= hi2
+                else True
+            )
+            if aC >= 0 and is_error(aC, bC, qb) and sim_left and err_right:
+                kmer = int(fwds[ca])
+                nxt = (kmer << 2) & self.mask
+                cand = np.array([nxt | x for x in range(4)], dtype=np.int64)
+                keys = np.maximum(cand, rc_kmer_arr(cand, k))
+                cnts = self.table.count_of(keys)
+                order = np.argsort(-cnts, kind="stable")
+                mx, second = int(cnts[order[0]]), int(cnts[order[1]])
+                obs = int(codes[b])
+                if (
+                    mx >= MIN_COUNT_EXTEND
+                    and obs != int(order[0])
+                    and (
+                        is_error(mx, second, qb)
+                        or not (
+                            second > BRANCH_LOWER_CONST
+                            and second * BRANCH_MULT1 > mx
+                        )
+                    )
+                    and is_similar(aC, mx)
+                ):
+                    codes[b] = int(order[0])
+                    corrected += 1
+                    counts, fwds = self.read_counts(codes)
+            ca += 1
         return corrected
 
     # ---- batch driver ----

@@ -160,3 +160,34 @@ def test_ecc_corrects_substitutions(tmp_path):
             fixed += 1
     assert total == len(mutated)
     assert fixed >= 0.7 * total, (fixed, total)
+
+
+def test_ecc_reassemble_only():
+    """Reassemble pass alone corrects an interior substitution when the
+    pincer/tail passes are disabled."""
+    import numpy as np
+
+    from bbtools_tpu.models.tadpole import SpectrumTable
+    from bbtools_tpu.models.tadpole_ecc import EccConfig, EccEngine
+    from bbtools_tpu.ops.kmer_count import KmerSpectrum, count_batch_np
+
+    rng = np.random.default_rng(41)
+    genome = rng.integers(0, 4, 4000).astype(np.uint8)
+    # clean coverage
+    reads = np.stack(
+        [genome[s : s + 100] for s in range(0, 3000, 10)]
+    )
+    v, c = count_batch_np(reads, np.full(len(reads), 100, np.int64), 31)
+    spec = KmerSpectrum(31)
+    spec.add_batch(v, c * 5)  # boost depth
+    spec.flush()
+    eng = EccEngine(
+        SpectrumTable(spec, 31),
+        31,
+        EccConfig(pincer=False, tail=False, reassemble=True, rollback=False),
+    )
+    codes = genome[500:600].copy()
+    codes[50] = (codes[50] + 2) % 4
+    fixed = eng.correct_read(codes, None)
+    assert fixed >= 1
+    assert (codes == genome[500:600]).all()
