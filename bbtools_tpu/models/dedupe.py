@@ -13,6 +13,11 @@ Modes (reference flag semantics):
     come from a rolling k-mer index of kept reads (absorbContainment
     path, Dedupe.java:3137+).
 
+  - `cluster=t pattern=out_%.fq`: instead of absorbing duplicates,
+    connect reads that match (by any enabled criterion) with union-find
+    and emit one file per connected cluster (Dedupe's cluster output,
+    processClusters path).
+
 Host tool by design (like the reference's hash-table threads); the
 banded verification batches onto the device kernel when pair counts
 grow.
@@ -138,6 +143,107 @@ class Dedupe:
                 if km >= 0 and km not in self.kindex:
                     self.kindex[km] = (idx, p)
 
+    # ---- cluster mode (union-find over match edges) ----
+    def _find(self, x):
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def _union(self, a, b):
+        ra, rb = self._find(a), self._find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+    def judge_cluster(self, raw_codes: np.ndarray) -> int:
+        """Cluster mode: every read is kept; matching reads merge into
+        one cluster. Returns the read's index."""
+        codes, _ = _canon(raw_codes) if self.rcomp else (raw_codes, False)
+        idx = len(self.kept_codes)
+        if not hasattr(self, "parent"):
+            self.parent = []
+        self.parent.append(idx)
+        h = codes.tobytes()
+        mates = []
+        if h in self.exact:
+            mates.append(self.exact[h])
+        else:
+            self.exact[h] = idx
+        if (self.subs > 0 or self.edist > 0) and len(codes) >= self.k:
+            mates += self._fuzzy_candidates(codes)
+        if self.containment and len(codes) >= self.k:
+            m = self._containment_candidate(codes)
+            if m is not None:
+                mates.append(m)
+        self.kept_codes.append(codes)
+        if self.subs > 0 or self.edist > 0 or self.containment:
+            self._register(codes, idx)
+        for m in set(mates):
+            self._union(idx, m)
+        return idx
+
+    def _fuzzy_candidates(self, codes):
+        """Indices of kept reads matching within subs/edist."""
+        k = self.k
+        cands: set[int] = set()
+        for km in (_kmer_at(codes, 0, k), _kmer_at(codes, len(codes) - k, k)):
+            if km < 0:
+                continue
+            cands.update(self.prefix.get(km, ()))
+            cands.update(self.suffix.get(km, ()))
+        out = []
+        for ci in cands:
+            other = self.kept_codes[ci]
+            if abs(len(other) - len(codes)) > max(self.edist, 0):
+                continue
+            if (
+                self.subs > 0
+                and len(other) == len(codes)
+                and _hamming(codes, other) <= self.subs
+            ):
+                out.append(ci)
+                continue
+            if self.edist > 0:
+                from ..ops.banded import banded_edits_np
+
+                q, r = (
+                    (codes, other)
+                    if len(codes) <= len(other)
+                    else (other, codes)
+                )
+                if banded_edits_np(q, r, self.edist) <= self.edist:
+                    out.append(ci)
+        return out
+
+    def _containment_candidate(self, codes):
+        k = self.k
+        for probe_rc in (False, True) if self.rcomp else (False,):
+            c = (
+                np.where(codes < 4, 3 - codes, codes)[::-1].copy()
+                if probe_rc
+                else codes
+            )
+            km = _kmer_at(c, 0, k)
+            if km < 0:
+                continue
+            hit = self.kindex.get(km)
+            if hit is None:
+                continue
+            ci, pos = hit
+            other = self.kept_codes[ci]
+            if pos + len(c) <= len(other) and _hamming(
+                c, other[pos : pos + len(c)]
+            ) <= self.subs:
+                return ci
+        return None
+
+    def clusters(self):
+        """cluster id -> member read indices."""
+        out: dict[int, list[int]] = {}
+        for i in range(len(self.kept_codes)):
+            out.setdefault(self._find(i), []).append(i)
+        return out
+
     def judge(self, raw_codes: np.ndarray) -> bool:
         """True if the read should be kept (first of its cluster)."""
         codes, _ = (
@@ -172,9 +278,33 @@ def main(argv=None):
     subs = a.get_int("s", "subs", "maxsubs", default=0)
     edist = a.get_int("e", "edist", "maxedits", default=0)
     containment = a.get_bool("ac", "absorbcontainment", default=False)
+    cluster = a.get_bool("cluster", "clusters", default=False)
+    pattern = a.get("pattern", "outpattern")
     t0 = time.time()
     dd = Dedupe(subs=subs, edist=edist, containment=containment, rcomp=rcomp)
     reader = FastqReader(in1)
+    if cluster:
+        if not pattern or "%" not in pattern:
+            raise ValueError("cluster=t requires pattern= containing %")
+        rows = []  # (name, seq, qual)
+        for b in reader:
+            for i in range(b.n):
+                L = int(b.lengths[i])
+                dd.judge_cluster(b.bases[i, :L].copy())
+                rows.append((b.ids[i], b.sequence(i), b.quality_string(i)))
+        cl = dd.clusters()
+        for ci, (root, members) in enumerate(sorted(cl.items())):
+            from ..io.readwrite import open_output
+
+            with open_output(pattern.replace("%", str(ci))) as fh:
+                for m in members:
+                    nm, seq, qual = rows[m]
+                    fh.write(b"@%s\n%s\n+\n%s\n" % (nm, seq, qual))
+        print(f"Input:               \t{reader.reads_in} reads", file=sys.stderr)
+        print(f"Clusters:            \t{len(cl)}", file=sys.stderr)
+        print(f"Time:                \t{time.time()-t0:.3f} seconds.",
+              file=sys.stderr)
+        return len(cl), reader.reads_in
     w = FastqWriter(out1) if out1 else None
     wd = FastqWriter(outd) if outd else None
     kept = 0

@@ -885,3 +885,32 @@ def test_clumpify_optical_dedupe(tmp_path):
         [f"in={tmp_path/'in.fq'}", f"out={tmp_path/'o2.fq'}", "dedupe=t"]
     )
     assert (n2, d2) == (4, 3)
+
+
+def test_dedupe_cluster_mode(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models import dedupe as dd
+
+    rng = np.random.default_rng(131)
+    a = rng.integers(0, 4, 120).astype(np.uint8)
+    a_sub = a.copy()
+    a_sub[60] = (a_sub[60] + 1) % 4
+    a_rc = (3 - a)[::-1].copy()
+    b = rng.integers(0, 4, 120).astype(np.uint8)
+    reads = [(b"a0", a), (b"a1", a_sub), (b"a2", a_rc), (b"b0", b)]
+    fin = tmp_path / "in.fq"
+    with open(fin, "wb") as fh:
+        for n, c in reads:
+            s = CODE_TO_BASE[c].tobytes()
+            fh.write(b"@" + n + b"\n" + s + b"\n+\n" + b"F" * len(s) + b"\n")
+    ncl, nreads = dd.main(
+        [f"in={fin}", f"pattern={tmp_path/'c_%.fq'}", "cluster=t", "s=2"]
+    )
+    assert (ncl, nreads) == (2, 4)
+    sizes = sorted(
+        len((tmp_path / f"c_{i}.fq").read_bytes().splitlines()) // 4
+        for i in range(2)
+    )
+    assert sizes == [1, 3]  # {a0,a1,a2} and {b0}
