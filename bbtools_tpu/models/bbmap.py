@@ -395,7 +395,8 @@ class BBMap:
                 r.flat_start = int(t_diag[i])
                 r.match = bytes(m)
                 sec = second.get(b, (-BIG, -1))[0]
-                r.ambig = sec >= r.score
+                cz = clearzone_for(r.score, int(max_quality(lengths[b])))
+                r.ambig = sec >= r.score - cz
         # build final results with traceback via DP (always run fill with
         # traceback for the winning site to obtain the match string)
         if win_tasks and dp_planes is not None:
@@ -427,7 +428,8 @@ class BBMap:
                 r.flat_start = int(win_start[i] + start_col)
                 r.match = m
                 sec = second.get(b, (-BIG, -1))[0]
-                r.ambig = sec >= r.score
+                cz = clearzone_for(r.score, int(max_quality(lengths[b])))
+                r.ambig = sec >= r.score - cz
         for b in range(B):
             if results[b].mapped:
                 self.reads_mapped += 1
@@ -740,6 +742,36 @@ def _nm(match: bytes) -> int:
 
 def min_score_for(length: int, min_ratio: float) -> int:
     return int(max_quality(length) * min_ratio)
+
+
+# clearzone constants (align2/BBMapThread.java:39-74, scaled by
+# POINTS_MATCH2): an alignment is ambiguous when the runner-up is within
+# `clearzone` of the winner; the zone widens as the best score drops
+# (two-segment linear interpolation CZ1 -> CZ1b -> CZ1c, :590-606).
+_CZP = int(1.6 * MC.POINTS_MATCH2)
+_CZ1 = int(2.0 * MC.POINTS_MATCH2)
+_CZ1B = int(2.6 * MC.POINTS_MATCH2)
+_CZ1C = int(4.6 * MC.POINTS_MATCH2)
+_CZ1B_FLAT = 12 * MC.POINTS_MATCH2
+_CZ1C_FLAT = 26 * MC.POINTS_MATCH2
+
+
+def clearzone_for(score: int, max_sw: int) -> int:
+    if score >= max_sw:
+        return _CZP
+    blim = max_sw * 0.97 - _CZ1B_FLAT
+    clim = max_sw * 0.92 - _CZ1C_FLAT
+    if score > blim:
+        return int(
+            ((max_sw - score) * _CZ1B + (score - blim) * _CZ1)
+            / max(max_sw - blim, 1)
+        )
+    if score > clim:
+        return int(
+            ((blim - score) * _CZ1C + (score - clim) * _CZ1B)
+            / max(blim - clim, 1)
+        )
+    return _CZ1C
 
 
 def load_ref(path: str):
