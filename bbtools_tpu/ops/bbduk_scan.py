@@ -49,7 +49,12 @@ def _lookup(cfg: KScanConfig, table, keys):
 def _lookup_qhdist(cfg: KScanConfig, table, fwd, rkm, klen, lmask):
     """getValue with qhdist mutation retries (BBDukIndexMod.getValue
     :461-478): try exact, then single-sub mutants in (symbol, position)
-    order, first hit wins."""
+    order, first hit wins.
+
+    TPU shape: ALL 4*klen mutants stack on a trailing axis and go through
+    ONE bucket lookup — gathers are the scarce resource on this path
+    (one lookup = 2 gathers regardless of the mutant count), so qhdist=1
+    costs the same compile/runtime budget as the exact lookup."""
     mm = jnp.int64(cfg.mid_mask if klen == cfg.k else -1)
     mx = jnp.maximum(fwd, rkm) if cfg.rcomp else fwd
     key = (mx & mm) | jnp.int64(lmask)
@@ -57,16 +62,25 @@ def _lookup_qhdist(cfg: KScanConfig, table, fwd, rkm, klen, lmask):
     if cfg.qhdist > 0:
         if cfg.qhdist > 1:
             raise NotImplementedError("qhdist > 1 on device")
+        muts = []
+        differs = []
         for j in range(4):
             for i in range(klen):
                 clear = ~(jnp.int64(3) << (2 * i))
                 temp = (fwd & clear) | (jnp.int64(j) << (2 * i))
-                differs = temp != fwd
-                rtemp = _rc_jnp(temp, klen)
-                mx = jnp.maximum(temp, rtemp) if cfg.rcomp else temp
-                key = (mx & mm) | jnp.int64(lmask)
-                cand = _lookup(cfg, table, key)
-                out = jnp.where((out < 1) & differs, cand, out)
+                muts.append(temp)
+                differs.append(temp != fwd)
+        temp_all = jnp.stack(muts, axis=-1)  # [..., M] in (j, i) order
+        diff_all = jnp.stack(differs, axis=-1)
+        rtemp_all = _rc_jnp(temp_all, klen)
+        mx_all = jnp.maximum(temp_all, rtemp_all) if cfg.rcomp else temp_all
+        keys_all = (mx_all & mm) | jnp.int64(lmask)
+        cand = _lookup(cfg, table, keys_all)  # one lookup: 2 gathers
+        valid = (cand > 0) & diff_all
+        first = jnp.argmax(valid, axis=-1)  # first hit in (j, i) order
+        hit = valid.any(axis=-1)
+        chosen = jnp.take_along_axis(cand, first[..., None], axis=-1)[..., 0]
+        out = jnp.where((out < 1) & hit, chosen, out)
     return out
 
 
@@ -248,8 +262,7 @@ def _kscan_short_loop(cfg: KScanConfig, table, bases, lengths, left: bool):
     keys_l: list = []  # per short length: canonical key [B]
     live_l: list = []  # per short length: in-bounds mask [B]
     i_l: list = []  # per short length: absolute position [B]
-    if cfg.qhdist > 0:
-        raise NotImplementedError("qhdist with mink on device")
+    # short-kmer scans route through the same batched-mutant lookup
     for step in range(k):
         if left:
             i = start + step
@@ -272,8 +285,16 @@ def _kscan_short_loop(cfg: KScanConfig, table, bases, lengths, left: bool):
             rkmer = jnp.where(live, rkmer_new, rkmer)
         ln = step + 1
         if ln >= mink:
-            mx = jnp.maximum(kmer, rkmer) if cfg.rcomp else kmer
-            keys_l.append(mx | jnp.int64(length_mask(ln)))
+            if cfg.qhdist > 0:
+                # one batched-mutant lookup per short length
+                keys_l.append(
+                    _lookup_qhdist(
+                        cfg, table, kmer, rkmer, ln, length_mask(ln)
+                    )
+                )
+            else:
+                mx = jnp.maximum(kmer, rkmer) if cfg.rcomp else kmer
+                keys_l.append(mx | jnp.int64(length_mask(ln)))
             live_l.append(live)
             i_l.append(i)
     keys = jnp.stack(keys_l, axis=1)  # [B, S]
@@ -281,7 +302,10 @@ def _kscan_short_loop(cfg: KScanConfig, table, bases, lengths, left: bool):
     pos = jnp.stack(
         [jnp.broadcast_to(x, (B,)).astype(jnp.int32) for x in i_l], axis=1
     )
-    ids = jnp.where(live, _lookup(cfg, table, keys), 0)  # [B, S]
+    if cfg.qhdist > 0:
+        ids = jnp.where(live, keys, 0)  # keys already hold looked-up ids
+    else:
+        ids = jnp.where(live, _lookup(cfg, table, keys), 0)  # [B, S]
     hit = ids > 0
     any_hit = hit.any(axis=1)
     first = jnp.argmax(hit, axis=1)

@@ -362,3 +362,45 @@ def test_ref_adapters_keyword(tmp_path):
         if i % 4 == 1
     ]
     assert sum(lens) / len(lens) <= 61
+
+
+def test_qhdist_device(tmp_path):
+    """qhdist=1 finds adapters with one read-side mismatch, including in
+    the mink end-scan region."""
+    import random
+
+    random.seed(3)
+    ad = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCAC"
+    fin = tmp_path / "in.fq"
+    with open(fin, "w") as f:
+        for i in range(20):
+            ins = "".join(random.choice("ACGT") for _ in range(60))
+            full = ad[:-1] + ("T" if ad[-1] != "T" else "A")  # mutate 1bp
+            # plant the MUTATED adapter; exact scan can't see it
+            mut = list(ad)
+            p = 5 + (i % 20)
+            mut[p] = {"A": "C", "C": "G", "G": "T", "T": "A"}[mut[p]]
+            seq = (ins + "".join(mut) + "ACGTAC")[:100].ljust(100, "T")
+            f.write(f"@r{i}\n{seq}\n+\n{'F'*100}\n")
+    out0 = tmp_path / "o0.fq"
+    cfg0 = parse_args(
+        [f"in={fin}", f"out={out0}", "ref=adapters", "ktrim=r", "k=15",
+         "mink=9", "hdist=0"]
+    )
+    BBDuk(cfg0).run()
+    out1 = tmp_path / "o1.fq"
+    cfg1 = parse_args(
+        [f"in={fin}", f"out={out1}", "ref=adapters", "ktrim=r", "k=15",
+         "mink=9", "hdist=0", "qhdist=1"]
+    )
+    BBDuk(cfg1).run()
+
+    def mean_len(p):
+        ls = [len(l.strip()) for i, l in enumerate(open(p, "rb")) if i % 4 == 1]
+        return sum(ls) / len(ls)
+
+    # qhdist=1 trims much more than the exact scan on mutated adapters
+    assert mean_len(out1) < mean_len(out0) - 5, (
+        mean_len(out0), mean_len(out1)
+    )
+    assert mean_len(out1) <= 62
