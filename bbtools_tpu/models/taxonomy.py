@@ -91,6 +91,36 @@ class TaxTree:
                     names[int(parts[0])] = parts[1]
         return cls(parent, level, names)
 
+    # ---- persistence (.taxtree analog, TaxTree.java main :56-66) ----
+    def save(self, path: str) -> None:
+        """Serialize to one npz (ids/parents/levels + names table)."""
+        ids = np.flatnonzero(self.parent >= 0)
+        names_arr = np.array(
+            [self.names.get(int(t), "") for t in ids], dtype=object
+        )
+        np.savez_compressed(
+            path,
+            size=np.int64(len(self.parent)),
+            ids=ids,
+            parents=self.parent[ids],
+            levels=self.level[ids],
+            names=names_arr.astype(str),
+        )
+
+    @classmethod
+    def load_tree(cls, path: str) -> "TaxTree":
+        z = np.load(path, allow_pickle=False)
+        size = int(z["size"])
+        parent = np.full(size, -1, dtype=np.int64)
+        level = np.zeros(size, dtype=np.int8)
+        ids = z["ids"]
+        parent[ids] = z["parents"]
+        level[ids] = z["levels"]
+        names = {
+            int(t): str(n) for t, n in zip(ids, z["names"]) if n
+        }
+        return cls(parent, level, names)
+
     # ---- queries (TaxTree.java :925-1005) ----
     def valid(self, tid: int) -> bool:
         return 0 <= tid < len(self.parent) and self.parent[tid] >= 0
@@ -213,9 +243,18 @@ def filter_by_taxa(argv) -> tuple[int, int]:
 
 
 def main(argv=None):
-    """`taxonomy names= nodes= ids=...` prints lineages."""
+    """`taxonomy names= nodes= ids=...` prints lineages;
+    `tree=x.taxtree.npz` loads (or, with names=/nodes= present, writes)
+    the serialized tree."""
     a = tokenize(argv if argv is not None else sys.argv[1:])
-    tree = TaxTree.load(a.get("names"), a.get("nodes"))
+    tree_path = a.get("tree", "taxtree")
+    if tree_path and not a.get("names"):
+        tree = TaxTree.load_tree(tree_path)
+    else:
+        tree = TaxTree.load(a.get("names"), a.get("nodes"))
+        if tree_path:
+            tree.save(tree_path)
+            print(f"Wrote {tree_path}", file=sys.stderr)
     for token in (a.get("ids", "id", "taxa") or "").split(","):
         token = token.strip()
         if not token:

@@ -146,3 +146,16 @@ def test_server_endpoints(tiny_tree, tmp_path):
             assert e.code == 404
     finally:
         srv.shutdown()
+
+
+def test_taxtree_serialization(tiny_tree, tmp_path):
+    _, t = tiny_tree
+    p = str(tmp_path / "t.taxtree.npz")
+    t.save(p)
+    from bbtools_tpu.models.taxonomy import TaxTree
+
+    t2 = TaxTree.load_tree(p)
+    assert t2.lineage(83333) == t.lineage(83333)
+    assert t2.name_of(562) == "Escherichia coli"
+    assert t2.id_of("Bacteria") == 2
+    assert t2.ancestor_at_level(83333, "phylum") == 1224
