@@ -25,7 +25,7 @@ import numpy as np
 JAVA_32T_READS_PER_SEC = 500_000.0  # estimate; see module docstring
 
 READ_LEN = 151
-BATCH = 65536
+BATCH = 32768
 WARMUP_BATCHES = 2
 BENCH_BATCHES = 16
 
