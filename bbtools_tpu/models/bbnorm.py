@@ -1,12 +1,17 @@
 """BBNorm — depth normalization via approximate k-mer counts
 (jgi/KmerNormalize.java:54 over bloom/KCountArray7MTA).
 
-Two-pass (the reference's `passes` loop :239, single-pass variant here):
-pass 1 streams all reads into a count-min sketch; pass 2 estimates each
-read's depth as the `depthpercentile` (default 0.54) percentile of its
-k-mer counts and keeps the read with probability target/depth when depth
-exceeds the target (plus the mindepth discard). Deterministic given the
-seed — the reference uses a hash of the read for the keep decision.
+One normalization round = count pass (count-min sketch) + keep pass:
+each read's depth is the `depthpercentile` (default 0.54) percentile of
+its k-mer counts, kept with probability target/depth above the target
+(plus the mindepth discard). Deterministic given the seed — the
+reference hashes the read for the keep decision.
+
+`passes=2` reproduces the reference's two-round loop (:239): round 1
+normalizes to an intermediate target (4x final) into a temp stream, and
+round 2 recounts THAT output and normalizes to the final target — the
+recount sharpens depth estimates because the high-abundance tail no
+longer swamps the sketch.
 """
 
 from __future__ import annotations
@@ -45,21 +50,10 @@ def read_depths(cms, bases, lengths, k: int, percentile: float):
     return depths
 
 
-def main(argv=None):
+def _normalize_round(in1, out1, outt, k, target, mindepth, percentile,
+                     hashes, seed):
     import jax.numpy as jnp
 
-    a = tokenize(argv if argv is not None else sys.argv[1:])
-    in1 = a.get("in", "in1")
-    out1 = a.get("out", "out1")
-    outt = a.get("outt", "outtoss")
-    k = a.get_int("k", default=31)
-    target = a.get_int("target", default=100)
-    mindepth = a.get_int("mindepth", "min", default=5)
-    percentile = a.get_float("depthpercentile", "dp", default=0.54)
-    bits = a.get_int("bits", default=16)
-    hashes = a.get_int("hashes", default=3)
-    seed = a.get_int("seed", default=1)
-    t0 = time.time()
     cms = CountMinSketch(hashes=hashes)
     # pass 1: count
     for b in FastqReader(in1):
@@ -91,8 +85,44 @@ def main(argv=None):
     for x in (w, wt):
         if x:
             x.close()
+    return total, kept, tossed
+
+
+def main(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    outt = a.get("outt", "outtoss")
+    k = a.get_int("k", default=31)
+    target = a.get_int("target", default=100)
+    mindepth = a.get_int("mindepth", "min", default=5)
+    percentile = a.get_float("depthpercentile", "dp", default=0.54)
+    hashes = a.get_int("hashes", default=3)
+    seed = a.get_int("seed", default=1)
+    passes = a.get_int("passes", default=1)
+    t0 = time.time()
+    if passes >= 2 and out1:
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="bbnorm_") as td:
+            mid = f"{td}/pass1.fq"
+            t1 = max(target * 4, target + 20)
+            _normalize_round(
+                in1, mid, None, k, t1, mindepth, percentile, hashes, seed
+            )
+            total, kept, tossed = _normalize_round(
+                mid, out1, outt, k, target, mindepth, percentile, hashes,
+                seed + 1,
+            )
+    else:
+        total, kept, tossed = _normalize_round(
+            in1, out1, outt, k, target, mindepth, percentile, hashes, seed
+        )
     print(f"Reads In:            \t{total}", file=sys.stderr)
-    print(f"Reads Out:           \t{kept} ({100.0*kept/max(total,1):.2f}%)", file=sys.stderr)
+    print(
+        f"Reads Out:           \t{kept} ({100.0*kept/max(total,1):.2f}%)",
+        file=sys.stderr,
+    )
     print(f"Time:                \t{time.time()-t0:.3f} seconds.", file=sys.stderr)
     return kept, tossed
 
