@@ -155,6 +155,12 @@ def _bbsplit(args):
     return main(args)
 
 
+def _lilypad(args):
+    from .models.lilypad import main
+
+    return main(args)
+
+
 def _quickbin(args):
     from .models.quickbin import main
 
@@ -289,6 +295,7 @@ TOOLS = {
     "consensusmaker": _consensus,
     "bbsplit": _bbsplit,
     "filterbytile": _filterbytile,
+    "lilypad": _lilypad,
     "quickbin": _quickbin,
     "quickclade": _quickclade,
     "clade": _quickclade,

@@ -914,3 +914,57 @@ def test_dedupe_cluster_mode(tmp_path):
         for i in range(2)
     )
     assert sizes == [1, 3]  # {a0,a1,a2} and {b0}
+
+
+def test_lilypad_scaffolding(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.bbmap import BBMap, BBMapConfig
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+    from bbtools_tpu.models.lilypad import main as lp_main
+    from bbtools_tpu.utils.synth import random_genome, write_reads
+
+    write_fasta(str(tmp_path / "g.fa"), random_genome(12_000, 1, seed=171))
+    g = load_reference(str(tmp_path / "g.fa")).scaffold_codes(0)
+    # two contigs with a 200bp unsequenced gap between them
+    write_fasta(
+        str(tmp_path / "ctg.fa"),
+        [
+            (b"ctgA", CODE_TO_BASE[g[:5000]].tobytes()),
+            (b"ctgB", CODE_TO_BASE[g[5200:11000]].tobytes()),
+        ],
+    )
+    # paired reads spanning the gap (insert 600)
+    rng = np.random.default_rng(172)
+    p1, p2 = [], []
+    for i in range(60):
+        s0 = 4600 + int(rng.integers(0, 150))
+        frag = g[s0 : s0 + 800]
+        r1 = frag[:100]
+        r2 = np.where(frag[-100:] < 4, 3 - frag[-100:], 4)[::-1]
+        p1.append((b"p%d" % i, CODE_TO_BASE[r1].tobytes(), b"F" * 100))
+        p2.append((b"p%d" % i, CODE_TO_BASE[r2].tobytes(), b"F" * 100))
+    write_reads(str(tmp_path / "p1.fq"), p1)
+    write_reads(str(tmp_path / "p2.fq"), p2)
+    ctg = load_reference(str(tmp_path / "ctg.fa"))
+    idx = SeedIndex.build(ctg, k=13)
+    sam = str(tmp_path / "m.sam")
+    BBMap(
+        BBMapConfig(in1=str(tmp_path / "p1.fq"), in2=str(tmp_path / "p2.fq"),
+                    out=sam, batch_reads=64),
+        index=idx,
+    ).run()
+    scaffolds, joins = lp_main(
+        [f"ref={tmp_path/'ctg.fa'}", f"in={sam}",
+         f"out={tmp_path/'sc.fa'}", "ns=200", "mindepth=4"]
+    )
+    assert joins == 1
+    assert len(scaffolds) == 1
+    sc = load_reference(str(tmp_path / "sc.fa")).scaffold_codes(0)
+    assert len(sc) == 5000 + 200 + 5800
+    # contig content preserved on both sides of the N gap
+    assert (sc[:5000] == g[:5000]).all()
+    assert (sc[5200:] == g[5200:11000]).all()
+    assert (sc[5000:5200] >= 4).all()  # the gap is Ns
