@@ -326,3 +326,129 @@ def write_fastq(path: str, batches, qual_offset: int = 33):
     with FastqWriter(path, qual_offset=qual_offset) as w:
         for b in batches:
             w.add(b)
+
+
+def detect_interleaved(path: str) -> bool:
+    """Peek the first two records: paired if headers end '/1' then '/2'
+    (same stem) or carry ' 1:' then ' 2:' Casava fields
+    (stream/FASTQ.java testInterleaved* heuristics)."""
+    fh = open_input(path)
+    try:
+        lines = []
+        while len(lines) < 8:
+            l = fh.readline()
+            if not l:
+                return False
+            lines.append(l.rstrip(b"\r\n"))
+    finally:
+        close = getattr(fh, "close", None)
+        if close:
+            close()
+    h1, h2 = lines[0], lines[4]
+    if not (h1.startswith(b"@") and h2.startswith(b"@")):
+        return False
+    if h1.endswith(b"/1") and h2.endswith(b"/2") and h1[:-2] == h2[:-2]:
+        return True
+    p1, p2 = h1.split(b" ", 1), h2.split(b" ", 1)
+    if (
+        len(p1) == 2
+        and len(p2) == 2
+        and p1[0] == p2[0]
+        and p1[1].startswith(b"1:")
+        and p2[1].startswith(b"2:")
+    ):
+        return True
+    return False
+
+
+def deinterleave(batch: ReadBatch) -> tuple[ReadBatch, ReadBatch]:
+    """Split an interleaved batch into (r1, r2) halves (even/odd rows)."""
+    n = batch.n - (batch.n % 2)
+
+    def half(off):
+        return ReadBatch(
+            bases=batch.bases[off:n:2],
+            quals=batch.quals[off:n:2] if batch.quals is not None else None,
+            lengths=batch.lengths[off:n:2],
+            ids=batch.ids[off:n:2] if batch.ids else [],
+            ordinal=batch.ordinal,
+            numeric_id0=batch.numeric_id0 // 2,
+            ascii_bases=(
+                batch.ascii_bases[off:n:2]
+                if batch.ascii_bases is not None
+                else None
+            ),
+        )
+
+    return half(0), half(1)
+
+
+def paired_reader(
+    in1: str,
+    in2: str | None = None,
+    interleaved: bool | None = None,
+    batch_reads: int = DEFAULT_BATCH_READS,
+    qual_offset: int | None = None,
+):
+    """Yield (b1, b2) pairs from two files, one interleaved file, or a
+    single unpaired file (b2=None). `interleaved=None` autodetects from
+    the first two headers when in2 is absent (FASTQ.java interleaving
+    detection; forced with the `interleaved=` flag)."""
+    r1 = FastqReader(in1, batch_reads=batch_reads, qual_offset=qual_offset)
+    if in2:
+        r2 = FastqReader(in2, batch_reads=batch_reads, qual_offset=qual_offset)
+        it2 = iter(r2)
+        for b1 in r1:
+            yield b1, next(it2, None)
+        return
+    if interleaved is None:
+        interleaved = detect_interleaved(in1)
+    if not interleaved:
+        for b1 in r1:
+            yield b1, None
+        return
+    # keep pairs intact across batch boundaries: even batch size
+    if batch_reads % 2:
+        r1.batch_reads = batch_reads + 1
+    for b in r1:
+        yield deinterleave(b)
+
+
+def interleave(b1: ReadBatch, b2: ReadBatch) -> ReadBatch:
+    """Merge paired batches row-alternating (r1,r2,r1,r2,...) for
+    interleaved output."""
+    n = b1.n
+    L = max(b1.padded_len, b2.padded_len)
+
+    def pad(x, fillv):
+        if x.shape[1] == L:
+            return x
+        out = np.full((x.shape[0], L), fillv, dtype=x.dtype)
+        out[:, : x.shape[1]] = x
+        return out
+
+    bases = np.empty((2 * n, L), dtype=b1.bases.dtype)
+    bases[0::2] = pad(b1.bases, 4)
+    bases[1::2] = pad(b2.bases, 4)
+    quals = None
+    if b1.quals is not None and b2.quals is not None:
+        quals = np.empty((2 * n, L), dtype=b1.quals.dtype)
+        quals[0::2] = pad(b1.quals, 0)
+        quals[1::2] = pad(b2.quals, 0)
+    lengths = np.empty(2 * n, dtype=b1.lengths.dtype)
+    lengths[0::2] = b1.lengths
+    lengths[1::2] = b2.lengths
+    ids: list[bytes] = []
+    for a, b in zip(b1.ids, b2.ids):
+        ids.append(a)
+        ids.append(b)
+    ascii_bases = None
+    if b1.ascii_bases is not None and b2.ascii_bases is not None:
+        ascii_bases = np.empty((2 * n, L), dtype=b1.ascii_bases.dtype)
+        ascii_bases[0::2] = pad(b1.ascii_bases, ord("N"))
+        ascii_bases[1::2] = pad(b2.ascii_bases, ord("N"))
+    return ReadBatch(
+        bases=bases, quals=quals, lengths=lengths, ids=ids,
+        ordinal=b1.ordinal, numeric_id0=b1.numeric_id0 * 2,
+        ascii_bases=ascii_bases,
+    )

@@ -37,17 +37,33 @@ from ..ops.trim import apply_trim, optimal_trim_jnp
 BIG = 999999999
 
 
-RESOURCE_REFS = {"adapters", "artifacts", "phix"}
+# Keyword -> bundled resource file, mirroring BBDukParser.modifyRefPath
+# (bbduk/BBDukParser.java:898-934). Files under bbtools_tpu/resources/ are
+# the reference's own data resources (genomes/adapter sets), bundled so the
+# advertised keywords work out of the box.
+RESOURCE_REFS = {
+    "adapters": "adapters.fa",
+    "phix": "phix2.fa.gz",
+    "polya": "polyA.fa.gz",
+    "polyt": "polyA.fa.gz",
+    "lambda": "lambda.fa.gz",
+    "phixadapters": "phix_adapters.fa.gz",
+    "truseq": "truseq.fa.gz",
+    "truseqrna": "truseq_rna.fa.gz",
+    "nextera": "nextera.fa.gz",
+    "artifacts": "sequencing_artifacts.fa.gz",
+}
 
 
 def resolve_ref_keyword(token: str) -> str:
-    """`ref=adapters` -> bundled resource fasta (BBDukParser's literal
-    keyword handling for resources/adapters.fa etc.)."""
+    """`ref=adapters` / `ref=phix` / ... -> bundled resource file
+    (BBDukParser.modifyRefPath keyword handling, BBDukParser.java:898)."""
     import os
 
-    if token.lower() in RESOURCE_REFS:
+    fname = RESOURCE_REFS.get(token.lower())
+    if fname is not None:
         here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        path = os.path.join(here, "resources", f"{token.lower()}.fa")
+        path = os.path.join(here, "resources", fname)
         if os.path.exists(path):
             return path
         raise FileNotFoundError(f"bundled resource {token} not available")
@@ -58,6 +74,7 @@ def resolve_ref_keyword(token: str) -> str:
 class BBDukConfig:
     in1: str | None = None
     in2: str | None = None
+    interleaved: bool | None = None  # None = autodetect from headers
     out1: str | None = None
     out2: str | None = None
     outm1: str | None = None
@@ -71,6 +88,7 @@ class BBDukConfig:
     hdist2: int | None = None
     qhdist: int = 0
     edist: int = 0
+    edist2: int | None = None
     ktrim: str = "f"  # f/r/l/n
     mask_middle: bool = True
     rcomp: bool = True
@@ -108,6 +126,16 @@ class BBDukConfig:
     ktrim_exclusive: bool = False
     skip_r1: bool = False
     skip_r2: bool = False
+    # phiX side-channel aligner (SideChannel4, aligner/SideChannel4.java)
+    align: bool = False
+    align_ref: str | None = None
+    align_out: str | None = None
+    align_k1: int = 17
+    align_k2: int = 13
+    align_minid1: float = 0.66
+    align_minid2: float = 0.56
+    align_mm1: int = 1
+    align_mm2: int = 0
     stats: str | None = None
     json_out: bool = False
     qhist: str | None = None
@@ -185,6 +213,22 @@ def parse_args(argv: list[str]) -> BBDukConfig:
     c.hdist = a.get_int(*h("hdist", "hammingdistance"), default=0)
     c.hdist2 = a.get_int(*h("hdist2", "hammingdistance2"), default=None)
     c.qhdist = a.get_int(*h("qhdist", "queryhammingdistance"), default=0)
+    c.edist = a.get_int(*h("edist", "editdistance"), default=0)
+    c.edist2 = a.get_int(*h("edist2", "editdistance2"), default=None)
+    # side-channel flags (BBDukParser.java:817-834)
+    c.align = a.get_bool(*h("align"), default=False)
+    c.align_ref = a.get(*h("alignref", "sideref"))
+    c.align_out = a.get(*h("alignout", "sideout"))
+    c.align_k1 = a.get_int(*h("alignk", "sidek", "alignk1", "sidek1"), default=17)
+    c.align_k2 = a.get_int(*h("alignk2", "sidek2"), default=13)
+    c.align_minid1 = a.get_float(*h("alignminid", "alignminid1", "sideminid"), default=0.66)
+    c.align_minid2 = a.get_float(*h("alignminid2", "sideminid2"), default=0.56)
+    c.align_mm1 = a.get_int(*h("alignmm1", "alignmidmask1", "sidemm1"), default=1)
+    c.align_mm2 = a.get_int(*h("alignmm2", "alignmidmask2", "sidemm2"), default=0)
+    # align=(align || alignRef!=null), default ref phix (BBDukParser:320,1466)
+    c.align = c.align or c.align_ref is not None
+    if c.align and c.align_ref is None:
+        c.align_ref = "phix"
     kt = a.get(*h("ktrim"))
     if kt is not None:
         kt = kt.lower()
@@ -260,7 +304,8 @@ def parse_args(argv: list[str]) -> BBDukConfig:
     c.batch_reads = a.get_int(*h("batchreads"), default=16384)
     c.ordered = a.get_bool(*h("ordered"), default=True)
     c.ziplevel = a.get_int(*h("ziplevel", "zl"), default=None)
-    handled.update(("threads", "t", "overwrite", "ow", "interleaved", "int"))
+    c.interleaved = a.get_bool(*h("interleaved", "int"), default=None)
+    handled.update(("threads", "t", "overwrite", "ow"))
     unknown = [k for k, _ in a.pairs if k not in handled]
     if unknown:
         raise ValueError(f"Unknown bbduk flags: {unknown}")
@@ -316,6 +361,8 @@ def build_index(cfg: BBDukConfig):
         mink=cfg.mink if cfg.use_short_kmers else 0,
         hdist=cfg.hdist,
         hdist2=cfg.hdist2,
+        edist=cfg.edist,
+        edist2=cfg.edist2,
         mid_mask=cfg.mid_mask_bits,
     )
     index = BucketKmerIndex.build(keys, ids) if len(keys) else None
@@ -929,9 +976,11 @@ class BBDuk:
     def run(self):
         cfg, st = self.cfg, self.stats
         t0 = time.time()
-        reader1 = FastqReader(cfg.in1, batch_reads=cfg.batch_reads)
-        reader2 = (
-            FastqReader(cfg.in2, batch_reads=cfg.batch_reads) if cfg.in2 else None
+        from ..io.fastq import interleave, paired_reader
+
+        pairs = paired_reader(
+            cfg.in1, cfg.in2, interleaved=cfg.interleaved,
+            batch_reads=cfg.batch_reads,
         )
         w_out1 = FastqWriter(cfg.out1, ziplevel=cfg.ziplevel) if cfg.out1 else None
         w_out2 = FastqWriter(cfg.out2, ziplevel=cfg.ziplevel) if cfg.out2 else None
@@ -943,18 +992,39 @@ class BBDuk:
             from ..utils.readstats import ReadStats
 
             rstats = ReadStats()
-        it2 = iter(reader2) if reader2 else None
-        for b1 in reader1:
-            b2 = next(it2, None) if it2 else None
+        side = None
+        if cfg.align and cfg.align_ref:
+            from .sidechannel import SideChannel
+
+            side = SideChannel(
+                cfg.align_ref, cfg.align_out, cfg.align_k1, cfg.align_k2,
+                cfg.align_minid1, cfg.align_minid2, cfg.align_mm1,
+                cfg.align_mm2,
+            )
+            self.side = side
+        for b1, b2 in pairs:
+            # interleaved input with single outputs -> interleaved output
+            inter_out = b2 is not None and not cfg.in2 and cfg.out2 is None
             b1, b2, keep, s1, s2 = self.process_pair(b1, b2)
-            if w_out1:
-                w_out1.add(b1, keep)
-            if w_out2 and b2 is not None:
-                w_out2.add(b2, keep)
-            if w_outm1:
-                w_outm1.add(b1, ~keep)
-            if w_outm2 and b2 is not None:
-                w_outm2.add(b2, ~keep)
+            if side is not None:
+                # map surviving pairs (BBDukProcessorS.java:1411-1417)
+                side.map_batch(b1, b2, np.asarray(keep))
+            if inter_out:
+                bi = interleave(b1, b2)
+                keep2 = np.repeat(keep, 2)
+                if w_out1:
+                    w_out1.add(bi, keep2)
+                if w_outm1:
+                    w_outm1.add(bi, ~keep2)
+            else:
+                if w_out1:
+                    w_out1.add(b1, keep)
+                if w_out2 and b2 is not None:
+                    w_out2.add(b2, keep)
+                if w_outm1:
+                    w_outm1.add(b1, ~keep)
+                if w_outm2 and b2 is not None:
+                    w_outm2.add(b2, ~keep)
             if w_outs and b2 is not None:
                 pass  # singles: kept pair where one side discarded
             if rstats is not None:
@@ -966,6 +1036,8 @@ class BBDuk:
         for w in (w_out1, w_out2, w_outm1, w_outm2, w_outs):
             if w:
                 w.close()
+        if side is not None:
+            side.close()
         self.elapsed = time.time() - t0
         self.write_stats_file()
         if rstats is not None:
@@ -1042,6 +1114,8 @@ class BBDuk:
         if self.cfg.qtrim_left or self.cfg.qtrim_right:
             print(f"QTrimmed:               \t{st.reads_qtrimmed} reads ({100.0*st.reads_qtrimmed/max(st.reads_in,1):.2f}%) \t{st.bases_qtrimmed} bases ({100.0*st.bases_qtrimmed/max(st.bases_in,1):.2f}%)", file=stream)
         print(f"Result:                 \t{st.reads_out} reads ({100.0*st.reads_out/max(st.reads_in,1):.2f}%) \t{st.bases_out} bases ({100.0*st.bases_out/max(st.bases_in,1):.2f}%)", file=stream)
+        if getattr(self, "side", None) is not None:
+            print(self.side.stats_line(st.reads_in, st.bases_in), file=stream)
         print(f"Time:                         \t{t:.3f} seconds.", file=stream)
         rps = st.reads_in / t
         bps = st.bases_in / t

@@ -77,6 +77,7 @@ PRESETS = {
 class BBMergeConfig:
     in1: str | None = None
     in2: str | None = None
+    interleaved: bool | None = None  # None = autodetect from headers
     out: str | None = None  # merged
     outu1: str | None = None  # unmerged r1
     outu2: str | None = None  # unmerged r2
@@ -99,6 +100,7 @@ def parse_args(argv: list[str]) -> BBMergeConfig:
     c = BBMergeConfig()
     c.in1 = a.get("in", "in1")
     c.in2 = a.get("in2")
+    c.interleaved = a.get_bool("interleaved", "int", default=None)
     c.out = a.get("out", "outm", "outmerged")
     c.outu1 = a.get("outu", "outu1", "outunmerged")
     c.outu2 = a.get("outu2")
@@ -322,16 +324,20 @@ class BBMerge:
         t0 = time.time()
         if cfg.extend2 > 0 or cfg.ecct:
             self._build_spectrum()
-        r1 = FastqReader(cfg.in1, batch_reads=cfg.batch_reads)
-        r2 = FastqReader(cfg.in2, batch_reads=cfg.batch_reads) if cfg.in2 else None
-        if r2 is None:
-            raise NotImplementedError("interleaved input not wired yet")
+        from ..io.fastq import paired_reader
+
+        pairs = paired_reader(
+            cfg.in1, cfg.in2, interleaved=cfg.interleaved,
+            batch_reads=cfg.batch_reads,
+        )
         w_m = FastqWriter(cfg.out, ziplevel=cfg.ziplevel) if cfg.out else None
         w_u1 = FastqWriter(cfg.outu1, ziplevel=cfg.ziplevel) if cfg.outu1 else None
         w_u2 = FastqWriter(cfg.outu2, ziplevel=cfg.ziplevel) if cfg.outu2 else None
-        it2 = iter(r2)
-        for b1 in r1:
-            b2 = next(it2)
+        for b1, b2 in pairs:
+            if b2 is None:
+                raise ValueError(
+                    "BBMerge needs paired input (in1+in2 or interleaved)"
+                )
             if cfg.ecct and self.ecc_engine is not None:
                 self.ecc_engine.correct_batch(b1.bases, b1.lengths, b1.quals)
                 self.ecc_engine.correct_batch(b2.bases, b2.lengths, b2.quals)

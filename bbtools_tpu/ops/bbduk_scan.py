@@ -46,42 +46,73 @@ def _lookup(cfg: KScanConfig, table, keys):
     return BucketKmerIndex.lookup_jnp(keys_tbl, ids_tbl, cfg.nb, keys)
 
 
-def _lookup_qhdist(cfg: KScanConfig, table, fwd, rkm, klen, lmask):
-    """getValue with qhdist mutation retries (BBDukIndexMod.getValue
-    :461-478): try exact, then single-sub mutants in (symbol, position)
-    order, first hit wins.
+def _mutants_lookup_first(cfg: KScanConfig, table, fwd, klen, mm, lmask):
+    """Look up ALL 4*klen single-sub mutants of fwd in one batched bucket
+    lookup; return (hit_any, first_hit_id) in reference (j-major, i-minor)
+    order. One lookup = 2 gathers regardless of the mutant count, so this
+    costs the same gather budget as the exact lookup."""
+    muts = []
+    differs = []
+    for j in range(4):
+        for i in range(klen):
+            clear = ~(jnp.int64(3) << (2 * i))
+            temp = (fwd & clear) | (jnp.int64(j) << (2 * i))
+            muts.append(temp)
+            differs.append(temp != fwd)
+    temp_all = jnp.stack(muts, axis=-1)  # [..., M] in (j, i) order
+    diff_all = jnp.stack(differs, axis=-1)
+    rtemp_all = _rc_jnp(temp_all, klen)
+    mx_all = jnp.maximum(temp_all, rtemp_all) if cfg.rcomp else temp_all
+    keys_all = (mx_all & mm) | jnp.int64(lmask)
+    cand = _lookup(cfg, table, keys_all)  # one lookup: 2 gathers
+    valid = (cand > 0) & diff_all
+    first = jnp.argmax(valid, axis=-1)  # first hit in (j, i) order
+    hit = valid.any(axis=-1)
+    chosen = jnp.take_along_axis(cand, first[..., None], axis=-1)[..., 0]
+    return hit, chosen
 
-    TPU shape: ALL 4*klen mutants stack on a trailing axis and go through
-    ONE bucket lookup — gathers are the scarce resource on this path
-    (one lookup = 2 gathers regardless of the mutant count), so qhdist=1
-    costs the same compile/runtime budget as the exact lookup."""
-    mm = jnp.int64(cfg.mid_mask if klen == cfg.k else -1)
+
+def _qhdist_rec(cfg: KScanConfig, table, fwd, klen, mm, lmask, depth):
+    """getValue(kmer, qHDist=depth): exact lookup, then depth-first
+    single-sub mutant retries in (symbol, position) order, first hit wins
+    (BBDukIndexMod.getValue :461-478).
+
+    depth==1 resolves all mutants in ONE batched lookup; depth>=2 wraps a
+    lax.scan over the outer mutant axis (4*klen steps), each step running
+    the depth-1 batched lookup on its mutant — memory stays at the
+    depth-1 footprint while preserving exact DFS first-hit order."""
+    rkm = _rc_jnp(fwd, klen)
     mx = jnp.maximum(fwd, rkm) if cfg.rcomp else fwd
     key = (mx & mm) | jnp.int64(lmask)
     out = _lookup(cfg, table, key)
-    if cfg.qhdist > 0:
-        if cfg.qhdist > 1:
-            raise NotImplementedError("qhdist > 1 on device")
-        muts = []
-        differs = []
-        for j in range(4):
-            for i in range(klen):
-                clear = ~(jnp.int64(3) << (2 * i))
-                temp = (fwd & clear) | (jnp.int64(j) << (2 * i))
-                muts.append(temp)
-                differs.append(temp != fwd)
-        temp_all = jnp.stack(muts, axis=-1)  # [..., M] in (j, i) order
-        diff_all = jnp.stack(differs, axis=-1)
-        rtemp_all = _rc_jnp(temp_all, klen)
-        mx_all = jnp.maximum(temp_all, rtemp_all) if cfg.rcomp else temp_all
-        keys_all = (mx_all & mm) | jnp.int64(lmask)
-        cand = _lookup(cfg, table, keys_all)  # one lookup: 2 gathers
-        valid = (cand > 0) & diff_all
-        first = jnp.argmax(valid, axis=-1)  # first hit in (j, i) order
-        hit = valid.any(axis=-1)
-        chosen = jnp.take_along_axis(cand, first[..., None], axis=-1)[..., 0]
-        out = jnp.where((out < 1) & hit, chosen, out)
+    if depth <= 0:
+        return out
+    if depth == 1:
+        hit, chosen = _mutants_lookup_first(cfg, table, fwd, klen, mm, lmask)
+        return jnp.where((out < 1) & hit, chosen, out)
+
+    def body(carry, m):
+        j = m // klen
+        i = m % klen
+        clear = ~(jnp.int64(3) << (2 * i).astype(jnp.int64))
+        temp = (fwd & clear) | (j.astype(jnp.int64) << (2 * i).astype(jnp.int64))
+        differs = temp != fwd
+        sub = _qhdist_rec(cfg, table, temp, klen, mm, lmask, depth - 1)
+        carry = jnp.where((carry < 1) & differs & (sub > 0), sub, carry)
+        return carry, None
+
+    out, _ = jax.lax.scan(body, out, jnp.arange(4 * klen, dtype=jnp.int32))
     return out
+
+
+def _lookup_qhdist(cfg: KScanConfig, table, fwd, rkm, klen, lmask):
+    """getValue with qhdist mutation retries; see _qhdist_rec."""
+    mm = jnp.int64(cfg.mid_mask if klen == cfg.k else -1)
+    if cfg.qhdist <= 0:
+        mx = jnp.maximum(fwd, rkm) if cfg.rcomp else fwd
+        key = (mx & mm) | jnp.int64(lmask)
+        return _lookup(cfg, table, key)
+    return _qhdist_rec(cfg, table, fwd, klen, mm, lmask, cfg.qhdist)
 
 
 def _rc_jnp(kmer, k: int):

@@ -111,13 +111,104 @@ def expand_kmers(
     return np.asarray(keys_l, dtype=np.int64), np.asarray(src_l, dtype=np.int64)
 
 
+def _edist_children(kmers: np.ndarray, extras: np.ndarray, klen: int):
+    """All one-step sub/del/ins mutants of (kmer, extra) nodes, vectorized.
+    Identity mutants are NOT filtered — their keys are duplicates of the
+    parent's own emission and vanish in the final first-wins dedup, so
+    skipping the filter trades a few dup rows for full vectorization."""
+    n = len(kmers)
+    full = np.int64((1 << (2 * klen)) - 1)
+    i = np.arange(klen, dtype=np.int64)[None, :]
+    j = np.arange(4, dtype=np.int64)[None, :, None]
+    # subs: [n, 4, klen], extra unchanged
+    clear = ~(np.int64(3) << (2 * i))
+    subs = (kmers[:, None, None] & clear[:, None, :]) | (j << (2 * i[:, None, :]))
+    subs = subs.reshape(n, -1)
+    sub_extra = np.broadcast_to(extras[:, None], subs.shape)
+    out_k = [subs.reshape(-1)]
+    out_e = [np.ascontiguousarray(sub_extra).reshape(-1)]
+    if klen > 1:
+        ii = np.arange(1, klen, dtype=np.int64)[None, :]
+        left = full & ~((np.int64(1) << (2 * ii)) - 1)
+        right = (np.int64(1) << (2 * ii)) - 1
+        # Identity mutants (temp==kmer) are never recursed by the reference;
+        # where one appears we pin the child's extra to the PARENT's extra,
+        # turning it into an exact copy of the parent node whose subtree is
+        # a subset of the parent's — union-harmless at any depth.
+        # dels (only where extra defined): consume extra, child extra = -1
+        has_extra = extras >= 0
+        if has_extra.any():
+            km_d = kmers[has_extra]
+            ex_d = extras[has_extra]
+            dels = (
+                (km_d[:, None] & left)
+                | ((km_d[:, None] << 2) & right)
+                | ex_d[:, None]
+            )
+            del_extra = np.where(dels == km_d[:, None], ex_d[:, None], -1)
+            out_k.append(dels.reshape(-1))
+            out_e.append(del_extra.reshape(-1))
+        # ins: child extra = parent's last base
+        temp0 = (kmers[:, None] & left) | ((kmers[:, None] & right) >> 2)
+        jj = np.arange(4, dtype=np.int64)[None, :, None]
+        ins = temp0[:, None, :] | (jj << (2 * (ii[:, None, :] - 1)))
+        ins = ins.reshape(n, -1)
+        eb2 = (kmers & 3)[:, None]
+        ins_extra = np.where(ins == kmers[:, None], extras[:, None], eb2)
+        out_k.append(ins.reshape(-1))
+        out_e.append(ins_extra.reshape(-1))
+    return np.concatenate(out_k), np.concatenate(out_e)
+
+
+def expand_kmers_edist(
+    kmers: np.ndarray,
+    extras: np.ndarray,
+    klen: int,
+    edist: int,
+    mid_mask: int = -1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Expand kmers through `edist` recursions of sub+del+ins mutation
+    (load-side `edist=` semantics, BBDukIndexMod.mutate :383-443 with
+    editDistance>0). `extras[i]` is the 2-bit code of the scaffold base
+    following kmer i, or -1 (scaffold end / undefined): deletions consume
+    it; insertions push the dropped last base into the child's extra.
+
+    Level-wise vectorized (the DFS emission ORDER is irrelevant here: all
+    mutants of one scaffold share the scaffold id, and first-wins dedup
+    happens downstream). Returns (keys, source_index) like expand_kmers;
+    source_index is 0 for all rows (per-kmer attribution is not preserved
+    across the level-wise expansion — callers only use per-scaffold ids).
+    """
+    kmers = np.asarray(kmers, dtype=np.int64)
+    extras = np.asarray(extras, dtype=np.int64)
+    if len(kmers) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    all_k = [kmers]
+    cur_k, cur_e = kmers, extras
+    for _ in range(edist):
+        cur_k, cur_e = _edist_children(cur_k, cur_e, klen)
+        # dedup identical (kmer, extra) nodes to bound level growth
+        pairs = np.stack([cur_k, cur_e], axis=1)
+        pairs = np.unique(pairs, axis=0)
+        cur_k, cur_e = pairs[:, 0], pairs[:, 1]
+        all_k.append(cur_k)
+    raw = np.concatenate(all_k)
+    keys = canonical_keys_np(raw, rc_kmer_np(raw, klen), klen, mid_mask)
+    keys = np.unique(keys)
+    return keys, np.zeros(len(keys), dtype=np.int64)
+
+
 def scaffold_kmer_stream(codes: np.ndarray, k: int, mink: int = 0):
     """Full-k kmers (fwd, rkm) of one scaffold in scan order, plus the
     short-kmer streams at the ends when mink > 0.
 
-    Returns (fwd[k..], rkm[k..], shorts) with shorts a list of
-    (kmer, rkmer, len) in reference insertion order relative markers:
-    shorts_first (added right after the first full kmer) and shorts_last.
+    Returns (fwd[k..], rkm[k..], shorts_first, shorts_last, extras) with
+    shorts a list of (kmer, rkmer, len, extra) in reference insertion
+    order relative markers: shorts_first (added right after the first full
+    kmer) and shorts_last. `extras` aligns with the full kmers: the 2-bit
+    code of the scaffold base following each window (or -1 at scaffold
+    end / before an undefined base) — consumed by edist deletions
+    (BBDukIndexAndLoader passes it into addToMap/mutate).
     """
     codes = np.asarray(codes, dtype=np.uint8)
     L = len(codes)
@@ -127,29 +218,38 @@ def scaffold_kmer_stream(codes: np.ndarray, k: int, mink: int = 0):
             np.zeros(0, np.int64),
             [],
             [],
+            np.zeros(0, np.int64),
         )
     fwd, rkm, runlen = rolling_kmers_np(codes[None, :], k)
     fwd, rkm, runlen = fwd[0], rkm[0], runlen[0]
     valid = runlen >= k
-    shorts_first: list[tuple[int, int, int]] = []
-    shorts_last: list[tuple[int, int, int]] = []
+    # extra base following the window ending at p: codes[p+1] (or -1)
+    nxt = np.full(L, -1, dtype=np.int64)
+    nxt[:-1] = np.where(codes[1:] < 4, codes[1:].astype(np.int64), -1)
+    shorts_first: list[tuple[int, int, int, int]] = []
+    shorts_last: list[tuple[int, int, int, int]] = []
     if mink and mink < k:
         right_masks = [(1 << (2 * i)) - 1 for i in range(k + 1)]
         if valid[k - 1]:
-            # addToMapRightShift: prefixes of the first window
+            # addToMapRightShift: prefixes of the first window; each
+            # iteration's extra is the base just shifted out (kmer&3)
             km, rk = int(fwd[k - 1]), int(rkm[k - 1])
             for i in range(k - 1, mink - 1, -1):
+                eb = km & 3
                 km >>= 2
                 rk &= right_masks[i]
-                shorts_first.append((km, rk, i))
+                shorts_first.append((km, rk, i, eb))
         if valid[L - 1]:
-            # addToMapLeftShift: suffixes of the last window
+            # addToMapLeftShift: suffixes of the last window; extra is the
+            # caller's extraBase (base after the last window, i.e. -1 at
+            # scaffold end)
             km, rk = int(fwd[L - 1]), int(rkm[L - 1])
+            eb = int(nxt[L - 1])
             for i in range(k - 1, mink - 1, -1):
                 km &= right_masks[i]
                 rk >>= 2
-                shorts_last.append((km, rk, i))
-    return fwd[valid], rkm[valid], shorts_first, shorts_last
+                shorts_last.append((km, rk, i, eb))
+    return fwd[valid], rkm[valid], shorts_first, shorts_last, nxt[valid]
 
 
 def build_ref_keys(
@@ -158,6 +258,8 @@ def build_ref_keys(
     mink: int = 0,
     hdist: int = 0,
     hdist2: int | None = None,
+    edist: int = 0,
+    edist2: int | None = None,
     mid_mask: int = -1,
     ids: list[int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -166,27 +268,47 @@ def build_ref_keys(
     `scaffolds` are 2-bit code arrays in input order; scaffold ids default
     to 1..n (the reference's scaffold numbering, 0 reserved). First
     insertion wins on duplicate keys, in exact reference order.
+
+    `edist` switches the load expansion to sub+del+ins recursion at depth
+    edist (BBDukIndexMod.addToMap :352-360: when editDistance>0 the mutate
+    depth is edist, regardless of a larger hdist — replicated faithfully).
     """
     if hdist2 is None:
         hdist2 = hdist
+    if edist2 is None:
+        edist2 = edist
     all_keys: list[np.ndarray] = []
     all_ids: list[np.ndarray] = []
     for snum, codes in enumerate(scaffolds):
         sid = ids[snum] if ids is not None else snum + 1
-        fwd, rkm, shorts_first, shorts_last = scaffold_kmer_stream(codes, k, mink)
+        fwd, rkm, shorts_first, shorts_last, extras = scaffold_kmer_stream(
+            codes, k, mink
+        )
         if len(fwd) == 0:
             continue
         # Reference interleaves short-kmer adds right after the first/last
         # full-kmer add; with setIfNotPresent and distinct length tags the
         # only ordering that matters is within each length class, which is
         # preserved by grouping (full kmers never collide with shorts).
-        keys, _ = expand_kmers(fwd, k, hdist, mid_mask)
+        if edist > 0:
+            keys, _ = expand_kmers_edist(fwd, extras, k, edist, mid_mask)
+        else:
+            keys, _ = expand_kmers(fwd, k, hdist, mid_mask)
         all_keys.append(keys)
         all_ids.append(np.full(len(keys), sid, dtype=np.int32))
-        for km, rk, ln in shorts_first + shorts_last:
-            skeys, _ = expand_kmers(
-                np.array([km], dtype=np.int64), ln, hdist2, -1
-            )
+        for km, rk, ln, eb in shorts_first + shorts_last:
+            if edist2 > 0:
+                skeys, _ = expand_kmers_edist(
+                    np.array([km], dtype=np.int64),
+                    np.array([eb], dtype=np.int64),
+                    ln,
+                    edist2,
+                    -1,
+                )
+            else:
+                skeys, _ = expand_kmers(
+                    np.array([km], dtype=np.int64), ln, hdist2, -1
+                )
             all_keys.append(skeys)
             all_ids.append(np.full(len(skeys), sid, dtype=np.int32))
     if not all_keys:

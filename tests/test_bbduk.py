@@ -404,3 +404,188 @@ def test_qhdist_device(tmp_path):
         mean_len(out0), mean_len(out1)
     )
     assert mean_len(out1) <= 62
+
+
+def _oracle_mutate(kmer, klen, dist, extra, out):
+    """Independent transliteration of BBDukIndexMod.mutate (:383-443) for
+    edist verification: emit this node's canonical key, recurse subs, then
+    dels (consume extra), then ins (dropped last base becomes extra)."""
+    from bbtools_tpu.ops.kmers import canonical_keys_np, rc_kmer_np
+
+    arr = np.array([kmer], dtype=np.int64)
+    out.append(int(canonical_keys_np(arr, rc_kmer_np(arr, klen), klen, -1)[0]))
+    if dist <= 0:
+        return
+    for j in range(4):
+        for i in range(klen):
+            temp = (kmer & ~(3 << (2 * i))) | (j << (2 * i))
+            if temp != kmer:
+                _oracle_mutate(temp, klen, dist - 1, extra, out)
+    full = (1 << (2 * klen)) - 1
+    if 0 <= extra <= 3:
+        for i in range(1, klen):
+            left = full & ~((1 << (2 * i)) - 1)
+            right = (1 << (2 * i)) - 1
+            temp = (kmer & left) | ((kmer << 2) & right) | extra
+            if temp != kmer:
+                _oracle_mutate(temp, klen, dist - 1, -1, out)
+    eb2 = kmer & 3
+    for i in range(1, klen):
+        left = full & ~((1 << (2 * i)) - 1)
+        right = (1 << (2 * i)) - 1
+        temp0 = (kmer & left) | ((kmer & right) >> 2)
+        for j in range(4):
+            temp = temp0 | (j << (2 * (i - 1)))
+            if temp != kmer:
+                _oracle_mutate(temp, klen, dist - 1, eb2, out)
+
+
+@pytest.mark.parametrize("edist", [1, 2])
+def test_edist_expansion_vs_oracle(edist):
+    """build_ref_keys(edist=) stores exactly the del/ins/sub mutant key set
+    of the reference mutate recursion."""
+    from bbtools_tpu.ops.kmers import length_mask, rolling_kmers_np
+
+    k = 9
+    seq = encode(b"ACGTTACCGGATAGCTGG")
+    keys, ids = build_ref_keys([seq], k, edist=edist)
+    # oracle: every window with its following base as extra
+    fwd, _, runlen = rolling_kmers_np(seq[None, :], k)
+    fwd, runlen = fwd[0], runlen[0]
+    expect: set[int] = set()
+    L = len(seq)
+    for p in range(k - 1, L):
+        if runlen[p] < k:
+            continue
+        extra = int(seq[p + 1]) if p + 1 < L and seq[p + 1] < 4 else -1
+        buf: list[int] = []
+        _oracle_mutate(int(fwd[p]), k, edist, extra, buf)
+        expect.update(buf)
+    assert set(np.asarray(keys).tolist()) == expect
+
+
+def test_edist_scan_hits_indel_mutants(tmp_path):
+    """edist=1 index hits reads whose adapter copy carries a 1-base indel."""
+    import random
+
+    random.seed(7)
+    ad = "AGATCGGAAGAGCACACGTCTGAACTCCAGTCAC"
+    fin = tmp_path / "in.fq"
+    with open(fin, "w") as f:
+        for i in range(24):
+            ins = "".join(random.choice("ACGT") for _ in range(55))
+            mut = list(ad)
+            p = 3 + (i % 25)
+            if i % 2:
+                del mut[p]  # deletion in the read's adapter copy
+            else:
+                mut.insert(p, random.choice("ACGT"))  # insertion
+            seq = (ins + "".join(mut) + "ACGTACGT")[:100].ljust(100, "T")
+            f.write(f"@r{i}\n{seq}\n+\n{'F'*100}\n")
+
+    def run(flags, out):
+        cfg = parse_args(
+            [f"in={fin}", f"out={out}", f"literal={ad}", "ktrim=r", "k=19",
+             "mm=f"] + flags
+        )
+        BBDuk(cfg).run()
+        return [
+            len(l.strip()) for i, l in enumerate(open(out, "rb")) if i % 4 == 1
+        ]
+
+    l0 = run(["edist=0"], tmp_path / "o0.fq")
+    l1 = run(["edist=1"], tmp_path / "o1.fq")
+    # indel-mutated adapters: exact scan sees only flanking exact windows;
+    # edist=1 should trim markedly more reads
+    assert sum(x < 100 for x in l1) > sum(x < 100 for x in l0)
+    assert sum(x < 100 for x in l1) >= 20
+
+
+def test_qhdist2_vs_oracle():
+    """Device qhdist=2 scan (scan-over-mutants recursion) matches the
+    transliterated getValue oracle on doubly-mutated queries."""
+    k = 9
+    adapters = [b"ACGTTACCGGATAGCTGGCAAGTT"]
+    keys, ids = build_ref_keys([encode(s) for s in adapters], k)
+    idx = BucketKmerIndex.build(keys, ids)
+    table = {int(kk): int(ii) for kk, ii in zip(keys, ids)}
+    tdev = idx.device_arrays()
+    reads = random_reads(12, 48, n_prob=0.0)
+    # plant doubly-substituted adapter fragments
+    for i in range(12):
+        frag = list(encode(adapters[0])[: k + 4])
+        for p in (2, 7):
+            frag[p] = (frag[p] + 1 + i) % 4
+        pos = 4 + i
+        reads[i, pos : pos + len(frag)] = frag
+    lengths = np.full(12, 48, np.int32)
+    for q in (1, 2):
+        cfg = KScanConfig(k=k, qhdist=q, nb=idx.nb)
+        out = kscan_full(cfg, tdev, jnp.asarray(reads), jnp.asarray(lengths))
+        nhits = np.asarray(out["nhits"])
+        id0 = np.asarray(out["id0"])
+        for i in range(12):
+            hits = oracle.full_scan(reads[i], table, k, k, qhdist=q)
+            assert nhits[i] == len(hits), (q, i)
+            if hits:
+                assert id0[i] == hits[0][1]
+    # sanity: the doubly-mutated fragments are invisible below qhdist=2
+    cfg2 = KScanConfig(k=k, qhdist=2, nb=idx.nb)
+    out2 = kscan_full(cfg2, tdev, jnp.asarray(reads), jnp.asarray(lengths))
+    assert int(np.asarray(out2["nhits"]).sum()) > 0
+
+
+def test_sidechannel_phix(tmp_path):
+    """align=t maps planted phiX reads to the bundled phix2 reference and
+    writes them to alignout SAM, without removing them from out."""
+    import gzip as _gzip
+    import os
+    import random
+
+    random.seed(11)
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    phix_path = os.path.join(
+        here, "bbtools_tpu", "resources", "phix2.fa.gz"
+    )
+    with _gzip.open(phix_path, "rb") as f:
+        phix = b"".join(
+            l.strip() for l in f.read().splitlines() if not l.startswith(b">")
+        ).decode()
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+    fin = tmp_path / "in.fq"
+    n_phix = 0
+    with open(fin, "w") as f:
+        for i in range(30):
+            if i % 3 == 0:
+                p = random.randrange(0, len(phix) - 100)
+                seq = phix[p : p + 100]
+                # a sprinkle of substitutions
+                s = list(seq)
+                s[10] = comp[s[10]]
+                seq = "".join(s)
+                if i % 6 == 0:  # reverse-complement half of them
+                    seq = "".join(comp[c] for c in reversed(seq))
+                n_phix += 1
+            else:
+                seq = "".join(
+                    random.choice("ACGT") for _ in range(100)
+                )
+            f.write(f"@r{i}\n{seq}\n+\n{'F'*100}\n")
+    fout = tmp_path / "out.fq"
+    fsam = tmp_path / "side.sam"
+    cfg = parse_args(
+        [f"in={fin}", f"out={fout}", "align=t", f"alignout={fsam}", "k=27",
+         "literal=ACGTACGTACGTACGTACGTACGTACGTAC"]
+    )
+    BBDuk(cfg).run()
+    # all reads survive (no phix kmer filter requested)
+    assert sum(1 for i, _ in enumerate(open(fout)) if i % 4 == 0) == 30
+    lines = [
+        l for l in open(fsam, "rb") if l and not l.startswith(b"@")
+    ]
+    mapped = [l for l in lines if not int(l.split(b"\t")[1]) & 0x4]
+    assert len(mapped) == n_phix, (len(mapped), n_phix)
+    for l in mapped:
+        f = l.split(b"\t")
+        assert f[2].startswith(b"PhiX") or f[2] != b"*"
+        assert f[5] != b"*"

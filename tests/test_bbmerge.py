@@ -343,3 +343,31 @@ def test_extend2_merges_long_inserts(tmp_path):
         if len(seq) == INSERT:
             n_exact += 1
     assert n_exact >= 0.9 * (len(lines) // 4), (n_exact, len(lines) // 4)
+
+
+def test_bbmerge_interleaved_input(tmp_path):
+    """Interleaved single-file input merges identically to two-file input."""
+    import random
+
+    from bbtools_tpu.models.bbmerge import BBMerge, parse_args
+
+    random.seed(5)
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    f1, f2, fi = tmp_path / "r1.fq", tmp_path / "r2.fq", tmp_path / "int.fq"
+    with open(f1, "w") as a, open(f2, "w") as b, open(fi, "w") as c:
+        for i in range(40):
+            frag = "".join(random.choice("ACGT") for _ in range(150))
+            r1 = frag[:100]
+            r2 = "".join(comp[x] for x in reversed(frag[-100:]))
+            a.write(f"@p{i} 1:N:0\n{r1}\n+\n{'F'*100}\n")
+            b.write(f"@p{i} 2:N:0\n{r2}\n+\n{'F'*100}\n")
+            c.write(f"@p{i} 1:N:0\n{r1}\n+\n{'F'*100}\n")
+            c.write(f"@p{i} 2:N:0\n{r2}\n+\n{'F'*100}\n")
+    out_a = tmp_path / "m_a.fq"
+    out_b = tmp_path / "m_b.fq"
+    BBMerge(parse_args([f"in1={f1}", f"in2={f2}", f"out={out_a}"])).run()
+    BBMerge(parse_args([f"in={fi}", f"out={out_b}"])).run()
+    da = open(out_a, "rb").read()
+    db = open(out_b, "rb").read()
+    assert da == db
+    assert da.count(b"\n@") + 1 >= 35  # most pairs merged

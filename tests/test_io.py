@@ -132,3 +132,36 @@ def test_from_sequences():
     assert b.lengths.tolist() == [5, 2]
     assert b.bases[0, 4] == 4
     assert b.valid_mask()[1].tolist() == [True, True] + [False] * (b.padded_len - 2)
+
+
+def test_interleaved_detect_and_roundtrip(tmp_path):
+    from bbtools_tpu.io.fastq import (
+        deinterleave,
+        detect_interleaved,
+        interleave,
+        paired_reader,
+        read_fastq,
+    )
+
+    fin = tmp_path / "inter.fq"
+    with open(fin, "w") as f:
+        for i in range(10):
+            f.write(f"@r{i}/1\nACGTACGTAA\n+\nFFFFFFFFFF\n")
+            f.write(f"@r{i}/2\nTTGCATGCAT\n+\nFFFFFFFFFF\n")
+    assert detect_interleaved(str(fin))
+    plain = tmp_path / "plain.fq"
+    with open(plain, "w") as f:
+        for i in range(4):
+            f.write(f"@s{i}\nACGT\n+\nFFFF\n")
+    assert not detect_interleaved(str(plain))
+    got = list(paired_reader(str(fin)))
+    assert len(got) == 1
+    b1, b2 = got[0]
+    assert b1.n == b2.n == 10
+    assert b1.ids[0].startswith(b"r0/1") and b2.ids[0].startswith(b"r0/2")
+    bi = interleave(b1, b2)
+    assert bi.n == 20
+    assert bi.ids[0] == b1.ids[0] and bi.ids[1] == b2.ids[0]
+    h1, h2 = deinterleave(bi)
+    np.testing.assert_array_equal(h1.bases, b1.bases)
+    np.testing.assert_array_equal(h2.lengths, b2.lengths)

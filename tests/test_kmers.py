@@ -149,7 +149,7 @@ def test_build_first_id_wins():
 def test_short_kmers_at_ends():
     seq = encode(b"ACGTACGTACGT")
     k, mink = 8, 4
-    fwd, rkm, sf, sl = scaffold_kmer_stream(seq, k, mink)
+    fwd, rkm, sf, sl, _extras = scaffold_kmer_stream(seq, k, mink)
     assert len(sf) == k - mink and len(sl) == k - mink
     # prefix short kmer of length 5 == first 5 bases
     km5 = [s for s in sf if s[2] == 5][0]
