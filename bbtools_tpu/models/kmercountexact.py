@@ -43,18 +43,21 @@ def run(argv: list[str]):
     if big:
         import numpy as _np
 
-        from ..ops.kmers2 import BigSpectrum, count_batch2_exact
+        from ..ops.kmers2 import MAX_K, WordSpectrum, count_batchw_exact
+
+        if k > MAX_K:
+            raise ValueError(f"k={k} exceeds max supported k={MAX_K}")
     t0 = time.time()
-    spec = BigSpectrum(k) if big else KmerSpectrum(k)
+    spec = WordSpectrum(k) if big else KmerSpectrum(k)
     reads = bases = 0
     for path in [p for p in (in1, in2) if p]:
         reader = read_batches(path, batch_reads=batch_reads)
         for b in reader:
             if big:
-                hi, lo, c = count_batch2_exact(
+                keys, c = count_batchw_exact(
                     b.bases, b.lengths.astype(_np.int64), k
                 )
-                spec.add_batch(hi, lo, c)
+                spec.add_batch(keys, c)
             else:
                 v, c = count_batch(b.bases, b.lengths, k)
                 spec.add_batch(v, c)
@@ -72,14 +75,16 @@ def run(argv: list[str]):
     if dump:
         with open_output(dump) as fh:
             if big:
-                from ..ops.kmers2 import LO_BASES
+                from ..ops.kmers2 import WORD_BASES, bytes_to_words
 
-                for h, l, cnt in zip(spec.hi, spec.lo, spec.counts):
+                W = spec.W
+                t_top = k - WORD_BASES * (W - 1)
+                words = bytes_to_words(spec.keys, W)
+                for row, cnt in zip(words, spec.counts):
                     if cnt >= min_count_dump:
-                        text = (
-                            kmer_to_text(int(h), k - LO_BASES)
-                            + kmer_to_text(int(l), LO_BASES)
-                        )
+                        text = kmer_to_text(int(row[W - 1]), t_top)
+                        for w in range(W - 2, -1, -1):
+                            text += kmer_to_text(int(row[w]), WORD_BASES)
                         fh.write(b">%d\n%s\n" % (cnt, text.encode()))
             else:
                 for key, cnt in zip(spec.keys, spec.counts):

@@ -195,85 +195,107 @@ class SmallKmerEngine:
         return t.count_of(keys.reshape(-1)).reshape(-1, 4)
 
 
-class BigKmerEngine:
-    """31 < k <= 62: (hi, lo) pair registers, hashed spectrum keys
-    (ops/kmers2.py, the ukmer analog)."""
+class WordSpectrumTable:
+    """Sorted exact W-word keys (big-endian byte strings) with counts and
+    ownership — the KmerTableSetU analog for k > 31. No hashing: distinct
+    k-mers can never collide (ukmer/Kmer.java:17 multi-long exactness)."""
 
-    def __init__(self, table: SpectrumTable, k: int):
-        from ..ops.kmers2 import LO_BASES
+    def __init__(self, spectrum, k: int):
+        spectrum.flush()
+        self.k = k
+        self.W = spectrum.W
+        self.keys = spectrum.keys  # 'S8W', sorted
+        self.counts = spectrum.counts.astype(np.int64)
+        self.owner = np.full(len(self.keys), -1, dtype=np.int64)
+
+    def find(self, keys: np.ndarray) -> np.ndarray:
+        if len(self.keys) == 0:
+            return np.full(len(keys), -1, np.int64)
+        pos = np.searchsorted(self.keys, keys)
+        pos = np.minimum(pos, len(self.keys) - 1)
+        ok = self.keys[pos] == keys
+        return np.where(ok, pos, -1)
+
+    def count_of(self, keys: np.ndarray) -> np.ndarray:
+        idx = self.find(keys)
+        return np.where(idx >= 0, self.counts[np.maximum(idx, 0)], 0)
+
+
+class WordKmerEngine:
+    """k > 31: exact W-word registers [A, W] (word 0 = newest 31 bases,
+    top word = oldest t bases), rc registers in the same layout. All walk
+    lookups use the exact sorted byte-key table — the hashed-canon engine
+    this replaces could silently merge distinct kmers on collisions."""
+
+    def __init__(self, table: WordSpectrumTable, k: int):
+        from ..ops.kmers2 import n_words
 
         self.t = table
         self.k = k
-        self.hi_bases = k - LO_BASES
-        self.hi_mask = (1 << (2 * self.hi_bases)) - 1
-        self.lo_mask = (1 << (2 * LO_BASES)) - 1
-        self.lo_top = 2 * (LO_BASES - 1)
-        self.hi_top = 2 * (self.hi_bases - 1)
+        self.W = n_words(k)
+        self.tbits = 2 * (k - 31 * (self.W - 1))  # top word bits
+        self.full_mask = np.int64((1 << 62) - 1)
+        self.top_mask = np.int64((1 << self.tbits) - 1)
+
+    def _shift_left(self, w, x):
+        """Append base x at the new end (words shift left one base)."""
+        out = np.empty_like(w)
+        for i in range(self.W - 1, 0, -1):
+            m = self.top_mask if i == self.W - 1 else self.full_mask
+            out[:, i] = ((w[:, i] << 2) | (w[:, i - 1] >> 60)) & m
+        out[:, 0] = ((w[:, 0] << 2) | x) & self.full_mask
+        return out
+
+    def _shift_right(self, w, x_top):
+        """Drop the newest base; push x_top in at the old end."""
+        out = np.empty_like(w)
+        for i in range(self.W - 1):
+            out[:, i] = (w[:, i] >> 2) | ((w[:, i + 1] & 3) << 60)
+        out[:, self.W - 1] = (w[:, self.W - 1] >> 2) | (
+            np.asarray(x_top, dtype=np.int64) << (self.tbits - 2)
+        )
+        return out
 
     def from_buf(self, buf, lengths):
-        from ..ops.kmers2 import LO_BASES
-
         A = len(lengths)
-        hi = np.zeros(A, dtype=np.int64)
-        lo = np.zeros(A, dtype=np.int64)
-        rhi = np.zeros(A, dtype=np.int64)
-        rlo = np.zeros(A, dtype=np.int64)
+        w = np.zeros((A, self.W), dtype=np.int64)
+        rw = np.zeros((A, self.W), dtype=np.int64)
+        rows = np.arange(A)
         for j in range(self.k):
             col = lengths - self.k + j
-            b = buf[np.arange(A), np.maximum(col, 0)].astype(np.int64)
-            # shift pair left by one base, push b
-            hi = ((hi << 2) | (lo >> self.lo_top)) & self.hi_mask
-            lo = ((lo << 2) | b) & self.lo_mask
-            # reverse: shift right, push complement at top of hi
-            carry = rhi & 3
-            rhi = rhi >> 2
-            rlo = (rlo >> 2) | (carry << self.lo_top)
-            rhi = rhi | ((3 - b) << self.hi_top)
-        return {"hi": hi, "lo": lo, "rhi": rhi, "rlo": rlo}
-
-    def _canon_hash(self, hi, lo, rhi, rlo):
-        from ..ops.kmers2 import canonical_pair, pair_hash
-
-        chi, clo = canonical_pair(hi, lo, rhi, rlo)
-        return pair_hash(chi, clo)
+            b = buf[rows, np.maximum(col, 0)].astype(np.int64)
+            w = self._shift_left(w, b)
+            rw = self._shift_right(rw, 3 - b)
+        return {"w": w, "rw": rw}
 
     def key(self, st, sel=None):
-        g = (lambda a: a if sel is None else a[sel])
-        return self._canon_hash(g(st["hi"]), g(st["lo"]), g(st["rhi"]), g(st["rlo"]))
+        from ..ops.kmers2 import canonical_words, words_to_bytes
+
+        w = st["w"] if sel is None else st["w"][sel]
+        rw = st["rw"] if sel is None else st["rw"][sel]
+        return words_to_bytes(canonical_words(w, rw))
 
     def advance_right(self, st, sel, x):
-        hi, lo = st["hi"][sel], st["lo"][sel]
-        rhi, rlo = st["rhi"][sel], st["rlo"][sel]
-        st["hi"][sel] = ((hi << 2) | (lo >> self.lo_top)) & self.hi_mask
-        st["lo"][sel] = ((lo << 2) | x) & self.lo_mask
-        carry = rhi & 3
-        st["rhi"][sel] = (rhi >> 2) | ((3 - x) << self.hi_top)
-        st["rlo"][sel] = (rlo >> 2) | (carry << self.lo_top)
+        st["w"][sel] = self._shift_left(st["w"][sel], x)
+        st["rw"][sel] = self._shift_right(st["rw"][sel], 3 - x)
 
     def evicted(self, st, sel):
-        return st["hi"][sel] >> self.hi_top
+        return st["w"][sel][:, self.W - 1] >> (self.tbits - 2)
 
     def neighbor_counts(self, st, sel, side):
-        hi, lo = st["hi"][sel], st["lo"][sel]
-        rhi, rlo = st["rhi"][sel], st["rlo"][sel]
-        xs = np.arange(4, dtype=np.int64)
-        counts = np.zeros((len(hi), 4), dtype=np.int64)
+        from ..ops.kmers2 import canonical_words, words_to_bytes
+
+        w, rw = st["w"][sel], st["rw"][sel]
+        counts = np.zeros((len(w), 4), dtype=np.int64)
         for x in range(4):
             if side == "right":
-                nhi = ((hi << 2) | (lo >> self.lo_top)) & self.hi_mask
-                nlo = ((lo << 2) | x) & self.lo_mask
-                carry = rhi & 3
-                nrhi = (rhi >> 2) | ((3 - x) << self.hi_top)
-                nrlo = (rlo >> 2) | (carry << self.lo_top)
+                nw = self._shift_left(w, np.int64(x))
+                nrw = self._shift_right(rw, np.int64(3 - x))
             else:
-                # prepend base x on the left: forward shifts right
-                carry = hi & 3
-                nhi = (hi >> 2) | (np.int64(x) << self.hi_top)
-                nlo = (lo >> 2) | (carry << self.lo_top)
-                nrhi = ((rhi << 2) | (rlo >> self.lo_top)) & self.hi_mask
-                nrlo = ((rlo << 2) | (3 - x)) & self.lo_mask
-            h = self._canon_hash(nhi, nlo, nrhi, nrlo)
-            counts[:, x] = self.t.count_of(h)
+                nw = self._shift_right(w, np.int64(x))
+                nrw = self._shift_left(rw, np.int64(3 - x))
+            keys = words_to_bytes(canonical_words(nw, nrw))
+            counts[:, x] = self.t.count_of(keys)
         return counts
 
 
@@ -286,25 +308,30 @@ class Tadpole:
 
     # ------------------------------------------------------------------
     def load_kmers(self, path: str):
-        spec = KmerSpectrum(self.cfg.k)
         reader = read_batches(path, batch_reads=self.cfg.batch_reads)
         big = self.cfg.k > 31
         if big:
-            from ..ops.kmers2 import count_batch2
-        for b in reader:
-            if big:
-                v, c = count_batch2(b.bases, b.lengths.astype(np.int64), self.cfg.k)
-            else:
+            from ..ops.kmers2 import WordSpectrum, count_batchw_exact
+
+            spec = WordSpectrum(self.cfg.k)
+            for b in reader:
+                keys, c = count_batchw_exact(
+                    b.bases, b.lengths.astype(np.int64), self.cfg.k
+                )
+                spec.add_batch(keys, c)
+            spec.flush()
+            self.reads_in = reader.reads_in
+            self.table = WordSpectrumTable(spec, self.cfg.k)
+            self.engine = WordKmerEngine(self.table, self.cfg.k)
+        else:
+            spec = KmerSpectrum(self.cfg.k)
+            for b in reader:
                 v, c = count_batch(b.bases, b.lengths, self.cfg.k)
-            spec.add_batch(v, c)
-        spec.flush()
-        self.reads_in = reader.reads_in
-        self.table = SpectrumTable(spec, self.cfg.k)
-        self.engine = (
-            BigKmerEngine(self.table, self.cfg.k)
-            if big
-            else SmallKmerEngine(self.table, self.cfg.k)
-        )
+                spec.add_batch(v, c)
+            spec.flush()
+            self.reads_in = reader.reads_in
+            self.table = SpectrumTable(spec, self.cfg.k)
+            self.engine = SmallKmerEngine(self.table, self.cfg.k)
         self.in_path = path
 
     # ------------------------------------------------------------------
@@ -514,9 +541,14 @@ class Tadpole:
         self.cov = [self.cov[i] for i in order]
 
     def build_contigs_bigk(self):
-        """k > 31: seeds come from reads (hashed table stores no kmer
-        text); one best seed window per read, claims dedupe the rest."""
-        from ..ops.kmers2 import canonical_pair, pair_hash, rolling_kmers2_np
+        """k > 31: seeds come from reads (the word table is byte-keyed so
+        kmer text is recoverable, but read windows are cheaper); one best
+        seed window per read, claims dedupe the rest."""
+        from ..ops.kmers2 import (
+            canonical_words,
+            rolling_kmersw_np,
+            words_to_bytes,
+        )
 
         cfg = self.cfg
         t = self.table
@@ -526,14 +558,13 @@ class Tadpole:
         pend_bufs = []
         reader = read_batches(self.in_path, batch_reads=cfg.batch_reads)
         for b in reader:
-            hi, lo, rhi, rlo, runlen = rolling_kmers2_np(
-                b.bases, k
-            )
+            words, rwords, runlen = rolling_kmersw_np(b.bases, k)
             i_idx = np.arange(b.bases.shape[1])[None, :]
             valid = (runlen >= k) & (i_idx < b.lengths[:, None])
-            chi, clo = canonical_pair(hi, lo, rhi, rlo)
-            h = pair_hash(chi, clo)
-            counts = np.where(valid, t.count_of(h.reshape(-1)).reshape(h.shape), 0)
+            keys = words_to_bytes(canonical_words(words, rwords))
+            counts = np.where(
+                valid, t.count_of(keys.reshape(-1)).reshape(keys.shape), 0
+            )
             best_pos = counts.argmax(axis=1)
             best_cnt = counts[np.arange(b.n), best_pos]
             for i in np.flatnonzero(best_cnt >= cfg.min_count_seed):
@@ -578,15 +609,22 @@ class Tadpole:
                 seg = buf[a, :n]
                 buf[a, :n] = 3 - seg[::-1]
             self._extend_right_lockstep(buf, lengths, ids, active)
+            from ..ops.kmers2 import (
+                canonical_words,
+                rolling_kmersw_np,
+                words_to_bytes,
+            )
+
             for a in np.flatnonzero(active):
                 n = int(lengths[a])
                 if n >= k + cfg.min_extension and n >= cfg.min_contig_len:
                     seg = buf[a, :n]
                     rcseg = 3 - seg[::-1]
-                    from ..ops.kmers2 import count_batch2 as _cb2
-
+                    w, rw, rl = rolling_kmersw_np(rcseg[None, :], k)
+                    ck = words_to_bytes(canonical_words(w, rw))[0][rl[0] >= k]
+                    cov = float(t.count_of(ck).mean()) if len(ck) else 0.0
                     self.contigs.append(bytes(CODE_TO_BASE[rcseg]))
-                    self.cov.append(0.0)
+                    self.cov.append(cov)
         return next_id
 
     # ------------------------------------------------------------------

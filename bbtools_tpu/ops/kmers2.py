@@ -191,3 +191,167 @@ class BigSpectrum:
         h = np.zeros(hist_max + 1, dtype=np.int64)
         np.add.at(h, np.minimum(self.counts, hist_max), 1)
         return h
+
+
+# ---------------------------------------------------------------------------
+# W-word kmers: 62 < k <= 496 (general multi-word, ukmer/Kmer.java:17-46)
+# ---------------------------------------------------------------------------
+
+WORD_BASES = 31
+MAX_K = 496
+
+
+def n_words(k: int) -> int:
+    return (k + WORD_BASES - 1) // WORD_BASES
+
+
+def rolling_kmersw_np(codes: np.ndarray, k: int):
+    """Per-position W-word kmers for codes [B, L], 31 < k <= 496.
+
+    Word layout: words[..., 0] = newest 31 bases, words[..., w] = bases
+    older by 31*w; the top word holds t = k - 31*(W-1) bases. Derived from
+    ONE 31-base rolling pass (O(L) per word): word w at position p is the
+    31-mer ending at p-31w; the rc word w is the rc-31-mer ending at
+    p-k+31(w+1) (top rc word: high t entries of the rc register at p).
+
+    Returns (words [B,L,W] int64, rwords [B,L,W] int64, runlen [B,L]).
+    """
+    from .kmers import rolling_kmers_np
+
+    assert WORD_BASES < k <= MAX_K
+    codes = np.atleast_2d(codes)
+    B, L = codes.shape
+    W = n_words(k)
+    t = k - WORD_BASES * (W - 1)
+    f31, r31, runlen31 = rolling_kmers_np(codes, WORD_BASES)
+    # full-k run length: recompute from defined runs
+    defined = codes < 4
+    idx = np.arange(L, dtype=np.int64)
+    marked = np.where(defined, np.int64(-1), idx[None, :])
+    lastn = np.maximum.accumulate(marked, axis=-1)
+    runlen = (idx[None, :] - lastn).astype(np.int32)
+
+    def shifted(arr, s):
+        if s == 0:
+            return arr
+        out = np.zeros_like(arr)
+        if s < L:
+            out[:, s:] = arr[:, :-s]
+        return out
+
+    words = np.zeros((B, L, W), dtype=np.int64)
+    rwords = np.zeros((B, L, W), dtype=np.int64)
+    top_mask = np.int64((1 << (2 * t)) - 1)
+    for w in range(W):
+        if w < W - 1:
+            words[:, :, w] = shifted(f31, WORD_BASES * w)
+            rwords[:, :, w] = shifted(r31, k - WORD_BASES * (w + 1))
+        else:
+            words[:, :, w] = shifted(f31, WORD_BASES * w) & top_mask
+            rwords[:, :, w] = r31 >> (2 * (WORD_BASES - t))
+    return words, rwords, runlen
+
+
+def canonical_words(words: np.ndarray, rwords: np.ndarray) -> np.ndarray:
+    """Lexicographic max of the pair, comparing most-significant word
+    (index W-1) first."""
+    W = words.shape[-1]
+    take_f = np.zeros(words.shape[:-1], dtype=bool)
+    tied = np.ones(words.shape[:-1], dtype=bool)
+    for w in range(W - 1, -1, -1):
+        gt = words[..., w] > rwords[..., w]
+        lt = words[..., w] < rwords[..., w]
+        take_f |= tied & gt
+        tied &= ~gt & ~lt
+    take_f |= tied  # equal -> forward
+    return np.where(take_f[..., None], words, rwords)
+
+
+def words_to_bytes(words: np.ndarray) -> np.ndarray:
+    """[..., W] int64 -> fixed-size big-endian byte keys ('S8W'): memcmp
+    order == numeric order, so np.sort/searchsorted give exact multi-word
+    tables with zero custom comparators."""
+    W = words.shape[-1]
+    be = np.ascontiguousarray(words[..., ::-1]).astype(">i8")
+    return be.view(f"S{8 * W}")[..., 0]
+
+
+def bytes_to_words(keys: np.ndarray, W: int) -> np.ndarray:
+    return keys[..., None].view(">i8").astype(np.int64)[..., ::-1]
+
+
+def count_batchw_exact(bases: np.ndarray, lengths: np.ndarray, k: int):
+    """Exact W-word counting for one batch: returns (keys 'S8W' sorted,
+    counts int64)."""
+    words, rwords, runlen = rolling_kmersw_np(bases, k)
+    i_idx = np.arange(bases.shape[1])[None, :]
+    valid = (runlen >= k) & (i_idx < np.asarray(lengths)[:, None])
+    cw = canonical_words(words, rwords)[valid]
+    keys = words_to_bytes(cw)
+    keys.sort()
+    if len(keys) == 0:
+        return keys, np.zeros(0, np.int64)
+    new = np.concatenate([[True], keys[1:] != keys[:-1]])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(keys)))
+    return keys[starts], counts.astype(np.int64)
+
+
+class WordSpectrum:
+    """Exact W-word k-mer spectrum: sorted byte keys + counts, mergeable
+    batches (KmerTableSetU analog; sorted arrays instead of HashArrayU
+    probe chains — the TPU/host-idiomatic layout)."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.W = n_words(k)
+        self._dt = f"S{8 * self.W}"
+        self.keys = np.zeros(0, dtype=self._dt)
+        self.counts = np.zeros(0, np.int64)
+        self._pend_k: list[np.ndarray] = []
+        self._pend_c: list[np.ndarray] = []
+        self._pend_n = 0
+
+    def add_batch(self, keys: np.ndarray, counts: np.ndarray):
+        self._pend_k.append(keys)
+        self._pend_c.append(counts)
+        self._pend_n += len(keys)
+        if self._pend_n > 8_000_000:
+            self.flush()
+
+    def flush(self):
+        if not self._pend_k and len(self.keys):
+            return
+        ks = np.concatenate([self.keys] + self._pend_k) if self._pend_k else self.keys
+        cs = (
+            np.concatenate([self.counts] + self._pend_c)
+            if self._pend_c
+            else self.counts
+        )
+        self._pend_k, self._pend_c, self._pend_n = [], [], 0
+        if len(ks) == 0:
+            return
+        order = np.argsort(ks, kind="stable")
+        ks, cs = ks[order], cs[order]
+        new = np.concatenate([[True], ks[1:] != ks[:-1]])
+        starts = np.flatnonzero(new)
+        self.keys = ks[starts]
+        self.counts = np.add.reduceat(cs, starts)
+
+    def count_of(self, keys: np.ndarray) -> np.ndarray:
+        if len(self.keys) == 0:
+            return np.zeros(len(keys), np.int64)
+        pos = np.searchsorted(self.keys, keys)
+        pos = np.minimum(pos, len(self.keys) - 1)
+        ok = self.keys[pos] == keys
+        return np.where(ok, self.counts[pos], 0)
+
+    @property
+    def n_unique(self):
+        return len(self.keys)
+
+    def histogram(self, hist_max: int) -> np.ndarray:
+        h = np.zeros(hist_max + 1, dtype=np.int64)
+        if len(self.counts):
+            np.add.at(h, np.minimum(self.counts, hist_max), 1)
+        return h

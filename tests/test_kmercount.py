@@ -141,3 +141,63 @@ def test_bigk_dump_text(tmp_path):
         km = lines[j]
         assert len(km) == 40
         assert km in seq or km in rc
+
+
+def test_wordspectrum_k93_vs_bruteforce():
+    import numpy as np
+
+    from bbtools_tpu.ops.kmers2 import WordSpectrum, count_batchw_exact
+
+    rng = np.random.default_rng(9)
+    k = 93
+    r1 = rng.integers(0, 4, 200).astype(np.uint8)
+    r2 = rng.integers(0, 4, 200).astype(np.uint8)
+    bases = np.stack([r1, r1, r2])
+    lens = np.full(3, 200, np.int64)
+    keys, c = count_batchw_exact(bases, lens, k)
+    n_per = 200 - k + 1
+    assert c.sum() == 3 * n_per
+    assert (c == 2).sum() == n_per  # r1 kmers
+
+    spec = WordSpectrum(k)
+    spec.add_batch(*count_batchw_exact(bases[:1], lens[:1], k))
+    spec.add_batch(*count_batchw_exact(bases[1:], lens[1:], k))
+    spec.flush()
+    np.testing.assert_array_equal(spec.count_of(keys), c)
+
+    # brute-force cross-check of counts via python strings
+    from collections import Counter
+
+    comp = {0: 3, 1: 2, 2: 1, 3: 0}
+    cnt = Counter()
+    for row in bases:
+        s = list(map(int, row))
+        for p in range(len(s) - k + 1):
+            f = tuple(s[p : p + k])
+            r = tuple(comp[x] for x in reversed(f))
+            cnt[max(f, r)] += 1
+    assert sorted(cnt.values()) == sorted(c.tolist())
+
+
+def test_kce_dump_k93_roundtrip(tmp_path):
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models.kmercountexact import main as kce_main
+
+    rng = np.random.default_rng(10)
+    codes = rng.integers(0, 4, 160)
+    seq = CODE_TO_BASE[codes].tobytes()
+    fin = tmp_path / "in.fq"
+    fin.write_bytes(b"@r\n" + seq + b"\n+\n" + b"F" * 160 + b"\n")
+    dump = tmp_path / "kmers.fa"
+    k = 93
+    kce_main([f"in={fin}", f"out={dump}", f"k={k}"])
+    lines = dump.read_bytes().splitlines()
+    assert len(lines) == 2 * (160 - k + 1)
+    # every dumped kmer must be a substring of the read or its rc
+    comp = bytes.maketrans(b"ACGT", b"TGCA")
+    rc = seq.translate(comp)[::-1]
+    for l in lines[1::2]:
+        assert len(l) == k
+        assert l in seq or l in rc

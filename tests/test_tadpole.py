@@ -191,3 +191,29 @@ def test_ecc_reassemble_only():
     fixed = eng.correct_read(codes, None)
     assert fixed >= 1
     assert (codes == genome[500:600]).all()
+
+
+def test_assemble_k93_exact_words(tmp_path):
+    """k=93 (3-word exact keys): assembles a synthetic genome with zero
+    collision-induced misassemblies — every contig is a genome substring."""
+    genome = random_genome(12_000, n_scaffolds=1, seed=77)
+    write_fasta(str(tmp_path / "g.fa"), genome)
+    ref = load_reference(str(tmp_path / "g.fa"))
+    reads = random_reads(ref, 2500, read_len=150, snp_rate=0.0, seed=78)
+    write_reads(str(tmp_path / "reads.fq"), reads)
+    cfg = TadpoleConfig(
+        in1=str(tmp_path / "reads.fq"), out=str(tmp_path / "c.fa"), k=93
+    ).resolve()
+    from bbtools_tpu.models.tadpole import Tadpole, WordSpectrumTable
+
+    tool = Tadpole(cfg)
+    tool.run()
+    assert isinstance(tool.table, WordSpectrumTable)
+    assert len(tool.contigs) >= 1
+    total = sum(len(c) for c in tool.contigs)
+    assert total > 9_000, total
+    g = genome[0][1]
+    from bbtools_tpu.core.dna import reverse_complement
+
+    for c in tool.contigs:
+        assert c in g or reverse_complement(c) in g, len(c)
