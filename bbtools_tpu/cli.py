@@ -77,6 +77,19 @@ def _bbnorm(args):
     return main(args)
 
 
+def _ecc(args):
+    # ecc.sh = KmerNormalize with ecc=t keepall=t passes=1
+    from .models.bbnorm import main
+
+    return main(args, ecc_tool=True)
+
+
+def _bbcms(args):
+    from .models.bbcms import main
+
+    return main(args)
+
+
 def _loglog(args):
     from .models.loglog import main
 
@@ -275,6 +288,8 @@ TOOLS = {
     "randomreads": _randomreads,
     "dedupe": _dedupe,
     "bbnorm": _bbnorm,
+    "ecc": _ecc,
+    "bbcms": _bbcms,
     "loglog": _loglog,
     "bbmask": _bbmask,
     "seal": _seal,

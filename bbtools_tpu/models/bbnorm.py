@@ -51,7 +51,7 @@ def read_depths(cms, bases, lengths, k: int, percentile: float):
 
 
 def _normalize_round(in1, out1, outt, k, target, mindepth, percentile,
-                     hashes, seed):
+                     hashes, seed, ecc=False, keepall=False):
     import jax.numpy as jnp
 
     cms = CountMinSketch(hashes=hashes)
@@ -63,18 +63,36 @@ def _normalize_round(in1, out1, outt, k, target, mindepth, percentile,
         keys = keys[keys != PAD]
         if len(keys):
             cms.add(keys)
-    # pass 2: normalize
+    # pass 2: (optionally correct, KmerNormalize.java:3303 ecc hook) +
+    # normalize
+    ecc_engine = None
+    errors_corrected = 0
+    if ecc:
+        from .kmernorm_ecc import NormEccEngine
+
+        ecc_engine = NormEccEngine(cms, k)
     rng = np.random.default_rng(seed)
     w = FastqWriter(out1) if out1 else None
     wt = FastqWriter(outt) if outt else None
     kept = tossed = total = 0
     reader = FastqReader(in1)
     for b in reader:
-        depths = read_depths(cms, b.bases, b.lengths.astype(np.int64), k, percentile)
-        keep_prob = np.where(
-            depths <= target, 1.0, target / np.maximum(depths, 1)
-        )
-        keep = (rng.random(b.n) < keep_prob) & (depths >= mindepth)
+        if ecc_engine is not None:
+            nc = ecc_engine.correct_batch(b.bases, b.lengths, b.quals)
+            errors_corrected += int(nc.sum())
+            if (nc > 0).any():
+                # re-emit corrected bases (ascii cache is stale)
+                b.ascii_bases = None
+        if keepall:
+            keep = np.ones(b.n, bool)
+        else:
+            depths = read_depths(
+                cms, b.bases, b.lengths.astype(np.int64), k, percentile
+            )
+            keep_prob = np.where(
+                depths <= target, 1.0, target / np.maximum(depths, 1)
+            )
+            keep = (rng.random(b.n) < keep_prob) & (depths >= mindepth)
         total += b.n
         kept += int(keep.sum())
         tossed += int((~keep).sum())
@@ -85,10 +103,10 @@ def _normalize_round(in1, out1, outt, k, target, mindepth, percentile,
     for x in (w, wt):
         if x:
             x.close()
-    return total, kept, tossed
+    return total, kept, tossed, errors_corrected
 
 
-def main(argv=None):
+def main(argv=None, ecc_tool=False):
     a = tokenize(argv if argv is not None else sys.argv[1:])
     in1 = a.get("in", "in1")
     out1 = a.get("out", "out1")
@@ -100,29 +118,41 @@ def main(argv=None):
     hashes = a.get_int("hashes", default=3)
     seed = a.get_int("seed", default=1)
     passes = a.get_int("passes", default=1)
+    ecc = a.get_bool("ecc", default=ecc_tool)
+    # ecc.sh = KmerNormalize with ecc=t keepall=t passes=1
+    keepall = a.get_bool("keepall", default=ecc_tool)
+    if keepall:
+        passes = 1
     t0 = time.time()
+    errors_corrected = 0
     if passes >= 2 and out1:
         import tempfile
 
         with tempfile.TemporaryDirectory(prefix="bbnorm_") as td:
             mid = f"{td}/pass1.fq"
             t1 = max(target * 4, target + 20)
-            _normalize_round(
-                in1, mid, None, k, t1, mindepth, percentile, hashes, seed
+            # reference corrects on pass 1 only (ecc1; :425)
+            _, _, _, ec1 = _normalize_round(
+                in1, mid, None, k, t1, mindepth, percentile, hashes, seed,
+                ecc=ecc,
             )
-            total, kept, tossed = _normalize_round(
+            total, kept, tossed, _ = _normalize_round(
                 mid, out1, outt, k, target, mindepth, percentile, hashes,
                 seed + 1,
             )
+            errors_corrected = ec1
     else:
-        total, kept, tossed = _normalize_round(
-            in1, out1, outt, k, target, mindepth, percentile, hashes, seed
+        total, kept, tossed, errors_corrected = _normalize_round(
+            in1, out1, outt, k, target, mindepth, percentile, hashes, seed,
+            ecc=ecc, keepall=keepall,
         )
     print(f"Reads In:            \t{total}", file=sys.stderr)
     print(
         f"Reads Out:           \t{kept} ({100.0*kept/max(total,1):.2f}%)",
         file=sys.stderr,
     )
+    if ecc:
+        print(f"Errors Corrected:    \t{errors_corrected}", file=sys.stderr)
     print(f"Time:                \t{time.time()-t0:.3f} seconds.", file=sys.stderr)
     return kept, tossed
 

@@ -1,57 +1,132 @@
-"""Count-min sketch k-mer counter — the KCountArray analog.
+"""Count-min sketch k-mer counter — the KCountArray analog, on device.
 
 Memory-bounded approximate counting (bloom/KCountArray7MTA.java:29: atomic
 cell-packed counters with multiple hashes). TPU-era layout: `hashes`
-independent lanes of a power-of-2 `cells` array of uint16 counters; an
-increment updates one cell per lane, a query takes the min over lanes —
-vectorized scatter-add / gather over numpy (host) with the same layout
-ready for a device scatter implementation.
+independent lanes of a power-of-2 `cells` array of int32 counters.
+
+An increment batch is ONE donated scatter-add (`table.at[rows, cols].add`)
+— XLA lowers this to a sorted segmented reduction, the TPU-native
+replacement for the reference's per-cell atomics; a query is one gather +
+min over lanes. The host wrapper keeps the table as a device array across
+batches so counting streams never round-trip through host memory.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import numpy as np
 
 from .kmer_index import _mix64
 
-_SALTS = np.array(
+_SALTS_NP = np.array(
     [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
     dtype=np.uint64,
 )
 
 
+def _jax():
+    import jax
+    import jax.numpy as jnp
+
+    return jax, jnp
+
+
+def _slots_jnp(keys, hashes: int, cells: int):
+    _, jnp = _jax()
+    salts = jnp.asarray(_SALTS_NP[:hashes])
+    q = keys.astype(jnp.uint64)[None, :] ^ salts[:, None]
+    h = q
+    h = h ^ (h >> jnp.uint64(30))
+    h = h * jnp.uint64(0xBF58476D1CE4E5B9)
+    h = h ^ (h >> jnp.uint64(27))
+    h = h * jnp.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> jnp.uint64(31))
+    return (h & jnp.uint64(cells - 1)).astype(jnp.int32)  # [H, n]
+
+
+def make_cms_add(hashes: int, cells: int, max_count: int):
+    jax, jnp = _jax()
+
+    @partial(jax.jit, donate_argnums=0)
+    def cms_add(table, keys):
+        slots = _slots_jnp(keys, hashes, cells)  # [H, n]
+        rows = jnp.repeat(
+            jnp.arange(hashes, dtype=jnp.int32), keys.shape[0]
+        )
+        table = table.at[rows, slots.reshape(-1)].add(
+            1, mode="drop"
+        )
+        return jnp.minimum(table, max_count)
+
+    return cms_add
+
+
+def make_cms_query(hashes: int, cells: int):
+    jax, jnp = _jax()
+
+    @jax.jit
+    def cms_query(table, keys):
+        slots = _slots_jnp(keys, hashes, cells)  # [H, n]
+        est = table[0, slots[0]]
+        for h in range(1, hashes):
+            est = jnp.minimum(est, table[h, slots[h]])
+        return est
+
+    return cms_query
+
+
 class CountMinSketch:
+    """Device-resident CMS. add()/query() take int64 key arrays (host or
+    device); the table stays on device between calls."""
+
     def __init__(self, cells_per_hash: int = 1 << 22, hashes: int = 3,
                  max_count: int = 65535):
         assert cells_per_hash & (cells_per_hash - 1) == 0
         self.cells = cells_per_hash
         self.hashes = hashes
         self.max_count = max_count
-        self.table = np.zeros((hashes, cells_per_hash), dtype=np.uint16)
+        _, jnp = _jax()
+        self.table = jnp.zeros((hashes, cells_per_hash), dtype=jnp.int32)
+        self._add = make_cms_add(hashes, cells_per_hash, max_count)
+        self._query = make_cms_query(hashes, cells_per_hash)
 
-    def _slots(self, keys: np.ndarray) -> np.ndarray:
+    def add(self, keys: np.ndarray):
+        """Increment each key once per lane (saturating). Duplicate keys
+        within the batch accumulate (scatter-add semantics)."""
+        _, jnp = _jax()
+        self.table = self._add(self.table, jnp.asarray(keys))
+
+    def query(self, keys: np.ndarray) -> np.ndarray:
+        _, jnp = _jax()
+        return np.asarray(
+            self._query(self.table, jnp.asarray(keys))
+        ).astype(np.int64)
+
+    def query_jnp(self, keys):
+        """Device-to-device query (no host transfer)."""
+        return self._query(self.table, keys)
+
+    # --- host-side reference implementation (tests) ---
+    def _slots_np(self, keys: np.ndarray) -> np.ndarray:
         out = np.empty((self.hashes, len(keys)), dtype=np.int64)
         for h in range(self.hashes):
             out[h] = (
-                _mix64(keys.astype(np.uint64) ^ _SALTS[h])
+                _mix64(keys.astype(np.uint64) ^ _SALTS_NP[h])
                 & np.uint64(self.cells - 1)
             ).astype(np.int64)
         return out
 
-    def add(self, keys: np.ndarray):
-        """Increment each key once per lane (saturating)."""
-        slots = self._slots(keys)
-        for h in range(self.hashes):
-            # conservative: count duplicates within the batch correctly
-            uniq, counts = np.unique(slots[h], return_counts=True)
-            cur = self.table[h, uniq].astype(np.int64)
-            self.table[h, uniq] = np.minimum(cur + counts, self.max_count).astype(
-                np.uint16
-            )
 
-    def query(self, keys: np.ndarray) -> np.ndarray:
-        slots = self._slots(keys)
-        est = np.full(len(keys), self.max_count, dtype=np.int64)
-        for h in range(self.hashes):
-            est = np.minimum(est, self.table[h, slots[h]].astype(np.int64))
-        return est
+class CMSTable:
+    """count_of adapter so EccEngine/correctors can run over CMS counts
+    (canonical int64 keys in, approximate counts out)."""
+
+    def __init__(self, cms: CountMinSketch, k: int):
+        self.cms = cms
+        self.k = k
+        self.mask = (1 << (2 * k)) - 1
+        self.shift2 = 2 * (k - 1)
+
+    def count_of(self, keys: np.ndarray) -> np.ndarray:
+        return self.cms.query(np.asarray(keys, dtype=np.int64))
