@@ -47,10 +47,9 @@ from ..ops import msa_constants as MC
 from ..ops.kmers import rolling_kmers_np
 from ..ops.msa import (
     match_strings_np,
-    msa_fill,
     msa_walk,
-    prepare_limits_np,
 )
+from ..ops.msa_pallas import msa_fill_tb_auto
 from ..ops.score_ungapped import score_no_indels
 from .bbmap_index import SeedIndex
 
@@ -301,7 +300,6 @@ class BBMap:
             )
         )
         maxq = max_quality(task_lens)
-        min_sc = (maxq * cfg.min_ratio).astype(np.int64)
         # DP only when an indel alignment could beat the ungapped score
         # (maxImperfectScore gating, MultiStateAligner11ts.java:2293-2304)
         max_imperfect = maxq + min(MC.POINTS_DEL, MC.POINTS_INS - MC.POINTS_MATCH2)
@@ -328,25 +326,11 @@ class BBMap:
             sreads = task_reads[sel]
             slens = task_lens[sel].astype(np.int32)
             srefs = refwins[sel]
-            sreflens = np.full(len(sel), W, np.int32)
-            ms = min_sc[sel]
-            vert, horiz, floor, subfloor = prepare_limits_np(
-                sreads, slens, srefs, sreflens, ms - MC.MIN_SCORE_ADJUST
-            )
-            bs, bc, bst, planes = msa_fill(
-                L,
-                W,
-                True,
-                True,
-                jnp.asarray(sreads),
-                jnp.asarray(slens),
-                jnp.asarray(srefs),
-                jnp.asarray(sreflens),
-                jnp.asarray(vert.astype(np.int32)),
-                jnp.asarray(horiz.astype(np.int32)),
-                jnp.asarray(floor.astype(np.int32)),
-                jnp.asarray(subfloor.astype(np.int32)),
-            )
+            # unpruned fill (fillUnlimited semantics) with traceback planes;
+            # Pallas wavefront kernel on TPU, XLA scan elsewhere. Unpruned
+            # scores are >= pruned ones and the min-score filter runs at
+            # winner selection, so site choice is unchanged.
+            bs, bc, bst, planes = msa_fill_tb_auto(L, W, sreads, slens, srefs)
             bs = np.asarray(bs).astype(np.int64)
             dp_better = bs > ug[sel]
             dp_score[sel] = np.maximum(bs, ug[sel])

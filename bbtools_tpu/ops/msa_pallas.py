@@ -94,11 +94,14 @@ def _del_ext_cost(streak):
     )
 
 
-def _kernel(R, Cc, nd, reads_ref, lens_ref, refp_ref, init_ref1_ref,
-            col0_ref, out_s_ref, out_c_ref, out_st_ref,
-            sc_ms_s1, sc_ms_t1, sc_del_s1, sc_del_t1, sc_ins_s1, sc_ins_t1,
-            sc_ms_s2, sc_ms_t2, sc_del_s2, sc_del_t2, sc_ins_s2, sc_ins_t2,
-            ref1_reg, best_s, best_c):
+def _kernel(R, Cc, nd, traceback, reads_ref, lens_ref, refp_ref, init_ref1_ref,
+            col0_ref, out_s_ref, out_c_ref, out_st_ref, *rest):
+    if traceback:
+        out_pl_ref = rest[0]
+        rest = rest[1:]
+    (sc_ms_s1, sc_ms_t1, sc_del_s1, sc_del_t1, sc_ins_s1, sc_ins_t1,
+     sc_ms_s2, sc_ms_t2, sc_del_s2, sc_del_t2, sc_ins_s2, sc_ins_t2,
+     ref1_reg, best_s, best_c) = rest
     T = reads_ref.shape[0]
     W = R + 1
     step = pl.program_id(1)
@@ -220,6 +223,14 @@ def _kernel(R, Cc, nd, reads_ref, lens_ref, refp_ref, init_ref1_ref,
     i_pick = i_sMS >= i_sI
     ins_score = jnp.where(i_pick, i_sMS, i_sI)
     ins_time = jnp.where(i_pick, _i32(1), i_streak + 1)
+    if traceback:
+        # predecessor-state plane, identical encoding to the XLA fill:
+        # ms_prev | del_prev<<2 | ins_prev<<4 (picks computed pre-barrier,
+        # matching msa.py msa_fill traceback=True)
+        ms_prev = jnp.where(pick_ms, _i32(0), jnp.where(pick_d, _i32(1), _i32(2)))
+        del_prev = jnp.where(d_pick, _i32(0), _i32(1))
+        ins_prev = jnp.where(i_pick, _i32(0), _i32(2))
+        out_pl_ref[0, :, :] = ms_prev + del_prev * _i32(4) + ins_prev * _i32(16)
     del_barrier = (rr < C.BARRIER_D1) | (rr > B_D2)
     ins_barrier = ((rr < C.BARRIER_I1) & (c > 1)) | (
         (rr > B_I2) & (c < B_I2b)
@@ -284,12 +295,13 @@ def _kernel(R, Cc, nd, reads_ref, lens_ref, refp_ref, init_ref1_ref,
         out_st_ref[:, 0] = bst
 
 
-@partial(jax.jit, static_argnames=("R", "Cc", "tile", "interpret"))
+@partial(jax.jit, static_argnames=("R", "Cc", "tile", "interpret", "traceback"))
 def msa_fill_pallas(R: int, Cc: int, reads, read_lens, refp, tile: int = 8,
-                    interpret: bool = False):
+                    interpret: bool = False, traceback: bool = False):
     """Unpruned MSA fill. refp must be pre-padded: [B, Cc + 2R + 4] with
     sentinel 97 in the R+2 pads (same layout msa_fill builds internally).
-    Returns (max_score, max_col, max_state) int32 [B].
+    Returns (max_score, max_col, max_state) int32 [B]; with traceback=True
+    also returns prevState planes uint8 [D, B, R+1] (msa_walk layout).
     """
     from .msa import col0_scores
 
@@ -301,12 +313,23 @@ def msa_fill_pallas(R: int, Cc: int, reads, read_lens, refp, tile: int = 8,
     # (cols 2..R+2 reversed; the reverse runs in XLA, outside the kernel)
     init_ref1 = refp[:, 2 : W + 2][:, ::-1]
     grid = (B // tile, nd)
-    kernel = partial(_kernel, R, Cc, nd)
+    kernel = partial(_kernel, R, Cc, nd, traceback)
     out_shape = [
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
     ]
+    out_specs = [
+        pl.BlockSpec((tile, 1), lambda i, s: (i, s - s), memory_space=pltpu.VMEM)
+        for _ in range(3)
+    ]
+    if traceback:
+        out_shape.append(jax.ShapeDtypeStruct((nd, B, W), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec(
+                (1, tile, W), lambda i, s: (s, i, i - i), memory_space=pltpu.VMEM
+            )
+        )
     scr = [pltpu.VMEM((tile, W), jnp.int32) for _ in range(12)]
     scr += [pltpu.VMEM((tile, W), jnp.int32)]  # ref1 shift register
     scr += [pltpu.VMEM((3, tile), jnp.int32), pltpu.VMEM((3, tile), jnp.int32)]
@@ -323,10 +346,7 @@ def msa_fill_pallas(R: int, Cc: int, reads, read_lens, refp, tile: int = 8,
             pl.BlockSpec((tile, W), lambda i, s: (i, s - s), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W), lambda i, s: (i - i, s - s), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((tile, 1), lambda i, s: (i, s - s), memory_space=pltpu.VMEM)
-            for _ in range(3)
-        ],
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scr,
         interpret=interpret,
@@ -337,7 +357,65 @@ def msa_fill_pallas(R: int, Cc: int, reads, read_lens, refp, tile: int = 8,
         init_ref1.astype(jnp.int32),
         col0,
     )
-    return tuple(r[:, 0] for r in res)
+    out = tuple(r[:, 0] for r in res[:3])
+    if traceback:
+        return out + (res[3].astype(jnp.uint8),)
+    return out
+
+
+def use_pallas() -> bool:
+    """Pallas MSA backend gate: on TPU unless BBTOOLS_MSA_PALLAS=0."""
+    import os
+
+    flag = os.environ.get("BBTOOLS_MSA_PALLAS", "")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.devices()[0].platform == "tpu"
+
+
+def msa_fill_tb_auto(R: int, Cc: int, reads, read_lens, refs):
+    """Unpruned fill WITH traceback planes; Pallas kernel on TPU, XLA
+    wavefront elsewhere. All tasks must have full-width refs
+    (ref_lens == Cc). numpy in, jax arrays out:
+    (max_score, max_col, max_state, planes).
+    """
+    from . import msa as msa_mod
+
+    B = reads.shape[0]
+    if use_pallas():
+        tile = 8
+        Bp = ((B + tile - 1) // tile) * tile
+        if Bp != B:
+            pad = Bp - B
+            reads = np.concatenate([reads, np.repeat(reads[:1], pad, 0)], 0)
+            read_lens = np.concatenate(
+                [read_lens, np.repeat(read_lens[:1], pad, 0)], 0
+            )
+            refs = np.concatenate([refs, np.repeat(refs[:1], pad, 0)], 0)
+        refp = prepare_refp(np.asarray(refs), R)
+        bs, bc, bst, planes = msa_fill_pallas(
+            R, Cc, jnp.asarray(reads), jnp.asarray(read_lens),
+            jnp.asarray(refp), tile=tile, traceback=True,
+        )
+        return bs[:B], bc[:B], bst[:B], planes[:, :B]
+    maxgain = (
+        read_lens.astype(np.int64) - 1
+    ) * C.POINTS_MATCH2 + C.POINTS_MATCH
+    subfloor = -2 * maxgain
+    ref_lens = np.full(B, Cc, np.int32)
+    vert, horiz, floor, _ = msa_mod.prepare_limits_np(
+        reads, read_lens, refs, ref_lens, np.zeros(B, np.int64)
+    )
+    return msa_mod.msa_fill(
+        R, Cc, False, True,
+        jnp.asarray(reads), jnp.asarray(read_lens.astype(np.int32)),
+        jnp.asarray(refs), jnp.asarray(ref_lens),
+        jnp.asarray(vert.astype(np.int32)), jnp.asarray(horiz.astype(np.int32)),
+        jnp.asarray(floor.astype(np.int32)),
+        jnp.asarray(subfloor.astype(np.int32)),
+    )
 
 
 def prepare_refp(refs: np.ndarray, R: int) -> np.ndarray:

@@ -202,3 +202,47 @@ def test_pallas_fill_matches_wavefront():
     np.testing.assert_array_equal(ms, np.asarray(ps))
     np.testing.assert_array_equal(mc, np.asarray(pc))
     np.testing.assert_array_equal(mst, np.asarray(pst))
+
+
+def test_pallas_traceback_matches_wavefront():
+    """Pallas traceback planes walk to the same ops as the XLA fill."""
+    import jax.numpy as jnp
+
+    from bbtools_tpu.ops.msa import msa_fill, msa_walk, prepare_limits_np
+    from bbtools_tpu.ops import msa_constants as C
+    from bbtools_tpu.ops.msa_pallas import msa_fill_pallas, prepare_refp
+
+    B, R, Cc = 8, 32, 56
+    reads = np.zeros((B, R), np.uint8)
+    rlens = np.array([24 + i for i in range(B)], np.int32)
+    refs = rng.integers(0, 4, (B, Cc)).astype(np.uint8)
+    for b in range(B):
+        rl = int(rlens[b])
+        reads[b, :rl] = refs[b, 4 : 4 + rl]
+        m = rng.random(rl) < 0.08
+        reads[b, :rl][m] = (reads[b, :rl][m] + rng.integers(1, 4, m.sum())) % 4
+    clens = np.full(B, Cc, np.int32)
+    maxgain = (rlens.astype(np.int64) - 1) * C.POINTS_MATCH2 + C.POINTS_MATCH
+    vert, horiz, floor, _ = prepare_limits_np(
+        reads, rlens, refs, clens, np.zeros(B, np.int64)
+    )
+    xs, xc, xst, xpl = msa_fill(
+        R, Cc, False, True,
+        jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(refs),
+        jnp.asarray(clens),
+        jnp.asarray(vert.astype(np.int32)), jnp.asarray(horiz.astype(np.int32)),
+        jnp.asarray(floor.astype(np.int32)),
+        jnp.asarray((-2 * maxgain).astype(np.int32)),
+    )
+    refp = prepare_refp(refs, R)
+    ps, pc, pst, ppl = msa_fill_pallas(
+        R, Cc, jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(refp),
+        tile=8, interpret=True, traceback=True,
+    )
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(ps))
+    np.testing.assert_array_equal(np.asarray(xc), np.asarray(pc))
+    np.testing.assert_array_equal(np.asarray(xst), np.asarray(pst))
+    xo, xn = msa_walk(R, Cc, xpl, jnp.asarray(rlens), xc, xst)
+    po, pn = msa_walk(R, Cc, ppl, jnp.asarray(rlens), pc, pst)
+    np.testing.assert_array_equal(np.asarray(xn), np.asarray(pn))
+    np.testing.assert_array_equal(np.asarray(xo), np.asarray(po))

@@ -76,3 +76,32 @@ for _ in range(n):
     r = xla_fn()
 dt = (time.time() - t0) / n
 print(f"xla: {dt*1e3:.2f} ms/batch, {B/dt:,.0f} alignments/s")
+
+# --- traceback planes equality ---
+from bbtools_tpu.ops.msa import msa_fill, prepare_limits_np
+from bbtools_tpu.ops import msa_constants as C
+
+maxgain = (rlens.astype(np.int64) - 1) * C.POINTS_MATCH2 + C.POINTS_MATCH
+subfloor = -2 * maxgain
+vert, horiz, floor, _ = prepare_limits_np(
+    reads, rlens, refs, clens, np.zeros(B, np.int64)
+)
+xs, xc, xst, xpl = msa_fill(
+    R, Cc, False, True,
+    jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(refs), jnp.asarray(clens),
+    jnp.asarray(vert.astype(np.int32)), jnp.asarray(horiz.astype(np.int32)),
+    jnp.asarray(floor.astype(np.int32)), jnp.asarray(subfloor.astype(np.int32)),
+)
+ps2, pc2, pst2, ppl = msa_fill_pallas(
+    R, Cc, jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(refp),
+    tile=8, traceback=True,
+)
+np.testing.assert_array_equal(np.asarray(xs), np.asarray(ps2))
+# planes may disagree only at never-walked boundary cells; compare the
+# in-range region via the walk result instead: walk both and compare ops
+from bbtools_tpu.ops.msa import msa_walk
+xo, xn = msa_walk(R, Cc, xpl, jnp.asarray(rlens), xc, xst)
+po, pn = msa_walk(R, Cc, ppl, jnp.asarray(rlens), pc2, pst2)
+np.testing.assert_array_equal(np.asarray(xn), np.asarray(pn))
+np.testing.assert_array_equal(np.asarray(xo), np.asarray(po))
+print("TRACEBACK WALK EQUAL on", jax.devices()[0].platform)
