@@ -31,6 +31,7 @@ from ..io.fastq import FastqReader, FastqWriter
 from ..ops.bbduk_scan import KScanConfig, credit_id, kscan_full, kscan_short
 from ..ops.entropy import EntropyModel
 from ..ops.kmer_index import BucketKmerIndex, build_ref_keys
+from ..ops.lane_index import LaneKmerIndex
 from ..ops.kmers import mid_mask_len_default, middle_mask
 from ..ops.trim import apply_trim, optimal_trim_jnp
 
@@ -344,6 +345,7 @@ def load_reference(cfg: BBDukConfig):
     scaffolds: list[np.ndarray] = []
     names: list[bytes] = []
     for path in cfg.ref:
+        path = resolve_ref_keyword(path)
         for rec in iter_fasta(path):
             names.append(rec.name if rec.name else b"scaf")
             scaffolds.append(encode(rec.seq))
@@ -365,7 +367,15 @@ def build_index(cfg: BBDukConfig):
         edist2=cfg.edist2,
         mid_mask=cfg.mid_mask_bits,
     )
-    index = BucketKmerIndex.build(keys, ids) if len(keys) else None
+    index = None
+    if len(keys):
+        # small panels (adapters/artifacts/primers) go to the VMEM
+        # lane-gather index (~6x the HBM row-gather rate on TPU); big
+        # references keep the bucketed HBM table
+        if LaneKmerIndex.supports(len(keys)):
+            index = LaneKmerIndex.build(keys, ids)
+        if index is None:
+            index = BucketKmerIndex.build(keys, ids)
     lengths = [len(s) for s in scaffolds]
     return index, names, lengths
 
@@ -395,6 +405,11 @@ class BBDuk:
                 qhdist=cfg.qhdist,
                 nb=self.index.nb if self.index else 64,
                 rcomp=cfg.rcomp,
+                lane=(
+                    self.index.static_params()
+                    if isinstance(self.index, LaneKmerIndex)
+                    else None
+                ),
             )
             if True
             else None

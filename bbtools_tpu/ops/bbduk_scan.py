@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from .kmer_index import BucketKmerIndex
 from .kmers import length_mask, rolling_kmers_jnp
+from .lane_index import LaneKmerIndex
 
 BIG = jnp.int32(999999999)
 
@@ -36,12 +37,18 @@ class KScanConfig:
     qhdist: int = 0
     nb: int = 64  # bucket count of the BucketKmerIndex (static)
     rcomp: bool = True
+    #: LaneKmerIndex static params (nb, groups, slots, rows, salt, packed);
+    #: when set, `table` holds (tlo, thi, tid) and lookups run the VMEM
+    #: lane-gather kernel instead of HBM row-gathers
+    lane: tuple | None = None
 
     def resolved_minlen2(self) -> int:
         return self.minlen2 if self.minlen2 > 0 else self.k
 
 
 def _lookup(cfg: KScanConfig, table, keys):
+    if cfg.lane is not None:
+        return LaneKmerIndex.lookup_jnp(*table, *cfg.lane, keys)
     keys_tbl, ids_tbl = table
     return BucketKmerIndex.lookup_jnp(keys_tbl, ids_tbl, cfg.nb, keys)
 
