@@ -23,6 +23,18 @@ def _bbmap(args):
     return main(args)
 
 
+def _mappacbio(args):
+    from .models.bbmap import main
+
+    return main(args, preset="pacbio")
+
+
+def _bbmapskimmer(args):
+    from .models.bbmap import main
+
+    return main(args, preset="skimmer")
+
+
 def _bbmerge(args):
     from .models.bbmerge import main
 
@@ -274,8 +286,9 @@ TOOLS = {
     "bbduk": _bbduk,
     "bbmap": _bbmap,
     "bbwrap": _bbmap,
-    "bbmapskimmer": _bbmap,
-    "mappacbio": _bbmap,
+    "bbmapskimmer": _bbmapskimmer,
+    "mappacbio": _mappacbio,
+    "mappacbioskimmer": _bbmapskimmer,
     "comparesketch": _sketch,
     "bbmerge": _bbmerge,
     "tadpole": _tadpole,

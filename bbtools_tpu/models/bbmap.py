@@ -68,18 +68,56 @@ class BBMapConfig:
     min_ratio: float = 0.56  # BBMap.java:62 minratio
     rescue_mates: bool = True  # AbstractMapThread rescue (paired only)
     rescue_dist: int = 800  # ungapped mate-search window beyond the anchor
-    max_indel: int = 100  # window for diagonal clustering (ref: 16000)
+    max_indel: int = 16000  # diagonal clustering window (BBMap.java maxindel)
     max_sites: int = 8  # candidate clusters per read/strand
     key_density: float = 1.9  # keys per (len-k+1)/... (KeyRing density)
-    ambig: str = "best"  # best/toss
+    ambig: str = "best"  # best/toss/all
     batch_reads: int = 4096
     pad: int = 12  # DP window slack each side
     max_hits_per_key: int = 2000
+    #: static DP window width classes: extra columns beyond read length.
+    #: A cluster whose diagonal spread fits E_c - 2*pad aligns in a width
+    #: L + E_c window — the TPU analog of the reference's fixed
+    #: ALIGN_COLUMNS arenas (BBMapThread.java ALIGN_COLUMNS=2000 for
+    #: 600 bp rows; BBIndexPacBio.java:2643 ALIGN_COLUMNS=7600). Static
+    #: per-class shapes keep XLA/Pallas compiles bounded.
+    window_extras: tuple = (24, 152, 536, 2072)
+    #: break FASTA input reads longer than this into chunks
+    #: (bbmap.sh fastareadlen=500; mapPacBio.sh fastareadlen=6000)
+    fastareadlen: int = 500
+    #: print secondary alignments (skimmer semantics, flag 0x100)
+    secondary: bool = False
+    dp_top: int = 3  # gapped-extend the top-N ungapped sites per read
 
 
-def parse_args(argv):
+def pacbio_preset(c: "BBMapConfig"):
+    """mapPacBio.sh defaults: align2.BBMapPacBio (minratio=0.40
+    fastareadlen=6000, ALIGN_ROWS=6020 / ALIGN_COLUMNS=7600)."""
+    c.k = 12
+    c.min_ratio = 0.40
+    c.fastareadlen = 6000
+    c.max_indel = 16000
+    c.window_extras = (24, 536, 2072, 7640)
+    c.batch_reads = 512
+    return c
+
+
+def skimmer_preset(c: "BBMapConfig"):
+    """bbmapskimmer.sh defaults: align2.BBMapPacBioSkimmer with
+    ambig=all + secondary-site printing."""
+    pacbio_preset(c)
+    c.ambig = "all"
+    c.secondary = True
+    return c
+
+
+def parse_args(argv, preset: str | None = None):
     a = tokenize(argv)
     c = BBMapConfig()
+    if preset == "pacbio":
+        pacbio_preset(c)
+    elif preset == "skimmer":
+        skimmer_preset(c)
     c.ref = a.get("ref")
     if not a.get_bool("nodisk", default=True):
         c.index_path = a.get("path", "indexpath", default=".") or "."
@@ -89,14 +127,16 @@ def parse_args(argv):
     c.in1 = a.get("in", "in1")
     c.in2 = a.get("in2")
     c.out = a.get("out", "outm")
-    c.k = a.get_int("k", default=13)
-    c.min_ratio = a.get_float("minratio", "minid", default=0.56)
+    c.k = a.get_int("k", default=c.k)
+    c.min_ratio = a.get_float("minratio", "minid", default=c.min_ratio)
     c.rescue_mates = a.get_bool("rescuemates", "rescue", default=True)
     c.rescue_dist = a.get_int("rescuedist", default=800)
-    c.max_indel = a.get_int("maxindel", default=100)
+    c.max_indel = a.get_int("maxindel", default=c.max_indel)
     c.max_sites = a.get_int("maxsites", default=8)
-    c.ambig = a.get("ambiguous", "ambig", default="best") or "best"
-    c.batch_reads = a.get_int("batchreads", default=4096)
+    c.ambig = a.get("ambiguous", "ambig", default=c.ambig) or "best"
+    c.secondary = a.get_bool("secondary", default=c.secondary)
+    c.fastareadlen = a.get_int("fastareadlen", default=c.fastareadlen)
+    c.batch_reads = a.get_int("batchreads", default=c.batch_reads)
     return c
 
 
@@ -113,6 +153,8 @@ class MapResult:
     score: int = 0
     match: bytes = b""
     ambig: bool = False
+    #: secondary sites (flat_start, strand, score, match) — skimmer output
+    sites: list = field(default_factory=list)
 
 
 class BBMap:
@@ -215,12 +257,36 @@ class BBMap:
         order = np.lexsort((diag, group))
         g = group[order]
         d = diag[order]
+        # merge threshold: only diagonals one DP window can actually
+        # bridge; farther same-strand clusters stay separate candidates
+        # (repeat copies / giant deletions — the latter are re-joined by
+        # the two-anchor stitch in map_batch, maxindel semantics)
+        bridge = min(cfg.max_indel, cfg.window_extras[-1] - 2 * cfg.pad)
         boundary = np.ones(len(d), dtype=bool)
-        boundary[1:] = (g[1:] != g[:-1]) | (np.diff(d) > cfg.max_indel)
+        boundary[1:] = (g[1:] != g[:-1]) | (np.diff(d) > bridge)
         cid = np.cumsum(boundary) - 1
         votes = np.bincount(cid)
         firsts = d[boundary]
         cgroup = g[boundary]
+        # spread = diagonal range of the cluster (how many extra DP
+        # columns a gapped alignment spanning it needs)
+        ends = np.append(np.flatnonzero(boundary)[1:], len(d))
+        spread = d[ends - 1] - firsts
+        # modal diagonal (most seed hits) anchors the ungapped score; for
+        # a clean site mode == first, for an indel site it is the bigger
+        # exact-match flank
+        b2 = boundary.copy()
+        b2[1:] |= d[1:] != d[:-1]
+        rid = np.cumsum(b2) - 1
+        rcount = np.bincount(rid)
+        rcluster = cid[b2]
+        rdiag = d[b2]
+        ro = np.lexsort((-rcount, rcluster))
+        rc_sorted = rcluster[ro]
+        firstrun = np.ones(len(ro), dtype=bool)
+        firstrun[1:] = rc_sorted[1:] != rc_sorted[:-1]
+        modal = np.empty(len(firsts), dtype=np.int64)
+        modal[rc_sorted[firstrun]] = rdiag[ro[firstrun]]
         # top max_sites clusters per (read, strand) by votes
         corder = np.lexsort((-votes, cgroup))
         cg = cgroup[corder]
@@ -230,7 +296,10 @@ class BBMap:
         out = [[] for _ in range(B)]
         for ci in corder[keep]:
             grp = int(cgroup[ci])
-            out[grp // 2].append((int(firsts[ci]), grp & 1, int(votes[ci])))
+            out[grp // 2].append(
+                (int(firsts[ci]), grp & 1, int(votes[ci]),
+                 int(spread[ci]), int(modal[ci]))
+            )
         return out
 
     # ------------------------------------------------------------------
@@ -247,11 +316,17 @@ class BBMap:
         t_read = []
         t_diag = []
         t_strand = []
+        t_spread = []
+        t_anchor = []
+        t_votes = []
         for b, cl in enumerate(cand):
-            for diag, strand, votes in cl:
+            for diag, strand, votes, spread, modal in cl:
                 t_read.append(b)
                 t_diag.append(diag)
                 t_strand.append(strand)
+                t_spread.append(spread)
+                t_anchor.append(modal)
+                t_votes.append(votes)
         results = [MapResult() for _ in range(B)]
         if not t_read:
             self.reads_unmapped += B
@@ -259,6 +334,9 @@ class BBMap:
         t_read = np.asarray(t_read)
         t_diag = np.asarray(t_diag, dtype=np.int64)
         t_strand = np.asarray(t_strand)
+        t_spread = np.asarray(t_spread, dtype=np.int64)
+        t_anchor = np.asarray(t_anchor, dtype=np.int64)
+        t_votes = np.asarray(t_votes, dtype=np.int64)
         T = len(t_read)
         # task reads (rc for strand 1), vectorized gather
         task_lens0 = lengths[t_read]
@@ -276,19 +354,11 @@ class BBMap:
         ).astype(np.uint8)
         task_reads[pos >= task_lens0[:, None]] = 4
         task_lens = lengths[t_read]
-        # ungapped scoring at the exact diagonal
+        # ungapped scoring at the cluster's modal diagonal (the bigger
+        # exact flank when the site has an indel)
         W = L + 2 * cfg.pad
-        refwins = np.zeros((T, W), dtype=np.uint8)
-        win_start = t_diag - cfg.pad
-        ref_codes = self.ref.codes
-        G = len(ref_codes)
-        idx = win_start[:, None] + np.arange(W)[None, :]
-        np.clip(idx, 0, G - 1, out=idx)
-        refwins = ref_codes[idx]
-        oob = (win_start[:, None] + np.arange(W)[None, :] < 0) | (
-            win_start[:, None] + np.arange(W)[None, :] >= G
-        )
-        refwins[oob] = 4
+        win_start = t_anchor - cfg.pad
+        refwins = self._ref_windows(win_start, W)
         ug = np.asarray(
             score_no_indels(
                 L,
@@ -304,40 +374,65 @@ class BBMap:
         # (maxImperfectScore gating, MultiStateAligner11ts.java:2293-2304)
         max_imperfect = maxq + min(MC.POINTS_DEL, MC.POINTS_INS - MC.POINTS_MATCH2)
         need_dp = (ug <= max_imperfect) & (task_lens >= cfg.k)
-        # only extend the top-2 ungapped candidates per read (the
+        # gapped-extend the top dp_top ungapped candidates per read (the
         # reference trims the site list before slow alignment,
-        # BBMapThread.java:507 trimList)
+        # BBMapThread.java:507 trimList) PLUS the top-votes cluster — a
+        # long-indel site can rank low on its ungapped flank score alone
         order = np.lexsort((-ug, t_read))
         tr = t_read[order]
         rank = np.arange(len(tr)) - np.searchsorted(tr, tr)
         topk = np.zeros(T, dtype=bool)
-        topk[order[rank < 2]] = True
+        topk[order[rank < cfg.dp_top]] = True
+        vorder = np.lexsort((-t_votes, t_read))
+        tv = t_read[vorder]
+        vrank = np.arange(len(tv)) - np.searchsorted(tv, tv)
+        topk[vorder[vrank < 1]] = True
         need_dp &= topk
+
+        # DP window class per task: smallest static width whose extra
+        # columns cover the cluster's diagonal spread (static shapes ->
+        # bounded XLA/Pallas compiles; the reference's fixed ALIGN_COLUMNS
+        # arenas serve the same purpose)
+        extras = cfg.window_extras
+        n_cls = len(extras)
+        t_cls = np.full(T, n_cls - 1, np.int64)
+        for c in range(n_cls - 2, -1, -1):
+            t_cls[t_spread <= extras[c] - 2 * cfg.pad] = c
+        # spread beyond the largest class: re-anchor on the modal diagonal
+        # (the alignment clips whatever the window misses — reference
+        # behavior when a site exceeds ALIGN_COLUMNS)
+        clamped = t_spread > extras[-1] - 2 * cfg.pad
+        dp_start = np.where(
+            clamped, t_anchor - extras[-1] // 2, t_diag - cfg.pad
+        )
+
         dp_score = ug.astype(np.int64).copy()
         dp_col = np.full(T, -1, np.int64)  # end col within window
         dp_state = np.full(T, -1, np.int64)
-        dp_subidx = np.full(T, -1, np.int64)  # index into the DP subset
-        dp_planes = None
-        sel = np.flatnonzero(need_dp)
-        if len(sel):
-            # single DP pass WITH traceback planes (kept on device); the
-            # winners' match strings come from these planes, so no second
-            # fill is needed
+        dp_subidx = np.full(T, -1, np.int64)  # index into the class subset
+        dp_planes: dict[int, tuple] = {}
+        for c in range(n_cls):
+            sel = np.flatnonzero(need_dp & (t_cls == c))
+            if not len(sel):
+                continue
+            Wc = L + extras[c]
+            # unpruned fill (fillUnlimited semantics) with traceback
+            # planes; Pallas wavefront kernel on TPU, XLA scan elsewhere.
+            # Unpruned scores are >= pruned ones and the min-score filter
+            # runs at winner selection, so site choice is unchanged.
+            srefs = self._ref_windows(dp_start[sel], Wc)
             sreads = task_reads[sel]
             slens = task_lens[sel].astype(np.int32)
-            srefs = refwins[sel]
-            # unpruned fill (fillUnlimited semantics) with traceback planes;
-            # Pallas wavefront kernel on TPU, XLA scan elsewhere. Unpruned
-            # scores are >= pruned ones and the min-score filter runs at
-            # winner selection, so site choice is unchanged.
-            bs, bc, bst, planes = msa_fill_tb_auto(L, W, sreads, slens, srefs)
+            bs, bc, bst, planes = msa_fill_tb_auto(L, Wc, sreads, slens, srefs)
             bs = np.asarray(bs).astype(np.int64)
             dp_better = bs > ug[sel]
             dp_score[sel] = np.maximum(bs, ug[sel])
             dp_col[sel] = np.where(dp_better, np.asarray(bc), -1)
             dp_state[sel] = np.where(dp_better, np.asarray(bst), -1)
             dp_subidx[sel] = np.arange(len(sel))
-            dp_planes = (planes, np.asarray(bc), np.asarray(bst), slens)
+            dp_planes[c] = (
+                planes, np.asarray(bc), np.asarray(bst), slens, sel, srefs, Wc
+            )
         # pick best + second best per read
         best = {}
         second = {}
@@ -349,71 +444,97 @@ class BBMap:
                 best[b] = (s, i)
             elif s > second.get(b, (-BIG, -1))[0]:
                 second[b] = (s, i)
-        # traceback for winners that need a match string; winners resolved
-        # ungapped (no indels possible) get a direct comparison match
-        # string (genMatchNoIndels analog) without a second DP
-        win_tasks = []
-        ungapped_winners = []
+        # emit set: the primary winner per read, plus secondary sites when
+        # skimmer semantics are on (secondary=t / ambig=all)
+        emit: list[tuple[int, int, int, bool]] = []  # (b, i, score, primary)
         for b, (s, i) in best.items():
             if s >= min_score_for(int(lengths[b]), cfg.min_ratio):
-                if dp_col[i] < 0:
-                    # winner resolved without an improving DP alignment:
-                    # indel-free -> direct comparison match string
-                    ungapped_winners.append((b, i, s))
-                else:
-                    win_tasks.append((b, i, s))
-        if ungapped_winners:
-            for b, i, s in ungapped_winners:
-                n = int(lengths[b])
-                rd = task_reads[i, :n]
-                rf = refwins[i, cfg.pad : cfg.pad + n]
-                eq = rd == rf
-                m = np.where(
-                    eq & (rd < 4), ord("m"),
-                    np.where((rd >= 4) | (rf >= 4), ord("N"), ord("S")),
-                ).astype(np.uint8)
-                r = results[b]
-                r.mapped = True
-                r.score = int(s)
-                r.strand = int(t_strand[i])
-                r.flat_start = int(t_diag[i])
-                r.match = bytes(m)
-                sec = second.get(b, (-BIG, -1))[0]
-                cz = clearzone_for(r.score, int(max_quality(lengths[b])))
-                r.ambig = sec >= r.score - cz
-        # build final results with traceback via DP (always run fill with
-        # traceback for the winning site to obtain the match string)
-        if win_tasks and dp_planes is not None:
-            planes, bc_all, bst_all, slens_all = dp_planes
+                emit.append((b, int(i), int(s), True))
+        if cfg.secondary or cfg.ambig == "all":
+            prim = {b: i for b, (s, i) in best.items()}
+            by_read: dict[int, list] = {}
+            for i in range(T):
+                b = int(t_read[i])
+                if i == prim.get(b):
+                    continue
+                s = int(dp_score[i])
+                if s >= min_score_for(int(lengths[b]), cfg.min_ratio):
+                    by_read.setdefault(b, []).append((s, i))
+            for b, lst in by_read.items():
+                lst.sort(key=lambda t: -t[0])
+                for s, i in lst[: cfg.max_sites - 1]:
+                    emit.append((b, i, s, False))
+        # match strings: winners resolved ungapped (no indels possible)
+        # get a direct comparison string (genMatchNoIndels analog); DP
+        # winners get a plane walk, batched per window class
+        gapped = [e for e in emit if dp_col[e[1]] >= 0]
+        plain = [e for e in emit if dp_col[e[1]] < 0]
+        site_out: dict[int, tuple[int, bytes]] = {}  # task -> (flat_start, match)
+        for b, i, s, _p in plain:
+            n = int(lengths[b])
+            rd = task_reads[i, :n]
+            rf = refwins[i, cfg.pad : cfg.pad + n]
+            eq = rd == rf
+            m = np.where(
+                eq & (rd < 4), ord("m"),
+                np.where((rd >= 4) | (rf >= 4), ord("N"), ord("S")),
+            ).astype(np.uint8)
+            site_out[i] = (int(t_anchor[i]), bytes(m))
+        bycls: dict[int, list] = {}
+        for e in gapped:
+            bycls.setdefault(int(t_cls[e[1]]), []).append(e)
+        for c, ws in bycls.items():
+            planes, bc_all, bst_all, slens_all, sel, srefs, Wc = dp_planes[c]
             ops, nsteps = msa_walk(
-                L, W, planes, jnp.asarray(slens_all),
+                L, Wc, planes, jnp.asarray(slens_all),
                 jnp.asarray(bc_all), jnp.asarray(bst_all),
             )
             ops = np.asarray(ops)
             nsteps = np.asarray(nsteps)
-            sub = np.asarray([dp_subidx[w[1]] for w in win_tasks])
+            sub = np.asarray([dp_subidx[e[1]] for e in ws])
             matches = match_strings_np(
                 ops[sub],
                 nsteps[sub],
                 task_reads[sel][sub],
                 slens_all[sub],
-                refwins[sel][sub],
-                np.full(len(sub), W, np.int32),
+                srefs[sub],
+                np.full(len(sub), Wc, np.int32),
                 bc_all[sub],
             )
-            for j, (b, i, s) in enumerate(win_tasks):
+            for j, (b, i, s, _p) in enumerate(ws):
                 m = matches[j]
                 ndiag = sum(m.count(x) for x in (b"m", b"S", b"N", b"D"))
                 start_col = int(bc_all[sub[j]]) - ndiag
+                site_out[i] = (int(dp_start[i] + start_col), m)
+        for b, i, s, primary in emit:
+            if i not in site_out:
+                continue
+            fs, m = site_out[i]
+            if primary:
                 r = results[b]
                 r.mapped = True
-                r.score = int(s)
+                r.score = s
                 r.strand = int(t_strand[i])
-                r.flat_start = int(win_start[i] + start_col)
+                r.flat_start = fs
                 r.match = m
                 sec = second.get(b, (-BIG, -1))[0]
                 cz = clearzone_for(r.score, int(max_quality(lengths[b])))
                 r.ambig = sec >= r.score - cz
+                if cfg.ambig == "toss" and r.ambig:
+                    r.mapped = False
+                    r.match = b""
+        # secondary sites attach after primaries resolve (skip overlaps
+        # of an already-kept site: Tools.removeOverlappingSites analog)
+        for b, i, s, primary in emit:
+            if primary or i not in site_out or not results[b].mapped:
+                continue
+            fs, m = site_out[i]
+            r = results[b]
+            near = abs(fs - r.flat_start) < 10 and int(t_strand[i]) == r.strand
+            for fs2, st2, _s2, _m2 in r.sites:
+                near |= abs(fs - fs2) < 10 and int(t_strand[i]) == st2
+            if not near:
+                r.sites.append((fs, int(t_strand[i]), s, m))
         for b in range(B):
             if results[b].mapped:
                 self.reads_mapped += 1
@@ -421,11 +542,62 @@ class BBMap:
                 self.reads_unmapped += 1
         return results
 
+    def _ref_windows(self, starts: np.ndarray, W: int) -> np.ndarray:
+        """[T, W] ref-code windows at flat coords `starts`, OOB filled
+        with 4 (N)."""
+        ref_codes = self.ref.codes
+        G = len(ref_codes)
+        idx = starts[:, None] + np.arange(W, dtype=np.int64)[None, :]
+        wins = ref_codes[np.clip(idx, 0, G - 1)]
+        wins[(idx < 0) | (idx >= G)] = 4
+        return wins
+
     # ------------------------------------------------------------------
+    def _read_batches(self, path: str):
+        """Input batches: FASTQ streams directly; FASTA reads longer than
+        `fastareadlen` are broken into chunks named name_chunk<off>
+        (AbstractMapThread.java:3274 fastareadlen semantics)."""
+        from ..io.fileformat import Format, test_input
+
+        cfg = self.cfg
+        if test_input(path).format != Format.FASTA:
+            yield from FastqReader(path, batch_reads=cfg.batch_reads,
+                                   pad_to=None)
+            return
+        from ..io.batch import ReadBatch
+        from ..io.fasta import iter_fasta
+
+        seqs: list[bytes] = []
+        ids: list[bytes] = []
+        ordinal = 0
+        FL = max(cfg.fastareadlen, 32)
+        for rec in iter_fasta(path):
+            s = rec.seq
+            if len(s) <= FL:
+                seqs.append(s)
+                ids.append(rec.name)
+            else:
+                for off in range(0, len(s), FL):
+                    part = s[off : off + FL]
+                    if len(part) < 32:
+                        break
+                    seqs.append(part)
+                    ids.append(rec.name + b"_chunk%d" % off)
+            while len(seqs) >= cfg.batch_reads:
+                yield ReadBatch.from_sequences(
+                    seqs[: cfg.batch_reads], ids=ids[: cfg.batch_reads],
+                    ordinal=ordinal,
+                )
+                seqs = seqs[cfg.batch_reads :]
+                ids = ids[cfg.batch_reads :]
+                ordinal += 1
+        if seqs:
+            yield ReadBatch.from_sequences(seqs, ids=ids, ordinal=ordinal)
+
     def run(self):
         cfg = self.cfg
         t0 = time.time()
-        reader = FastqReader(cfg.in1, batch_reads=cfg.batch_reads, pad_to=None)
+        reader = self._read_batches(cfg.in1)
         reader2 = (
             FastqReader(cfg.in2, batch_reads=cfg.batch_reads, pad_to=None)
             if cfg.in2
@@ -627,7 +799,7 @@ class BBMap:
                     rnext = ref.names[mate_scaf].split()[0]
                     pnext = max(mate.flat_start - int(ref.starts[mate_scaf]), 0) + 1
                 seq = batch.sequence(b)
-                qual = batch.quality_string(b)
+                qual = batch.quality_string(b) or b"*"
                 if r.mapped and r.strand:
                     from ..core.dna import reverse_complement
 
@@ -668,7 +840,7 @@ class BBMap:
                         mapq=0,
                         cigar="*",
                         seq=batch.sequence(b),
-                        qual=batch.quality_string(b),
+                        qual=batch.quality_string(b) or b"*",
                     ).to_bytes()
                 )
                 continue
@@ -680,7 +852,7 @@ class BBMap:
             mapq = to_mapq(r.score, n, True, r.ambig)
             flag = FREVERSE if r.strand else 0
             seq = batch.sequence(b)
-            qual = batch.quality_string(b)
+            qual = batch.quality_string(b) or b"*"
             if r.strand:
                 from ..core.dna import reverse_complement
 
@@ -699,6 +871,26 @@ class BBMap:
                     tags=[b"AS:i:%d" % r.score, b"NM:i:%d" % _nm(r.match)],
                 ).to_bytes()
             )
+            # secondary alignments (flag 0x100, seq/qual omitted per SAM
+            # convention; AbstractMapThread.java:264 secondary-site print)
+            for fs, st, sc, m in r.sites:
+                sscaf = int(ref.scaffold_of(np.array([max(fs, 0)]))[0])
+                sstart0 = fs - int(ref.starts[sscaf])
+                out.append(
+                    SamRecord(
+                        qname=name,
+                        flag=0x100 | (FREVERSE if st else 0),
+                        rname=ref.names[sscaf].split()[0],
+                        pos=max(sstart0, 0) + 1,
+                        mapq=min(mapq, 3),
+                        cigar=match_to_cigar14(
+                            m, sstart0, int(ref.lengths[sscaf])
+                        ),
+                        seq=b"*",
+                        qual=b"*",
+                        tags=[b"AS:i:%d" % sc, b"NM:i:%d" % _nm(m)],
+                    ).to_bytes()
+                )
         return b"".join(out)
 
     def print_stats(self, stream=sys.stderr):
@@ -764,8 +956,8 @@ def load_ref(path: str):
     return _lr(path)
 
 
-def main(argv=None):
-    cfg = parse_args(argv if argv is not None else sys.argv[1:])
+def main(argv=None, preset: str | None = None):
+    cfg = parse_args(argv if argv is not None else sys.argv[1:], preset)
     tool = BBMap(cfg)
     tool.run()
     tool.print_stats()

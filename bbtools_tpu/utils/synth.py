@@ -46,6 +46,30 @@ def mutate_genome(ref: Reference, sub_rate: float = 0.01, seed: int = 1):
     return out, muts
 
 
+def _plant_indel(codes: np.ndarray, start: int, read_len: int, rng,
+                 indel_range: tuple[int, int]):
+    """Extract a fwd-strand read of `read_len` from codes[start:] with ONE
+    indel event planted mid-read (RandomReads3.java addIndel analog).
+    Returns the read codes; leftmost ref position stays `start` so truth
+    headers remain valid for grade_sam."""
+    ilen = int(rng.integers(indel_range[0], indel_range[1] + 1))
+    # event position: keep >=15 anchored bases each side so the aligner
+    # has seeds on both flanks (reference uses similar margins)
+    margin = min(15, read_len // 4)
+    p = int(rng.integers(margin, read_len - margin))
+    if rng.random() < 0.5:  # deletion: read skips ilen ref bases at p
+        frag = codes[start : start + read_len + ilen]
+        if len(frag) < read_len + ilen:
+            return codes[start : start + read_len].copy()
+        return np.concatenate([frag[:p], frag[p + ilen :]]).copy()
+    # insertion: ilen novel bases at p, read covers less reference
+    if ilen >= read_len - 2 * margin:
+        return codes[start : start + read_len].copy()
+    frag = codes[start : start + read_len - ilen]
+    ins = rng.integers(0, 4, ilen).astype(np.uint8)
+    return np.concatenate([frag[:p], ins, frag[p:]])[:read_len].copy()
+
+
 def random_reads(
     ref: Reference,
     n: int,
@@ -53,11 +77,16 @@ def random_reads(
     paired: bool = False,
     insert_range: tuple[int, int] = (200, 500),
     snp_rate: float = 0.0,
+    indel_rate: float = 0.0,
+    indel_range: tuple[int, int] = (1, 10),
     q: int = 35,
     seed: int = 42,
 ):
     """Generate reads (or pairs) with truth headers.
 
+    `indel_rate` is the per-read probability of one planted indel event
+    (length uniform in `indel_range`, 50/50 ins/del) — the grade_sam
+    harness then exercises gapped alignment, not just substitutions.
     Returns list of (name, seq, qual) or (r1_tuple, r2_tuple) pairs.
     """
     rng = np.random.default_rng(seed)
@@ -71,7 +100,11 @@ def random_reads(
             insert = int(rng.integers(*insert_range))
             start = int(rng.integers(0, max(1, len(codes) - insert)))
             frag = codes[start : start + insert]
-            r1 = frag[:read_len].copy()
+            if indel_rate > 0 and rng.random() < indel_rate:
+                r1 = _plant_indel(codes, start, min(read_len, len(frag)),
+                                  rng, indel_range)
+            else:
+                r1 = frag[:read_len].copy()
             r2f = frag[max(0, len(frag) - read_len) :].copy()
             r2 = np.where(r2f[::-1] < 4, 3 - r2f[::-1], 4).astype(np.uint8)
             strand1 = 0
@@ -90,8 +123,11 @@ def random_reads(
             )
         else:
             strand = int(rng.integers(0, 2))
-            start = int(rng.integers(0, max(1, len(codes) - read_len)))
-            r = codes[start : start + read_len].copy()
+            start = int(rng.integers(0, max(1, len(codes) - read_len - indel_range[1])))
+            if indel_rate > 0 and rng.random() < indel_rate:
+                r = _plant_indel(codes, start, read_len, rng, indel_range)
+            else:
+                r = codes[start : start + read_len].copy()
             if strand:
                 r = np.where(r[::-1] < 4, 3 - r[::-1], 4).astype(np.uint8)
             m = (rng.random(len(r)) < snp_rate) & (r < 4)

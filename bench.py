@@ -1,19 +1,24 @@
-"""Benchmark: BBDuk adapter-scan throughput on one TPU chip.
+"""Benchmark suite: the five BASELINE.json configs on one TPU chip.
 
-Runs the flagship device pipeline (packed-base transfer -> device unpack ->
-rolling canonical k-mers -> hashed index lookup -> per-read trim verdict)
-steady-state on synthetic 151 bp reads with planted TruSeq adapters — the
-BASELINE.json config #1 shape (k=23 mink=11 hdist=1 ktrim=r).
+Each section times DEVICE COMPUTE steady-state (jit-compiled, warmed,
+block_until_ready) and the host->device TRANSFER rate separately, because
+the dev harness reaches the chip through a slow tunnel; BASELINE.md
+records both so the compute numbers are not conflated with link speed.
+An end-to-end BBDuk row (real gzipped FASTQ from disk -> FastqReader ->
+device scan -> trimmed FASTQ out) is also reported.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baselines are the reference's OWN published numbers (no JVM in this
+image; derivations recorded in BASELINE.md):
+- 500 Mbp/s: documented per-stream input ceiling of the Java pipeline
+  (docs/guides/DedupeGuide.txt:19) — an upper bound on any
+  single-input-stream Java tool (BBDuk config #1), generous to Java.
+- 42 Mbp/s mapping peak on 4 cores (docs/changelog.txt:4950), scaled
+  linearly to 32 threads = 336 Mbp/s (again generous: BBMap scaling is
+  sublinear past NUMA boundaries).
 
-Notes:
-- Bases ship 2-bit packed + N bitmask (ops/encode.py): the dev harness
-  reaches the chip through a ~13 MB/s tunnel, so the wire format is the
-  bottleneck; on a real TPU host PCIe makes this moot.
-- vs_baseline compares against an estimated 32-thread Java BBDuk rate; the
-  image has no JVM (BASELINE.md TODO), so the constant is an estimate from
-  published user numbers, not a measured row.
+Prints ONE JSON line: the flagship metric (BBDuk device-compute bases/s
+vs the 8x-of-stream-ceiling target) with every other config's result in
+"extras".
 """
 
 import json
@@ -22,16 +27,73 @@ import time
 
 import numpy as np
 
-JAVA_32T_READS_PER_SEC = 500_000.0  # estimate; see module docstring
+JAVA_STREAM_CEILING_BPS = 500e6  # DedupeGuide.txt:19 (see BASELINE.md)
+JAVA_MAP_32T_BPS = 336e6  # changelog.txt:4950 scaled 4c -> 32t
 
 READ_LEN = 151
 BATCH = 32768
-WARMUP_BATCHES = 2
-BENCH_BATCHES = 16
 
 
-def main():
-    sys.path.insert(0, "/root/repo")
+def _rng():
+    return np.random.default_rng(42)
+
+
+def make_reads(rng, batch=BATCH, L=READ_LEN, adapter=None):
+    bases = rng.integers(0, 4, (batch, L)).astype(np.uint8)
+    if adapter is not None:
+        acodes = adapter
+        n_pl = batch // 3
+        pos = rng.integers(60, L - 10, n_pl)
+        for r, p in zip(rng.choice(batch, n_pl, replace=False), pos):
+            m = min(len(acodes), L - p)
+            bases[r, p : p + m] = acodes[:m]
+    lengths = np.full(batch, L, np.int32)
+    return bases, lengths
+
+
+def timeit(fn, warmup=2, iters=8):
+    import jax
+
+    for _ in range(warmup):
+        r = fn()
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    rs = []
+    for _ in range(iters):
+        rs.append(fn())
+        if len(rs) > 2:
+            rs.pop(0)
+    jax.block_until_ready(rs)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_transfer():
+    """Host->device link rate for a packed read batch (quantifies the
+    tunnel bottleneck; on a real TPU host this is PCIe)."""
+    import jax
+
+    from bbtools_tpu.ops.encode import pack_bases_np
+
+    rng = _rng()
+    bases, lengths = make_reads(rng)
+    packed, nmask = pack_bases_np(bases)
+    nbytes = packed.nbytes + nmask.nbytes + lengths.nbytes
+
+    def step():
+        return (
+            jax.device_put(packed),
+            jax.device_put(nmask),
+            jax.device_put(lengths),
+        )
+
+    dt = timeit(step, warmup=1, iters=4)
+    return {"bytes_per_sec": nbytes / dt, "batch_bytes": nbytes}
+
+
+def bench_bbduk_device():
+    """Config #1: adapter scan k=23 mink=11 hdist=1 ktrim=r, device only.
+    Uses the production scan graph (kscan_full + right-end short scan +
+    trim verdict) on the VMEM lane index."""
     import jax
     import jax.numpy as jnp
 
@@ -39,63 +101,243 @@ def main():
     from bbtools_tpu.ops.bbduk_scan import KScanConfig, kscan_full, kscan_short
     from bbtools_tpu.ops.encode import pack_bases_np, unpack_bases_jnp
     from bbtools_tpu.ops.kmer_index import BucketKmerIndex, build_ref_keys
+    from bbtools_tpu.ops.lane_index import LaneKmerIndex
 
     adapter = b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
     k = 23
     keys, ids = build_ref_keys([encode(adapter)], k, mink=11, hdist=1)
-    idx = BucketKmerIndex.build(keys, ids)
-    cfg = KScanConfig(k=k, mink=11, nb=idx.nb)
+    idx = LaneKmerIndex.build(keys, ids)
+    if idx is not None:
+        cfg = KScanConfig(k=k, mink=11, lane=idx.static_params())
+    else:
+        idx = BucketKmerIndex.build(keys, ids)
+        cfg = KScanConfig(k=k, mink=11, nb=idx.nb)
     table = idx.device_arrays()
 
-    rng = np.random.default_rng(42)
-    acodes = encode(adapter)
-
-    def make_batch():
-        bases = rng.integers(0, 4, (BATCH, READ_LEN)).astype(np.uint8)
-        n_pl = BATCH // 3
-        pos = rng.integers(60, READ_LEN - 10, n_pl)
-        for r, p in zip(rng.choice(BATCH, n_pl, replace=False), pos):
-            m = min(len(acodes), READ_LEN - p)
-            bases[r, p : p + m] = acodes[:m]
-        lengths = np.full(BATCH, READ_LEN, np.int32)
-        packed, nmask = pack_bases_np(bases)
-        return packed, nmask, lengths
+    rng = _rng()
+    bases, lengths = make_reads(rng, adapter=encode(adapter))
+    packed, nmask = pack_bases_np(bases)
 
     @jax.jit
     def device_step(packed, nmask, lengths):
         bases = unpack_bases_jnp(packed, nmask, READ_LEN)
         out = kscan_full(cfg, table, bases, lengths)
         shortR = kscan_short(cfg, table, bases, lengths, False)
-        # ktrim=r verdict: keep [0, min_loc-1]
         keep_to = jnp.where(out["nhits"] > 0, out["min_loc"] - 1, lengths - 1)
         return out["nhits"], out["id0"], keep_to, shortR[0]
 
-    batches = [make_batch() for _ in range(4)]
-    for i in range(WARMUP_BATCHES):
-        r = device_step(*[jnp.asarray(x) for x in batches[i % len(batches)]])
-        jax.block_until_ready(r)
-    t0 = time.time()
-    results = []
-    for i in range(BENCH_BATCHES):
-        b = batches[i % len(batches)]
-        results.append(
-            device_step(
-                jax.device_put(b[0]), jax.device_put(b[1]), jax.device_put(b[2])
-            )
-        )
-        if len(results) > 2:
-            results.pop(0)  # keep pipeline depth bounded
-    jax.block_until_ready(results)
-    dt = time.time() - t0
-    reads = BENCH_BATCHES * BATCH
-    rps = reads / dt
+    dp, dn, dl = map(jnp.asarray, (packed, nmask, lengths))
+
+    def step():
+        return device_step(dp, dn, dl)
+
+    dt = timeit(step)
+    reads = BATCH
+    return {
+        "reads_per_sec": reads / dt,
+        "bases_per_sec": reads * READ_LEN / dt,
+        "index": type(idx).__name__,
+    }
+
+
+def bench_bbduk_end_to_end(tmpdir):
+    """Config #1 end-to-end: gzipped FASTQ on disk -> FastqReader (native
+    codec) -> device scan/trim -> FASTQ out. Includes ALL host work and
+    the tunnel transfer; the honest user-visible rate in this harness."""
+    import gzip
+    import os
+
+    from bbtools_tpu.cli import main as cli_main
+
+    rng = _rng()
+    adapter = b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
+    n = 20000
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    recs = []
+    total_bases = 0
+    for i in range(n):
+        L = int(rng.integers(90, 152))
+        seq = ACGT[rng.integers(0, 4, L)].copy()
+        if i % 3 == 0:
+            p = int(rng.integers(40, L - 5))
+            ins = np.frombuffer(adapter[: L - p], np.uint8)
+            seq[p : p + len(ins)] = ins
+        q = (33 + rng.integers(2, 40, L)).astype(np.uint8)
+        recs.append(b"@r%d\n%s\n+\n%s\n" % (i, seq.tobytes(), q.tobytes()))
+        total_bases += L
+    inp = os.path.join(tmpdir, "bench_in.fq.gz")
+    outp = os.path.join(tmpdir, "bench_out.fq")
+    with gzip.open(inp, "wb", compresslevel=2) as f:
+        f.write(b"".join(recs))
+    args = [
+        "bbduk", f"in={inp}", f"out={outp}", "ref=adapters", "k=23",
+        "mink=11", "hdist=1", "ktrim=r", "minlen=40", "overwrite=t",
+    ]
+    cli_main(args)  # warm: compiles + caches
+    os.remove(outp)
+    t0 = time.perf_counter()
+    cli_main(args)
+    dt = time.perf_counter() - t0
+    return {"reads_per_sec": n / dt, "bases_per_sec": total_bases / dt}
+
+
+def bench_kmercount():
+    """Config #2: exact k=31 counting, device sort-reduce."""
+    import jax
+    import jax.numpy as jnp
+
+    from bbtools_tpu.ops.kmer_count import batch_kmers_jnp, sort_reduce
+
+    rng = _rng()
+    bases, lengths = make_reads(rng, batch=BATCH // 2)
+    db, dl = jnp.asarray(bases), jnp.asarray(lengths)
+
+    @jax.jit
+    def step_fn(db, dl):
+        return sort_reduce(batch_kmers_jnp(db, dl, 31))
+
+    def step():
+        return step_fn(db, dl)
+
+    dt = timeit(step)
+    reads = BATCH // 2
+    return {
+        "reads_per_sec": reads / dt,
+        "bases_per_sec": reads * READ_LEN / dt,
+        "kmers_per_sec": reads * (READ_LEN - 30) / dt,
+    }
+
+
+def bench_bbmerge():
+    """Config #4: paired-overlap detection, device insert scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from bbtools_tpu.ops.overlap import overlap_counts_jnp
+
+    rng = _rng()
+    B = 8192
+    a, alens = make_reads(rng, batch=B)
+    b, blens = make_reads(rng, batch=B)
+    n_inserts = 2 * READ_LEN - 2 * 12
+    da, dbb = jnp.asarray(a), jnp.asarray(b)
+    dal, dbl = jnp.asarray(alens), jnp.asarray(blens)
+
+    @jax.jit
+    def step_fn(da, dbb, dal, dbl):
+        g, bad, ol = overlap_counts_jnp(da, dbb, dal, dbl, 24, n_inserts)
+        ratio = bad * 100 - g
+        best = jnp.argmin(ratio, axis=1)
+        return best, jnp.take_along_axis(g, best[:, None], 1)
+
+    def step():
+        return step_fn(da, dbb, dal, dbl)
+
+    dt = timeit(step)
+    return {
+        "pairs_per_sec": B / dt,
+        "bases_per_sec": B * 2 * READ_LEN / dt,
+    }
+
+
+def bench_bbmap_msa():
+    """Config #3 hot loop: banded-window MSA fill with traceback planes
+    (the per-site scoring kernel behind bbmap -> SAM), Pallas on TPU."""
+    import jax
+
+    from bbtools_tpu.ops.msa_pallas import msa_fill_tb_auto
+
+    rng = _rng()
+    B = 512
+    R = READ_LEN
+    Cc = R + 2 * 12  # pad=12 window slack, as models/bbmap.py uses
+    reads = rng.integers(0, 4, (B, R)).astype(np.uint8)
+    read_lens = np.full(B, R, np.int32)
+    refs = rng.integers(0, 4, (B, Cc)).astype(np.uint8)
+    # plant near-matches so scores are realistic
+    refs[:, 12 : 12 + R] = reads
+    mut = rng.integers(0, R, (B, 3))
+    for j in range(3):
+        refs[np.arange(B), 12 + mut[:, j]] ^= 1
+
+    def step():
+        return msa_fill_tb_auto(R, Cc, reads, read_lens, refs)
+
+    dt = timeit(step, warmup=2, iters=4)
+    cells = B * R * Cc
+    return {
+        "alignments_per_sec": B / dt,
+        "cells_per_sec": cells / dt,
+        "bases_per_sec": B * R / dt,
+    }
+
+
+def bench_tadpole_bigk():
+    """Config #5 load phase: exact k=62 two-word counting. Currently a
+    HOST sort-reduce (ops/kmers2.py) — reported as host compute, not
+    device; moving it on-device is tracked work."""
+    from bbtools_tpu.ops.kmers2 import count_batch2_exact
+
+    rng = _rng()
+    bases, lengths = make_reads(rng, batch=4096)
+
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        count_batch2_exact(bases, lengths, 62)
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "bases_per_sec": 4096 * READ_LEN / dt,
+        "where": "host",
+    }
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    import tempfile
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    extras = {"platform": platform}
+    sections = [
+        ("transfer", bench_transfer),
+        ("bbduk_device", bench_bbduk_device),
+        ("kmercount_k31_device", bench_kmercount),
+        ("bbmerge_overlap_device", bench_bbmerge),
+        ("bbmap_msa_device", bench_bbmap_msa),
+        ("tadpole_k62_host", bench_tadpole_bigk),
+    ]
+    for name, fn in sections:
+        try:
+            extras[name] = {
+                k: (round(v, 1) if isinstance(v, float) else v)
+                for k, v in fn().items()
+            }
+        except Exception as e:  # record, keep benching
+            extras[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            extras["bbduk_end_to_end"] = {
+                k: round(v, 1) for k, v in bench_bbduk_end_to_end(td).items()
+            }
+    except Exception as e:
+        extras["bbduk_end_to_end"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    dev = extras.get("bbduk_device", {})
+    bps = dev.get("bases_per_sec", 0.0)
     print(
         json.dumps(
             {
-                "metric": "bbduk_scan_reads_per_sec_1chip",
-                "value": round(rps, 1),
-                "unit": "reads/s",
-                "vs_baseline": round(rps / JAVA_32T_READS_PER_SEC, 3),
+                "metric": "bbduk_device_bases_per_sec_1chip",
+                "value": round(bps, 1),
+                "unit": "bases/s",
+                # target in BASELINE.json is >=8x the 32T Java rate; the
+                # documented Java per-stream ceiling (500 Mbp/s,
+                # DedupeGuide.txt:19) stands in for the unmeasurable
+                # 32T rate — see BASELINE.md for the derivation
+                "vs_baseline": round(bps / JAVA_STREAM_CEILING_BPS, 3),
+                "extras": extras,
             }
         )
     )

@@ -1,0 +1,190 @@
+"""BBMap mode fidelity: long indels via window classes, PacBio preset,
+skimmer secondary sites, fastareadlen chunking, indel synth grading."""
+
+import numpy as np
+import pytest
+
+from bbtools_tpu.core.dna import CODE_TO_BASE
+from bbtools_tpu.io.fasta import load_reference, write_fasta
+from bbtools_tpu.models.bbmap import (
+    BBMap,
+    BBMapConfig,
+    pacbio_preset,
+    skimmer_preset,
+)
+from bbtools_tpu.models.bbmap_index import SeedIndex
+from bbtools_tpu.utils.graders import grade_sam
+from bbtools_tpu.utils.synth import random_genome, random_reads, write_reads
+
+rng = np.random.default_rng(99)
+
+
+@pytest.fixture(scope="module")
+def genome(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("bbmap_modes")
+    g = random_genome(120_000, n_scaffolds=1, seed=17)
+    ref_fa = tmp / "ref.fa"
+    write_fasta(str(ref_fa), g)
+    ref = load_reference(str(ref_fa))
+    idx = SeedIndex.build(ref, k=13)
+    return tmp, ref, idx
+
+
+def test_long_deletion_maps(genome):
+    """A 200 bp deletion exceeds the old fixed pad=12 window; the spread-
+    based window class must recover it with a D-run CIGAR at the exact
+    leftmost position (maxindel=16000 semantics, BBMap.java)."""
+    tmp, ref, idx = genome
+    codes = ref.scaffold_codes(0)
+    recs = []
+    DEL = 200
+    for i in range(24):
+        start = 500 + i * 2000
+        p = 60
+        read = np.concatenate(
+            [codes[start : start + p],
+             codes[start + p + DEL : start + p + DEL + 60]]
+        )
+        recs.append(
+            (b"r%d_scaf0_pos%d_strand0_insert0" % (i, start),
+             CODE_TO_BASE[read].tobytes(), b"F" * len(read))
+        )
+    fq = tmp / "longdel.fq"
+    write_reads(str(fq), recs)
+    sam = tmp / "longdel.sam"
+    BBMap(BBMapConfig(in1=str(fq), out=str(sam), batch_reads=32),
+          index=idx).run()
+    g = grade_sam(str(sam), ref.names)
+    assert g.mapped >= 22, g.mapped
+    assert g.correct_strict >= 0.9 * g.mapped, g.details[:4]
+    text = sam.read_text()
+    assert "%dD" % DEL in text, "expected a %dD cigar run" % DEL
+
+
+def test_long_insertion_maps(genome):
+    tmp, ref, idx = genome
+    codes = ref.scaffold_codes(0)
+    recs = []
+    INS = 30
+    novel = rng.integers(0, 4, INS).astype(np.uint8)
+    for i in range(16):
+        start = 700 + i * 2500
+        read = np.concatenate(
+            [codes[start : start + 60], novel, codes[start + 60 : start + 120]]
+        )
+        recs.append(
+            (b"r%d_scaf0_pos%d_strand0_insert0" % (i, start),
+             CODE_TO_BASE[read].tobytes(), b"F" * len(read))
+        )
+    fq = tmp / "longins.fq"
+    write_reads(str(fq), recs)
+    sam = tmp / "longins.sam"
+    BBMap(BBMapConfig(in1=str(fq), out=str(sam), batch_reads=32),
+          index=idx).run()
+    g = grade_sam(str(sam), ref.names)
+    assert g.mapped >= 14, g.mapped
+    assert g.correct_strict >= 0.85 * g.mapped, g.details[:4]
+    text = sam.read_text()
+    assert "%dI" % INS in text or "%dS" % INS in text
+
+
+def test_synth_indel_grading(genome):
+    """VERDICT item 3 'Done' criterion: SNP+indel synthetic reads grade
+    >= 97% strict of mapped."""
+    tmp, ref, idx = genome
+    reads = random_reads(ref, 300, read_len=130, snp_rate=0.005,
+                         indel_rate=0.4, indel_range=(1, 12), seed=5)
+    fq = tmp / "synthindel.fq"
+    write_reads(str(fq), reads)
+    sam = tmp / "synthindel.sam"
+    BBMap(BBMapConfig(in1=str(fq), out=str(sam), batch_reads=128),
+          index=idx).run()
+    g = grade_sam(str(sam), ref.names)
+    assert g.mapped >= 294, g.mapped
+    assert g.correct_strict >= 0.97 * g.mapped, (
+        f"strict {g.correct_strict}/{g.mapped}: {g.details[:6]}"
+    )
+
+
+def test_pacbio_preset_long_reads(genome):
+    """mapPacBio semantics: 2 kb reads with PacBio-like errors map as
+    SINGLE records (no chunking at fastareadlen=6000), minratio=0.40."""
+    tmp, ref, idx_illumina = genome
+    codes = ref.scaffold_codes(0)
+    L = 2000
+    recs = []
+    rng2 = np.random.default_rng(31)
+    for i in range(6):
+        start = 1000 + i * 15000
+        read = codes[start : start + L].copy()
+        # scattered subs at 4%
+        m = rng2.random(L) < 0.04
+        read[m] = (read[m] + rng2.integers(1, 4, int(m.sum()))) % 4
+        # one mid-read 50bp deletion
+        read = np.concatenate([read[:900], read[950:]])
+        recs.append(
+            (b"r%d_scaf0_pos%d_strand0_insert0" % (i, start),
+             CODE_TO_BASE[read].tobytes(), b"F" * len(read))
+        )
+    fa = tmp / "pb.fa"
+    with open(fa, "wb") as f:
+        for nm, sq, _ in recs:
+            f.write(b">" + nm + b"\n" + sq + b"\n")
+    cfg = pacbio_preset(BBMapConfig())
+    cfg.in1 = str(fa)
+    sam_pb = tmp / "pb.sam"
+    cfg.out = str(sam_pb)
+    idx_pb = SeedIndex.build(ref, k=cfg.k)
+    BBMap(cfg, index=idx_pb).run()
+    g = grade_sam(str(sam_pb), ref.names, tolerance=20)
+    assert g.mapped >= 5, g.mapped
+    assert g.correct_loose >= 5, g.details[:4]
+    body = [ln for ln in sam_pb.read_bytes().splitlines()
+            if not ln.startswith(b"@")]
+    assert len(body) == 6  # one record per read: NOT chunked
+
+    # plain bbmap on the same FASTA chunks at fastareadlen=500:
+    # different (but still correct) output shape — the VERDICT item-3
+    # distinguishing behavior
+    cfg2 = BBMapConfig(in1=str(fa), out=str(tmp / "ill.sam"),
+                       batch_reads=64)
+    BBMap(cfg2, index=idx_illumina).run()
+    body2 = [ln for ln in (tmp / "ill.sam").read_bytes().splitlines()
+             if not ln.startswith(b"@")]
+    assert len(body2) >= 4 * 6  # ~1950/500 -> 4 chunks per read
+    assert any(b"_chunk" in ln.split(b"\t")[0] for ln in body2)
+
+
+def test_skimmer_secondary_sites(tmp_path):
+    """Skimmer prints secondary alignments (0x100) for repeated loci."""
+    rng2 = np.random.default_rng(13)
+    seg = rng2.integers(0, 4, 3000).astype(np.uint8)
+    filler = rng2.integers(0, 4, 5000).astype(np.uint8)
+    genome_codes = np.concatenate([filler, seg, filler[::-1], seg, filler])
+    fa = tmp_path / "dup.fa"
+    write_fasta(str(fa), [(b"dup", CODE_TO_BASE[genome_codes].tobytes())])
+    ref = load_reference(str(fa))
+    recs = []
+    for i in range(12):
+        start = 5000 + 100 + i * 200  # inside first copy of seg
+        read = genome_codes[start : start + 150]
+        recs.append(
+            (b"r%d_scaf0_pos%d_strand0_insert0" % (i, start),
+             CODE_TO_BASE[read].tobytes(), b"F" * 150)
+        )
+    fq = tmp_path / "dup.fq"
+    write_reads(str(fq), recs)
+    cfg = skimmer_preset(BBMapConfig())
+    cfg.in1 = str(fq)
+    cfg.out = str(tmp_path / "skim.sam")
+    idx = SeedIndex.build(ref, k=cfg.k)
+    BBMap(cfg, index=idx).run()
+    body = [ln for ln in (tmp_path / "skim.sam").read_bytes().splitlines()
+            if not ln.startswith(b"@")]
+    secondary = [ln for ln in body if int(ln.split(b"\t")[1]) & 0x100]
+    primary = [ln for ln in body if not int(ln.split(b"\t")[1]) & 0x100]
+    assert len(primary) == 12
+    assert len(secondary) >= 10, len(secondary)  # second copy of seg
+    # secondary records omit seq/qual per SAM convention
+    f = secondary[0].split(b"\t")
+    assert f[9] == b"*" and f[10] == b"*"
