@@ -64,26 +64,41 @@ def overlap_counts_jnp(a, b_rc, alens, blens, min_insert0: int, n_inserts: int):
     insert = min_insert0 + d. good counts matching non-N positions, bad
     counts mismatches (N vs base mismatches, N vs N matches-but-uncounted),
     olen is the overlapLength.
+
+    TPU-shaped: b_rc is RIGHT-JUSTIFIED once (the only gather), after
+    which mate position j for insert `ins` sits at column i + L - ins for
+    EVERY read — so the insert scan is pure static-window slices and
+    masked reductions on the VPU, no per-step gathers. (The reference's
+    per-pair pointer walk, BBMergeOverlapper.mateByOverlapRatio, has no
+    such shared-shift structure; this layout is what makes the insert
+    loop vectorize.)
     """
     B, L = a.shape
     ai = a.astype(jnp.int32)
-    bi = b_rc.astype(jnp.int32)
     i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+    # right-justify: b_rj[:, L-1-t] = b_rc[:, blen-1-t]
+    src = i_idx - (L - blens[:, None])
+    b_rj = jnp.take_along_axis(
+        b_rc.astype(jnp.int32), jnp.clip(src, 0, L - 1), axis=1
+    )
+    max_ins = min_insert0 + n_inserts - 1
+    P = max(max_ins - L, 0) + 1  # left pad: largest insert's slice start
+    R = max(L - min_insert0, 0) + 1  # right pad: smallest insert's tail
+    b_pad = jnp.pad(b_rj, ((0, 0), (P, R)), constant_values=9)
 
     def step(_, d):
-        insert = min_insert0 + d
-        shift = insert - blens  # [B]
-        j = i_idx - shift[:, None]
-        valid = (
-            (i_idx < alens[:, None])
-            & (j >= 0)
-            & (j < blens[:, None])
-            & ((i_idx - jnp.maximum(0, shift)[:, None]) < insert)
+        ins = min_insert0 + d
+        # b_rj column of read position i is i + L - ins (see docstring)
+        bseg = jax.lax.dynamic_slice(
+            b_pad, (jnp.int32(0), (jnp.int32(P + L) - ins).astype(jnp.int32)),
+            (B, L),
         )
-        bj = jnp.take_along_axis(bi, jnp.clip(j, 0, L - 1), axis=1)
-        match = valid & (ai == bj)
+        valid = (i_idx < jnp.minimum(alens, ins)[:, None]) & (
+            i_idx >= jnp.maximum(ins - blens, 0)[:, None]
+        )
+        match = valid & (ai == bseg)
         good = (match & (ai < 4)).sum(axis=1, dtype=jnp.int32)
-        bad = (valid & (ai != bj)).sum(axis=1, dtype=jnp.int32)
+        bad = (valid & (ai != bseg)).sum(axis=1, dtype=jnp.int32)
         olen = valid.sum(axis=1, dtype=jnp.int32)
         return None, (good, bad, olen)
 

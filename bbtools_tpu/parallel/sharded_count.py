@@ -1,0 +1,89 @@
+"""Multi-chip k-mer counting and alignment scoring.
+
+Two more pipelines on the (dp, tp) mesh beyond the BBDuk filter step
+(sharded_index.py):
+
+- k-mer counting (kmercountexact / BBNorm / Tadpole load): read batches
+  shard on dp; every device extracts + sort-reduces its own shard's
+  canonical k-mers locally, and the per-device (values, counts) runs
+  stream back stacked on the dp axis for the host spectrum merge — the
+  identical merge the single-chip path already does across batches, so
+  N devices look exactly like N extra batches. The count histogram is
+  psum-merged on-device (KmerTableSet.java:273-285 thread-local tables +
+  final merge, without the lock-striped WAYS tables).
+
+- MSA site scoring (bbmap's hot stage): alignment tasks shard on dp;
+  each device runs the ungapped scorer over its slice and the per-device
+  best scores psum/stack back. Reference-block (tp) sharding is not
+  needed here because the ref windows ship with the tasks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.kmer_count import batch_kmers_jnp, sort_reduce
+
+
+def sharded_count_step(mesh: Mesh, k: int):
+    """fn(bases [B,L] u8, lengths [B] i32) ->
+    (values [B, n] i64, counts [B, n] i64, n_runs [B] i64, hist [64] i64)
+
+    B must divide by mesh dp size; outputs are per-device runs stacked on
+    dp (feed each row to KmerSpectrum.add_batch) plus a psum-merged
+    occurrence histogram (counts clamped to 63).
+    """
+    n_dp = mesh.shape["dp"]
+
+    def step(bases, lengths):
+        keys = batch_kmers_jnp(bases, lengths, k)
+        values, counts, n_runs = sort_reduce(keys)
+        hist = (
+            jnp.zeros(64, jnp.int64)
+            .at[jnp.minimum(counts, 63)]
+            .add(jnp.where(counts > 0, 1, 0).astype(jnp.int64))
+        )
+        hist = jax.lax.psum(hist, "dp")
+        return (
+            values[None],
+            counts[None],
+            n_runs[None],
+            hist,
+        )
+
+    from jax.experimental.shard_map import shard_map
+
+    smapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp")),
+        out_specs=(P("dp", None), P("dp", None), P("dp"), P()),
+        check_rep=False,
+    )
+    del n_dp
+    return jax.jit(smapped)
+
+
+def sharded_ungapped_score_step(mesh: Mesh, L: int, W: int):
+    """fn(reads [T,L] u8, lens [T] i32, refs [T,W] u8, starts [T] i32) ->
+    scores [T] i64, tasks sharded on dp."""
+    from ..ops.score_ungapped import score_no_indels
+
+    def step(reads, lens, refs, starts):
+        return score_no_indels(
+            L, reads, lens, refs, starts,
+            jnp.full(reads.shape[0], W, jnp.int32),
+        )
+
+    from jax.experimental.shard_map import shard_map
+
+    smapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp"), P("dp", None), P("dp")),
+        out_specs=P("dp"),
+        check_rep=False,
+    )
+    return jax.jit(smapped)

@@ -371,3 +371,34 @@ def test_bbmerge_interleaved_input(tmp_path):
     db = open(out_b, "rb").read()
     assert da == db
     assert da.count(b"\n@") + 1 >= 35  # most pairs merged
+
+
+def test_overlap_counts_vs_original_semantics():
+    """The static-slice insert scan must equal the direct per-insert
+    gather formulation (the original definition) bit-for-bit."""
+    import numpy as np
+
+    rng2 = np.random.default_rng(123)
+    B, L = 64, 37
+    a = rng2.integers(0, 5, (B, L)).astype(np.uint8)
+    b = rng2.integers(0, 5, (B, L)).astype(np.uint8)
+    alens = rng2.integers(15, L + 1, B).astype(np.int32)
+    blens = rng2.integers(15, L + 1, B).astype(np.int32)
+    min0, D = 5, 2 * L - 8
+    got = [np.asarray(x) for x in overlap_counts_jnp(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(alens),
+        jnp.asarray(blens), min0, D)]
+    i_idx = np.arange(L)[None, :]
+    for d in range(D):
+        insert = min0 + d
+        shift = insert - blens
+        j = i_idx - shift[:, None]
+        valid = (
+            (i_idx < alens[:, None]) & (j >= 0) & (j < blens[:, None])
+            & ((i_idx - np.maximum(0, shift)[:, None]) < insert)
+        )
+        bj = np.take_along_axis(b.astype(np.int32), np.clip(j, 0, L - 1), 1)
+        match = valid & (a == bj)
+        np.testing.assert_array_equal(got[0][:, d], (match & (a < 4)).sum(1))
+        np.testing.assert_array_equal(got[1][:, d], (valid & (a != bj)).sum(1))
+        np.testing.assert_array_equal(got[2][:, d], valid.sum(1))
