@@ -93,6 +93,11 @@ class BBMergeConfig:
     extend2: int = 0  # kmer-extend unmerged pairs and retry (BBMerge:653)
     ecct: bool = False  # tadpole error-correct reads pre-overlap (:657)
     extend_k: int = 31
+    #: CellNet gate (BBMerge.java nn= flag :425): score each candidate
+    #: merge with the bundled bbmerge.bbnet; below-cutoff -> ambiguous
+    nn: bool = False
+    net_file: str | None = None
+    net_cutoff: float | None = None  # default: the net's stored ##ctf
 
 
 def parse_args(argv: list[str]) -> BBMergeConfig:
@@ -118,6 +123,10 @@ def parse_args(argv: list[str]) -> BBMergeConfig:
     c.extend2 = a.get_int("extend2", "extendright2", "er2", default=0)
     c.ecct = a.get_bool("ecct", "ecctadpole", default=False)
     c.extend_k = min(a.get_int("k", default=31), 31)
+    c.nn = a.get_bool("nn", "makevector", default=False)
+    c.net_file = a.get("net")
+    nc = a.get("netcutoff", "cutoff")
+    c.net_cutoff = float(nc) if nc is not None else None
     return c
 
 
@@ -127,6 +136,25 @@ class BBMerge:
         self.preset = PRESETS[cfg.preset].resolve()
         self.ecc_engine = None
         self.merged_by_extension = 0
+        self.net = None
+        if cfg.nn:
+            import os
+
+            from ..ml.cellnet import parse_bbnet
+
+            path = cfg.net_file or os.path.join(
+                os.path.dirname(__file__), "..", "resources", "bbmerge.bbnet"
+            )
+            self.net = parse_bbnet(path)
+            self.net_cutoff = (
+                cfg.net_cutoff
+                if cfg.net_cutoff is not None
+                else self.net.cutoff
+            )
+            # MAKE_VECTOR widens the scan so the net sees marginal
+            # candidates too (BBMergeOverlapper.java:423 maxRatio=.7,
+            # :456 extraMult=4)
+            self.preset.max_ratio = 0.7
         if cfg.min_insert is not None:
             self.preset.min_insert = cfg.min_insert
             self.preset.min_insert0 = -1
@@ -178,11 +206,21 @@ class BBMerge:
                 n_inserts,
             )
         )
-        insert, bad_int, ambig = mate_by_overlap_ratio_np(
-            good, bad, olen, alens, blens, p.min_insert0,
-            mo0, mo, p.min_insert0, p.min_insert,
-            p.max_ratio, p.min_second_ratio, p.ratio_margin, p.ratio_offset,
-        )
+        nn_stats = None
+        if self.net is not None:
+            insert, bad_int, ambig, nn_stats = mate_by_overlap_ratio_np(
+                good, bad, olen, alens, blens, p.min_insert0,
+                mo0, mo, p.min_insert0, p.min_insert,
+                p.max_ratio, p.min_second_ratio, p.ratio_margin,
+                p.ratio_offset, extra_mult=4.0, collect=True,
+            )
+        else:
+            insert, bad_int, ambig = mate_by_overlap_ratio_np(
+                good, bad, olen, alens, blens, p.min_insert0,
+                mo0, mo, p.min_insert0, p.min_insert,
+                p.max_ratio, p.min_second_ratio, p.ratio_margin,
+                p.ratio_offset,
+            )
         # efilter (BBMerge.findOverlap :1532-1536)
         has = (insert > 0) & ~ambig
         if p.efilter_ratio >= 0 and b1.quals is not None and has.any():
@@ -203,6 +241,45 @@ class BBMerge:
                 np.where(has, insert, 1),
             )
             insert = np.where(has & (prob < np.float32(p.pfilter_ratio)), -1, insert)
+        # CellNet gate (BBMerge.java:2561-2596): score every candidate
+        # merge; below-cutoff verdicts become ambiguous
+        if self.net is not None and nn_stats is not None:
+            from ..ops.overlap import (
+                bbmerge_nn_features,
+                expected_tip_errors_np,
+            )
+
+            cand = insert > 0
+            if cand.any():
+                maxb = np.minimum(
+                    np.maximum(alens, blens), alens + blens - p.min_insert
+                )
+                if b1.quals is not None:
+                    r1ee = expected_tip_errors_np(
+                        b1.bases, b1.quals, b1.lengths, maxb
+                    )
+                    r2ee = expected_tip_errors_np(
+                        b2.bases, b2.quals, b2.lengths, maxb
+                    )
+                    be = expected_mismatches_np(
+                        b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
+                        np.where(cand, insert, 1),
+                    )
+                    pr = probability_np(
+                        b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
+                        np.where(cand, insert, 1),
+                    )
+                else:
+                    r1ee = r2ee = be = np.zeros(b1.n, np.float32)
+                    pr = np.full(b1.n, np.float32(0.1))
+                feats = bbmerge_nn_features(
+                    alens.astype(np.float32), blens.astype(np.float32),
+                    np.asarray(min_overlap, np.float32),
+                    r1ee, r2ee, nn_stats, be, pr,
+                )
+                score = self.net.apply(feats).reshape(-1)
+                reject = cand & (score < np.float32(self.net_cutoff))
+                ambig = ambig | reject
         # result codes (processReadPair_inner :2694-2700)
         result = np.where(ambig, RET_AMBIG, insert)
         result = np.where(

@@ -166,11 +166,18 @@ def mate_by_overlap_ratio_np(
     min_overlap0, min_overlap, min_insert0: int, min_insert: int,
     max_ratio: float, min_second_ratio: float, margin: float,
     offset: float, g_incr: float = 0.95, b_incr: float = 0.95,
+    extra_mult: float = 1.2, collect: bool = False,
 ):
     """mateByOverlapRatioJava (:368-505) vectorized over reads.
 
     Returns (best_insert [B] i32 with -1 for no solution, best_bad_int [B],
     ambig [B] bool). min_overlap0/min_overlap may be per-read arrays.
+
+    `extra_mult` is the badlimit multiplier (1.2 normally; 4.0 in the
+    reference's MAKE_VECTOR mode, BBMergeOverlapper.java:456). With
+    `collect=True` a 4th return value carries the best/second-best
+    candidate stats dict the BBMerge NN gate feeds from
+    (BBMergeOverlapper.java:552-575 vector block).
     """
     f32 = np.float32
     B, D = good_c.shape
@@ -200,7 +207,14 @@ def mate_by_overlap_ratio_np(
     ambig = np.zeros(B, dtype=bool)
     returned = no_sol.copy()  # early-outs freeze state
     ret_ambig = np.zeros(B, dtype=bool)
-    extra_mult = f32(1.2)
+    extra_mult = f32(extra_mult)
+    # collector state (Java inits, BBMergeOverlapper.java:441-453)
+    best_overlap = np.full(B, -1, np.int64)
+    best_bad_f = min_len.astype(np.float32)
+    second_insert = np.zeros(B, np.int64)
+    second_overlap = np.zeros(B, np.int64)
+    second_bad_f = np.zeros(B, np.float32)
+    second_bad_int = np.full(B, -1, np.int64)
     largest = alens + blens - mo0_eff
     for insert in range(int(largest.max(initial=0)), min_insert0 - 1, -1):
         d = insert - min_insert0_col
@@ -231,10 +245,20 @@ def mate_by_overlap_ratio_np(
         second = cand & ~improve & (ratio < second_ratio)
         # shift best -> second on improve
         second_ratio = np.where(improve, best_ratio, second_ratio)
+        second_insert = np.where(improve, best_insert, second_insert)
+        second_overlap = np.where(improve, best_overlap, second_overlap)
+        second_bad_f = np.where(improve, best_bad_f, second_bad_f)
+        second_bad_int = np.where(improve, best_bad_int, second_bad_int)
         best_insert = np.where(improve, insert, best_insert)
         best_bad_int = np.where(improve, bad_c[:, d], best_bad_int)
         best_ratio = np.where(improve, ratio, best_ratio)
+        best_overlap = np.where(improve, olen[:, d], best_overlap)
+        best_bad_f = np.where(improve, b, best_bad_f)
         second_ratio = np.where(second, ratio, second_ratio)
+        second_insert = np.where(second, insert, second_insert)
+        second_overlap = np.where(second, olen[:, d], second_overlap)
+        second_bad_f = np.where(second, b, second_bad_f)
+        second_bad_int = np.where(second, bad_c[:, d], second_bad_int)
         retB = cand & (
             (ambig & (best_ratio < margin2)) | (second_ratio < f32(min_second_ratio))
         )
@@ -253,6 +277,19 @@ def mate_by_overlap_ratio_np(
     out_ambig = np.where(
         no_sol, False, np.where(ret_ambig, False, ambig & (out_insert > -1))
     )
+    if collect:
+        stats = {
+            "best_insert": best_insert, "best_overlap": best_overlap,
+            "best_bad": best_bad_f, "best_ratio": best_ratio,
+            "best_bad_int": best_bad_int,
+            "second_insert": second_insert, "second_overlap": second_overlap,
+            "second_bad": second_bad_f, "second_ratio": second_ratio,
+            "second_bad_int": second_bad_int,
+        }
+        return (
+            out_insert.astype(np.int64), out_bad.astype(np.int64), out_ambig,
+            stats,
+        )
     return out_insert.astype(np.int64), out_bad.astype(np.int64), out_ambig
 
 
@@ -361,3 +398,70 @@ def calc_min_overlap_by_entropy_np(codes, lengths, k: int, minscore: int,
         result = np.where(hit & ~done, i, result)
         done |= hit
     return result
+
+
+def expected_tip_errors_np(bases, quals, lengths, max_bases):
+    """Read.expectedTipErrors(false, maxBases) vectorized: sum of
+    PROB_ERROR[q] over the LAST min(maxBases, len) defined bases
+    (stream/Read.java:3004-3025; countUndefined=false)."""
+    from ..core.qualtools import PROB_ERROR
+
+    B, L = bases.shape
+    if quals is None:
+        return np.zeros(B, np.float32)
+    lengths = np.asarray(lengths)
+    mb = np.broadcast_to(np.asarray(max_bases), (B,))
+    limit0 = np.minimum(np.maximum(mb, 1), lengths)
+    lo = lengths - limit0  # sum i in [lo, len)
+    i_idx = np.arange(L)[None, :]
+    live = (i_idx >= lo[:, None]) & (i_idx < lengths[:, None]) & (bases < 4)
+    pe = PROB_ERROR[np.minimum(quals, 127)]
+    return np.where(live, pe, 0).astype(np.float32).sum(axis=1,
+                                                        dtype=np.float32)
+
+
+def bbmerge_nn_features(alens, blens, min_overlap, r1ee, r2ee, stats,
+                        best_expected, probability):
+    """The 23-float vector the BBMerge net gate consumes, in reference
+    order (jgi/BBMerge.java:2440-2546 + BBMergeOverlapper.java:552-575;
+    best/second Good stay at their ratio-mode inits so features 8/14/19
+    are constants 0.2/0.2/0.0)."""
+    f32 = np.float32
+    B = len(alens)
+    s = stats
+    bo = s["best_overlap"].astype(np.float32)
+    so = s["second_overlap"].astype(np.float32)
+    bb = s["best_bad"].astype(np.float32)
+    sb = s["second_bad"].astype(np.float32)
+    bbi = s["best_bad_int"].astype(np.float32)
+    sbi = s["second_bad_int"].astype(np.float32)
+    feats = np.stack(
+        [
+            np.broadcast_to(np.asarray(min_overlap), (B,)) * f32(0.1),
+            r1ee,
+            r2ee,
+            (alens - 100) * f32(0.01),
+            (blens - 100) * f32(0.01),
+            s["best_insert"] * f32(0.004),
+            bo / (bo + f32(50)),
+            (bb + 1) / (bb + 5),
+            np.full(B, f32(0.2)),  # (bestGood+1)/(bestGood+5), good==0
+            s["best_ratio"],
+            (bbi + 1) / (bbi + 5),
+            s["second_insert"] * f32(0.004),
+            so / (so + f32(50)),
+            (sb + 1) / (sb + 5),
+            np.full(B, f32(0.2)),  # (secondBestGood+1)/(+5)
+            s["second_ratio"],
+            sbi / (sbi + 5),
+            (s["second_ratio"] + 1) / (s["best_ratio"] + 1),
+            sb / (bb + 8),
+            np.zeros(B, np.float32),  # secondBestGood/(bestGood+8)
+            bo + 1,  # placeholder, fixed below
+            np.asarray(best_expected, np.float32),
+            np.asarray(probability, np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    feats[:, 20] = (bo + 1) / (so + bo + 1)
+    return feats
