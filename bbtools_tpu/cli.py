@@ -350,7 +350,27 @@ TOOLS = {
     "taxonomy": _taxonomy,
     "taxtree": _taxonomy,
     "filterbytaxa": _filterbytaxa,
+    "filterbyname": lambda a: _lazy("filtertools", "filterbyname", a),
+    "filterbysequence": lambda a: _lazy("filtertools", "filterbysequence", a),
+    "filtersam": lambda a: _lazy("filtertools", "filtersam", a),
+    "countbarcodes": lambda a: _lazy("filtertools", "countbarcodes", a),
+    "cutprimers": lambda a: _lazy("filtertools", "cutprimers", a),
+    "mutate": lambda a: _lazy("synthtools", "mutate", a),
+    "mutategenome": lambda a: _lazy("synthtools", "mutate", a),
+    "bbfakereads": lambda a: _lazy("synthtools", "fakereads", a),
+    "fakereads": lambda a: _lazy("synthtools", "fakereads", a),
+    "kcompress": lambda a: _lazy("synthtools", "kcompress", a),
+    "kmerlimit": lambda a: _lazy("synthtools", "kmerlimit", a),
+    "findrepeats": lambda a: _lazy("synthtools", "findrepeats", a),
+    "checkstrand": lambda a: _lazy("synthtools", "checkstrand", a),
 }
+
+
+def _lazy(module: str, fn: str, args):
+    import importlib
+
+    m = importlib.import_module(f".models.{module}", __package__)
+    return getattr(m, fn)(args)
 
 
 def main(argv=None):

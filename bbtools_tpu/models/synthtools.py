@@ -1,0 +1,385 @@
+"""Genome/read synthesis and k-mer utility tools: mutate, bbfakereads,
+kcompress, kmerlimit, findrepeats, checkstrand.
+
+References (semantics source, no code reuse):
+  - synth/MutateGenome.java — mutate a genome at subrate=/indelrate=
+    (maxindel= lengths), emitting the mutated FASTA plus a VCF of the
+    applied variants in ORIGINAL coordinates.
+  - synth/FakeReads.java — fake read pairs from the two ENDS of each
+    input sequence (length=, minlength=, identifier= prefix; r2 is the
+    reverse-complemented right end, like an outward sequencing pair).
+  - assemble/KmerCompressor.java — emit every distinct canonical k-mer
+    exactly once, greedily chained into maximal unitig-like contigs
+    (used to build compact masking/filter references); min=/max= bound
+    the k-mer count band kept.
+  - sketch/KmerLimit.java — pass reads through until the stream has
+    yielded ~limit= unique k-mers (cardinality-tracked), then stop.
+  - repeat/RepeatFinder.java — report genomic intervals covered by
+    k-mers occurring >= mincount times (gap= tolerated non-repeat run
+    inside an interval), TSV out= plus optional outs= FASTA.
+  - jgi/CheckStrand2.java — strandedness: the fraction of read k-mer
+    hits that agree with the reference's forward orientation
+    (plus/(plus+minus)); reports the P-strand fraction.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.parser import tokenize
+from ..core.dna import CODE_TO_BASE, encode
+from ..io.fasta import iter_fasta, write_fasta
+from ..io.fastq import FastqReader, FastqWriter
+from ..io.readwrite import open_output
+from ..ops.kmers import rolling_kmers_np
+
+RC = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
+
+
+def _revcomp(seq: bytes) -> bytes:
+    return seq.translate(RC)[::-1]
+
+
+# ---------------------------------------------------------------- mutate
+def mutate(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    vcf = a.get("vcf")
+    sub_rate = a.get_float("subrate", default=0.0)
+    indel_rate = a.get_float("indelrate", default=0.0)
+    max_indel = a.get_int("maxindel", default=1)
+    seed = a.get_int("seed", default=-1)
+    rng = np.random.default_rng(None if seed < 0 else seed)
+    ACGT = b"ACGT"
+    records = []
+    vlines = []
+    n_subs = n_ins = n_dels = 0
+    for rec in iter_fasta(in1):
+        seq = bytearray()
+        src = rec.seq.upper()
+        i = 0
+        while i < len(src):
+            r = rng.random()
+            base = src[i]
+            if base in b"ACGT" and r < sub_rate:
+                alt = ACGT[(ACGT.index(base) + int(rng.integers(1, 4))) % 4]
+                seq.append(alt)
+                vlines.append(
+                    (rec.name.split()[0], i + 1, bytes([base]), bytes([alt]))
+                )
+                n_subs += 1
+                i += 1
+            elif base in b"ACGT" and r < sub_rate + indel_rate:
+                ln = int(rng.integers(1, max_indel + 1))
+                if rng.random() < 0.5 and i + ln < len(src):  # deletion
+                    vlines.append(
+                        (rec.name.split()[0], i, src[i - 1 : i + ln],
+                         src[i - 1 : i])
+                    )
+                    n_dels += 1
+                    i += ln
+                else:  # insertion
+                    ins = bytes(ACGT[int(x)] for x in rng.integers(0, 4, ln))
+                    seq.append(base)
+                    seq.extend(ins)
+                    vlines.append(
+                        (rec.name.split()[0], i + 1, bytes([base]),
+                         bytes([base]) + ins)
+                    )
+                    n_ins += 1
+                    i += 1
+            else:
+                seq.append(base)
+                i += 1
+        records.append((rec.name, bytes(seq)))
+    if out1:
+        write_fasta(out1, records)
+    if vcf:
+        with open_output(vcf) as fh:
+            fh.write(b"##fileformat=VCFv4.2\n")
+            fh.write(b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+            for chrom, pos, ref, alt in vlines:
+                fh.write(
+                    b"%s\t%d\t.\t%s\t%s\t60\tPASS\t.\n"
+                    % (chrom, max(pos, 1), ref, alt)
+                )
+    print(f"Substitutions:      \t{n_subs}", file=sys.stderr)
+    print(f"Insertions:         \t{n_ins}", file=sys.stderr)
+    print(f"Deletions:          \t{n_dels}", file=sys.stderr)
+    return records, vlines
+
+
+# ----------------------------------------------------------- bbfakereads
+def fakereads(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    out2 = a.get("out2")
+    length = a.get_int("length", "maxlen", default=250)
+    minlen = a.get_int("minlength", "minlen", "ml", default=1)
+    ident = a.get("identifier", "id")
+    q = a.get_int("q", "quality", default=35)
+    n_pairs = 0
+    qual = bytes([33 + q])
+    w1 = FastqWriter(out1) if out1 else None
+    w2 = FastqWriter(out2) if out2 else (w1 if out1 else None)
+    from ..io.batch import ReadBatch
+
+    s1, q1, i1 = [], [], []
+    s2, q2, i2 = [], [], []
+    for rec in iter_fasta(in1):
+        seq = rec.seq.upper()
+        if len(seq) < max(minlen, 1):
+            continue
+        ln = min(length, len(seq))
+        left = seq[:ln]
+        right = _revcomp(seq[-ln:])
+        prefix = (ident.encode() + b"_") if ident else b""
+        name = prefix + rec.name.split()[0]
+        s1.append(left)
+        q1.append(qual * len(left))
+        i1.append(name + b" /1")
+        s2.append(right)
+        q2.append(qual * len(right))
+        i2.append(name + b" /2")
+        n_pairs += 1
+    if s1 and w1:
+        w1.add(ReadBatch.from_sequences(s1, quals=q1, ids=i1, ordinal=0))
+        if w2 is w1:
+            w1.add(ReadBatch.from_sequences(s2, quals=q2, ids=i2, ordinal=1))
+        elif w2:
+            w2.add(ReadBatch.from_sequences(s2, quals=q2, ids=i2, ordinal=0))
+    for w in {id(w1): w1, id(w2): w2}.values():
+        if w is not None:
+            w.close()
+    print(f"Pairs Written:      \t{n_pairs}", file=sys.stderr)
+    return n_pairs
+
+
+# ------------------------------------------------------------- kcompress
+def kcompress(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    k = a.get_int("k", default=31)
+    cmin = a.get_int("min", default=1)
+    cmax = a.get_int("max", default=(1 << 31) - 1)
+    fuse = a.get_int("fuse", default=0)
+    from ..ops.kmer_count import KmerSpectrum, count_batch_np
+
+    spec = KmerSpectrum(k)
+    from ..io.fileformat import Format, test_input
+
+    if test_input(in1).format == Format.FASTA:
+        for rec in iter_fasta(in1):
+            codes = encode(rec.seq)[None, :]
+            v, c = count_batch_np(codes, np.array([codes.shape[1]]), k)
+            spec.add_batch(v, c)
+    else:
+        for b in FastqReader(in1):
+            v, c = count_batch_np(b.bases, b.lengths, k)
+            spec.add_batch(v, c)
+    spec.flush()
+    keep = (spec.counts >= cmin) & (spec.counts <= cmax)
+    keys = spec.keys[keep]
+    mask = (1 << (2 * k)) - 1
+    kmers = keys & mask  # strip length tag if present
+    kset = set(kmers.tolist())
+    contigs = []
+    # greedy unitig chaining: each kmer emitted exactly once
+    def canon(km):
+        r = 0
+        x = km
+        for _ in range(k):
+            r = (r << 2) | (3 - (x & 3))
+            x >>= 2
+        return max(km, r)
+
+    emitted = set()
+    for start in kmers.tolist():
+        if start in emitted:
+            continue
+        emitted.add(start)
+        # decode and extend right while a unique successor exists
+        chain = [start]
+        cur = start
+        while True:
+            suf = (cur << 2) & mask
+            nxt = [suf | b for b in range(4)]
+            nxt = [x for x in nxt if canon(x) in kset or x in kset]
+            nxt = [x for x in nxt if (canon(x) if canon(x) in kset else x)
+                   not in emitted]
+            cand = []
+            for x in nxt:
+                key = canon(x) if canon(x) in kset else x
+                if key in kset and key not in emitted:
+                    cand.append((x, key))
+            if len(cand) != 1:
+                break
+            x, key = cand[0]
+            emitted.add(key)
+            chain.append(x)
+            cur = x
+        # render: first kmer + last base of each extension
+        seq = bytearray()
+        km = chain[0]
+        for i in range(k - 1, -1, -1):
+            seq.append(b"ACGT"[(km >> (2 * i)) & 3])
+        for x in chain[1:]:
+            seq.append(b"ACGT"[x & 3])
+        contigs.append(bytes(seq))
+    if fuse > 0:
+        fused, cur = [], b""
+        for cseq in contigs:
+            cur = cur + (b"N" if cur else b"") + cseq
+            if len(cur) >= fuse:
+                fused.append(cur)
+                cur = b""
+        if cur:
+            fused.append(cur)
+        contigs = fused
+    if out1:
+        write_fasta(
+            out1,
+            [(b"contig_%d" % i, s) for i, s in enumerate(contigs)],
+        )
+    print(f"Kmers In:           \t{len(kmers)}", file=sys.stderr)
+    print(f"Contigs Out:        \t{len(contigs)}", file=sys.stderr)
+    return contigs
+
+
+# -------------------------------------------------------------- kmerlimit
+def kmerlimit(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    k = a.get_int("k", default=31)
+    limit = a.get_int("limit", default=None)
+    if limit is None:
+        raise SystemExit("kmerlimit: limit= is required")
+    from ..models.loglog import LogLog
+
+    ll = LogLog(k=k)
+    n_out = 0
+    batch = a.get_int("batchreads", default=4096)
+    with FastqWriter(out1) if out1 else _NullW() as w:
+        for b in FastqReader(in1, batch_reads=batch):
+            ll.add_batch(b.bases, b.lengths)
+            w.add(b)
+            n_out += b.n
+            if ll.cardinality() >= limit:
+                break
+    print(f"Reads Out:          \t{n_out}", file=sys.stderr)
+    print(f"Unique Kmers:       \t{int(ll.cardinality())}", file=sys.stderr)
+    return n_out
+
+
+class _NullW:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *e):
+        pass
+
+    def add(self, *a, **k):
+        pass
+
+
+# ------------------------------------------------------------ findrepeats
+def findrepeats(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    outs = a.get("outs", "outsequence")
+    k = a.get_int("k", default=31)
+    gap = a.get_int("gap", default=0)
+    mincount = a.get_int("mincount", default=2)
+    minlen = a.get_int("minrepeat", "minlength", default=0)
+    scafs = [(rec.name.split()[0], encode(rec.seq)) for rec in iter_fasta(in1)]
+    # global canonical spectrum
+    from ..ops.kmer_count import KmerSpectrum, count_batch_np
+
+    spec = KmerSpectrum(k)
+    for _, codes in scafs:
+        v, c = count_batch_np(codes[None, :], np.array([len(codes)]), k)
+        spec.add_batch(v, c)
+    spec.flush()
+    counts = dict(zip(spec.keys.tolist(), spec.counts.tolist()))
+    rows = []
+    seqs = []
+    for name, codes in scafs:
+        if len(codes) < k:
+            continue
+        fwd, rkm, runlen = rolling_kmers_np(codes[None, :], k)
+        keys = np.maximum(fwd[0], rkm[0])  # canonical, count_batch_np keying
+        valid = runlen[0] >= k
+        isrep = np.zeros(len(codes), dtype=bool)
+        for i in np.flatnonzero(valid):
+            if counts.get(int(keys[i]), 0) >= mincount:
+                isrep[i - k + 1 : i + 1] = True
+        # merge with gap tolerance (gap is in kmers)
+        idx = np.flatnonzero(isrep)
+        if not len(idx):
+            continue
+        splits = np.flatnonzero(np.diff(idx) > gap + 1)
+        starts = np.concatenate([[idx[0]], idx[splits + 1]])
+        ends = np.concatenate([idx[splits], [idx[-1]]])
+        for s, e in zip(starts, ends):
+            if e - s + 1 < max(minlen, k):
+                continue
+            rows.append((name, int(s), int(e) + 1))
+            seqs.append(
+                (b"%s_%d_%d" % (name, s, e + 1),
+                 CODE_TO_BASE[np.minimum(codes[s : e + 1], 4)].tobytes())
+            )
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(b"#scaffold\tstart\tstop\tlength\n")
+            for name, s, e in rows:
+                fh.write(b"%s\t%d\t%d\t%d\n" % (name, s, e, e - s))
+    if outs and seqs:
+        write_fasta(outs, seqs)
+    print(f"Repeats Found:      \t{len(rows)}", file=sys.stderr)
+    return rows
+
+
+# ------------------------------------------------------------ checkstrand
+def checkstrand(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    ref = a.get("ref")
+    k = a.get_int("k", default=31)
+    # forward-strand kmer set of the reference (orientation-carrying)
+    fwd_set = set()
+    for rec in iter_fasta(ref):
+        codes = encode(rec.seq)[None, :]
+        f, r, runlen = rolling_kmers_np(codes, k)
+        ok = runlen[0] >= k
+        fwd_set.update(f[0][ok].tolist())
+    plus = minus = 0
+    reads_p = reads_m = 0
+    for b in FastqReader(in1):
+        f, r, runlen = rolling_kmers_np(b.bases, k)
+        i_idx = np.arange(b.bases.shape[1])[None, :]
+        ok = (runlen >= k) & (i_idx < b.lengths[:, None])
+        for i in range(b.n):
+            sel = ok[i]
+            pf = sum(1 for x in f[i][sel].tolist() if x in fwd_set)
+            pr = sum(1 for x in r[i][sel].tolist() if x in fwd_set)
+            plus += pf
+            minus += pr
+            if pf > pr:
+                reads_p += 1
+            elif pr > pf:
+                reads_m += 1
+    tot = plus + minus
+    frac = plus / tot if tot else 0.5
+    print(f"P-Strand Kmers:     \t{frac*100:.2f}%", file=sys.stderr)
+    print(f"Plus Reads:         \t{reads_p}", file=sys.stderr)
+    print(f"Minus Reads:        \t{reads_m}", file=sys.stderr)
+    maj = max(reads_p, reads_m) / max(reads_p + reads_m, 1)
+    print(f"Strandedness:       \t{maj*100:.2f}%", file=sys.stderr)
+    return frac

@@ -1,0 +1,243 @@
+"""Behavior tests for the tool long tail: filterbyname, filterbysequence,
+filtersam, countbarcodes, cutprimers, mutate, bbfakereads, kcompress,
+kmerlimit, findrepeats, checkstrand."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from bbtools_tpu.cli import main
+
+
+def _write_fq(path, recs):
+    data = b"".join(
+        b"@%s\n%s\n+\n%s\n" % (n, s, q if q else b"I" * len(s))
+        for n, s, q in recs
+    )
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _read_fq_names(path):
+    lines = open(path, "rb").read().splitlines()
+    return [lines[i][1:] for i in range(0, len(lines), 4)]
+
+
+def test_filterbyname(tmp_path):
+    recs = [(b"r%d" % i, b"ACGTACGTACGT", b"") for i in range(10)]
+    _write_fq(tmp_path / "in.fq", recs)
+    (tmp_path / "names.txt").write_text("r3\nr7\n")
+    main([
+        "filterbyname", f"in={tmp_path}/in.fq", f"out={tmp_path}/out.fq",
+        f"names={tmp_path}/names.txt",
+    ])
+    names = _read_fq_names(tmp_path / "out.fq")
+    assert b"r3" not in names and b"r7" not in names and len(names) == 8
+    main([
+        "filterbyname", f"in={tmp_path}/in.fq", f"out={tmp_path}/inc.fq",
+        f"names=r3,r7", "include=t",
+    ])
+    assert sorted(_read_fq_names(tmp_path / "inc.fq")) == [b"r3", b"r7"]
+
+
+def test_filterbysequence(tmp_path):
+    keepseq = b"AAACCCGGGTTTAAACCCGGGTTT"
+    rc = keepseq.translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+    recs = [
+        (b"a", keepseq, b""),
+        (b"b", b"ACGTACGTACGTACGTACGTACGT", b""),
+        (b"c", rc, b""),
+    ]
+    _write_fq(tmp_path / "in.fq", recs)
+    main([
+        "filterbysequence", f"in={tmp_path}/in.fq",
+        f"out={tmp_path}/out.fq", f"literal={keepseq.decode()}",
+    ])
+    assert _read_fq_names(tmp_path / "out.fq") == [b"b"]  # a + rc removed
+
+
+def test_filtersam(tmp_path):
+    sam = (
+        b"@SQ\tSN:chr1\tLN:100\n"
+        b"good\t0\tchr1\t10\t60\t20M\t*\t0\t0\t"
+        b"ACGTACGTACGTACGTACGT\tIIIIIIIIIIIIIIIIIIII\n"
+        b"bad\t0\tchr1\t10\t60\t20M\t*\t0\t0\t"
+        b"ACGTACGTACTTACGTACGA\tIIIIIIIIIIIIIIIIIIII\n"
+    )
+    (tmp_path / "in.sam").write_bytes(sam)
+    # bad carries subs at ref pos 20 (T, read idx 10) and 29 — mark them
+    # low-support in the VCF
+    vcf = (
+        b"##fileformat=VCFv4.2\n"
+        b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        b"chr1\t20\t.\tG\tT\t50\tPASS\tAD=1;AF=0.004\n"
+        b"chr1\t29\t.\tT\tA\t50\tPASS\tAD=1;AF=0.004\n"
+    )
+    (tmp_path / "v.vcf").write_bytes(vcf)
+    main([
+        "filtersam", f"in={tmp_path}/in.sam", f"out={tmp_path}/good.sam",
+        f"outb={tmp_path}/bad.sam", f"vcf={tmp_path}/v.vcf", "mbv=1",
+        "border=0",
+    ])
+    good = (tmp_path / "good.sam").read_bytes()
+    bad = (tmp_path / "bad.sam").read_bytes()
+    assert b"\ngood\t" in b"\n" + good and b"\nbad\t" not in b"\n" + good
+    assert b"\nbad\t" in b"\n" + bad
+
+
+def test_countbarcodes(tmp_path):
+    recs = [
+        (b"r0 1:N:0:ACGTAC", b"AAAA", b""),
+        (b"r1 1:N:0:ACGTAC", b"AAAA", b""),
+        (b"r2 1:N:0:TTTTGG", b"AAAA", b""),
+    ]
+    _write_fq(tmp_path / "in.fq", recs)
+    from bbtools_tpu.models.filtertools import countbarcodes
+
+    counts = countbarcodes([
+        f"in={tmp_path}/in.fq", f"counts={tmp_path}/c.txt",
+    ])
+    assert counts[b"ACGTAC"] == 2 and counts[b"TTTTGG"] == 1
+    text = (tmp_path / "c.txt").read_bytes()
+    assert text.splitlines()[1].startswith(b"ACGTAC\t2")
+
+
+def test_cutprimers(tmp_path):
+    # read with primers at pos 5-10 and 20-25 (1-based)
+    seq = b"AAAAACCCCCCGGGGGGGGTTTTTTAAAAA"
+    _write_fq(tmp_path / "in.fq", [(b"r0", seq, b"")])
+    (tmp_path / "s1.sam").write_bytes(
+        b"@SQ\tSN:r0\tLN:30\np1\t0\tr0\t6\t60\t6M\t*\t0\t0\tCCCCCC\tIIIIII\n"
+    )
+    (tmp_path / "s2.sam").write_bytes(
+        b"@SQ\tSN:r0\tLN:30\np2\t0\tr0\t20\t60\t6M\t*\t0\t0\tTTTTTT\tIIIIII\n"
+    )
+    main([
+        "cutprimers", f"in={tmp_path}/in.fq", f"out={tmp_path}/out.fq",
+        f"sam1={tmp_path}/s1.sam", f"sam2={tmp_path}/s2.sam",
+    ])
+    lines = open(tmp_path / "out.fq", "rb").read().splitlines()
+    assert lines[1] == seq[11:19]  # between the primers, exclusive
+
+
+def test_mutate_and_vcf(tmp_path):
+    rng = np.random.default_rng(0)
+    seq = bytes(rng.choice(list(b"ACGT"), 5000).astype(np.uint8))
+    (tmp_path / "g.fa").write_bytes(b">chr1\n" + seq + b"\n")
+    from bbtools_tpu.models.synthtools import mutate
+
+    recs, vlines = mutate([
+        f"in={tmp_path}/g.fa", f"out={tmp_path}/m.fa",
+        f"vcf={tmp_path}/m.vcf", "subrate=0.01", "seed=7",
+    ])
+    assert len(vlines) > 20
+    # every sub recorded in the VCF must disagree with the original at POS
+    for chrom, pos, ref, alt in vlines:
+        assert seq[pos - 1 : pos] == ref
+        assert ref != alt
+    assert (tmp_path / "m.vcf").read_bytes().count(b"\nchr1\t") == len(vlines)
+
+
+def test_fakereads(tmp_path):
+    seq = bytes(np.random.default_rng(1).choice(list(b"ACGT"), 600).astype(np.uint8))
+    (tmp_path / "c.fa").write_bytes(b">contig1\n" + seq + b"\n")
+    main([
+        "bbfakereads", f"in={tmp_path}/c.fa", f"out={tmp_path}/r1.fq",
+        f"out2={tmp_path}/r2.fq", "length=100",
+    ])
+    l1 = open(tmp_path / "r1.fq", "rb").read().splitlines()
+    l2 = open(tmp_path / "r2.fq", "rb").read().splitlines()
+    assert l1[1] == seq[:100]
+    rc = seq[-100:].translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+    assert l2[1] == rc
+
+
+def test_kcompress(tmp_path):
+    rng = np.random.default_rng(3)
+    seq = bytes(rng.choice(list(b"ACGT"), 2000).astype(np.uint8))
+    _write_fq(tmp_path / "in.fq", [(b"r0", seq, b"")])
+    from bbtools_tpu.models.synthtools import kcompress
+
+    contigs = kcompress([
+        f"in={tmp_path}/in.fq", f"out={tmp_path}/k.fa", "k=31",
+    ])
+    # every distinct canonical 31-mer of the input appears exactly once
+    def canon_set(seqs, k=31):
+        s = set()
+        for x in seqs:
+            for i in range(len(x) - k + 1):
+                km = x[i : i + k]
+                rc = km.translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+                s.add(max(km, rc))
+        return s
+
+    want = canon_set([seq])
+    got_list = []
+    for c in contigs:
+        for i in range(len(c) - 30):
+            km = c[i : i + 31]
+            rc = km.translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+            got_list.append(max(km, rc))
+    assert set(got_list) == want
+    assert len(got_list) == len(want)  # exactly once
+
+
+def test_kmerlimit(tmp_path):
+    rng = np.random.default_rng(5)
+    recs = [
+        (b"r%d" % i,
+         bytes(rng.choice(list(b"ACGT"), 100).astype(np.uint8)), b"")
+        for i in range(400)
+    ]
+    _write_fq(tmp_path / "in.fq", recs)
+    import bbtools_tpu.models.synthtools as st
+    from bbtools_tpu.io import fastq as fq
+
+    # small batches so the limit can actually bite mid-stream
+    n = main([
+        "kmerlimit", f"in={tmp_path}/in.fq", f"out={tmp_path}/out.fq",
+        "limit=4000", "batchreads=64",
+    ])
+    del n
+    assert 0 < len(_read_fq_names(tmp_path / "out.fq")) <= 400
+
+
+def test_findrepeats(tmp_path):
+    rng = np.random.default_rng(9)
+    unique = bytes(rng.choice(list(b"ACGT"), 3000).astype(np.uint8))
+    rep = bytes(rng.choice(list(b"ACGT"), 400).astype(np.uint8))
+    genome = unique[:1500] + rep + unique[1500:] + rep
+    (tmp_path / "g.fa").write_bytes(b">chr1\n" + genome + b"\n")
+    from bbtools_tpu.models.synthtools import findrepeats
+
+    rows = findrepeats([
+        f"in={tmp_path}/g.fa", f"out={tmp_path}/rep.tsv",
+        f"outs={tmp_path}/rep.fa", "k=31",
+    ])
+    assert len(rows) == 2  # both copies
+    spans = [(s, e) for _, s, e in rows]
+    assert any(abs(s - 1500) <= 31 and abs(e - 1900) <= 31 for s, e in spans)
+    text = (tmp_path / "rep.tsv").read_bytes()
+    assert text.startswith(b"#scaffold")
+
+
+def test_checkstrand(tmp_path):
+    rng = np.random.default_rng(11)
+    gene = bytes(rng.choice(list(b"ACGT"), 3000).astype(np.uint8))
+    (tmp_path / "ref.fa").write_bytes(b">gene1\n" + gene + b"\n")
+    # 90% sense reads, 10% antisense
+    recs = []
+    for i in range(100):
+        p = int(rng.integers(0, 2900))
+        r = gene[p : p + 100]
+        if i % 10 == 0:
+            r = r.translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+        recs.append((b"r%d" % i, r, b""))
+    _write_fq(tmp_path / "reads.fq", recs)
+    from bbtools_tpu.models.synthtools import checkstrand
+
+    frac = checkstrand([
+        f"in={tmp_path}/reads.fq", f"ref={tmp_path}/ref.fa",
+    ])
+    assert 0.85 < frac < 0.95
