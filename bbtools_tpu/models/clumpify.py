@@ -29,7 +29,18 @@ from ..ops.kmers import rolling_kmers_np
 
 
 def pivot_kmers(bases: np.ndarray, lengths: np.ndarray, k: int):
-    """Per-read pivot: the minimum 64-bit-hashed canonical k-mer."""
+    """Per-read pivot: the minimum 64-bit-hashed canonical k-mer.
+
+    Device path (rolling registers + mix + min-reduce on the VPU) for
+    real batches; numpy fallback for tiny ones where dispatch overhead
+    dominates. Both produce identical (pivot, position) pairs."""
+    if bases.shape[0] * bases.shape[1] >= 1 << 16:
+        piv, pos = _pivot_kmers_jnp(bases, lengths, k)
+        return np.asarray(piv).astype(np.uint64), np.asarray(pos)
+    return _pivot_kmers_np(bases, lengths, k)
+
+
+def _pivot_kmers_np(bases, lengths, k: int):
     fwd, rkm, runlen = rolling_kmers_np(bases, k)
     valid = (runlen >= k) & (
         np.arange(bases.shape[1])[None, :] < lengths[:, None]
@@ -40,6 +51,33 @@ def pivot_kmers(bases: np.ndarray, lengths: np.ndarray, k: int):
     piv = h.min(axis=1)
     pos = h.argmin(axis=1)
     return piv, pos
+
+
+from functools import partial as _partial  # noqa: E402
+
+import jax as _jax  # noqa: E402
+
+
+@_partial(_jax.jit, static_argnames=("k",))
+def _pivot_kmers_jnp(bases, lengths, k: int):
+    import jax.numpy as jnp
+
+    from ..ops.kmers import rolling_kmers_jnp
+
+    fwd, rkm, runlen = rolling_kmers_jnp(jnp.asarray(bases), k)
+    valid = (runlen >= k) & (
+        jnp.arange(bases.shape[1], dtype=jnp.int32)[None, :]
+        < jnp.asarray(lengths)[:, None]
+    )
+    keys = jnp.maximum(fwd, rkm).astype(jnp.uint64)
+    h = keys
+    h = h ^ (h >> jnp.uint64(30))
+    h = h * jnp.uint64(0xBF58476D1CE4E5B9)
+    h = h ^ (h >> jnp.uint64(27))
+    h = h * jnp.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> jnp.uint64(31))
+    h = jnp.where(valid, h, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    return h.min(axis=1), h.argmin(axis=1)
 
 
 def _coords(name: bytes):

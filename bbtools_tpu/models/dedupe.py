@@ -268,6 +268,131 @@ class Dedupe:
             self._register(codes, idx)
         return True
 
+    # -------------------------------------------------- batched edist path
+    def _collect_cands(self, codes) -> list[int]:
+        """Candidate kept-read indices (length-filtered, unverified)."""
+        k = self.k
+        cands: set[int] = set()
+        for km in (_kmer_at(codes, 0, k), _kmer_at(codes, len(codes) - k, k)):
+            if km < 0:
+                continue
+            cands.update(self.prefix.get(km, ()))
+            cands.update(self.suffix.get(km, ()))
+        tol = max(self.edist, 0)
+        return [
+            ci
+            for ci in cands
+            if abs(len(self.kept_codes[ci]) - len(codes)) <= tol
+            or (self.subs > 0 and len(self.kept_codes[ci]) == len(codes))
+        ]
+
+    def _verify_host(self, codes, other) -> bool:
+        if (
+            self.subs > 0
+            and len(other) == len(codes)
+            and _hamming(codes, other) <= self.subs
+        ):
+            return True
+        if self.edist > 0:
+            from ..ops.banded import banded_edits_np
+
+            q, r = (codes, other) if len(codes) <= len(other) else (other, codes)
+            return banded_edits_np(q, r, self.edist) <= self.edist
+        return False
+
+    def judge_batch(self, codes_list: list[np.ndarray]) -> list[bool]:
+        """Batch verdicts identical to sequential judge() calls, with the
+        banded edit-distance verifications of the whole batch fused into
+        ONE device kernel call (ops/banded.banded_edits_jnp) instead of a
+        per-pair host loop — the VERDICT item-8 'call the device kernel'
+        path. Intra-batch candidate pairs (a read matching a read kept
+        earlier in the same batch) fall back to the host check; they are
+        rare and preserve exact sequential semantics."""
+        canon_list = [
+            (_canon(c)[0] if self.rcomp else c) for c in codes_list
+        ]
+        snap = len(self.kept_codes)
+        pairs: list[tuple[int, int]] = []
+        if self.edist > 0:
+            seen_hashes: set[bytes] = set(self.exact)
+            for i, codes in enumerate(canon_list):
+                if len(codes) < self.k:
+                    continue
+                h = codes.tobytes()
+                if h in seen_hashes:
+                    continue  # exact dupe regardless of fuzzy outcome
+                seen_hashes.add(h)
+                for ci in self._collect_cands(codes):
+                    pairs.append((i, ci))
+        verdict: dict[tuple[int, int], bool] = {}
+        if pairs:
+            import jax.numpy as jnp
+
+            from ..ops.banded import banded_edits_jnp
+
+            Lmax = max(
+                max(len(canon_list[i]), len(self.kept_codes[ci]))
+                for i, ci in pairs
+            )
+            P = len(pairs)
+            qs = np.full((P, Lmax), 4, np.uint8)
+            rs = np.full((P, Lmax), 4, np.uint8)
+            qls = np.zeros(P, np.int32)
+            rls = np.zeros(P, np.int32)
+            subs_hit = np.zeros(P, dtype=bool)
+            for t, (i, ci) in enumerate(pairs):
+                a, b = canon_list[i], self.kept_codes[ci]
+                if (
+                    self.subs > 0
+                    and len(a) == len(b)
+                    and _hamming(a, b) <= self.subs
+                ):
+                    subs_hit[t] = True
+                q, r = (a, b) if len(a) <= len(b) else (b, a)
+                qs[t, : len(q)] = q
+                rs[t, : len(r)] = r
+                qls[t], rls[t] = len(q), len(r)
+            ed = np.asarray(
+                banded_edits_jnp(
+                    jnp.asarray(qs), jnp.asarray(qls),
+                    jnp.asarray(rs), jnp.asarray(rls), self.edist,
+                )
+            )
+            for t, (i, ci) in enumerate(pairs):
+                verdict[(i, ci)] = bool(subs_hit[t] or ed[t] <= self.edist)
+        out = []
+        for i, codes in enumerate(canon_list):
+            out.append(self._judge_one(codes, i, snap, verdict))
+        return out
+
+    def _judge_one(self, codes, i, snap, verdict) -> bool:
+        """judge() with pre-verified fuzzy pairs (device) for candidates
+        below the batch snapshot; later (intra-batch) candidates verify
+        on host."""
+        h = codes.tobytes()
+        if h in self.exact:
+            self.dupes += 1
+            return False
+        if (self.subs > 0 or self.edist > 0) and len(codes) >= self.k:
+            for ci in self._collect_cands(codes):
+                if ci < snap and self.edist > 0:
+                    hit = verdict.get((i, ci), False)
+                else:
+                    hit = self._verify_host(codes, self.kept_codes[ci])
+                if hit:
+                    self.dupes += 1
+                    return False
+        if self.containment and len(codes) >= self.k:
+            if self._contained_in_kept(codes):
+                self.contained += 1
+                return False
+        idx = len(self.kept_codes)
+        self.kept_codes.append(codes)
+        self.exact[h] = idx
+        if self.subs > 0 or self.edist > 0 or self.containment:
+            self._register(codes, idx)
+        return True
+
 
 def main(argv=None):
     a = tokenize(argv if argv is not None else sys.argv[1:])
@@ -310,11 +435,19 @@ def main(argv=None):
     kept = 0
     for b in reader:
         keep = np.zeros(b.n, dtype=bool)
-        for i in range(b.n):
-            L = int(b.lengths[i])
-            if dd.judge(b.bases[i, :L].copy()):
-                keep[i] = True
-                kept += 1
+        if edist > 0:
+            codes_list = [
+                b.bases[i, : int(b.lengths[i])].copy() for i in range(b.n)
+            ]
+            for i, ok in enumerate(dd.judge_batch(codes_list)):
+                keep[i] = ok
+                kept += int(ok)
+        else:
+            for i in range(b.n):
+                L = int(b.lengths[i])
+                if dd.judge(b.bases[i, :L].copy()):
+                    keep[i] = True
+                    kept += 1
         if w:
             w.add(b, keep)
         if wd:

@@ -968,3 +968,47 @@ def test_lilypad_scaffolding(tmp_path):
     assert (sc[:5000] == g[:5000]).all()
     assert (sc[5200:] == g[5200:11000]).all()
     assert (sc[5000:5200] >= 4).all()  # the gap is Ns
+
+
+def test_dedupe_batch_equals_sequential(tmp_path):
+    """judge_batch (fused device banded verification) must produce the
+    exact verdict sequence of per-read judge() calls."""
+    import numpy as np
+
+    from bbtools_tpu.models.dedupe import Dedupe
+
+    rng = np.random.default_rng(77)
+    base = rng.integers(0, 4, 120).astype(np.uint8)
+    reads = []
+    for i in range(60):
+        r = base.copy() if i % 3 else rng.integers(0, 4, 120).astype(np.uint8)
+        if i % 3 == 1:  # near-duplicate with 1-2 edits
+            p = int(rng.integers(10, 110))
+            r = np.concatenate([r[:p], r[p + 1 :], rng.integers(0, 4, 1).astype(np.uint8)])
+        if i % 3 == 2:
+            r = r.copy()
+            r[int(rng.integers(0, 120))] ^= 1
+        reads.append(r)
+    d1 = Dedupe(subs=1, edist=2, rcomp=True)
+    seq_verdicts = [d1.judge(r.copy()) for r in reads]
+    d2 = Dedupe(subs=1, edist=2, rcomp=True)
+    # two batches to exercise the snapshot boundary
+    bat_verdicts = d2.judge_batch([r.copy() for r in reads[:30]])
+    bat_verdicts += d2.judge_batch([r.copy() for r in reads[30:]])
+    assert bat_verdicts == seq_verdicts
+    assert d1.dupes == d2.dupes
+
+
+def test_clumpify_pivot_device_equals_host():
+    import numpy as np
+
+    from bbtools_tpu.models.clumpify import _pivot_kmers_jnp, _pivot_kmers_np
+
+    rng = np.random.default_rng(4)
+    bases = rng.integers(0, 4, (64, 90)).astype(np.uint8)
+    bases[rng.random((64, 90)) < 0.02] = 4
+    lengths = rng.integers(40, 91, 64).astype(np.int32)
+    pn, on = _pivot_kmers_np(bases, lengths, 31)
+    pj, oj = _pivot_kmers_jnp(bases, lengths, 31)
+    np.testing.assert_array_equal(np.asarray(pj).astype(np.uint64), pn)
+    np.testing.assert_array_equal(np.asarray(oj), on)
