@@ -63,6 +63,61 @@ def _rc(codes: np.ndarray) -> np.ndarray:
     return np.where(codes < 4, 3 - codes, 4)[::-1].copy()
 
 
+def check_batch(codes_list: list[np.ndarray], cfg: ICConfig):
+    """Batched check: pass-1 tip-vs-remainder alignments for the whole
+    batch run in ONE device glocal kernel call (ops/idalign.
+    glocal_identity_jnp); the rare junction-refinement pass stays on
+    host. Verdicts are identical to per-read check_read."""
+    import jax.numpy as jnp
+
+    from ..ops.idalign import glocal_identity_jnp
+
+    tasks = []  # (read index, side) aligned with kernel rows
+    qs, rs, qls, rls = [], [], [], []
+    meta = {}
+    for i, codes in enumerate(codes_list):
+        n = len(codes)
+        qlen = int(max(MIN_QLEN, min(TARGET_QLEN, n * MAX_QLEN_FRACTION)))
+        if qlen > 0.45 * n:
+            continue
+        meta[i] = qlen
+        for q, r in (
+            (_rc(codes[:qlen]), codes[qlen:]),
+            (_rc(codes[-qlen:]), codes[:-qlen]),
+        ):
+            tasks.append(i)
+            qs.append(q)
+            rs.append(r)
+            qls.append(len(q))
+            rls.append(len(r))
+    results = {i: (False, -1) for i in range(len(codes_list))}
+    if not tasks:
+        return [results[i] for i in range(len(codes_list))]
+    Mx = max(qls)
+    Nx = max(rls)
+    T = len(tasks)
+    qa = np.full((T, Mx), 4, np.uint8)
+    ra = np.full((T, Nx), 4, np.uint8)
+    for t in range(T):
+        qa[t, : qls[t]] = qs[t]
+        ra[t, : rls[t]] = rs[t]
+    ident, rstart, rstop = (
+        np.asarray(x)
+        for x in glocal_identity_jnp(
+            jnp.asarray(qa), jnp.asarray(np.array(qls, np.int32)),
+            jnp.asarray(ra), jnp.asarray(np.array(rls, np.int32)),
+        )
+    )
+    for t in range(0, T, 2):
+        i = tasks[t]
+        results[i] = _finish_read(
+            codes_list[i], meta[i], cfg,
+            float(ident[t]), int(rstart[t]), int(rstop[t]),
+            float(ident[t + 1]), int(rstart[t + 1]), int(rstop[t + 1]),
+        )
+    return [results[i] for i in range(len(codes_list))]
+
+
 def check_read(codes: np.ndarray, cfg: ICConfig):
     """Returns (is_icecream, junction) — junction in read coords or -1."""
     n = len(codes)
@@ -73,6 +128,13 @@ def check_read(codes: np.ndarray, cfg: ICConfig):
     ident_l, rs_l, re_l = glocal_align_np(_rc(codes[:qlen]), codes[qlen:])
     # right tip vs remainder
     ident_r, rs_r, re_r = glocal_align_np(_rc(codes[-qlen:]), codes[:-qlen])
+    return _finish_read(
+        codes, qlen, cfg, ident_l, rs_l, re_l, ident_r, rs_r, re_r
+    )
+
+
+def _finish_read(codes, qlen, cfg, ident_l, rs_l, re_l, ident_r, rs_r, re_r):
+    n = len(codes)
     left = ident_l >= ident_r
     ident = max(ident_l, ident_r)
     if ident < cfg.min_ratio1:
@@ -119,9 +181,13 @@ class IceCreamFinder:
         wb = FastqWriter(cfg.outb) if cfg.outb else None
         for b in FastqReader(cfg.in1):
             bad = np.zeros(b.n, dtype=bool)
+            codes_list = [
+                b.bases[i, : int(b.lengths[i])] for i in range(b.n)
+            ]
+            verdicts = check_batch(codes_list, cfg)
             for i in range(b.n):
                 L = int(b.lengths[i])
-                ic, junction = check_read(b.bases[i, :L], cfg)
+                ic, junction = verdicts[i]
                 if ic:
                     bad[i] = True
                     self.flagged += 1

@@ -138,3 +138,112 @@ def make_id_aligner(name: str = "glocal"):
     if name in ("banded", "ssa2", "ssa3"):
         return BandedIDAligner()
     raise ValueError(f"unknown aligner {name!r}")
+
+
+def glocal_identity_jnp(qs, qlens, rs, rlens):
+    """Batched device glocal aligner: (identity f32, rstart, rstop) [T].
+
+    Same recurrences and tie rules as glocal_align_np, restructured for
+    the TPU: the sequential left-gap relaxation
+        row[j] = max(best[j-1], row[j-1] + GAP)
+    is the prefix maximum of G[t] = best[t-1] - GAP*t (ties -> latest t),
+    computed with a log-depth associative scan, so each DP row is pure
+    vector work. Identity needs no traceback: (matches, columns, entry
+    column) ride along the same selection masks the pointer matrix would
+    record, and the final cell reads them out directly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    T, M = qs.shape
+    _, N = rs.shape
+    NEG = jnp.int32(-(1 << 29))
+    gap = jnp.int32(GAP)
+    j_idx = jnp.arange(N + 1, dtype=jnp.int32)[None, :]  # [1, N+1]
+    rlens = jnp.asarray(rlens, jnp.int32)
+    qlens = jnp.asarray(qlens, jnp.int32)
+    ref_ok = j_idx[:, 1:] <= rlens[:, None]  # column j valid (1-based)
+
+    def tie_right_max(a, b):
+        (m1, i1, x1, y1, z1), (m2, i2, x2, y2, z2) = a, b
+        take2 = m2 >= m1
+        pick = lambda u, v: jnp.where(take2, v, u)
+        return (pick(m1, m2), pick(i1, i2), pick(x1, x2), pick(y1, y2),
+                pick(z1, z2))
+
+    def row_step(carry, i):
+        score, Mm, Cc, Ee, out = carry
+        # diag/up candidates (1-based columns)
+        qi = jnp.take_along_axis(
+            qs, jnp.clip(i - 1, 0, M - 1)[None].repeat(T, 0)[:, None], 1
+        )[:, 0]
+        sub = jnp.where(rs == qi[:, None], jnp.int32(MATCH), jnp.int32(SUB))
+        diag = score[:, :-1] + sub
+        up = score[:, 1:] + gap
+        use_diag = diag >= up
+        best = jnp.where(use_diag, diag, up)
+        is_match = (rs == qi[:, None]) & use_diag
+        Mb = jnp.where(use_diag, Mm[:, :-1] + is_match.astype(jnp.int32),
+                       Mm[:, 1:])
+        Cb = jnp.where(use_diag, Cc[:, :-1], Cc[:, 1:]) + 1
+        Eb = jnp.where(use_diag, Ee[:, :-1], Ee[:, 1:])
+        # invalid ref columns can never host the path
+        best = jnp.where(ref_ok, best, NEG)
+        # left relaxation via ties-to-latest prefix max of G[t]
+        col0 = gap * i  # score[i, 0]
+        G = jnp.concatenate(
+            [jnp.full((T, 1), col0, jnp.int32), best - gap * j_idx[:, 1:]],
+            axis=1,
+        )
+        M0 = jnp.concatenate([jnp.zeros((T, 1), jnp.int32), Mb], 1)
+        C0 = jnp.concatenate(
+            [jnp.full((T, 1), i, jnp.int32), Cb], 1
+        )
+        E0 = jnp.concatenate([jnp.zeros((T, 1), jnp.int32), Eb], 1)
+        t0 = jnp.broadcast_to(j_idx, (T, N + 1)).astype(jnp.int32)
+        pm, pt, pM, pC, pE = jax.lax.associative_scan(
+            tie_right_max, (G, t0, M0, C0, E0), axis=1
+        )
+        nrow = pm + gap * j_idx
+        nM = pM
+        nC = pC + (j_idx - pt)  # left-gap columns
+        nE = pE
+        # row 0 of E: path starts at (0, j) -> entry column j (handled by
+        # the initial carry); invalid columns stay NEG
+        nrow = jnp.where(
+            jnp.concatenate([jnp.ones((T, 1), bool), ref_ok], 1), nrow, NEG
+        )
+        active = (i <= qlens)[:, None]
+        score = jnp.where(active, nrow, score)
+        Mm = jnp.where(active, nM, Mm)
+        Cc = jnp.where(active, nC, Cc)
+        Ee = jnp.where(active, nE, Ee)
+        take = (i == qlens)[:, None]
+        out = tuple(
+            jnp.where(take, v, o) for v, o in zip((score, Mm, Cc, Ee), out)
+        )
+        return (score, Mm, Cc, Ee, out), None
+
+    score0 = jnp.zeros((T, N + 1), jnp.int32)
+    score0 = jnp.where(
+        jnp.concatenate([jnp.ones((T, 1), bool), ref_ok], 1), score0, NEG
+    )
+    M0 = jnp.zeros((T, N + 1), jnp.int32)
+    C0 = jnp.zeros((T, N + 1), jnp.int32)
+    E0 = jnp.broadcast_to(j_idx, (T, N + 1)).astype(jnp.int32)
+    out0 = (score0, M0, C0, E0)
+    (_, _, _, _, out), _ = jax.lax.scan(
+        row_step, (score0, M0, C0, E0, out0),
+        jnp.arange(1, M + 1, dtype=jnp.int32),
+    )
+    fs, fM, fC, fE = out
+    jbest = jnp.argmax(fs, axis=1)
+    g = lambda arr: jnp.take_along_axis(arr, jbest[:, None], 1)[:, 0]
+    matches = g(fM)
+    cols = g(fC)
+    ident = matches.astype(jnp.float32) / jnp.maximum(cols, 1).astype(
+        jnp.float32
+    )
+    rstop = jbest.astype(jnp.int32) - 1
+    rstart = g(fE)
+    return ident, rstart, rstop

@@ -1012,3 +1012,24 @@ def test_clumpify_pivot_device_equals_host():
     pj, oj = _pivot_kmers_jnp(bases, lengths, 31)
     np.testing.assert_array_equal(np.asarray(pj).astype(np.uint64), pn)
     np.testing.assert_array_equal(np.asarray(oj), on)
+
+
+def test_icecream_batch_equals_sequential():
+    import numpy as np
+
+    from bbtools_tpu.models.icecream import ICConfig, check_batch, check_read
+
+    rng = np.random.default_rng(21)
+    cfg = ICConfig()
+    reads = []
+    for i in range(12):
+        n = int(rng.integers(900, 1800))
+        r = rng.integers(0, 4, n).astype(np.uint8)
+        if i % 2 == 0:  # plant an inverted-repeat (ice cream) artifact
+            half = n // 2
+            r[half:] = np.where(r[:n - half] < 4, 3 - r[:n - half], 4)[::-1]
+        reads.append(r)
+    got = check_batch(reads, cfg)
+    want = [check_read(r, cfg) for r in reads]
+    assert got == want
+    assert any(v[0] for v in want)  # some artifacts detected
