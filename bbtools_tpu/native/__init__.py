@@ -22,10 +22,17 @@ _LIB = None
 _TRIED = False
 
 
+SOURCES = ("fastq_codec.c", "radix_count.c")
+
+
 def _build() -> str | None:
-    src = os.path.join(os.path.dirname(__file__), "fastq_codec.c")
-    with open(src, "rb") as fh:
-        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    here = os.path.dirname(__file__)
+    srcs = [os.path.join(here, s) for s in SOURCES]
+    h = hashlib.sha256()
+    for src in srcs:
+        with open(src, "rb") as fh:
+            h.update(fh.read())
+    digest = h.hexdigest()[:16]
     cache = os.path.join(
         tempfile.gettempdir(), f"bbtools_tpu_native_{digest}.so"
     )
@@ -34,7 +41,7 @@ def _build() -> str | None:
     cc = os.environ.get("CC", "cc")
     try:
         subprocess.run(
-            [cc, "-O3", "-shared", "-fPIC", "-o", cache + ".tmp", src],
+            [cc, "-O3", "-shared", "-fPIC", "-o", cache + ".tmp", *srcs],
             check=True,
             capture_output=True,
         )
@@ -54,8 +61,50 @@ def get_lib():
             lib = ctypes.CDLL(path)
             lib.scan_newlines.restype = ctypes.c_long
             lib.fill_records.restype = ctypes.c_int
+            lib.radix_count.restype = ctypes.c_long
+            lib.radix_count_w.restype = ctypes.c_long
             _LIB = lib
     return _LIB
+
+
+def radix_count_native(keys: np.ndarray):
+    """Sorted unique (values, counts) of a uint64/int64 key array via the
+    native LSD radix sorter; None when the library is unavailable. The
+    input array is clobbered (sort scratch)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(keys)
+    if n == 0:
+        return keys.astype(np.uint64), np.zeros(0, np.int64)
+    k = np.ascontiguousarray(keys, dtype=np.uint64)
+    scratch = np.empty(n, np.uint64)
+    vals = np.empty(n, np.uint64)
+    counts = np.empty(n, np.int64)
+    nu = lib.radix_count(
+        _ptr(k), ctypes.c_long(n), _ptr(scratch), _ptr(vals), _ptr(counts)
+    )
+    return vals[:nu], counts[:nu]
+
+
+def radix_count_w_native(rows: np.ndarray):
+    """Lexicographic sort+count of [n, W] uint64 rows (big-k keys); None
+    when unavailable. Input clobbered."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, w = rows.shape
+    if n == 0:
+        return rows.astype(np.uint64), np.zeros(0, np.int64)
+    r = np.ascontiguousarray(rows, dtype=np.uint64)
+    scratch = np.empty((n, w), np.uint64)
+    vals = np.empty((n, w), np.uint64)
+    counts = np.empty(n, np.int64)
+    nu = lib.radix_count_w(
+        _ptr(r), ctypes.c_long(n), ctypes.c_int(w), _ptr(scratch),
+        _ptr(vals), _ptr(counts)
+    )
+    return vals[:nu], counts[:nu]
 
 
 def _ptr(a: np.ndarray):

@@ -63,11 +63,19 @@ def sort_reduce(keys):
 
 
 def count_batch(bases, lengths, k: int):
-    """Device counting for one batch -> host (values, counts) arrays."""
-    keys = batch_kmers_jnp(jnp.asarray(bases), jnp.asarray(lengths), k)
-    values, counts, n_runs = sort_reduce(keys)
-    n = int(n_runs)
-    return np.asarray(values[:n]), np.asarray(counts[:n])
+    """Counting for one batch -> host (values, counts) arrays.
+
+    K-mer extraction (rolling registers, canonicalization) runs on
+    device; the sort-reduce runs on HOST via np.unique — XLA's TPU sort
+    is an emulated-64-bit bitonic network measured ~6x slower than the
+    host introsort for this workload (sorting is the one stage the VPU
+    has no good primitive for). The all-device sort_reduce remains for
+    callers that must stay on device (multichip shard_map path)."""
+    keys = np.asarray(
+        batch_kmers_jnp(jnp.asarray(bases), jnp.asarray(lengths), k)
+    )
+    keys = keys[keys != PAD]
+    return np.unique(keys, return_counts=True)
 
 
 class KmerSpectrum:

@@ -287,6 +287,20 @@ def count_batchw_exact(bases: np.ndarray, lengths: np.ndarray, k: int):
     i_idx = np.arange(bases.shape[1])[None, :]
     valid = (runlen >= k) & (i_idx < np.asarray(lengths)[:, None])
     cw = canonical_words(words, rwords)[valid]
+    if len(cw):
+        try:
+            from ..native import radix_count_w_native
+        except Exception:
+            radix_count_w_native = None
+        if radix_count_w_native is not None:
+            # radix sorts word 0 primary; byte keys are word W-1 primary
+            res = radix_count_w_native(cw[:, ::-1])
+            if res is not None:
+                vals, counts = res
+                return (
+                    words_to_bytes(vals.view(np.int64)[:, ::-1]),
+                    counts,
+                )
     keys = words_to_bytes(cw)
     keys.sort()
     if len(keys) == 0:

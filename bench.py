@@ -182,29 +182,36 @@ def bench_bbduk_end_to_end(tmpdir):
 
 
 def bench_kmercount():
-    """Config #2: exact k=31 counting, device sort-reduce."""
+    """Config #2: exact k=31 counting — the production count_batch path
+    (device kmer extraction + host sort-reduce), plus the all-device
+    sort_reduce for comparison."""
     import jax
     import jax.numpy as jnp
 
-    from bbtools_tpu.ops.kmer_count import batch_kmers_jnp, sort_reduce
+    from bbtools_tpu.ops.kmer_count import (
+        batch_kmers_jnp,
+        count_batch,
+        sort_reduce,
+    )
 
     rng = _rng()
     bases, lengths = make_reads(rng, batch=BATCH // 2)
+    reads = BATCH // 2
+
+    dt = timeit(lambda: count_batch(bases, lengths, 31), warmup=1, iters=4)
+
     db, dl = jnp.asarray(bases), jnp.asarray(lengths)
 
     @jax.jit
-    def step_fn(db, dl):
+    def dev_fn(db, dl):
         return sort_reduce(batch_kmers_jnp(db, dl, 31))
 
-    def step():
-        return step_fn(db, dl)
-
-    dt = timeit(step)
-    reads = BATCH // 2
+    dt_dev = timeit(lambda: dev_fn(db, dl), warmup=1, iters=4)
     return {
         "reads_per_sec": reads / dt,
         "bases_per_sec": reads * READ_LEN / dt,
         "kmers_per_sec": reads * (READ_LEN - 30) / dt,
+        "device_sort_bases_per_sec": reads * READ_LEN / dt_dev,
     }
 
 

@@ -201,3 +201,36 @@ def test_kce_dump_k93_roundtrip(tmp_path):
     for l in lines[1::2]:
         assert len(l) == k
         assert l in seq or l in rc
+
+
+def test_native_radix_count_matches_numpy():
+    import numpy as np
+
+    from bbtools_tpu.native import radix_count_native, radix_count_w_native
+
+    rng = np.random.default_rng(17)
+    keys = rng.integers(0, 1 << 62, 200_000, dtype=np.int64)
+    keys[::3] = keys[1::3][: len(keys[::3])][: len(keys[::3])]  # dupes
+    res = radix_count_native(keys.copy())
+    if res is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    vals, counts = res
+    wv, wc = np.unique(keys.astype(np.uint64), return_counts=True)
+    np.testing.assert_array_equal(vals, wv)
+    np.testing.assert_array_equal(counts, wc)
+
+    rows = rng.integers(0, 1 << 60, (50_000, 3), dtype=np.int64)
+    rows[::2] = rows[1::2][: len(rows[::2])]
+    res = radix_count_w_native(rows.copy())
+    vals, counts = res
+    order = np.lexsort(
+        tuple(rows[:, w].astype(np.uint64) for w in range(2, -1, -1))
+    )
+    rs = rows[order].astype(np.uint64)
+    new = np.concatenate([[True], (rs[1:] != rs[:-1]).any(axis=1)])
+    starts = np.flatnonzero(new)
+    wc = np.diff(np.append(starts, len(rs)))
+    np.testing.assert_array_equal(vals, rs[starts])
+    np.testing.assert_array_equal(counts, wc)
