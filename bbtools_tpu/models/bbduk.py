@@ -375,7 +375,7 @@ def build_index(cfg: BBDukConfig):
         if LaneKmerIndex.supports(len(keys)):
             index = LaneKmerIndex.build(keys, ids)
         if index is None:
-            index = BucketKmerIndex.build(keys, ids)
+            index = BucketKmerIndex.build(keys, ids, pack=True)
     lengths = [len(s) for s in scaffolds]
     return index, names, lengths
 
@@ -404,6 +404,7 @@ class BBDuk:
                 restrict_right=cfg.restrict_right,
                 qhdist=cfg.qhdist,
                 nb=self.index.nb if self.index else 64,
+                packed=bool(getattr(self.index, "packed", False)),
                 rcomp=cfg.rcomp,
                 lane=(
                     self.index.static_params()
@@ -728,6 +729,25 @@ class BBDuk:
         )
         return {k: np.asarray(v) for k, v in out.items()}
 
+    def _scan_all(self, b, short_left: bool, short_right: bool):
+        """Full + short scans in one fused device dispatch."""
+        import jax.numpy as jnp
+
+        from ..ops.bbduk_scan import kscan_combined
+
+        out, sl, sr = kscan_combined(
+            self.scan_cfg,
+            self.table_dev,
+            jnp.asarray(b.bases),
+            jnp.asarray(b.lengths),
+            short_left,
+            short_right,
+        )
+        host = {k: np.asarray(v) for k, v in out.items()}
+        sl = tuple(np.asarray(x) for x in sl) if sl is not None else None
+        sr = tuple(np.asarray(x) for x in sr) if sr is not None else None
+        return host, sl, sr
+
     def _ktrim_stage(self, b1, b2, disc1, disc2, remove, minlen1, minlen2,
                      init_len1, init_len2):
         cfg, st = self.cfg, self.stats
@@ -743,43 +763,27 @@ class BBDuk:
             if (cfg.skip_r1 and bi == 0) or (cfg.skip_r2 and bi == 1):
                 new_batches.append(b)
                 continue
-            res = self._scan(b)
+            res, shortL, shortR = self._scan_all(
+                b,
+                cfg.use_short_kmers and cfg.ktrim_left,
+                cfg.use_short_kmers and cfg.ktrim_right,
+            )
             found = res["nhits"]
             id0 = res["id0"]
             min_loc = res["min_loc"].astype(np.int64)
             max_loc = res["max_loc"].astype(np.int64)
             ln = b.lengths.astype(np.int64)
             if cfg.use_short_kmers:
-                import jax.numpy as jnp
-
                 need = (found == 0) & alive
-                if cfg.ktrim_left:
-                    hitL, idL, locL = (
-                        np.asarray(x)
-                        for x in kscan_short(
-                            self.scan_cfg,
-                            self.table_dev,
-                            jnp.asarray(b.bases),
-                            jnp.asarray(b.lengths),
-                            True,
-                        )
-                    )
+                if shortL is not None:
+                    hitL, idL, locL = shortL
                     upd = need & hitL
                     id0 = np.where(upd & (id0 <= 0), idL, id0)
                     min_loc = np.where(upd, 0, min_loc)
                     max_loc = np.where(upd, np.maximum(max_loc, locL), max_loc)
                     found = found + np.where(upd, 1, 0)
-                if cfg.ktrim_right:
-                    hitR, idR, locR = (
-                        np.asarray(x)
-                        for x in kscan_short(
-                            self.scan_cfg,
-                            self.table_dev,
-                            jnp.asarray(b.bases),
-                            jnp.asarray(b.lengths),
-                            False,
-                        )
-                    )
+                if shortR is not None:
+                    hitR, idR, locR = shortR
                     upd = need & hitR & (found == 0)
                     id0 = np.where(upd & (id0 <= 0), idR, id0)
                     min_loc = np.where(upd, np.minimum(min_loc, locR), min_loc)
@@ -860,7 +864,9 @@ class BBDuk:
         plus = cfg.trim_pad + 1
         alive = ~remove
         for bi, b in enumerate((b1, b2) if b2 is not None else (b1,)):
-            res = self._scan(b)
+            res, shortL, shortR = self._scan_all(
+                b, cfg.use_short_kmers, cfg.use_short_kmers
+            )
             hit = res["hit"]  # [B, L]
             B, L = hit.shape
             # covered[j] iff a hit exists at i in [j-plus+1, j+minus]
@@ -871,20 +877,8 @@ class BBDuk:
             rows = np.arange(B)[:, None]
             covered = (cum[rows, hi] - cum[rows, lo]) > 0
             if cfg.use_short_kmers:
-                hitL, idL, locL = (
-                    np.asarray(x)
-                    for x in kscan_short(
-                        self.scan_cfg, self.table_dev,
-                        jnp.asarray(b.bases), jnp.asarray(b.lengths), True,
-                    )
-                )
-                hitR, idR, locR = (
-                    np.asarray(x)
-                    for x in kscan_short(
-                        self.scan_cfg, self.table_dev,
-                        jnp.asarray(b.bases), jnp.asarray(b.lengths), False,
-                    )
-                )
+                hitL, idL, locL = shortL
+                hitR, idR, locR = shortR
                 pos = np.arange(L)[None, :]
                 covered |= hitL[:, None] & (pos <= locL[:, None])
                 covered |= hitR[:, None] & (pos >= locR[:, None])

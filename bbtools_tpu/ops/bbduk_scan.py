@@ -36,6 +36,7 @@ class KScanConfig:
     restrict_right: int = 0
     qhdist: int = 0
     nb: int = 64  # bucket count of the BucketKmerIndex (static)
+    packed: bool = False  # BucketKmerIndex key48|id16 single-plane layout
     rcomp: bool = True
     #: LaneKmerIndex static params (nb, groups, slots, rows, salt, packed);
     #: when set, `table` holds (tlo, thi, tid) and lookups run the VMEM
@@ -50,6 +51,8 @@ def _lookup(cfg: KScanConfig, table, keys):
     if cfg.lane is not None:
         return LaneKmerIndex.lookup_jnp(*table, *cfg.lane, keys)
     keys_tbl, ids_tbl = table
+    if cfg.packed:
+        return BucketKmerIndex.lookup_packed_jnp(keys_tbl, cfg.nb, keys)
     return BucketKmerIndex.lookup_jnp(keys_tbl, ids_tbl, cfg.nb, keys)
 
 
@@ -356,3 +359,24 @@ def _kscan_short_loop(cfg: KScanConfig, table, bases, lengths, left: bool):
     else:
         loc = jnp.where(hit, pos, BIG).min(axis=1)
     return any_hit, id0, loc
+
+
+@partial(jax.jit, static_argnames=("cfg", "short_left", "short_right"))
+def kscan_combined(cfg: KScanConfig, table, bases, lengths,
+                   short_left: bool, short_right: bool):
+    """Full scan + requested short-end scans in ONE compiled dispatch.
+    XLA shares the unpack/rolling-register work across the three scans;
+    one device round-trip per batch instead of three (the round-trip is
+    milliseconds on a remote-dispatch harness)."""
+    out = kscan_full(cfg, table, bases, lengths)
+    sl = (
+        kscan_short(cfg, table, bases, lengths, True)
+        if short_left
+        else None
+    )
+    sr = (
+        kscan_short(cfg, table, bases, lengths, False)
+        if short_right
+        else None
+    )
+    return out, sl, sr

@@ -509,15 +509,23 @@ class BucketKmerIndex:
     collapsed into a single coalesced row access.
     """
 
-    BUCKET = 8
+    BUCKET = 16
 
-    keys: np.ndarray  # int64 [nb, BUCKET], empty slots = -1
-    ids: np.ndarray  # int32 [nb, BUCKET], empty slots = 0
+    keys: np.ndarray  # int64 [nb, BUCKET]; packed: (key<<16|id), empty -1
+    ids: np.ndarray  # int32 [nb, BUCKET] (packed: empty [1, BUCKET])
     nb: int
     n: int
+    packed: bool = False
 
     @staticmethod
-    def build(keys: np.ndarray, ids: np.ndarray, fill: float = 0.5):
+    def build(keys: np.ndarray, ids: np.ndarray, fill: float = 0.5,
+              pack: bool = False):
+        """Wide buckets; with pack=True and keys fitting 47 bits (k<=23
+        incl. the length-tag bit) the layout is key48|id16 in one plane:
+        ONE [.., 16] int64 row-gather per lookup instead of two [.., 8]
+        gathers — measured 2.2x the lookup rate on a v5e (bench: gather
+        variants a vs c). Callers using the static unpacked lookup_jnp
+        must keep pack=False."""
         n = len(keys)
         B = BucketKmerIndex.BUCKET
         nb = 64
@@ -531,26 +539,60 @@ class BucketKmerIndex:
             if counts.max(initial=0) <= B or nb >= 1 << 28:
                 break
             nb *= 2
-        kt = np.full((nb, B), -1, dtype=np.int64)
-        it = np.zeros((nb, B), dtype=np.int32)
         order = np.argsort(h, kind="stable")
         hs = h[order]
         slot = np.arange(n) - np.searchsorted(hs, hs)  # rank within bucket
-        kt[hs, slot] = keys[order]
-        it[hs, slot] = ids[order]
-        return BucketKmerIndex(keys=kt, ids=it, nb=nb, n=n)
+        packed = pack and bool(
+            n == 0
+            or (
+                keys.min(initial=0) >= 0
+                and keys.max(initial=0) < (1 << 47)
+                and ids.min(initial=0) >= 0
+                and ids.max(initial=0) < (1 << 16)
+            )
+        )
+        if packed:
+            kt = np.full((nb, B), -1, dtype=np.int64)
+            kt[hs, slot] = (keys[order] << 16) | ids[order].astype(np.int64)
+            it = np.zeros((1, B), dtype=np.int32)
+        else:
+            kt = np.full((nb, B), -1, dtype=np.int64)
+            it = np.zeros((nb, B), dtype=np.int32)
+            kt[hs, slot] = keys[order]
+            it[hs, slot] = ids[order]
+        return BucketKmerIndex(keys=kt, ids=it, nb=nb, n=n, packed=packed)
 
     def lookup_np(self, query: np.ndarray) -> np.ndarray:
         h = (_mix64(query.astype(np.uint64)) & np.uint64(self.nb - 1)).astype(
             np.int64
         )
         rows_k = self.keys[h]  # [..., B]
+        if self.packed:
+            eq = (rows_k >> 16) == query[..., None]
+            return ((rows_k & 0xFFFF) * eq).sum(axis=-1).astype(np.int32)
         rows_i = self.ids[h]
         eq = rows_k == query[..., None]
         return (rows_i * eq).sum(axis=-1).astype(np.int32)
 
     def device_arrays(self):
         return jnp.asarray(self.keys), jnp.asarray(self.ids)
+
+    @staticmethod
+    def lookup_packed_jnp(ptbl, nb: int, query):
+        """Packed-layout lookup: ONE row gather."""
+        q = query.astype(jnp.uint64)
+        h = q
+        h = h ^ (h >> jnp.uint64(30))
+        h = h * jnp.uint64(0xBF58476D1CE4E5B9)
+        h = h ^ (h >> jnp.uint64(27))
+        h = h * jnp.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> jnp.uint64(31))
+        slot = (h & jnp.uint64(nb - 1)).astype(jnp.int32)
+        rows = ptbl[slot]  # [..., B] int64 — the only gather
+        eq = (rows >> jnp.int64(16)) == query[..., None]
+        return (
+            ((rows & jnp.int64(0xFFFF)) * eq).sum(axis=-1).astype(jnp.int32)
+        )
 
     @staticmethod
     def lookup_jnp(keys_tbl, ids_tbl, nb: int, query):

@@ -90,54 +90,82 @@ def bench_transfer():
     return {"bytes_per_sec": nbytes / dt, "batch_bytes": nbytes}
 
 
-def bench_bbduk_device():
-    """Config #1: adapter scan k=23 mink=11 hdist=1 ktrim=r, device only.
-    Uses the production scan graph (kscan_full + right-end short scan +
-    trim verdict) on the VMEM lane index."""
+def _bbduk_device_for_panel(scaffolds):
+    """Build the production device step for a reference panel; returns
+    (step_fn, index_name)."""
     import jax
     import jax.numpy as jnp
 
-    from bbtools_tpu.core.dna import encode
-    from bbtools_tpu.ops.bbduk_scan import KScanConfig, kscan_full, kscan_short
-    from bbtools_tpu.ops.encode import pack_bases_np, unpack_bases_jnp
+    from bbtools_tpu.ops.bbduk_scan import KScanConfig, kscan_combined
+    from bbtools_tpu.ops.encode import unpack_bases_jnp
     from bbtools_tpu.ops.kmer_index import BucketKmerIndex, build_ref_keys
     from bbtools_tpu.ops.lane_index import LaneKmerIndex
 
-    adapter = b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
     k = 23
-    keys, ids = build_ref_keys([encode(adapter)], k, mink=11, hdist=1)
-    idx = LaneKmerIndex.build(keys, ids)
+    keys, ids = build_ref_keys(scaffolds, k, mink=11, hdist=1)
+    idx = (
+        LaneKmerIndex.build(keys, ids)
+        if LaneKmerIndex.supports(len(keys))
+        else None
+    )
     if idx is not None:
         cfg = KScanConfig(k=k, mink=11, lane=idx.static_params())
     else:
-        idx = BucketKmerIndex.build(keys, ids)
-        cfg = KScanConfig(k=k, mink=11, nb=idx.nb)
+        idx = BucketKmerIndex.build(keys, ids, pack=True)
+        cfg = KScanConfig(k=k, mink=11, nb=idx.nb, packed=idx.packed)
     table = idx.device_arrays()
-
-    rng = _rng()
-    bases, lengths = make_reads(rng, adapter=encode(adapter))
-    packed, nmask = pack_bases_np(bases)
 
     @jax.jit
     def device_step(packed, nmask, lengths):
         bases = unpack_bases_jnp(packed, nmask, READ_LEN)
-        out = kscan_full(cfg, table, bases, lengths)
-        shortR = kscan_short(cfg, table, bases, lengths, False)
+        out, _, shortR = kscan_combined(cfg, table, bases, lengths,
+                                        False, True)
         keep_to = jnp.where(out["nhits"] > 0, out["min_loc"] - 1, lengths - 1)
         return out["nhits"], out["id0"], keep_to, shortR[0]
 
+    return device_step, type(idx).__name__, len(keys)
+
+
+def bench_bbduk_device():
+    """Config #1: adapter scan k=23 mink=11 hdist=1 ktrim=r, device only —
+    the production fused scan graph (full + short + verdict in one
+    dispatch), at BOTH panel scales: one adapter (VMEM lane index) and
+    the full bundled adapters.fa (packed HBM bucket index)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from bbtools_tpu.core.dna import encode
+    from bbtools_tpu.io.fasta import iter_fasta
+    from bbtools_tpu.ops.encode import pack_bases_np
+
+    adapter = b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
+    rng = _rng()
+    bases, lengths = make_reads(rng, adapter=encode(adapter))
+    packed, nmask = pack_bases_np(bases)
     dp, dn, dl = map(jnp.asarray, (packed, nmask, lengths))
 
-    def step():
-        return device_step(dp, dn, dl)
-
-    dt = timeit(step)
-    reads = BATCH
-    return {
-        "reads_per_sec": reads / dt,
-        "bases_per_sec": reads * READ_LEN / dt,
-        "index": type(idx).__name__,
-    }
+    out = {}
+    panels = {"1adapter": [encode(adapter)]}
+    res = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bbtools_tpu", "resources", "adapters.fa",
+    )
+    panels["adapters_fa"] = [encode(r.seq) for r in iter_fasta(res)]
+    for name, scafs in panels.items():
+        step_fn, idx_name, n_keys = _bbduk_device_for_panel(scafs)
+        dt = timeit(lambda: step_fn(dp, dn, dl))
+        out[name] = {
+            "reads_per_sec": BATCH / dt,
+            "bases_per_sec": BATCH * READ_LEN / dt,
+            "index": idx_name,
+            "n_keys": n_keys,
+        }
+    # headline = the full real panel (honest config)
+    out["bases_per_sec"] = out["adapters_fa"]["bases_per_sec"]
+    out["reads_per_sec"] = out["adapters_fa"]["reads_per_sec"]
+    return out
 
 
 def bench_bbduk_end_to_end(tmpdir):

@@ -84,3 +84,29 @@ def test_lane_index_declines_big_tables():
     rng = np.random.default_rng(5)
     # way above MAX_COST * LANES: supports() must gate it out
     assert not LaneKmerIndex.supports(LaneKmerIndex.MAX_COST * 128 + 1)
+
+
+def test_bucket_packed_layout_matches_unpacked():
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    keys = np.unique(
+        rng.integers(0, 1 << 46, 8000, dtype=np.int64) | (np.int64(1) << 46)
+    )[:5000]
+    ids = rng.integers(1, 1 << 15, len(keys), dtype=np.int32)
+    up = BucketKmerIndex.build(keys, ids)
+    pk = BucketKmerIndex.build(keys, ids, pack=True)
+    assert pk.packed and not up.packed
+    q = np.concatenate(
+        [keys[::2], rng.integers(0, 1 << 47, 4000, dtype=np.int64)]
+    )
+    rng.shuffle(q)
+    want = up.lookup_np(q)
+    np.testing.assert_array_equal(pk.lookup_np(q), want)
+    import jax.numpy as jnp
+
+    pt, _ = pk.device_arrays()
+    got = np.asarray(
+        BucketKmerIndex.lookup_packed_jnp(pt, pk.nb, jnp.asarray(q))
+    )
+    np.testing.assert_array_equal(got, want)
