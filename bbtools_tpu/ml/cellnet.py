@@ -153,12 +153,25 @@ def _open(path):
     return open(path)
 
 
+def _a48_to_float(tok: str) -> float:
+    """ByteBuilder.appendFloatA48 inverse: big-endian 6-bit symbols
+    (chr+48) of the float's raw 32-bit pattern."""
+    v = 0
+    for ch in tok:
+        v = (v << 6) | (ord(ch) - 48)
+    return float(
+        np.uint32(v & 0xFFFFFFFF).view(np.float32)
+    )
+
+
 def parse_bbnet(path: str) -> CellNet:
-    """Parse a dense concise .bbnet file (CellNetParser.java layout)."""
+    """Parse a dense concise .bbnet file (CellNetParser.java layout),
+    decimal or `#coding A48` float coding."""
     dims = None
     header = {}
     cutoff = 0.5
     cells = {}
+    a48 = False
     with _open(path) as fh:
         for line in fh:
             line = line.rstrip("\n")
@@ -167,6 +180,9 @@ def parse_bbnet(path: str) -> CellNet:
             if line.startswith("##ctf") or line.startswith("#ctf"):
                 cutoff = float(line.split()[-1])
             elif line.startswith("##"):
+                key = line[2:].split(None, 1)
+                if key:
+                    header[key[0]] = key[1] if len(key) > 1 else ""
                 continue
             elif line.startswith("#"):
                 parts = line.split(None, 1)
@@ -174,11 +190,18 @@ def parse_bbnet(path: str) -> CellNet:
                 header[key] = parts[1] if len(parts) > 1 else ""
                 if key == "dims":
                     dims = [int(v) for v in parts[1].split()]
+                elif key == "coding":
+                    a48 = parts[1].strip().upper() == "A48"
             elif line[0] in "CW":
                 f = line.split()
                 cid = int(f[0][1:])
                 typ = TYPES.index(f[1].upper())
-                vals = np.array([float(v) for v in f[2:]], np.float32)
+                if a48:
+                    vals = np.array(
+                        [_a48_to_float(v) for v in f[2:]], np.float32
+                    )
+                else:
+                    vals = np.array([float(v) for v in f[2:]], np.float32)
                 cells[cid] = (typ, vals[0], vals[1:])
     if dims is None:
         raise ValueError(f"{path}: no #dims header")

@@ -353,6 +353,111 @@ class Var:
             return 1.0
         return (min(plus, minus) + 1) / max(plus, minus)
 
+    def revised_allele_fraction(self, af, read_length_avg):
+        """Var.adjustForInsertionLength (Var.java:1696-1707): long
+        insertions near read ends underreport AF; adjust upward."""
+        if self.type != INS:
+            return af
+        ilen = self.readlen()
+        if ilen < 2:
+            return af
+        rlen = max(ilen * 1.2 + 6, read_length_avg)
+        sites = rlen + ilen - 1
+        good_sites = rlen - ilen * 1.1 - 6
+        expected = good_sites / sites
+        if expected <= 0:
+            return af
+        return min(af / expected, 1 - (1 - af) * 0.1)
+
+
+def scale_net_score(output: float, cutoff: float) -> float:
+    """Var.scaleNetScore (Var.java:1374): QUAL 20 at the net cutoff,
+    linear ramps below and above."""
+    if output <= cutoff:
+        return 20.0 * output / max(cutoff, 1e-9)
+    return 20.0 + 20.0 * (output - cutoff) / max(1.0 - cutoff, 1e-9)
+
+
+def count_nearby_vars(svars: list, dist: int = 20, gap: int = 2) -> list[int]:
+    """VarMap.countNearbyVars (VarMap.java:178-215) over the sorted
+    variant list: neighbors within `dist` of the target, chained with
+    inter-variant gaps <= `gap` (defaults VarFilter.java:351-353)."""
+    out = [0] * len(svars)
+    for i, v0 in enumerate(svars):
+        nearby = 0
+        prev = v0
+        for j in range(i - 1, -1, -1):
+            v = svars[j]
+            if v.scafnum != v0.scafnum:
+                break
+            if prev.start - v.stop > gap or v0.start - v.stop > dist:
+                break
+            nearby += 1
+            prev = v
+        prev = v0
+        for j in range(i + 1, len(svars)):
+            v = svars[j]
+            if v.scafnum != v0.scafnum:
+                break
+            if v.start - prev.stop > gap or v.start - v0.stop > dist:
+                break
+            nearby += 1
+            prev = v
+        out[i] = nearby
+    return out
+
+
+def _log2p1(x: float) -> float:
+    import math
+
+    return math.log(max(x, 0) + 1) / math.log(2)
+
+
+def make_ump45_vector(v: Var, pairing_rate, total_quality_avg,
+                      total_mapq_avg, read_length_avg, ploidy, ref,
+                      nearby: int, platform: int = 0) -> np.ndarray:
+    """VectorUMP45.makeVector (var2/VectorUMP45.java:32-120): the 33-dim
+    feature vector the bundled callvars_*.bbnet models consume."""
+    vec = np.zeros(33, np.float32)
+    count = v.allele_count()
+    af = v.allele_fraction()
+    vec[0] = 1.0 / ploidy
+    if v.type == SUB:
+        vec[1] = 1
+    elif v.type == INS:
+        vec[2] = 1
+    elif v.type == DEL:
+        vec[3] = 1
+    vec[4 + min(max(platform, 0), 3)] = 1
+    vec[8] = _log2p1(max(v.coverage, 0)) / 8
+    vec[9] = _log2p1(count) / 8
+    vec[10] = af
+    vec[11] = v.revised_allele_fraction(af, read_length_avg)
+    vec[12] = (v.mapQSum / count / 40) if count > 0 else 0
+    vec[13] = v.mapQMax / 40
+    vec[14] = (v.baseQSum / count / 40) if count > 0 else 0
+    vec[15] = v.baseQMax / 40
+    vec[16] = (2 * (v.idSum / count) * 0.001 - 1) if count > 0 else 0
+    vec[17] = 2 * v.idMax * 0.001 - 1
+    vec[18] = _log2p1(v.endDistSum / count) / 4 if count > 0 else 0
+    vec[19] = _log2p1(v.endDistMax) / 4
+    vec[20] = _log2p1(v.lengthSum / count if count > 0 else 0) / 4
+    vec[21] = _log2p1(max(v.reflen(), v.readlen())) / 8
+    vec[22] = v.strand_ratio()
+    vec[23] = event_prob(v.allele_plus(), v.allele_minus())
+    r1 = v.r1plus + v.r1minus
+    r2 = v.r2plus + v.r2minus
+    vec[24] = 1.0 if r1 + r2 == 0 else (min(r1, r2) + 1) / max(r1, r2)
+    vec[25] = event_prob(r1, r2)
+    vec[26] = 1.0 / (max(nearby, 0) + 1)
+    vec[27] = 0 if count == 0 else v.properPairCount / count
+    vec[28] = 1.0 / (v.homopolymer_count(ref) + 1)
+    # vec[29] composite score: disabled by default (includeScore=false)
+    vec[30] = _log2p1(v.contig_end_dist(ref)) / 8
+    vec[31] = 0  # reserved
+    vec[32] = 1.0 if ploidy > 1 else 0.0
+    return vec
+
 
 def _code(ascii_b):
     from ..core.dna import BASE_TO_CODE
@@ -587,12 +692,38 @@ def _calc_baseq(v, bstart, bstop, quals, readlen):
     return int(np.sum(s)) // max(len(s), 1)
 
 
+PLATFORMS = {"illumina": 0, "pacbio": 1, "nanopore": 2, "roche": 3}
+
+
+def choose_net(platform: int, ploidy: int) -> str:
+    """NNChooser.choose analog over the bundled nets."""
+    import os
+
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "resources")
+    if platform == 1:
+        name = "callvars_pacbio.bbnet"
+    elif ploidy > 2:
+        name = "callvars_illumina_polyploid.bbnet"
+    else:
+        name = "callvars_illumina_hap_dip.bbnet"
+    return os.path.join(here, name)
+
+
 class CallVariants:
     def __init__(self, ref: Reference, vfilter: VarFilter | None = None,
-                 ploidy: int = 1):
+                 ploidy: int = 1, nn: bool = False,
+                 net_file: str | None = None, platform: int = 0):
         self.ref = ref
         self.filter = vfilter or VarFilter()
         self.ploidy = ploidy
+        self.net = None
+        self.platform = platform
+        if nn:
+            from ..ml.cellnet import parse_bbnet
+
+            self.net = parse_bbnet(net_file or choose_net(platform, ploidy))
+            self.net_cutoff = self.net.cutoff
         self.varmap: dict = {}
         self.coverage = [
             np.zeros(int(length), dtype=np.int32) for length in ref.lengths
@@ -803,9 +934,31 @@ class CallVariants:
                     b"#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
                     b"\tFORMAT\tSAMPLE\n"
                 )
-            for key in sorted(self.varmap):
-                v = self.varmap[key]
-                phred = v.phred_score(*args)
+            svars = [self.varmap[key] for key in sorted(self.varmap)]
+            nearby = count_nearby_vars(svars)
+            nn_scores = None
+            if self.net is not None and svars:
+                feats = np.stack(
+                    [
+                        make_ump45_vector(
+                            v, self.pairing_rate, self.total_quality_avg,
+                            self.total_mapq_avg, self.read_length_avg,
+                            self.ploidy, self.ref, nearby[i], self.platform,
+                        )
+                        for i, v in enumerate(svars)
+                    ]
+                )
+                raw = np.maximum(self.net.apply(feats).reshape(-1), 0)
+                nn_scores = [
+                    scale_net_score(float(x), self.net_cutoff) for x in raw
+                ]
+            for vi, v in enumerate(svars):
+                # QUAL = composite phred, or the cutoff-scaled NN score
+                # when a net is loaded (Var.java:1040)
+                phred = (
+                    nn_scores[vi] if nn_scores is not None
+                    else v.phred_score(*args)
+                )
                 passes = f.passes(
                     v, self.pairing_rate, self.total_quality_avg,
                     self.total_mapq_avg, self.read_length_avg, self.ploidy,
@@ -847,10 +1000,10 @@ class CallVariants:
                 )
                 if samples:
                     sample = b"\t".join(
-                        cv.sample_column(key) for _, cv in samples
+                        cv.sample_column(v.key()) for _, cv in samples
                     )
                 else:
-                    sample = self.sample_column(key)
+                    sample = self.sample_column(v.key())
                 fh.write(
                     b"%s\t%d\t.\t%s\t%s\t%.2f\t%s\t%s\tGT:DP:AD:AF\t%s\n"
                     % (
@@ -876,6 +1029,11 @@ def main(argv=None):
     f.min_score = a.get_float("minscore", default=20.0)
     f.min_allele_depth = a.get_int("minreads", "minad", default=2)
     realign = a.get_bool("realign", default=False)
+    nn = a.get_bool("nn", "usenet", "usenn", "useann", default=False)
+    net_file = a.get("net", "netfile")
+    platform = PLATFORMS.get(
+        (a.get("platform") or "illumina").lower(), 0
+    )
     multi = a.get_bool("multisample", "multi", default=False)
     sams = [p.strip() for p in (sam or "").split(",") if p.strip()]
     if multi and len(sams) > 1:
@@ -883,7 +1041,8 @@ def main(argv=None):
         # provide the FORMAT columns (CallVariants multisample mode)
         import os
 
-        cv = CallVariants(ref, f, ploidy=ploidy)
+        cv = CallVariants(ref, f, ploidy=ploidy, nn=nn, net_file=net_file,
+                          platform=platform)
         per = []
         for p in sams:
             cvs = CallVariants(ref, f, ploidy=ploidy)
@@ -893,7 +1052,8 @@ def main(argv=None):
         cv.finish()
         n_pass = cv.write_vcf(out, samples=per) if out else 0
     else:
-        cv = CallVariants(ref, f, ploidy=ploidy)
+        cv = CallVariants(ref, f, ploidy=ploidy, nn=nn, net_file=net_file,
+                          platform=platform)
         for p in sams:
             cv.add_sam(p, realign=realign)
         cv.finish()

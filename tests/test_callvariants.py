@@ -230,3 +230,67 @@ def test_multisample_vcf(tmp_path):
     assert by_pos[1001][10].startswith("0:")
     assert by_pos[2001][10].startswith(("1:", "0/1:"))
     assert by_pos[2001][9].startswith("0:")
+
+
+def test_callvariants_nn_scoring(tmp_path, capfd):
+    """nn=t loads the bundled UMP45 net; QUAL becomes the cutoff-scaled
+    NN score (Var.java:1040) and true variants still pass while the
+    vector stays finite/reasonable."""
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.bbmap import BBMap, BBMapConfig
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+    from bbtools_tpu.models.callvariants import main as cv_main
+    from bbtools_tpu.utils.synth import (
+        mutate_genome,
+        random_genome,
+        random_reads,
+        write_reads,
+    )
+
+    g = random_genome(30_000, seed=12)
+    write_fasta(str(tmp_path / "ref.fa"), g)
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    mutated, muts = mutate_genome(ref, sub_rate=0.003, seed=3)
+    write_fasta(
+        str(tmp_path / "mut.fa"),
+        [(b"scaffold_0", CODE_TO_BASE[np.minimum(mutated[0], 4)].tobytes())],
+    )
+    mref = load_reference(str(tmp_path / "mut.fa"))
+    reads = random_reads(mref, 3000, read_len=100, snp_rate=0.001, seed=4)
+    write_reads(str(tmp_path / "r.fq"), reads)
+    idx = SeedIndex.build(ref, k=13)
+    BBMap(
+        BBMapConfig(in1=str(tmp_path / "r.fq"), out=str(tmp_path / "m.sam"),
+                    batch_reads=256),
+        index=idx,
+    ).run()
+    cv_main([
+        f"in={tmp_path}/m.sam", f"ref={tmp_path}/ref.fa",
+        f"vcf={tmp_path}/nn.vcf", "nn=t", "minscore=10",
+    ])
+    body = [
+        ln for ln in (tmp_path / "nn.vcf").read_bytes().splitlines()
+        if ln and not ln.startswith(b"#")
+    ]
+    assert len(body) >= 10
+    quals = [float(ln.split(b"\t")[5]) for ln in body]
+    assert all(np.isfinite(quals))
+    # net QUAL scale: 20 at the cutoff. True SNPs at ~10x coverage score
+    # above it; error-derived low-depth variants score below — the net
+    # discriminates (at least ~half the 97 planted SNPs confidently pass)
+    assert sum(q > 20 for q in quals) >= 50, sorted(quals)[-5:]
+    assert sum(q < 20 for q in quals) >= 50  # noise variants rejected
+    # and differs from the composite-score run
+    cv_main([
+        f"in={tmp_path}/m.sam", f"ref={tmp_path}/ref.fa",
+        f"vcf={tmp_path}/plain.vcf", "minscore=10",
+    ])
+    body2 = [
+        ln for ln in (tmp_path / "plain.vcf").read_bytes().splitlines()
+        if ln and not ln.startswith(b"#")
+    ]
+    q2 = [float(ln.split(b"\t")[5]) for ln in body2]
+    assert quals != q2
