@@ -350,6 +350,7 @@ TOOLS = {
     "taxonomy": _taxonomy,
     "taxtree": _taxonomy,
     "filterbytaxa": _filterbytaxa,
+    "novademux": lambda a: _lazy("novademux", "main", a),
     "filterbyname": lambda a: _lazy("filtertools", "filterbyname", a),
     "filterbysequence": lambda a: _lazy("filtertools", "filterbysequence", a),
     "filtersam": lambda a: _lazy("filtertools", "filtersam", a),

