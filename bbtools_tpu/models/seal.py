@@ -2,13 +2,14 @@
 
 BBDuk with per-REFERENCE values. Unlike BBDuk's single-id tables, Seal
 k-mers are MULTI-VALUED: a k-mer shared by several references credits all
-of them (Seal.java keeps id lists per kmer). Here the per-kmer value is a
-REFERENCE BITSET (bit rid-1), OR-merged at build — so the one-gather
-bucket lookup stays unchanged and per-ref votes are popcounts over the
+of them (Seal.java keeps id lists per kmer). Here the per-kmer value is an
+int32 COMBO id into a distinct-bitset table (W x 62-bit words per row,
+OR-merged at build) — the one-gather bucket lookup stays unchanged for
+ANY number of reference files, and per-ref votes are bit tests over the
 scan plane (TPU-native: no lists, no extra gathers). Reads are attributed
 per `ambig=` (first | all | toss | best; Seal.java:280-291). Outputs
 per-ref read/base counts (refstats format) and optional per-ref FASTQs
-(pattern out=%.fq). Bitset values cap at 30 reference files for now.
+(pattern out=%.fq).
 """
 
 from __future__ import annotations
@@ -39,46 +40,58 @@ def main(argv=None):
     ambig = (a.get("ambiguous", "ambig") or "first").lower()
     t0 = time.time()
     # one id per REFERENCE FILE (Seal's ref-level attribution); scaffolds
-    # within a file share the id
-    if len(refs) > 30:
-        raise ValueError("seal: more than 30 reference files not yet supported")
-    # per-ref key sets (dedup inside one ref is harmless: same bit),
-    # then OR-merge the bitsets of keys shared ACROSS refs
+    # within a file share the id. Bitsets are W x 62-bit words; the
+    # bucket index stores an int32 COMBO id into the distinct-bitset
+    # table, so any number of reference files works (the sharing combos
+    # are few even when refs are many).
+    nref = len(refs)
+    W = max(1, (nref + 61) // 62)
     all_keys = []
-    all_masks = []
+    all_rid = []
     names = []
     for rid, path in enumerate(refs, start=1):
         names.append(path.encode())
         scaffolds = [encode(rec.seq) for rec in iter_fasta(path)]
         rk, _ = build_ref_keys(scaffolds, k)
+        # dedup inside one ref (same bit): harmless but shrinks the sort
+        rk = np.unique(rk)
         all_keys.append(rk)
-        all_masks.append(
-            np.full(len(rk), np.int64(1) << (rid - 1), dtype=np.int64)
-        )
+        all_rid.append(np.full(len(rk), rid, dtype=np.int64))
     keys = np.concatenate(all_keys)
-    masks = np.concatenate(all_masks)
+    rids = np.concatenate(all_rid)
     order = np.argsort(keys, kind="stable")
-    sk, sm = keys[order], masks[order]
+    sk, sr = keys[order], rids[order]
     group_start = np.flatnonzero(
         np.concatenate([[True], sk[1:] != sk[:-1]])
     )
-    or_masks = np.bitwise_or.reduceat(sm, group_start)
-    idx = BucketKmerIndex.build(sk[group_start], or_masks.astype(np.int32))
+    rows = np.zeros((len(group_start), W), np.int64)
+    for w in range(W):
+        word_mask = np.where(
+            (sr - 1) // 62 == w, np.int64(1) << ((sr - 1) % 62), np.int64(0)
+        )
+        rows[:, w] = np.bitwise_or.reduceat(word_mask, group_start)
+    combos, inverse = np.unique(rows, axis=0, return_inverse=True)
+    # combo id 0 = miss: prepend a zero row
+    combo_table = np.vstack([np.zeros((1, W), np.int64), combos])
+    idx = BucketKmerIndex.build(
+        sk[group_start], (inverse + 1).astype(np.int32)
+    )
     cfg = KScanConfig(k=k, nb=idx.nb)
     table = idx.device_arrays()
-    nref = len(refs)
     read_counts = np.zeros(nref + 1, dtype=np.int64)
     base_counts = np.zeros(nref + 1, dtype=np.int64)
     writers = {}
     reader = FastqReader(in1)
     for b in reader:
         out = kscan_full(cfg, table, jnp.asarray(b.bases), jnp.asarray(b.lengths))
-        ids_pos = np.asarray(out["ids"])  # [B, L] ref bitsets per position
+        ids_pos = np.asarray(out["ids"])  # [B, L] combo ids per position
         B = b.n
-        # votes per ref per read: popcount of bit rid-1 over positions
+        # votes per ref per read: expand combo id -> bitset word, test bit
         votes = np.zeros((nref + 1, B), dtype=np.int64)
         for rid in range(1, nref + 1):
-            votes[rid] = ((ids_pos >> (rid - 1)) & 1).sum(axis=1)
+            w, bit = (rid - 1) // 62, (rid - 1) % 62
+            bits = (combo_table[ids_pos, w] >> np.int64(bit)) & 1
+            votes[rid] = bits.sum(axis=1)
         best_votes = votes[1:].max(axis=0)
         best = np.where(
             best_votes >= mkh, votes[1:].argmax(axis=0) + 1, 0

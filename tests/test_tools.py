@@ -1033,3 +1033,44 @@ def test_icecream_batch_equals_sequential():
     want = [check_read(r, cfg) for r in reads]
     assert got == want
     assert any(v[0] for v in want)  # some artifacts detected
+
+
+def test_seal_many_reference_files(tmp_path):
+    """>30 reference files (the old bitset-width cap) attribute reads
+    correctly via the combo-bitset table."""
+    import numpy as np
+
+    from bbtools_tpu.models.seal import main as seal_main
+
+    rng = np.random.default_rng(55)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    n_refs = 40
+    seqs = []
+    for r in range(n_refs):
+        seq = ACGT[rng.integers(0, 4, 400)].tobytes()
+        p = tmp_path / f"ref{r:02d}.fa"
+        p.write_bytes(b">r%d\n%s\n" % (r, seq))
+        seqs.append(seq)
+    recs = []
+    for i in range(120):
+        src = i % n_refs
+        start = int(rng.integers(0, 300))
+        recs.append(
+            b"@q%d_src%d\n%s\n+\n%s\n"
+            % (i, src, seqs[src][start : start + 100], b"I" * 100)
+        )
+    (tmp_path / "reads.fq").write_bytes(b"".join(recs))
+    refs = ",".join(str(tmp_path / f"ref{r:02d}.fa") for r in range(n_refs))
+    seal_main([
+        f"in={tmp_path}/reads.fq", f"ref={refs}",
+        f"stats={tmp_path}/refstats.txt", "k=31",
+    ])
+    rows = [
+        ln.split(b"\t")
+        for ln in (tmp_path / "refstats.txt").read_bytes().splitlines()[1:]
+        if ln and not ln.startswith(b"#")
+    ]
+    by_ref = {r[0].rsplit(b"/", 1)[-1]: int(r[1]) for r in rows}
+    # every ref (incl. index > 30) got its 3 reads
+    for r in range(n_refs):
+        assert by_ref.get(b"ref%02d.fa" % r, 0) == 3, (r, by_ref)
