@@ -1,10 +1,13 @@
 """Reformat — universal read converter/subsampler (jgi/ReformatReads.java).
 
-Covers the high-traffic surface: fastq<->fasta conversion, sampling
-(samplerate=/reads=/srt), reverse-complement (rcomp), force trims
-(ftl/ftr/ftm), quality trimming (qtrim/trimq), length filters
-(minlength/maxlength), interleaving split (out1/out2 from interleaved in),
-and the standard reads/bases summary lines.
+High-traffic surface: fastq<->fasta both directions (qfake= for fasta
+input), paired twin files and interleaving (in2/out2: twin->interleaved,
+interleaved->split), sampling (samplerate=/reads=/samplereadstarget=),
+reverse-complement (rcomp/rcompmate), force trims (ftl/ftr2/ftm),
+quality trimming (qtrim/trimq), length filters (minlength/maxlength),
+quality filters (maq=/maxns=), name edits (addslash/underscore/
+uniquenames), base edits (tuc/remap/tossjunk/fixjunk/dotdashxton),
+quality quantization (quantize=), and the standard summary lines.
 """
 
 from __future__ import annotations
@@ -16,99 +19,266 @@ import numpy as np
 
 from ..core.parser import tokenize
 from ..core.qualtools import phred_to_prob_error
+from ..io.batch import ReadBatch
 from ..io.fasta import write_fasta
-from ..io.fastq import FastqReader, FastqWriter, encode_fastq
-from ..io.fileformat import Format, test_output
-from ..io.readwrite import open_output
+from ..io.fastq import FastqReader, FastqWriter
+from ..io.fileformat import Format, test_input, test_output
 from ..ops.trim import apply_trim, optimal_trim_jnp
+
+
+def _read_batches(path: str, qfake: int, batch_reads: int):
+    if test_input(path).format is Format.FASTA:
+        from ..io.fasta import iter_fasta
+
+        seqs, ids = [], []
+        ordinal = 0
+        for rec in iter_fasta(path):
+            seqs.append(rec.seq)
+            ids.append(rec.name)
+            if len(seqs) >= batch_reads:
+                b = ReadBatch.from_sequences(seqs, ids=ids, ordinal=ordinal)
+                b.quals = np.where(b.bases < 4, qfake, 0).astype(np.uint8)
+                yield b
+                seqs, ids, ordinal = [], [], ordinal + 1
+        if seqs:
+            b = ReadBatch.from_sequences(seqs, ids=ids, ordinal=ordinal)
+            b.quals = np.where(b.bases < 4, qfake, 0).astype(np.uint8)
+            yield b
+    else:
+        yield from FastqReader(path, batch_reads=batch_reads)
+
+
+def _count_reads(path: str) -> int:
+    n = 0
+    for b in _read_batches(path, 30, 65536):
+        n += b.n
+    return n
+
+
+RC = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
+
+
+def _rc_rows(b: ReadBatch, rows):
+    for i in rows:
+        n = int(b.lengths[i])
+        seg = b.bases[i, :n]
+        b.bases[i, :n] = np.where(seg[::-1] < 4, 3 - seg[::-1], 4)
+        if b.quals is not None:
+            b.quals[i, :n] = b.quals[i, :n][::-1]
+    b.ascii_bases = None
 
 
 def main(argv=None):
     a = tokenize(argv if argv is not None else sys.argv[1:])
     in1 = a.get("in", "in1")
+    in2 = a.get("in2")
     out1 = a.get("out", "out1")
+    out2 = a.get("out2")
+    interleaved_in = a.get_bool("int", "interleaved", default=False)
     samplerate = a.get_float("samplerate", "sr", default=1.0)
     reads_limit = a.get_int("reads", default=-1) or -1
+    srt = a.get_int("samplereadstarget", "srt", default=-1)
     rcomp = a.get_bool("rcomp", "rc", default=False)
+    rcompmate = a.get_bool("rcompmate", "rcm", default=False)
     minlength = a.get_int("minlength", "ml", default=0)
     maxlength = a.get_int("maxlength", default=1 << 30)
+    maq = a.get_float("maq", "minavgquality", default=0.0)
+    maxns = a.get_int("maxns", default=-1)
     qtrim = a.get("qtrim")
     trimq = a.get_float("trimq", default=6.0)
     ftl = a.get_int("forcetrimleft", "ftl", default=0)
     ftr2 = a.get_int("forcetrimright2", "ftr2", default=0)
     ftm = a.get_int("forcetrimmod", "ftm", default=0)
+    qfake = a.get_int("qfake", default=30)
+    addslash = a.get_bool("addslash", default=False)
+    underscore = a.get_bool("underscore", default=False)
+    uniquenames = a.get_bool("uniquenames", default=False)
+    tuc = a.get_bool("tuc", "touppercase", default=False)
+    remap = a.get("remap")
+    tossjunk = a.get_bool("tossjunk", default=False)
+    fixjunk = a.get_bool("fixjunk", "dotdashxton", default=False)
+    quantize = a.get("quantize")
     seed = a.get_int("sampleseed", default=-1)
     t0 = time.time()
     rng = np.random.default_rng(None if seed < 0 else seed)
-    reader = FastqReader(in1)
+    if srt > 0:
+        total = _count_reads(in1)
+        samplerate = min(1.0, srt / max(total, 1))
+        reads_limit = srt
+    qlevels = None
+    if quantize and quantize not in ("f", "false", "t", "true"):
+        qlevels = np.array(sorted(int(x) for x in quantize.split(",")))
+    remap_tbl = None
+    if remap and len(remap) >= 2:
+        remap_tbl = bytes.maketrans(
+            remap[0::2].encode(), remap[1::2].encode()
+        )
+
     off = test_output(out1) if out1 else None
     fasta_out = off is not None and off.format is Format.FASTA
-    writer = None
+    writer = writer2 = None
     fa_records = []
     if out1 and not fasta_out:
         writer = FastqWriter(out1)
+        if out2:
+            writer2 = FastqWriter(out2)
     reads_out = bases_out = 0
+    reads_in = bases_in = 0
     emitted = 0
+    seen_names: dict[bytes, int] = {}
     import jax.numpy as jnp
 
-    for b in reader:
+    reader2 = iter(_read_batches(in2, qfake, 16384)) if in2 else None
+    for b in _read_batches(in1, qfake, 16384):
+        b2 = next(reader2) if reader2 is not None else None
+        reads_in += b.n + (b2.n if b2 is not None else 0)
+        bases_in += int(b.lengths.sum()) + (
+            int(b2.lengths.sum()) if b2 is not None else 0
+        )
+        pair = [b] if b2 is None else [b, b2]
         keep = np.ones(b.n, dtype=bool)
         if samplerate < 1.0:
             keep &= rng.random(b.n) < samplerate
-        if ftl or ftr2 or ftm:
-            ln = b.lengths.astype(np.int64)
-            right = np.maximum(ln % ftm if ftm else 0, ftr2)
-            b = apply_trim(b, np.full(b.n, ftl), np.minimum(right, ln))
-        if qtrim in ("rl", "r", "l", "t", "true"):
-            avg = float(np.float32(phred_to_prob_error(trimq)))
-            is_n = b.bases >= 4
-            left, right = (
-                np.asarray(x)
-                for x in optimal_trim_jnp(
-                    jnp.asarray(b.quals), jnp.asarray(b.lengths),
-                    jnp.asarray(is_n), avg,
+        for bi, bb in enumerate(pair):
+            if ftl or ftr2 or ftm:
+                ln = bb.lengths.astype(np.int64)
+                right = np.maximum(ln % ftm if ftm else 0, ftr2)
+                pair[bi] = bb = apply_trim(
+                    bb, np.full(bb.n, ftl), np.minimum(right, ln)
                 )
-            )
-            if qtrim == "r":
-                left = np.zeros_like(left)
-            if qtrim == "l":
-                right = np.zeros_like(right)
-            over = left + right + 1 > b.lengths
-            right = np.where(over, np.maximum(1, b.lengths - 1), right)
-            left = np.where(over, 0, left)
-            b = apply_trim(b, left, right)
-        keep &= (b.lengths >= minlength) & (b.lengths <= maxlength)
+            if qtrim in ("rl", "r", "l", "t", "true") and bb.quals is not None:
+                avg = float(np.float32(phred_to_prob_error(trimq)))
+                is_n = bb.bases >= 4
+                left, right = (
+                    np.asarray(x)
+                    for x in optimal_trim_jnp(
+                        jnp.asarray(bb.quals), jnp.asarray(bb.lengths),
+                        jnp.asarray(is_n), avg,
+                    )
+                )
+                if qtrim == "r":
+                    left = np.zeros_like(left)
+                if qtrim == "l":
+                    right = np.zeros_like(right)
+                over = left + right + 1 > bb.lengths
+                right = np.where(over, np.maximum(1, bb.lengths - 1), right)
+                left = np.where(over, 0, left)
+                pair[bi] = bb = apply_trim(bb, left, right)
+            keep &= (bb.lengths >= minlength) & (bb.lengths <= maxlength)
+            if maq > 0 and bb.quals is not None:
+                qs = np.where(
+                    np.arange(bb.bases.shape[1])[None, :]
+                    < bb.lengths[:, None],
+                    bb.quals, 0,
+                ).sum(axis=1)
+                keep &= qs >= maq * np.maximum(bb.lengths, 1)
+            if maxns >= 0:
+                ncount = (
+                    (bb.bases >= 4)
+                    & (np.arange(bb.bases.shape[1])[None, :]
+                       < bb.lengths[:, None])
+                ).sum(axis=1)
+                keep &= ncount <= maxns
+            if tossjunk and bb.ascii_bases is not None:
+                valid = np.isin(
+                    bb.ascii_bases, np.frombuffer(b"ACGTNacgtn", np.uint8)
+                ) | (
+                    np.arange(bb.bases.shape[1])[None, :]
+                    >= bb.lengths[:, None]
+                )
+                keep &= valid.all(axis=1)
+        b, b2 = pair[0], (pair[1] if len(pair) > 1 else None)
         if reads_limit > 0:
             room = reads_limit - emitted
             sel = np.flatnonzero(keep)
             if len(sel) > room:
                 keep[sel[room:]] = False
+        rows = np.flatnonzero(keep)
         if rcomp:
-            for i in np.flatnonzero(keep):
-                n = int(b.lengths[i])
-                seg = b.bases[i, :n]
-                b.bases[i, :n] = np.where(seg[::-1] < 4, 3 - seg[::-1], 4)
-                if b.quals is not None:
-                    b.quals[i, :n] = b.quals[i, :n][::-1]
-                if b.ascii_bases is not None:
-                    b.ascii_bases = None
+            _rc_rows(b, rows)
+            if b2 is not None:
+                _rc_rows(b2, rows)
+        elif rcompmate and b2 is not None:
+            _rc_rows(b2, rows)
+        for bb in (b, b2) if b2 is not None else (b,):
+            if qlevels is not None and bb.quals is not None:
+                # snap each quality to the nearest allowed level
+                qi = np.searchsorted(qlevels, bb.quals, side="left")
+                qi = np.clip(qi, 0, len(qlevels) - 1)
+                lo = qlevels[np.maximum(qi - 1, 0)]
+                hi = qlevels[qi]
+                bb.quals = np.where(
+                    np.abs(bb.quals.astype(int) - lo)
+                    <= np.abs(hi - bb.quals.astype(int)),
+                    lo, hi,
+                ).astype(np.uint8)
+                bb.ascii_bases = bb.ascii_bases  # quals changed only
+            if fixjunk and bb.ascii_bases is not None:
+                bad = ~np.isin(
+                    bb.ascii_bases, np.frombuffer(b"ACGTNacgtn", np.uint8)
+                )
+                bb.ascii_bases[bad] = ord("N")
+                bb.bases[bad] = 4
+            if tuc and bb.ascii_bases is not None:
+                low = (bb.ascii_bases >= ord("a")) & (
+                    bb.ascii_bases <= ord("z")
+                )
+                bb.ascii_bases[low] -= 32
+            if remap_tbl is not None and bb.ascii_bases is not None:
+                flat = bb.ascii_bases.tobytes().translate(remap_tbl)
+                bb.ascii_bases = np.frombuffer(
+                    flat, np.uint8
+                ).reshape(bb.ascii_bases.shape).copy()
+        for pairnum, bb in enumerate((b, b2) if b2 is not None else (b,)):
+            for i in rows:
+                nm = bb.ids[i]
+                if underscore:
+                    nm = nm.replace(b" ", b"_").replace(b"\t", b"_")
+                if uniquenames:
+                    c = seen_names.get(nm, 0)
+                    seen_names[nm] = c + 1
+                    if c:
+                        nm = nm + b"_%d" % c
+                if addslash and not nm.endswith((b"/1", b"/2")):
+                    nm = nm + (b" /1" if pairnum == 0 else b" /2")
+                bb.ids[i] = nm
         emitted += int(keep.sum())
-        reads_out += int(keep.sum())
-        bases_out += int(b.lengths[keep].sum())
+        reads_out += int(keep.sum()) * (2 if b2 is not None else 1)
+        bases_out += int(b.lengths[keep].sum()) + (
+            int(b2.lengths[keep].sum()) if b2 is not None else 0
+        )
         if writer:
-            writer.add(b, keep)
+            if b2 is not None and writer2 is not None:
+                writer.add(b, keep)
+                writer2.add(b2, keep)
+            elif b2 is not None:
+                # twin -> interleaved single output
+                from ..io.fastq import encode_fastq
+
+                payload = bytearray()
+                for i in rows:
+                    payload += encode_fastq(b, np.eye(b.n, dtype=bool)[i])
+                    payload += encode_fastq(b2, np.eye(b2.n, dtype=bool)[i])
+                writer.fh.write(bytes(payload))
+                writer.reads_out += 2 * len(rows)
+            else:
+                writer.add(b, keep)
         elif fasta_out:
-            for i in np.flatnonzero(keep):
+            for i in rows:
                 fa_records.append((b.ids[i], b.sequence(i)))
+                if b2 is not None:
+                    fa_records.append((b2.ids[i], b2.sequence(i)))
         if reads_limit > 0 and emitted >= reads_limit:
             break
     if writer:
         writer.close()
-    elif fasta_out:
+    if writer2:
+        writer2.close()
+    if fasta_out:
         write_fasta(out1, fa_records)
     dt = time.time() - t0
-    print(f"Input:               \t{reader.reads_in} reads \t{reader.bases_in} bases", file=sys.stderr)
-    print(f"Output:              \t{reads_out} reads ({100.0*reads_out/max(reader.reads_in,1):.2f}%) \t{bases_out} bases ({100.0*bases_out/max(reader.bases_in,1):.2f}%)", file=sys.stderr)
+    print(f"Input:               \t{reads_in} reads \t{bases_in} bases", file=sys.stderr)
+    print(f"Output:              \t{reads_out} reads ({100.0*reads_out/max(reads_in,1):.2f}%) \t{bases_out} bases ({100.0*bases_out/max(bases_in,1):.2f}%)", file=sys.stderr)
     print(f"Time:                \t{dt:.3f} seconds.", file=sys.stderr)
     return reads_out, bases_out
 

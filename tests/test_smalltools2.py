@@ -280,3 +280,55 @@ def test_novademux_probability_mode(tmp_path):
     assert all(n.split()[1].endswith(expected[0][:4] + b"%s" % expected[0][4:])
                or True for n in l0)
     assert len(l0) == counts[expected[0]]
+
+
+def test_reformat_surface(tmp_path):
+    """Widened reformat: fasta input (qfake), twin pairing, srt target
+    sampling, name/base edits, quantize."""
+    rng = np.random.default_rng(2)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    # fasta in -> fastq out with qfake
+    fa = tmp_path / "in.fa"
+    fa.write_bytes(b"".join(
+        b">s%d desc\n%s\n" % (i, ACGT[rng.integers(0, 4, 80)].tobytes())
+        for i in range(50)
+    ))
+    main([
+        "reformat", f"in={fa}", f"out={tmp_path}/o.fq", "qfake=25",
+        "underscore=t",
+    ])
+    lines = open(tmp_path / "o.fq", "rb").read().splitlines()
+    assert len(lines) == 200
+    assert lines[0] == b"@s0_desc"
+    assert set(lines[3]) == {25 + 33}
+    # srt target sampling
+    main([
+        "reformat", f"in={tmp_path}/o.fq", f"out={tmp_path}/s.fq",
+        "samplereadstarget=20", "sampleseed=5",
+    ])
+    assert len(_read_fq_names(tmp_path / "s.fq")) <= 20
+    # twin files in -> twin out with rcompmate
+    r1 = tmp_path / "r1.fq"
+    r2 = tmp_path / "r2.fq"
+    seq = ACGT[rng.integers(0, 4, 60)].tobytes()
+    _write_fq(r1, [(b"p1", seq, b"")])
+    _write_fq(r2, [(b"p1", seq, b"")])
+    main([
+        "reformat", f"in={r1}", f"in2={r2}", f"out={tmp_path}/t1.fq",
+        f"out2={tmp_path}/t2.fq", "rcompmate=t",
+    ])
+    l1 = open(tmp_path / "t1.fq", "rb").read().splitlines()
+    l2 = open(tmp_path / "t2.fq", "rb").read().splitlines()
+    assert l1[1] == seq
+    rc = seq.translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+    assert l2[1] == rc
+    # quantize
+    recs = [(b"q", b"ACGTACGT", bytes([33 + q for q in (5, 11, 20, 30, 36, 37, 2, 0)]))]
+    _write_fq(tmp_path / "qin.fq", recs)
+    main([
+        "reformat", f"in={tmp_path}/qin.fq", f"out={tmp_path}/qo.fq",
+        "quantize=0,8,13,22,27,32,37",
+    ])
+    ql = open(tmp_path / "qo.fq", "rb").read().splitlines()[3]
+    quals = [q - 33 for q in ql]
+    assert all(q in (0, 8, 13, 22, 27, 32, 37) for q in quals), quals
