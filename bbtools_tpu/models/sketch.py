@@ -27,7 +27,11 @@ from ..core.dna import encode
 from ..ops.kmers import rolling_kmers_np
 
 
-def sketch_sequences(seq_iter, k: int = 31, size: int = 10000) -> np.ndarray:
+def sketch_sequences(seq_iter, k: int = 31, size: int = 10000,
+                     blacklist: np.ndarray | None = None) -> np.ndarray:
+    """Bottom-k sketch; `blacklist` (sorted uint64 hashes) excludes
+    over-represented keys before selection (SketchObject blacklist
+    semantics, sketch/Blacklist.java)."""
     best = np.zeros(0, dtype=np.uint64)
     for codes in seq_iter:
         if len(codes) < k:
@@ -36,23 +40,88 @@ def sketch_sequences(seq_iter, k: int = 31, size: int = 10000) -> np.ndarray:
         valid = runlen[0] >= k
         keys = np.maximum(fwd[0][valid], rkm[0][valid])
         h = _mix64(keys.astype(np.uint64))
+        if blacklist is not None and len(blacklist):
+            pos = np.searchsorted(blacklist, h)
+            pos = np.minimum(pos, len(blacklist) - 1)
+            h = h[blacklist[pos] != h]
         merged = np.concatenate([best, h])
         merged = np.unique(merged)
         best = merged[:size]
     return best
 
 
-def sketch_file(path: str, k: int = 31, size: int = 10000) -> np.ndarray:
+def sketch_file(path: str, k: int = 31, size: int = 10000,
+                blacklist: np.ndarray | None = None) -> np.ndarray:
     ff = test_input(path)
     if ff.format is Format.FASTA:
         return sketch_sequences(
-            (encode(rec.seq) for rec in iter_fasta(path)), k, size
+            (encode(rec.seq) for rec in iter_fasta(path)), k, size, blacklist
         )
     def reads():
         for b in FastqReader(path):
             for i in range(b.n):
                 yield b.bases[i, : b.lengths[i]]
-    return sketch_sequences(reads(), k, size)
+    return sketch_sequences(reads(), k, size, blacklist)
+
+
+def _a48_value(tok: bytes) -> int:
+    v = 0
+    for ch in tok:
+        v = (v << 6) | (ch - 48)
+    return v
+
+
+def read_reference_sketch(path: str):
+    """Parse the reference's .sketch coding (sketch/SketchObject: header
+    line `#SZ:n CD:AD ...` then one A48-coded DELTA per line of the
+    ascending hash list). Returns (sorted uint64 hashes, header dict).
+    Used for the bundled blacklist_* files and for comparing against
+    reference-built sketch DBs."""
+    from ..io.readwrite import open_input
+
+    hashes = []
+    header = {}
+    cur = 0
+    with open_input(path) as fh:
+        for line in fh.read().splitlines():
+            if not line:
+                continue
+            if line.startswith(b"#"):
+                if hashes:
+                    break  # next sketch record: blacklists hold one
+                for kv in line[1:].split(b"	"):
+                    if b":" in kv:
+                        key, val = kv.split(b":", 1)
+                        header[key.decode()] = val.decode()
+                continue
+            cur += _a48_value(line.strip())
+            hashes.append(cur)
+    return np.sort(np.array(hashes, dtype=np.uint64)), header
+
+
+def load_blacklist(spec: str) -> np.ndarray:
+    """blacklist= keyword (nt/refseq/silva/prokprot) or file path; both
+    the reference A48 coding and this repo's TSV sketches parse."""
+    import os
+
+    keywords = {
+        "nt": "blacklist_nt_merged.sketch",
+        "refseq": "blacklist_refseq_merged.sketch",
+        "silva": "blacklist_silva_merged.sketch",
+        "prokprot": "blacklist_prokprot_merged.sketch",
+    }
+    if spec.lower() in keywords:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(here, "resources", keywords[spec.lower()])
+    else:
+        path = spec
+    with open(path, "rb") as fh:
+        head = fh.readline()
+    if b"CD:A" in head or b"CD:AD" in head:
+        hashes, _ = read_reference_sketch(path)
+        return hashes
+    hashes, _k = read_sketch(path)
+    return np.sort(hashes)
 
 
 def compare_sketches(a: np.ndarray, b: np.ndarray, k: int = 31):
@@ -92,9 +161,11 @@ def main(argv=None):
     out = a.get("out")
     k = a.get_int("k", default=31)
     size = a.get_int("size", default=10000)
-    sketches = [(p, sketch_file(p, k, size)) for p in ins]
+    bl_spec = a.get("blacklist", "bl")
+    blacklist = load_blacklist(bl_spec) if bl_spec else None
+    sketches = [(p, sketch_file(p, k, size, blacklist)) for p in ins]
     if ref:
-        rs = sketch_file(ref, k, size)
+        rs = sketch_file(ref, k, size, blacklist)
         print("Query\tRef\tWKID\tANI\tMatches\tSize")
         for p, s in sketches:
             j, ani, m, n = compare_sketches(s, rs, k)

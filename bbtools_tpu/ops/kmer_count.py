@@ -65,12 +65,18 @@ def sort_reduce(keys):
 def count_batch(bases, lengths, k: int):
     """Counting for one batch -> host (values, counts) arrays.
 
-    K-mer extraction (rolling registers, canonicalization) runs on
-    device; the sort-reduce runs on HOST via np.unique — XLA's TPU sort
-    is an emulated-64-bit bitonic network measured ~6x slower than the
-    host introsort for this workload (sorting is the one stage the VPU
-    has no good primitive for). The all-device sort_reduce remains for
-    callers that must stay on device (multichip shard_map path)."""
+    On CPU hosts the sort-reduce runs via np.unique (host introsort
+    measured ~6x XLA-CPU sort for this workload); on TPU the whole
+    pipeline stays on device (sort_reduce) because shipping 19 MB of
+    keys across the host link per batch costs more than the slower
+    on-device bitonic sort. Both produce identical (values, counts)."""
+    import jax
+
+    if jax.devices()[0].platform != "cpu":
+        keys = batch_kmers_jnp(jnp.asarray(bases), jnp.asarray(lengths), k)
+        values, counts, n_runs = sort_reduce(keys)
+        n = int(n_runs)
+        return np.asarray(values[:n]), np.asarray(counts[:n])
     keys = np.asarray(
         batch_kmers_jnp(jnp.asarray(bases), jnp.asarray(lengths), k)
     )

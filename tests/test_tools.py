@@ -1074,3 +1074,29 @@ def test_seal_many_reference_files(tmp_path):
     # every ref (incl. index > 30) got its 3 reads
     for r in range(n_refs):
         assert by_ref.get(b"ref%02d.fa" % r, 0) == 3, (r, by_ref)
+
+
+def test_reference_blacklist_sketch_parses():
+    """The bundled reference blacklist sketches (A48-delta coding)
+    parse into sorted hash arrays, and blacklisting changes sketches."""
+    import numpy as np
+
+    from bbtools_tpu.models.sketch import (
+        load_blacklist,
+        read_reference_sketch,
+        sketch_sequences,
+    )
+
+    hashes, header = read_reference_sketch(
+        "/root/repo/bbtools_tpu/resources/blacklist_refseq_merged.sketch"
+    )
+    assert len(hashes) == int(header["SZ"])
+    assert (np.diff(hashes.astype(np.uint64)) > 0).all()
+    bl = load_blacklist("refseq")
+    np.testing.assert_array_equal(bl, hashes)
+    # blacklisting excludes listed hashes from a sketch
+    rng = np.random.default_rng(31)
+    seqs = [rng.integers(0, 4, 5000).astype(np.uint8)]
+    s0 = sketch_sequences(iter(seqs), k=31, size=500)
+    s1 = sketch_sequences(iter(seqs), k=31, size=500, blacklist=s0[:100])
+    assert not np.intersect1d(s1, s0[:100]).size
