@@ -16,6 +16,7 @@ stop-position difference arrays rather than a per-base loop.
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass
 
@@ -73,11 +74,43 @@ def find_orfs_frame(codons: np.ndarray, minlen_nt: int):
     return out
 
 
-def call_scaffold(codes: np.ndarray, scaf: int, minlen_nt: int = 300):
+#: Orf.java:551-557 heuristic constants (kinnercds tuning block)
+_E1, _E2, _E3 = 0.35, -0.1, -0.01
+_F1, _F2, _F3 = 0.08, 0.02, 0.09
+
+
+def _model_scores(model, c, cands):
+    """FrameStats-based orfScore for strand-local candidates
+    [(start_nt, stop_end_nt)]: Orf.calcOrfScore (Orf.java:81-99) over
+    the CDS inner/start/stop tables."""
+    inner = model["CDS inner"]
+    cum = inner.inner_cumulative(c)
+    starts = np.array([a for a, _ in cands])
+    stops = np.array([b for _, b in cands])
+    s_start = model["CDS start"].score_points(c, starts)
+    s_stop = model["CDS stop"].score_points(c, np.maximum(stops - 2, 0))
+    out = []
+    for t, (a, b) in enumerate(cands):
+        ph = a % 3
+        ln = b - a + 1
+        kmer_sum = float(cum[ph, b + 1] - cum[ph, a])
+        avg_kmer = kmer_sum / max(ln - inner.k - 2, 1)
+        aa = np.sqrt(max(_F1, _E1 + float(s_start[t])))
+        bb = np.sqrt(max(_F2, _E2 + 0.35 * float(s_stop[t])))
+        cc = max(_F3, _E3 + avg_kmer)
+        cc = 4 * cc ** 2.2
+        d = 0.1 * aa * bb * cc * (ln ** 2.5)
+        out.append(float(np.sqrt(d)) if d > 0 else 0.0)
+    return out
+
+
+def call_scaffold(codes: np.ndarray, scaf: int, minlen_nt: int = 300,
+                  model=None, min_score: float = 50.0):
     orfs = []
     for strand in (0, 1):
         c = codes if strand == 0 else np.where(codes < 4, 3 - codes, 4)[::-1]
         L = len(c)
+        cands = []  # (strand-local start, stop_end, start_codon)
         for frame in range(3):
             n = (L - frame) // 3
             if n <= 0:
@@ -87,13 +120,24 @@ def call_scaffold(codes: np.ndarray, scaf: int, minlen_nt: int = 300):
             codons = tri[:, 0] * 16 + tri[:, 1] * 4 + tri[:, 2]
             codons[bad] = -1
             for st, sp, start_codon in find_orfs_frame(codons, minlen_nt):
-                a = frame + 3 * st
-                b = frame + 3 * sp + 2
-                if strand == 1:
-                    a, b = L - 1 - b, L - 1 - a
-                length_nt = b - a + 1
+                cands.append((frame + 3 * st, frame + 3 * sp + 2, start_codon))
+        if model is not None and cands:
+            scores = _model_scores(
+                model, c, [(a, b) for a, b, _ in cands]
+            )
+        else:
+            scores = None
+        for t, (a, b, start_codon) in enumerate(cands):
+            length_nt = b - a + 1
+            if scores is not None:
+                score = scores[t]
+                if score < min_score:
+                    continue
+            else:
                 score = length_nt * START_SCORE.get(start_codon, 0.3)
-                orfs.append(Orf(scaf, a, b, strand, score, start_codon))
+            if strand == 1:
+                a, b = L - 1 - b, L - 1 - a
+            orfs.append(Orf(scaf, a, b, strand, score, start_codon))
     # greedy overlap resolution by score (GeneCaller's best-path subset)
     orfs.sort(key=lambda o: -o.score)
     chosen = []
@@ -125,10 +169,24 @@ def main(argv=None):
     out_gff = a.get("outgff", "out", "gff")
     out_aa = a.get("outa", "outaa", "aa")
     minlen = a.get_int("minlen", "minlength", default=300)
+    model_spec = a.get("model", "pgm")
+    use_model = (model_spec or "").lower() not in ("f", "false", "none")
+    min_score = a.get_float("minorfscore", "minscore", default=50.0)
+    model = None
+    if use_model:
+        from .pgm import parse_pgm
+
+        model = parse_pgm(
+            model_spec if model_spec and os.path.exists(model_spec or "")
+            else None
+        )
     ref = load_reference(in1)
     genes = []
     for i in range(ref.n_scaffolds):
-        genes += call_scaffold(ref.scaffold_codes(i), i, minlen)
+        genes += call_scaffold(
+            ref.scaffold_codes(i), i, minlen, model=model,
+            min_score=min_score,
+        )
     if out_gff:
         with open(out_gff, "w") as fh:
             fh.write("##gff-version 3\n")

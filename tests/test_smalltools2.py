@@ -332,3 +332,35 @@ def test_reformat_surface(tmp_path):
     ql = open(tmp_path / "qo.fq", "rb").read().splitlines()[3]
     quals = [q - 33 for q in ql]
     assert all(q in (0, 8, 13, 22, 27, 32, 37) for q in quals), quals
+
+
+def test_callgenes_framestats_model(tmp_path):
+    """FrameStats-scored CallGenes recovers real phiX genes (D/F/H exact
+    coordinates) and rejects shuffled sequence entirely."""
+    from bbtools_tpu.io.fasta import iter_fasta
+
+    main([
+        "callgenes", "in=/root/repo/bbtools_tpu/resources/phix2.fa.gz",
+        f"out={tmp_path}/g.gff",
+    ])
+    rows = [
+        ln.split(b"\t")
+        for ln in (tmp_path / "g.gff").read_bytes().splitlines()[1:]
+    ]
+    spans = {(int(r[3]), int(r[4])) for r in rows}
+    # real phiX genes D, F, H at exact coordinates
+    assert (390, 848) in spans
+    assert (1001, 2284) in spans
+    assert (2931, 3917) in spans
+    assert all(float(r[5]) >= 50 for r in rows)
+    # negative control: shuffled phiX carries no gene signal
+    seq = next(
+        iter_fasta("/root/repo/bbtools_tpu/resources/phix2.fa.gz")
+    ).seq
+    arr = np.frombuffer(seq, np.uint8).copy()
+    np.random.default_rng(1).shuffle(arr)
+    (tmp_path / "shuf.fa").write_bytes(b">shuf\n" + arr.tobytes() + b"\n")
+    main([
+        "callgenes", f"in={tmp_path}/shuf.fa", f"out={tmp_path}/s.gff",
+    ])
+    assert len((tmp_path / "s.gff").read_bytes().splitlines()) == 1
