@@ -175,13 +175,32 @@ class TaxTree:
 
 
 def load_accession_map(path: str) -> dict:
-    """accession<TAB>taxid table (AccessionToTaxid's role)."""
+    """Accession -> taxid (AccessionToTaxid's role). Accepts BOTH the
+    simple `accession<TAB>taxid` table and NCBI's accession2taxid format
+    (`accession  accession.version  taxid  gi`, header line included,
+    tax/AccessionToTaxid.java parsing); versioned accessions index both
+    with and without the .version suffix, and the gi column (when
+    present) registers `gi|<n>` keys — the gitable role."""
+    from ..io.readwrite import open_input
+
     out = {}
-    with open(path) as fh:
-        for line in fh:
-            f = line.rstrip("\n").split("\t")
-            if len(f) >= 2 and f[1].lstrip("-").isdigit():
+    with open_input(path) as fh:
+        for line in fh.read().splitlines():
+            f = line.decode(errors="replace").rstrip("\n").split("\t")
+            if len(f) < 2 or f[0] == "accession":
+                continue
+            if len(f) >= 3 and f[2].lstrip("-").isdigit():
+                # NCBI accession2taxid: acc, acc.version, taxid[, gi]
+                tid = int(f[2])
+                out[f[0]] = tid
+                if f[1] and f[1] != "null":
+                    out[f[1]] = tid
+                    out[f[1].split(".")[0]] = tid
+                if len(f) >= 4 and f[3].isdigit():
+                    out["gi|" + f[3]] = tid
+            elif f[1].lstrip("-").isdigit():
                 out[f[0]] = int(f[1])
+                out[f[0].split(".")[0]] = int(f[1])
     return out
 
 

@@ -159,3 +159,19 @@ def test_taxtree_serialization(tiny_tree, tmp_path):
     assert t2.name_of(562) == "Escherichia coli"
     assert t2.id_of("Bacteria") == 2
     assert t2.ancestor_at_level(83333, "phylum") == 1224
+
+
+def test_accession2taxid_ncbi_format(tmp_path):
+    from bbtools_tpu.models.taxonomy import load_accession_map
+
+    p = tmp_path / "acc2tax.tsv"
+    p.write_text(
+        "accession\taccession.version\ttaxid\tgi\n"
+        "NC_001422\tNC_001422.1\t10847\t9626372\n"
+        "CP000001\tCP000001.2\t1392\t-\n"
+    )
+    m = load_accession_map(str(p))
+    assert m["NC_001422"] == 10847
+    assert m["NC_001422.1"] == 10847
+    assert m["gi|9626372"] == 10847
+    assert m["CP000001.2"] == 1392
