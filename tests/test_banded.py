@@ -137,3 +137,55 @@ def test_banded_batch_identity():
     )
     for i in range(B):
         assert ident[i] >= 1.0 - (i % 5) / L - 1e-6
+
+
+def test_wavefront_and_drifting_aligners():
+    import numpy as np
+
+    from bbtools_tpu.ops.idalign import (
+        DriftingIDAligner,
+        WaveFrontIDAligner,
+        make_id_aligner,
+        wavefront_edits_np,
+    )
+
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 4, 120).astype(np.uint8)
+    # wavefront = exact Levenshtein (check vs dense DP)
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = np.arange(n + 1)
+        for i in range(1, m + 1):
+            prev = d.copy()
+            d[0] = i
+            for j in range(1, n + 1):
+                d[j] = min(prev[j] + 1, d[j - 1] + 1,
+                           prev[j - 1] + (a[i - 1] != b[j - 1]))
+        return int(d[n])
+
+    for trial in range(8):
+        r = q.copy()
+        for _ in range(int(rng.integers(0, 8))):
+            p = int(rng.integers(0, len(r)))
+            op = rng.integers(0, 3)
+            if op == 0:
+                r[p] ^= 1
+            elif op == 1 and len(r) > 10:
+                r = np.delete(r, p)
+            else:
+                r = np.insert(r, p, rng.integers(0, 4))
+        want = lev(q, r)
+        assert wavefront_edits_np(q, r) == want
+        wf = WaveFrontIDAligner().align(q, r)
+        assert abs(wf - (1 - want / max(len(q), len(r)))) < 1e-9
+        # drifting: close to exact for small edit loads
+        dr = DriftingIDAligner().align(q, r)
+        assert dr <= 1.0 and dr >= wf - 0.1
+    # drifting tracks indels within its band width (the reference engine
+    # additionally uses a prealignment pass for longer jumps); an 8bp
+    # deletion is recovered near-exactly
+    r = np.concatenate([q[:50], q[58:]])
+    assert DriftingIDAligner().align(r, q) > 0.9
+    assert make_id_aligner("wavefront").name() == "WaveFront"
+    assert make_id_aligner("drifting").name() == "Drifting"
+    assert make_id_aligner("quantum").name() == "Glocal"
