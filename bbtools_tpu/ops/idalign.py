@@ -326,12 +326,16 @@ class WaveFrontIDAligner:
 
 
 class DriftingIDAligner:
-    """Banded DP whose band center drifts toward the best cell of each
-    row (idaligner/DriftingAligner.java strategy) — recovers long indels
-    a fixed band misses, at fixed-band cost."""
+    """Banded DP whose band center drifts toward the best-SCORING cell
+    of each row (idaligner/DriftingAligner.java:124-138: drift =
+    mid(-1, maxPos - center, maxDrift), center += 1 + drift). The drift
+    follows a match-score surface (match +1, sub -1, gap -2) — an
+    edit-count surface separates diagonals too slowly to steer — while
+    an edit band rides along to report identity."""
 
-    def __init__(self, width: int = 21):
+    def __init__(self, width: int = 21, max_drift: int = 8):
         self.width = width | 1
+        self.max_drift = max_drift
 
     def name(self) -> str:
         return "Drifting"
@@ -345,36 +349,51 @@ class DriftingIDAligner:
         w = self.width
         half = w // 2
         BIGE = 1 << 30
-        prev_center = 0
-        js_prev = np.arange(-half, half + 1) + prev_center
-        prev = np.where((js_prev >= 0) & (js_prev <= n), np.abs(js_prev),
-                        BIGE)
+        NEGS = -(1 << 30)
+        center = 0
+        js_prev = np.arange(-half, half + 1)
+        ed_prev = np.where((js_prev >= 0) & (js_prev <= n),
+                           np.abs(js_prev), BIGE)
+        sc_prev = np.where((js_prev >= 0) & (js_prev <= n),
+                           GAP * np.abs(js_prev), NEGS)
         for i in range(1, m + 1):
-            # ties -> RIGHTMOST minimum: the drift must keep advancing
-            # through flat-cost gap traversals or it stalls mid-indel
-            bidx = w - 1 - int(np.argmin(prev[::-1]))
-            center = int(np.clip(js_prev[bidx] + 1, 0, n))
+            best_t = w - 1 - int(np.argmax(sc_prev[::-1]))
+            drift = min(max(-1, best_t - half), self.max_drift)
+            center = int(np.clip(center + 1 + drift, 0, n))
             js = np.arange(-half, half + 1) + center
-            cur = np.full(w, BIGE, np.int64)
+            ed = np.full(w, BIGE, np.int64)
+            sc = np.full(w, NEGS, np.int64)
+            shift = center - (int(js_prev[0]) + half)  # prev center
             for t in range(w):
                 j = int(js[t])
                 if j < 0 or j > n:
                     continue
-                best = i if j == 0 else BIGE
-                pt = (j - 1) - (prev_center - half)
-                if j >= 1 and 0 <= pt < w and prev[pt] < BIGE:
-                    best = min(
-                        best, prev[pt] + (0 if q[i - 1] == r[j - 1] else 1)
-                    )
-                pt = j - (prev_center - half)
-                if 0 <= pt < w and prev[pt] < BIGE:
-                    best = min(best, prev[pt] + 1)
-                if t >= 1 and cur[t - 1] < BIGE:
-                    best = min(best, cur[t - 1] + 1)
-                cur[t] = best
-            prev, prev_center, js_prev = cur, center, js
-        pt = n - (prev_center - half)
-        e = int(prev[pt]) if 0 <= pt < w else max(m, n)
+                e_best, s_best = (i, GAP * i) if j == 0 else (BIGE, NEGS)
+                pt = t + shift - 1  # prev-band index of column j-1
+                if j >= 1 and 0 <= pt < w and ed_prev[pt] < BIGE:
+                    mm = 0 if q[i - 1] == r[j - 1] else 1
+                    e = ed_prev[pt] + mm
+                    sv = sc_prev[pt] + (MATCH if mm == 0 else SUB)
+                    if sv > s_best:
+                        s_best = sv
+                    if e < e_best:
+                        e_best = e
+                pt = t + shift  # prev-band index of column j
+                if 0 <= pt < w and ed_prev[pt] < BIGE:
+                    if ed_prev[pt] + 1 < e_best:
+                        e_best = ed_prev[pt] + 1
+                    if sc_prev[pt] + GAP > s_best:
+                        s_best = sc_prev[pt] + GAP
+                if t >= 1 and ed[t - 1] < BIGE:
+                    if ed[t - 1] + 1 < e_best:
+                        e_best = ed[t - 1] + 1
+                    if sc[t - 1] + GAP > s_best:
+                        s_best = sc[t - 1] + GAP
+                ed[t] = e_best
+                sc[t] = s_best
+            ed_prev, sc_prev, js_prev = ed, sc, js
+        pt = n - (center - half)
+        e = int(ed_prev[pt]) if 0 <= pt < w and ed_prev[pt] < BIGE else max(m, n)
         if pos is not None:
             pos[0], pos[1] = 0, n - 1
         return 1.0 - min(e, max(m, n)) / max(m, n, 1)
