@@ -27,8 +27,8 @@ from ..io.readwrite import open_output
 from ..io.sam_read import cigar_to_match, iter_sam, parse_cigar
 from ..core.dna import CODE_TO_BASE
 
-SUB, INS, DEL, NOCALL = 0, 1, 2, 3
-TYPE_NAMES = ["SUB", "INS", "DEL", "NOCALL"]
+SUB, INS, DEL, NOCALL, LJUNCT, RJUNCT = 0, 1, 2, 3, 4, 5
+TYPE_NAMES = ["SUB", "INS", "DEL", "NOCALL", "LJUNCT", "RJUNCT"]
 
 # Var.java statics
 LOW_COVERAGE_PENALTY = 0.8
@@ -678,6 +678,60 @@ def extract_vars(rec, match: bytes, scafnum: int, quals: np.ndarray,
     return out
 
 
+def extract_junctions(rec, match: bytes, scafnum: int, quals, min_clip=8):
+    """VarHelper.toJunctions (VarHelper.java:372-421): clipped read ends
+    >= min_clip become junction variants at the clip boundary — the
+    breakpoint evidence CallVariants emits with junctions=t. The left
+    junction sits at the first aligned base (pos-1), the right at
+    one past the last aligned base; the allele is the clipped base
+    adjacent to the boundary."""
+    C = ord("C")
+    n = len(match)
+    left = 0
+    while left < n and match[left] == C:
+        left += 1
+    right = 0
+    while right < n and match[n - 1 - right] == C:
+        right += 1
+    out = []
+    bases = rec.seq
+    reflen = sum(
+        1 for ch in match if ch in (ord("m"), ord("S"), ord("N"), ord("D"))
+    )
+    if left >= min_clip:
+        bpos = left - 1
+        jpos = rec.pos - 1
+        v = Var(scafnum, jpos, jpos + 1, bases[bpos : bpos + 1], LJUNCT)
+        out.append((v, bpos, bpos + 1))
+    if right >= min_clip:
+        bpos = len(bases) - right
+        jpos = rec.pos - 1 + reflen
+        v = Var(scafnum, jpos, jpos + 1, bases[bpos : bpos + 1], RJUNCT)
+        out.append((v, bpos, bpos + 1))
+    readlen = len(bases)
+    iid = identity_skewed(match)
+    for v, b0, b1 in out:
+        if rec.strand == 0:
+            v.r1plus += 1 if rec.pairnum == 0 else 0
+            v.r2plus += 0 if rec.pairnum == 0 else 1
+        else:
+            v.r1minus += 1 if rec.pairnum == 0 else 0
+            v.r2minus += 0 if rec.pairnum == 0 else 1
+        v.lengthSum += readlen
+        v.properPairCount += 1 if rec.proper_pair else 0
+        v.mapQSum += rec.mapq
+        v.mapQMax = max(v.mapQMax, rec.mapq)
+        bq = _calc_baseq(v, b0, b1, quals, readlen)
+        v.baseQSum += bq
+        v.baseQMax = max(v.baseQMax, bq)
+        ed = min(b0, readlen - b1)
+        v.endDistSum += ed
+        v.endDistMax = max(v.endDistMax, ed)
+        v.idSum += iid
+        v.idMax = max(v.idMax, iid)
+    return [v for v, _b0, _b1 in out]
+
+
 def _calc_baseq(v, bstart, bstop, quals, readlen):
     """Var.calcBaseQ (swapped orientation assumed — SAM is ref-oriented)."""
     if quals is None or len(quals) == 0:
@@ -713,8 +767,10 @@ def choose_net(platform: int, ploidy: int) -> str:
 class CallVariants:
     def __init__(self, ref: Reference, vfilter: VarFilter | None = None,
                  ploidy: int = 1, nn: bool = False,
-                 net_file: str | None = None, platform: int = 0):
+                 net_file: str | None = None, platform: int = 0,
+                 call_junctions: bool = False):
         self.ref = ref
+        self.call_junctions = call_junctions
         self.filter = vfilter or VarFilter()
         self.ploidy = ploidy
         self.net = None
@@ -861,7 +917,10 @@ class CallVariants:
             self.qual_n += len(quals)
         self.mapq_sum += rec.mapq
         self.len_sum += len(rec.seq)
-        for v in extract_vars(rec, match, scafnum, quals):
+        vs = extract_vars(rec, match, scafnum, quals)
+        if self.call_junctions:
+            vs += extract_junctions(rec, match, scafnum, quals)
+        for v in vs:
             cur = self.varmap.get(v.key())
             if cur is None:
                 self.varmap[v.key()] = v
@@ -871,7 +930,7 @@ class CallVariants:
     def finish(self):
         for v in self.varmap.values():
             ca = self.coverage[v.scafnum]
-            if v.type in (SUB, DEL, NOCALL):
+            if v.type in (SUB, DEL, NOCALL, LJUNCT, RJUNCT):
                 span = ca[v.start : max(v.stop, v.start + 1)]
                 v.coverage = int(round(float(span.sum()) / max(v.reflen(), 1)))
             else:  # INS
@@ -1030,6 +1089,7 @@ def main(argv=None):
     f.min_allele_depth = a.get_int("minreads", "minad", default=2)
     realign = a.get_bool("realign", default=False)
     nn = a.get_bool("nn", "usenet", "usenn", "useann", default=False)
+    junctions = a.get_bool("junctions", "calljunctions", default=False)
     net_file = a.get("net", "netfile")
     platform = PLATFORMS.get(
         (a.get("platform") or "illumina").lower(), 0
@@ -1053,7 +1113,7 @@ def main(argv=None):
         n_pass = cv.write_vcf(out, samples=per) if out else 0
     else:
         cv = CallVariants(ref, f, ploidy=ploidy, nn=nn, net_file=net_file,
-                          platform=platform)
+                          platform=platform, call_junctions=junctions)
         for p in sams:
             cv.add_sam(p, realign=realign)
         cv.finish()

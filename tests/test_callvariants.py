@@ -294,3 +294,45 @@ def test_callvariants_nn_scoring(tmp_path, capfd):
     ]
     q2 = [float(ln.split(b"\t")[5]) for ln in body2]
     assert quals != q2
+
+
+def test_junction_variants(tmp_path):
+    """junctions=t emits LJUNCT/RJUNCT breakpoint vars from clipped
+    reads (VarHelper.toJunctions semantics)."""
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.callvariants import main as cv_main
+    from bbtools_tpu.utils.synth import random_genome
+
+    g = random_genome(2000, seed=44)
+    write_fasta(str(tmp_path / "ref.fa"), g)
+    seq = g[0][1]
+    # reads whose right half is foreign -> mapped with 30bp soft clips
+    rng = np.random.default_rng(7)
+    foreign = CODE_TO_BASE[rng.integers(0, 4, 30).astype(np.uint8)].tobytes()
+    lines = [b"@SQ\tSN:scaffold_0\tLN:2000"]
+    for i in range(6):
+        body = seq[500 : 500 + 70]
+        read = body + foreign
+        lines.append(
+            b"r%d\t0\tscaffold_0\t501\t60\t70M30S\t*\t0\t0\t%s\t%s"
+            % (i, read, b"I" * 100)
+        )
+    (tmp_path / "in.sam").write_bytes(b"\n".join(lines) + b"\n")
+    cv_main([
+        f"in={tmp_path}/in.sam", f"ref={tmp_path}/ref.fa",
+        f"vcf={tmp_path}/j.vcf", "junctions=t", "minscore=0", "minreads=2",
+    ])
+    body = (tmp_path / "j.vcf").read_bytes()
+    assert b"TYP=RJUNCT" in body
+    # junction position = one past the aligned span (501 + 70 - 1 = 570)
+    rj = [ln for ln in body.splitlines() if b"TYP=RJUNCT" in ln][0]
+    assert int(rj.split(b"\t")[1]) == 571
+    # without the flag: no junction rows
+    cv_main([
+        f"in={tmp_path}/in.sam", f"ref={tmp_path}/ref.fa",
+        f"vcf={tmp_path}/p.vcf", "minscore=0",
+    ])
+    assert b"JUNCT" not in (tmp_path / "p.vcf").read_bytes()
