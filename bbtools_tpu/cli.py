@@ -351,6 +351,8 @@ TOOLS = {
     "taxtree": _taxonomy,
     "filterbytaxa": _filterbytaxa,
     "novademux": lambda a: _lazy("novademux", "main", a),
+    "indelfree": lambda a: _lazy("indelfree", "main", a),
+    "indelfreealigner": lambda a: _lazy("indelfree", "main", a),
     "filterbyname": lambda a: _lazy("filtertools", "filterbyname", a),
     "filterbysequence": lambda a: _lazy("filtertools", "filterbysequence", a),
     "filtersam": lambda a: _lazy("filtertools", "filtersam", a),

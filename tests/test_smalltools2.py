@@ -364,3 +364,35 @@ def test_callgenes_framestats_model(tmp_path):
         "callgenes", f"in={tmp_path}/shuf.fa", f"out={tmp_path}/s.gff",
     ])
     assert len((tmp_path / "s.gff").read_bytes().splitlines()) == 1
+
+
+def test_indelfree_aligner(tmp_path):
+    """Exhaustive substitution-only search finds all plantings (both
+    strands, subs counted exactly) and nothing else."""
+    rng = np.random.default_rng(13)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    contig = ACGT[rng.integers(0, 4, 5000)].copy()
+    spacer = ACGT[rng.integers(0, 4, 30)].tobytes()
+    # plant: exact at 1000, 2-sub at 2500, rc at 4000
+    contig[1000:1030] = np.frombuffer(spacer, np.uint8)
+    two = bytearray(spacer); two[5] = ord("A") if two[5] != ord("A") else ord("C")
+    two[20] = ord("G") if two[20] != ord("G") else ord("T")
+    contig[2500:2530] = np.frombuffer(bytes(two), np.uint8)
+    rc = spacer.translate(bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+    contig[4000:4030] = np.frombuffer(rc, np.uint8)
+    (tmp_path / "ref.fa").write_bytes(b">c1\n" + contig.tobytes() + b"\n")
+    (tmp_path / "q.fa").write_bytes(b">sp1\n" + spacer + b"\n")
+    from bbtools_tpu.models.indelfree import main as ifa_main
+
+    recs = ifa_main([
+        f"in={tmp_path}/q.fa", f"ref={tmp_path}/ref.fa",
+        f"out={tmp_path}/o.sam", "subs=3", "minid=0",
+    ])
+    got = {(r[3], r[1], r[5]) for r in recs}
+    assert (1001, 0, 0) in got      # exact fwd
+    assert (2501, 0, 2) in got      # 2-sub fwd
+    assert (4001, 1, 0) in got      # exact rc
+    assert len(recs) == 3           # and nothing else at subs<=3
+    sam = (tmp_path / "o.sam").read_bytes()
+    assert sam.count(b"\nsp1\t") == 3
+    assert b"NM:i:2" in sam
