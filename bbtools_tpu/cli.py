@@ -352,6 +352,8 @@ TOOLS = {
     "filterbytaxa": _filterbytaxa,
     "novademux": lambda a: _lazy("novademux", "main", a),
     "indelfree": lambda a: _lazy("indelfree", "main", a),
+    "msa": lambda a: _lazy("findprimers", "main", a),
+    "findprimers": lambda a: _lazy("findprimers", "main", a),
     "indelfreealigner": lambda a: _lazy("indelfree", "main", a),
     "filterbyname": lambda a: _lazy("filtertools", "filterbyname", a),
     "filterbysequence": lambda a: _lazy("filtertools", "filterbysequence", a),

@@ -396,3 +396,29 @@ def test_indelfree_aligner(tmp_path):
     sam = (tmp_path / "o.sam").read_bytes()
     assert sam.count(b"\nsp1\t") == 3
     assert b"NM:i:2" in sam
+
+
+def test_findprimers_msa(tmp_path):
+    """msa.sh role: best primer site per read as SAM, feeding cutprimers."""
+    rng = np.random.default_rng(17)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    primer = ACGT[rng.integers(0, 4, 20)].tobytes()
+    reads = []
+    for i in range(10):
+        r = ACGT[rng.integers(0, 4, 120)].copy()
+        p = 10 + 7 * i
+        r[p : p + 20] = np.frombuffer(primer, np.uint8)
+        reads.append((b"r%d" % i, r.tobytes(), b""))
+    _write_fq(tmp_path / "in.fq", reads)
+    main([
+        "msa", f"in={tmp_path}/in.fq", f"out={tmp_path}/s1.sam",
+        f"literal={primer.decode()}", "cutoff=0.9",
+    ])
+    body = [
+        ln.split(b"\t")
+        for ln in (tmp_path / "s1.sam").read_bytes().splitlines()
+        if ln and not ln.startswith(b"@")
+    ]
+    by_read = {r[2]: int(r[3]) for r in body if not r[0].startswith(b"r_")}
+    for i in range(10):
+        assert by_read[b"r%d" % i] == 10 + 7 * i + 1
