@@ -137,6 +137,12 @@ def parse_args(argv, preset: str | None = None):
     c.secondary = a.get_bool("secondary", default=c.secondary)
     c.fastareadlen = a.get_int("fastareadlen", default=c.fastareadlen)
     c.batch_reads = a.get_int("batchreads", default=c.batch_reads)
+    from ..core.parser import test_output_files
+
+    test_output_files(
+        a.get_bool("overwrite", "ow", default=True),
+        c.out, inputs=(c.in1, c.in2, c.ref),
+    )
     return c
 
 

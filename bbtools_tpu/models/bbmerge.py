@@ -127,6 +127,13 @@ def parse_args(argv: list[str]) -> BBMergeConfig:
     c.net_file = a.get("net")
     nc = a.get("netcutoff", "cutoff")
     c.net_cutoff = float(nc) if nc is not None else None
+    from ..core.parser import test_output_files
+
+    test_output_files(
+        a.get_bool("overwrite", "ow", default=True),
+        c.out, c.outu1, c.outu2, c.ihist,
+        inputs=(c.in1, c.in2),
+    )
     return c
 
 

@@ -405,6 +405,12 @@ def main(argv=None):
     containment = a.get_bool("ac", "absorbcontainment", default=False)
     cluster = a.get_bool("cluster", "clusters", default=False)
     pattern = a.get("pattern", "outpattern")
+    from ..core.parser import test_output_files
+
+    test_output_files(
+        a.get_bool("overwrite", "ow", default=True),
+        out1, outd, inputs=(in1,),
+    )
     t0 = time.time()
     dd = Dedupe(subs=subs, edist=edist, containment=containment, rcomp=rcomp)
     reader = FastqReader(in1)

@@ -99,6 +99,12 @@ def main(argv=None):
     fixjunk = a.get_bool("fixjunk", "dotdashxton", default=False)
     quantize = a.get("quantize")
     seed = a.get_int("sampleseed", default=-1)
+    from ..core.parser import test_output_files
+
+    test_output_files(
+        a.get_bool("overwrite", "ow", default=True),
+        out1, out2, inputs=(in1, in2),
+    )
     t0 = time.time()
     rng = np.random.default_rng(None if seed < 0 else seed)
     if srt > 0:
