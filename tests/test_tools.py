@@ -789,9 +789,11 @@ def test_callgenes(tmp_path):
     write_fasta(
         str(tmp_path / "g.fa"), [(b"chr", CODE_TO_BASE[scaf].tobytes())]
     )
+    # model=f: this synthetic random-codon gene tests the STRUCTURAL
+    # caller; the real FrameStats model rightly scores it as non-gene
     out = cg_main(
         [f"in={tmp_path/'g.fa'}", f"out={tmp_path/'g.gff'}",
-         f"outa={tmp_path/'g.faa'}"]
+         f"outa={tmp_path/'g.faa'}", "model=f"]
     )
     gff = (tmp_path / "g.gff").read_text()
     assert "##gff-version 3" in gff and "\tCDS\t48\t" in gff
