@@ -211,22 +211,14 @@ def bench_bbduk_end_to_end(tmpdir):
 
 def bench_kmercount():
     """Config #2: exact k=31 counting — the production count_batch path
-    (device kmer extraction + host sort-reduce), plus the all-device
-    sort_reduce for comparison."""
-    import jax
-    import jax.numpy as jnp
-
-    from bbtools_tpu.ops.kmer_count import (
-        batch_kmers_jnp,
-        count_batch,
-        sort_reduce,
-    )
+    (all-device sort-reduce on TPU, device extraction + host sort on
+    CPU; the function dispatches on platform)."""
+    from bbtools_tpu.ops.kmer_count import count_batch
 
     rng = _rng()
     bases, lengths = make_reads(rng, batch=BATCH // 2)
     reads = BATCH // 2
 
-    del jax, jnp, batch_kmers_jnp, sort_reduce
     dt = timeit(lambda: count_batch(bases, lengths, 31), warmup=1, iters=4)
     return {
         "reads_per_sec": reads / dt,
