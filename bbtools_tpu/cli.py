@@ -353,6 +353,11 @@ TOOLS = {
     "novademux": lambda a: _lazy("novademux", "main", a),
     "indelfree": lambda a: _lazy("indelfree", "main", a),
     "msa": lambda a: _lazy("findprimers", "main", a),
+    "readlength": lambda a: _lazy("texttools", "readlength", a),
+    "countgc": lambda a: _lazy("texttools", "countgc", a),
+    "testformat": lambda a: _lazy("texttools", "testformat", a),
+    "translate6frames": lambda a: _lazy("texttools", "translate6frames", a),
+    "statswrapper": lambda a: _lazy("texttools", "statswrapper", a),
     "findprimers": lambda a: _lazy("findprimers", "main", a),
     "indelfreealigner": lambda a: _lazy("indelfree", "main", a),
     "filterbyname": lambda a: _lazy("filtertools", "filterbyname", a),

@@ -422,3 +422,41 @@ def test_findprimers_msa(tmp_path):
     by_read = {r[2]: int(r[3]) for r in body if not r[0].startswith(b"r_")}
     for i in range(10):
         assert by_read[b"r%d" % i] == 10 + 7 * i + 1
+
+
+def test_texttools(tmp_path, capsys):
+    rng = np.random.default_rng(23)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    recs = [
+        (b"r%d" % i, ACGT[rng.integers(0, 4, int(rng.integers(50, 150)))].tobytes(), b"")
+        for i in range(100)
+    ]
+    _write_fq(tmp_path / "in.fq", recs)
+    # readlength
+    main(["readlength", f"in={tmp_path}/in.fq", f"out={tmp_path}/lh.txt"])
+    text = (tmp_path / "lh.txt").read_bytes()
+    assert text.startswith(b"#Reads:\t100")
+    assert b"#Median:" in text
+    # countgc
+    from bbtools_tpu.models.texttools import countgc
+
+    rows, frac = countgc([f"in={tmp_path}/in.fq", f"out={tmp_path}/gc.txt"])
+    assert len(rows) == 100 and 0.3 < frac < 0.7
+    # testformat
+    from bbtools_tpu.models.texttools import testformat
+
+    out = testformat([str(tmp_path / "in.fq")])
+    assert "fastq" in out[0]
+    # translate6frames
+    (tmp_path / "s.fa").write_bytes(b">s\nATGGCCGTT\n")
+    from bbtools_tpu.models.texttools import translate6frames
+
+    frames = translate6frames([f"in={tmp_path}/s.fa", f"out={tmp_path}/aa.fa"])
+    assert len(frames) == 6
+    assert frames[0][1] == b"MAV"
+    # statswrapper
+    (tmp_path / "g.fa").write_bytes(b">a\n" + b"ACGT" * 100 + b"\n>b\n" + b"GGCC" * 50 + b"\n")
+    from bbtools_tpu.models.texttools import statswrapper
+
+    rows = statswrapper([f"in={tmp_path}/g.fa"])
+    assert rows[0][0] == 2 and rows[0][1] == 600
