@@ -200,6 +200,7 @@ def parse_args(argv: list[str]) -> BBDukConfig:
         handled.update(names)
         return names
 
+    a.get(*h("showtimes", "xtime", "profile"))  # handled by main()
     c.in1 = a.get(*h("in", "in1"))
     c.in2 = a.get(*h("in2"))
     c.out1 = a.get(*h("out", "out1", "outu", "outu1"))
@@ -1181,10 +1182,22 @@ def _has_min_consecutive(b, min_run: int) -> np.ndarray:
 
 
 def main(argv=None):
-    cfg = parse_args(argv if argv is not None else sys.argv[1:])
-    tool = BBDuk(cfg)
-    stats = tool.run()
+    argv = argv if argv is not None else sys.argv[1:]
+    a = tokenize(argv)
+    profile = a.get("profile")
+    showtimes = a.get_bool("showtimes", "xtime", default=False)
+    from ..utils.timer import PhaseTimer, device_profile
+
+    timer = PhaseTimer()
+    with device_profile(profile if profile not in ("f", "false") else None):
+        cfg = parse_args(argv)
+        with timer.phase("Setup"):
+            tool = BBDuk(cfg)
+        with timer.phase("Processing"):
+            stats = tool.run()
     tool.print_stats()
+    if showtimes:
+        timer.report()
     return stats
 
 

@@ -1102,3 +1102,43 @@ def test_reference_blacklist_sketch_parses():
     s0 = sketch_sequences(iter(seqs), k=31, size=500)
     s1 = sketch_sequences(iter(seqs), k=31, size=500, blacklist=s0[:100])
     assert not np.intersect1d(s1, s0[:100]).size
+
+
+def test_phase_timer_and_profile_flag(tmp_path, capsys):
+    import numpy as np
+
+    from bbtools_tpu.utils.timer import PhaseTimer, device_profile
+
+    t = PhaseTimer()
+    with t.phase("A"):
+        sum(range(1000))
+    t.split("B")
+    assert [n for n, _ in t.phases] == ["A", "B"]
+    t.report()
+    err = capsys.readouterr().err
+    assert "A:" in err and "Total Time:" in err
+    # device_profile writes a trace directory when given a path
+    with device_profile(str(tmp_path / "prof")):
+        import jax.numpy as jnp
+
+        jnp.arange(8).sum().block_until_ready()
+    import os
+
+    assert os.path.isdir(tmp_path / "prof")
+    # bbduk showtimes=t prints the phase block end-to-end
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    rng = np.random.default_rng(0)
+    recs = b"".join(
+        b"@r%d\n%s\n+\n%s\n"
+        % (i, ACGT[rng.integers(0, 4, 100)].tobytes(), b"I" * 100)
+        for i in range(50)
+    )
+    (tmp_path / "in.fq").write_bytes(recs)
+    from bbtools_tpu.cli import main
+
+    main([
+        "bbduk", f"in={tmp_path}/in.fq", f"out={tmp_path}/o.fq",
+        "literal=ACGTACGTACGTACGTACGTACG", "k=23", "showtimes=t",
+    ])
+    err = capsys.readouterr().err
+    assert "Processing:" in err and "Total Time:" in err
