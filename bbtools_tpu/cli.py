@@ -353,6 +353,8 @@ TOOLS = {
     "novademux": lambda a: _lazy("novademux", "main", a),
     "indelfree": lambda a: _lazy("indelfree", "main", a),
     "msa": lambda a: _lazy("findprimers", "main", a),
+    "rqcfilter": lambda a: _lazy("rqcfilter", "main", a),
+    "rqcfilter2": lambda a: _lazy("rqcfilter", "main", a),
     "readlength": lambda a: _lazy("texttools", "readlength", a),
     "countgc": lambda a: _lazy("texttools", "countgc", a),
     "testformat": lambda a: _lazy("texttools", "testformat", a),

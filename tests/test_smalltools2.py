@@ -460,3 +460,50 @@ def test_texttools(tmp_path, capsys):
 
     rows = statswrapper([f"in={tmp_path}/g.fa"])
     assert rows[0][0] == 2 and rows[0][1] == 600
+
+
+def test_rqcfilter_pipeline(tmp_path):
+    """The staged RQCFilter pipeline: adapter trim -> quality/N filter ->
+    artifact+phiX removal, with survivorship stats and final naming."""
+    import gzip
+
+    rng = np.random.default_rng(3)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    adapter = b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
+    # load real phiX for contamination
+    from bbtools_tpu.io.fasta import iter_fasta
+
+    phix = next(
+        iter_fasta("/root/repo/bbtools_tpu/resources/phix2.fa.gz")
+    ).seq
+    recs = []
+    for i in range(300):
+        L = 120
+        seq = ACGT[rng.integers(0, 4, L)].copy()
+        if i % 4 == 0:  # adapter read-through
+            seq[70 : 70 + len(adapter)] = np.frombuffer(adapter, np.uint8)
+        if i % 10 == 0:  # phiX contamination
+            p = int(rng.integers(0, len(phix) - L))
+            seq = np.frombuffer(phix[p : p + L], np.uint8)
+        q = np.full(L, 33 + 35, np.uint8)
+        if i % 7 == 0:  # low quality tail
+            q[60:] = 33 + 2
+        recs.append(b"@r%d\n%s\n+\n%s\n" % (i, seq.tobytes(), q.tobytes()))
+    with gzip.open(tmp_path / "in.fq.gz", "wb") as f:
+        f.write(b"".join(recs))
+    from bbtools_tpu.models.rqcfilter import main as rqc_main
+
+    stats, final = rqc_main([
+        f"in={tmp_path}/in.fq.gz", f"path={tmp_path}/out", "trimq=10",
+    ])
+    assert stats[0][0] == "input" and stats[0][1] == 300
+    # phiX reads removed, adapter reads trimmed (bases drop), survivors > 0
+    last = stats[-1]
+    assert 200 <= last[1] < 300
+    assert last[2] < stats[0][2]
+    text = (tmp_path / "out" / "filterstats.txt").read_text()
+    assert "ktrim" in text and "filter" in text
+    import os
+
+    assert os.path.exists(final)
+    assert "anq" in os.path.basename(final)
