@@ -64,44 +64,77 @@ def load_depths(path: str) -> dict:
 
 def bin_contigs(contigs: list[Contig],
                 tetra_limit: float = TETRA_DIF_LIMIT,
-                depth_limit: float = DEPTH_RATIO_LIMIT):
+                depth_limit: float = DEPTH_RATIO_LIMIT,
+                refine_passes: int = 2):
     """Greedy agglomeration: largest contig seeds a bin; others join the
-    closest qualifying bin (dual gate on composition and depth)."""
+    closest qualifying bin (dual gate on composition and depth). The
+    per-contig bin scan is a single vectorized [B, 136] distance compute,
+    and `refine_passes` reassignment sweeps against the FINAL bin
+    profiles (the Binner refinement role) fix early greedy mistakes."""
     contigs = sorted(contigs, key=lambda c: -len(c.seq))
-    bins: list[list[Contig]] = []
-    bin_profiles: list[np.ndarray] = []
-    bin_depths: list[float] = []
-    bin_sizes: list[int] = []
+    if not contigs:
+        return []
+    nprof = len(contigs[0].profile)
+    cap = len(contigs)
+    P = np.zeros((cap, nprof), np.float64)
+    D = np.zeros(cap)
+    S = np.zeros(cap)
+    nb = 0
+
+    def best_bin(c, exclude=-1):
+        if nb == 0:
+            return -1
+        dif = np.abs(P[:nb] - c.profile).sum(axis=1)
+        ratio = np.maximum(D[:nb], c.depth) / np.maximum(
+            np.minimum(D[:nb], c.depth), 1e-9
+        )
+        ok = (dif < tetra_limit) & (ratio <= depth_limit)
+        if exclude >= 0:
+            ok[exclude] = False
+        if not ok.any():
+            return -1
+        return int(np.argmin(np.where(ok, dif, np.inf)))
+
     for c in contigs:
-        best = -1
-        best_dif = tetra_limit
-        for bi in range(len(bins)):
-            dif = float(np.abs(c.profile - bin_profiles[bi]).sum())
-            ratio = max(c.depth, bin_depths[bi], 1e-9) / max(
-                min(c.depth, bin_depths[bi]), 1e-9
-            )
-            if dif < best_dif and ratio <= depth_limit:
-                best = bi
-                best_dif = dif
+        best = best_bin(c)
         if best < 0:
-            bins.append([c])
-            bin_profiles.append(c.profile.copy())
-            bin_depths.append(c.depth)
-            bin_sizes.append(len(c.seq))
-            c.bin_id = len(bins) - 1
+            P[nb] = c.profile
+            D[nb] = c.depth
+            S[nb] = len(c.seq)
+            c.bin_id = nb
+            nb += 1
         else:
             c.bin_id = best
-            bins[best].append(c)
-            w0 = bin_sizes[best]
-            w1 = len(c.seq)
-            bin_profiles[best] = (
-                bin_profiles[best] * w0 + c.profile * w1
-            ) / (w0 + w1)
-            bin_depths[best] = (bin_depths[best] * w0 + c.depth * w1) / (
-                w0 + w1
-            )
-            bin_sizes[best] = w0 + w1
-    return bins
+            w0, w1 = S[best], len(c.seq)
+            P[best] = (P[best] * w0 + c.profile * w1) / (w0 + w1)
+            D[best] = (D[best] * w0 + c.depth * w1) / (w0 + w1)
+            S[best] = w0 + w1
+    # refinement: reassign each contig to its best bin under the final
+    # profiles; recompute profiles between passes
+    for _ in range(max(refine_passes, 0)):
+        moved = 0
+        for c in contigs:
+            nb_best = best_bin(c)
+            if nb_best >= 0 and nb_best != c.bin_id:
+                c.bin_id = nb_best
+                moved += 1
+        if not moved:
+            break
+        P[:nb] = 0
+        D[:nb] = 0
+        S[:nb] = 0
+        for c in contigs:
+            w = len(c.seq)
+            P[c.bin_id] += c.profile * w
+            D[c.bin_id] += c.depth * w
+            S[c.bin_id] += w
+        nz = S[:nb] > 0
+        P[:nb][nz] /= S[:nb][nz, None]
+        D[:nb][nz] /= S[:nb][nz]
+    bins: list[list[Contig]] = [[] for _ in range(nb)]
+    for c in contigs:
+        bins[c.bin_id].append(c)
+    return [b for b in bins if b]
 
 
 def main(argv=None):
