@@ -98,6 +98,32 @@ def _make_handler(state: ServerState):
             return self._reply({"error": "bad path"}, 404)
 
         def do_POST(self):
+            if self.path == "/demux/assign":
+                # DemuxServer/DemuxClient role (barcode/DemuxClient.java):
+                # probability-model barcode assignment as a service
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    req = json.loads(self.rfile.read(n))
+                    observed = [b.encode() for b in req["barcodes"]]
+                    expected = [e.encode() for e in req["expected"]]
+                    minprob = float(req.get("minprob", -5.6))
+                except (ValueError, KeyError) as e:
+                    return self._reply({"error": f"bad request: {e}"}, 400)
+                from collections import Counter
+
+                from .novademux import PCRMatrix
+
+                model = PCRMatrix(expected)
+                model.fit(Counter(observed))
+                uniq = sorted(set(observed))
+                best, logp = model.score(uniq)
+                amap = {
+                    bc: (expected[int(b)].decode() if lp >= minprob else None)
+                    for bc, b, lp in zip(uniq, best, logp)
+                }
+                return self._reply(
+                    {"assignments": [amap[bc] for bc in observed]}
+                )
             if self.path != "/sketch/compare":
                 return self._reply({"error": "bad path"}, 404)
             n = int(self.headers.get("Content-Length", 0))

@@ -175,3 +175,29 @@ def test_accession2taxid_ncbi_format(tmp_path):
     assert m["NC_001422.1"] == 10847
     assert m["gi|9626372"] == 10847
     assert m["CP000001.2"] == 1392
+
+
+def test_demux_server_endpoint():
+    import json
+    import urllib.request
+
+    from bbtools_tpu.models.server import ServerState, start_server
+
+    srv, port = start_server(ServerState(), 0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/demux/assign",
+            data=json.dumps({
+                "barcodes": ["ACGTACGT", "ACGTACGA", "TTTTCCCC", "GGGGGGGG"],
+                "expected": ["ACGTACGT", "TTTTCCCC"],
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            out = json.loads(resp.read())
+        a = out["assignments"]
+        assert a[0] == "ACGTACGT" and a[1] == "ACGTACGT"
+        assert a[2] == "TTTTCCCC"
+        assert a[3] is None  # far from both
+    finally:
+        srv.shutdown()
