@@ -360,6 +360,8 @@ TOOLS = {
     "testformat": lambda a: _lazy("texttools", "testformat", a),
     "translate6frames": lambda a: _lazy("texttools", "translate6frames", a),
     "statswrapper": lambda a: _lazy("texttools", "statswrapper", a),
+    "sketchblacklist": lambda a: _lazy("texttools", "sketchblacklist", a),
+    "bloomfilter": lambda a: _lazy("texttools", "bloomfilter", a),
     "findprimers": lambda a: _lazy("findprimers", "main", a),
     "indelfreealigner": lambda a: _lazy("indelfree", "main", a),
     "filterbyname": lambda a: _lazy("filtertools", "filterbyname", a),

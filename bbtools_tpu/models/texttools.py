@@ -180,3 +180,99 @@ def statswrapper(argv=None):
         print("%d\t%d\t%d\t%d\t%d\t%.4f\t%s" % row)
         rows.append(row)
     return rows
+
+
+def sketchblacklist(argv=None):
+    """sketchblacklist.sh (sketch/BlacklistMaker.java role): build a
+    blacklist of sketch hashes shared by >= mintaxcount input
+    sequences/files — keys so widely shared they carry no taxonomic
+    signal. Output is this repo's TSV sketch format, consumable by
+    sketch blacklist= (models/sketch.load_blacklist)."""
+    from .sketch import sketch_sequences, write_sketch
+    from ..core.dna import encode
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    ins = a.get_list("in") or []
+    out = a.get("out")
+    k = a.get_int("k", default=31)
+    size = a.get_int("size", default=100000)
+    mintax = a.get_int("mintaxcount", default=2)
+    per_seq = a.get_bool("perseq", "persequence", default=True)
+    counts: dict[int, int] = {}
+    n_units = 0
+    for path in ins:
+        units = []
+        if per_seq:
+            for rec in iter_fasta(path):
+                units.append([encode(rec.seq)])
+        else:
+            units.append([encode(rec.seq) for rec in iter_fasta(path)])
+        for u in units:
+            n_units += 1
+            for h in sketch_sequences(iter(u), k, size).tolist():
+                counts[h] = counts.get(h, 0) + 1
+    bl = np.sort(
+        np.array(
+            [h for h, c in counts.items() if c >= mintax], dtype=np.uint64
+        )
+    )
+    if out:
+        write_sketch(out, bl, "blacklist", k)
+    print(f"Units Sketched:      \t{n_units}", file=sys.stderr)
+    print(f"Blacklisted Keys:    \t{len(bl)}", file=sys.stderr)
+    return bl
+
+
+def bloomfilter(argv=None):
+    """bloomfilter.sh (bloom/BloomFilterWrapper role): build a counting
+    filter from ref= k-mers on device (ops/cms.CountMinSketch), then
+    keep (or with include=f toss) reads with >= minhits k-mer hits."""
+    from ..core.dna import encode
+    from ..io.fastq import FastqWriter
+    from ..ops.cms import CountMinSketch
+    from ..ops.kmers import rolling_kmers_np
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    ref = a.get("ref")
+    out1 = a.get("out", "out1")
+    outm = a.get("outm", "outmatch")
+    k = a.get_int("k", default=31)
+    minhits = a.get_int("minhits", default=1)
+    include = a.get_bool("include", default=False)
+    cms = CountMinSketch()
+    for rec in iter_fasta(ref):
+        codes = encode(rec.seq)
+        if len(codes) < k:
+            continue
+        fwd, rkm, runlen = rolling_kmers_np(codes[None, :], k)
+        ok = runlen[0] >= k
+        cms.add(np.maximum(fwd[0][ok], rkm[0][ok]))
+    kept = total = 0
+    w = FastqWriter(out1) if out1 else None
+    wm = FastqWriter(outm) if outm else None
+    for b in FastqReader(in1):
+        fwd, rkm, runlen = rolling_kmers_np(b.bases, k)
+        i_idx = np.arange(b.bases.shape[1])[None, :]
+        ok = (runlen >= k) & (i_idx < b.lengths[:, None])
+        keys = np.maximum(fwd, rkm)
+        hits = np.zeros(b.n, np.int64)
+        flat_ok = ok.reshape(-1)
+        if flat_ok.any():
+            counts = np.zeros(ok.size, np.int64)
+            counts[flat_ok] = cms.query(keys.reshape(-1)[flat_ok])
+            hits = (counts.reshape(ok.shape) > 0).sum(axis=1)
+        matched = hits >= minhits
+        keep = matched if include else ~matched
+        total += b.n
+        kept += int(keep.sum())
+        if w:
+            w.add(b, keep)
+        if wm:
+            wm.add(b, matched)
+    for x in (w, wm):
+        if x:
+            x.close()
+    print(f"Reads Processed:    \t{total}", file=sys.stderr)
+    print(f"Reads Out:          \t{kept}", file=sys.stderr)
+    return kept, total

@@ -507,3 +507,44 @@ def test_rqcfilter_pipeline(tmp_path):
 
     assert os.path.exists(final)
     assert "anq" in os.path.basename(final)
+
+
+def test_sketchblacklist_and_bloomfilter(tmp_path):
+    rng = np.random.default_rng(29)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    shared = ACGT[rng.integers(0, 4, 500)].tobytes()
+    recs = []
+    for i in range(4):
+        uniq = ACGT[rng.integers(0, 4, 500)].tobytes()
+        recs.append(b">g%d\n%s%s\n" % (i, shared, uniq))
+    (tmp_path / "refs.fa").write_bytes(b"".join(recs))
+    from bbtools_tpu.models.texttools import bloomfilter, sketchblacklist
+
+    bl = sketchblacklist([
+        f"in={tmp_path}/refs.fa", f"out={tmp_path}/bl.sketch",
+        "mintaxcount=3", "size=100000",
+    ])
+    assert len(bl) > 50  # the shared block's hashes
+    from bbtools_tpu.models.sketch import load_blacklist
+
+    loaded = load_blacklist(str(tmp_path / "bl.sketch"))
+    np.testing.assert_array_equal(loaded, bl)
+
+    # bloomfilter: remove reads matching a contaminant ref
+    contam = ACGT[rng.integers(0, 4, 300)].tobytes()
+    (tmp_path / "contam.fa").write_bytes(b">c\n" + contam + b"\n")
+    reads = []
+    for i in range(40):
+        if i % 2:
+            s = contam[50:150]
+        else:
+            s = ACGT[rng.integers(0, 4, 100)].tobytes()
+        reads.append((b"r%d" % i, s, b""))
+    _write_fq(tmp_path / "reads.fq", reads)
+    kept, total = bloomfilter([
+        f"in={tmp_path}/reads.fq", f"ref={tmp_path}/contam.fa",
+        f"out={tmp_path}/clean.fq", "minhits=1",
+    ])
+    assert total == 40 and kept == 20
+    names = _read_fq_names(tmp_path / "clean.fq")
+    assert all(int(n[1:]) % 2 == 0 for n in names)
