@@ -87,3 +87,53 @@ def sharded_ungapped_score_step(mesh: Mesh, L: int, W: int):
         check_rep=False,
     )
     return jax.jit(smapped)
+
+
+def shard_seed_index(starts: np.ndarray, sites: np.ndarray, n_shards: int,
+                     max_hits: int):
+    """Reference-block sharding of the BBMap CSR seed index: shard s owns
+    keys with key % n_shards == s. Each shard's table is re-laid out as a
+    FIXED-WIDTH [n_keys_local, max_hits] site matrix (pad -1) so the
+    device lookup is a single row gather — the CSR's variable-length rows
+    don't shard onto fixed-shape devices, the padded layout does.
+    Returns (tables [S, nk_local, max_hits] int32, n_shards)."""
+    import numpy as _np
+
+    nk = len(starts) - 1
+    nk_local = (nk + n_shards - 1) // n_shards
+    tables = _np.full((n_shards, nk_local, max_hits), -1, _np.int32)
+    counts = _np.diff(starts)
+    for s in range(n_shards):
+        keys = _np.arange(s, nk, n_shards)
+        for li, key in enumerate(keys):
+            c = min(int(counts[key]), max_hits)
+            if c:
+                tables[s, li, :c] = sites[starts[key] : starts[key] + c]
+    return tables
+
+
+def sharded_seed_expand_step(mesh: Mesh, n_shards: int):
+    """fn(keys [B, K] i32, tables [S, nk_local, M] i32) ->
+    sites [S, B, K, M] i32 (pad -1): each tp shard expands the query
+    seed keys it owns; results stack on the shard axis (the
+    reference-block parallel seed lookup, kmer/KmerTableSet WAYS
+    layout over the BBIndex CSR)."""
+
+    def step(keys, table):
+        table = table[0]  # [nk_local, M]
+        mine = (keys % n_shards) == jax.lax.axis_index("tp")
+        local = keys // n_shards
+        rows = table[jnp.clip(local, 0, table.shape[0] - 1)]  # [B, K, M]
+        rows = jnp.where(mine[:, :, None], rows, jnp.int32(-1))
+        return rows[None]
+
+    from jax.experimental.shard_map import shard_map
+
+    smapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P("tp", None, None)),
+        out_specs=P("tp", None, None, None),
+        check_rep=False,
+    )
+    return jax.jit(smapped)

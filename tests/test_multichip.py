@@ -128,3 +128,39 @@ def test_sharded_ungapped_score_matches_oracle():
         )
     )
     np.testing.assert_array_equal(got, single)
+
+
+def test_sharded_seed_expand_matches_csr():
+    """tp-sharded fixed-width seed expansion returns exactly the CSR's
+    site lists (up to max_hits) for every query key."""
+    from bbtools_tpu.parallel.sharded_count import (
+        shard_seed_index,
+        sharded_seed_expand_step,
+    )
+
+    k = 5
+    nk = 4 ** k
+    rng2 = np.random.default_rng(9)
+    # synthetic CSR: random site counts per key
+    counts = rng2.integers(0, 5, nk)
+    starts = np.zeros(nk + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    sites = rng2.integers(0, 1 << 20, int(starts[-1]), dtype=np.int32)
+    M = 4
+    S = 2
+    tables = shard_seed_index(starts, sites, S, M)
+    mesh = make_mesh(n_dp=4, n_tp=S)
+    step = sharded_seed_expand_step(mesh, S)
+    B, K = 16, 6
+    keys = rng2.integers(0, nk, (B, K)).astype(np.int32)
+    out = np.asarray(step(jnp.asarray(keys), jnp.asarray(tables)))
+    assert out.shape == (S, B, K, M)
+    for b in range(B):
+        for t in range(K):
+            key = int(keys[b, t])
+            end = min(starts[key] + M, starts[key + 1])
+            want = sites[starts[key] : end].tolist()
+            got = [
+                x for s in range(S) for x in out[s, b, t].tolist() if x >= 0
+            ]
+            assert sorted(got) == sorted(want), (key, got, want)
