@@ -58,6 +58,10 @@ class TadpoleConfig:
     mode: str = "contig"  # contig | correct
     ecc_pincer: bool = True
     ecc_tail: bool = True
+    shave: bool = False  # remove dead-end hair chains (Shaver.java role)
+    rinse: bool = False  # remove bubble branches
+    shave_depth: int = 1
+    shave_len: int = 150
 
     def resolve(self):
         if self.min_contig_len < 0:
@@ -88,6 +92,10 @@ def parse_args(argv):
         c.mode = "correct"
     c.ecc_pincer = a.get_bool("eccpincer", "pincer", default=True)
     c.ecc_tail = a.get_bool("ecctail", "tail", default=True)
+    c.shave = a.get_bool("shave", default=False)
+    c.rinse = a.get_bool("rinse", default=False)
+    c.shave_depth = a.get_int("shavedepth", default=1)
+    c.shave_len = a.get_int("shavelen", default=150)
     return c.resolve()
 
 
@@ -331,8 +339,84 @@ class Tadpole:
             spec.flush()
             self.reads_in = reader.reads_in
             self.table = SpectrumTable(spec, self.cfg.k)
+            if self.cfg.shave or self.cfg.rinse:
+                removed = self.shave_rinse()
+                if removed:
+                    print(f"Shaved kmers:        \t{removed}",
+                          file=sys.stderr)
             self.engine = SmallKmerEngine(self.table, self.cfg.k)
         self.in_path = path
+
+    def shave_rinse(self) -> int:
+        """Graph cleanup before assembly (assemble/Shaver.java role):
+        shave removes dead-end 'hair' — maximal unbranched chains of
+        low-count kmers ending in a tip — and rinse removes low-count
+        bubble branches (unbranched chains bounded by branch nodes on
+        both sides). Operates directly on the sorted spectrum arrays;
+        neighbor degrees come from batched canonical lookups."""
+        cfg = self.cfg
+        t = self.table
+        k = cfg.k
+        keys = t.keys
+        counts = t.counts
+        low = counts <= cfg.shave_depth
+        if not low.any():
+            return 0
+        fwd = keys.astype(np.int64)
+        rkm = rc_kmer_arr(fwd, k)
+
+        lc, lcanon = self._neighbor_counts(fwd, rkm, "left")
+        rc_, rcanon = self._neighbor_counts(fwd, rkm, "right")
+        ldeg = (lc > 0).sum(axis=1)
+        rdeg = (rc_ > 0).sum(axis=1)
+        # walk from tips (shave) and from branch-adjacent low chains (rinse)
+        key_index = {int(x): i for i, x in enumerate(keys[low])}
+        # global index map for chain walking
+        all_index = {int(x): i for i, x in enumerate(keys)}
+        dead = np.zeros(len(keys), dtype=bool)
+        starts = []
+        if cfg.shave:
+            starts += list(np.flatnonzero(low & ((ldeg == 0) | (rdeg == 0))))
+        if cfg.rinse:
+            starts += list(
+                np.flatnonzero(low & (ldeg >= 1) & (rdeg >= 1))
+            )
+        for si in starts:
+            if dead[si]:
+                continue
+            chain = [si]
+            ok = True
+            # walk in both open directions while unbranched and low
+            for side0 in ("left", "right"):
+                cur = si
+                steps = 0
+                while steps < cfg.shave_len:
+                    deg = ldeg[cur] if side0 == "left" else rdeg[cur]
+                    if deg == 0:
+                        break  # tip end
+                    if deg > 1:
+                        break  # bounded by a branch: chain ends here
+                    canon_row = (lcanon if side0 == "left" else rcanon)[cur]
+                    crow = (lc if side0 == "left" else rc_)[cur]
+                    nxt_key = int(canon_row[int(np.argmax(crow > 0))])
+                    j = all_index.get(nxt_key, -1)
+                    if j < 0 or not low[j]:
+                        break  # enters solid graph: stop (boundary)
+                    if j in chain[-3:] or dead[j]:
+                        break
+                    chain.append(j)
+                    cur = j
+                    steps += 1
+                else:
+                    ok = False  # chain too long: not hair
+            if ok and len(chain) <= cfg.shave_len:
+                dead[chain] = True
+        n = int(dead.sum())
+        if n:
+            keep = ~dead
+            t.keys = keys[keep]
+            t.counts = counts[keep]
+        return n
 
     # ------------------------------------------------------------------
     def _neighbor_counts(self, kmer, rkmer, side: str):

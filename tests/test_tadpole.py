@@ -217,3 +217,52 @@ def test_assemble_k93_exact_words(tmp_path):
 
     for c in tool.contigs:
         assert c in g or reverse_complement(c) in g, len(c)
+
+
+def test_shave_removes_hair(tmp_path):
+    """A low-coverage dead-end branch (hair) breaks the contig at the
+    branch point; shave=t removes it and the backbone assembles through
+    (assemble/Shaver.java semantics)."""
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models.tadpole import Tadpole, parse_args
+
+    rng = np.random.default_rng(61)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    genome = ACGT[rng.integers(0, 4, 3000)].tobytes()
+    # clean 10x coverage of the backbone
+    reads = []
+    for i in range(0, 3000 - 100, 10):
+        for _ in range(10):
+            reads.append(genome[i : i + 100])
+    # hair: ONE read that matches the backbone for 50bp then diverges
+    hair = genome[1500:1550] + ACGT[rng.integers(0, 4, 50)].tobytes()
+    reads.append(hair)
+    with open(tmp_path / "r.fq", "wb") as f:
+        for i, r in enumerate(reads):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, r, b"I" * len(r)))
+
+    def asm(extra):
+        out = tmp_path / ("c_%s.fa" % ("shave" if extra else "plain"))
+        cfg = parse_args(
+            [f"in={tmp_path}/r.fq", f"out={out}", "k=31", "mincount=1"]
+            + (["shave=t"] if extra else [])
+        )
+        t = Tadpole(cfg)
+        t.run()
+        seqs = []
+        cur = []
+        for ln in open(out, "rb").read().splitlines():
+            if ln.startswith(b">"):
+                if cur:
+                    seqs.append(b"".join(cur))
+                cur = []
+            else:
+                cur.append(ln)
+        if cur:
+            seqs.append(b"".join(cur))
+        return max((len(x) for x in seqs), default=0)
+
+    longest_shaved = asm(True)
+    assert longest_shaved >= 2900, longest_shaved  # full backbone
