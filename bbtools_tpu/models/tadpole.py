@@ -58,6 +58,8 @@ class TadpoleConfig:
     mode: str = "contig"  # contig | correct
     ecc_pincer: bool = True
     ecc_tail: bool = True
+    extend_left: int = 0  # mode=extend: bases to extend on the left
+    extend_right: int = 0  # mode=extend: bases to extend on the right
     shave: bool = False  # remove dead-end hair chains (Shaver.java role)
     rinse: bool = False  # remove bubble branches
     shave_depth: int = 1
@@ -88,6 +90,12 @@ def parse_args(argv):
     m = (a.get("mode") or "contig").lower()
     if m in ("correct", "ecc"):
         c.mode = "correct"
+    elif m == "extend":
+        c.mode = "extend"
+    c.extend_left = a.get_int("el", "extendleft", default=0)
+    c.extend_right = a.get_int("er", "extendright", default=0)
+    if (c.extend_left or c.extend_right) and c.mode == "contig":
+        c.mode = "extend"
     if a.get_bool("ecc", default=False):
         c.mode = "correct"
     c.ecc_pincer = a.get_bool("eccpincer", "pincer", default=True)
@@ -716,6 +724,8 @@ class Tadpole:
         cfg = self.cfg
         if cfg.mode == "correct":
             return self.run_correct()
+        if cfg.mode == "extend":
+            return self.run_extend()
         t0 = time.time()
         self.load_kmers(cfg.in1)
         self.build_contigs()
@@ -802,6 +812,79 @@ def _contig_keys(codes: np.ndarray, k: int, mask: int) -> np.ndarray:
     fwd, rkm, runlen = rolling_kmers_np(codes[None, :], k)
     valid = runlen[0] >= k
     return np.maximum(fwd[0][valid], rkm[0][valid])
+
+
+def _tadpole_extend_impl(self):
+    """mode=extend (Tadpole.java extendRead role): greedily extend each
+    read left/right through the kmer graph (el=/er=), stopping at
+    branches or dead ends — the engine behind bbmerge extend2, exposed
+    as a read-mode tool."""
+    cfg = self.cfg
+    t0 = time.time()
+    self.load_kmers(cfg.in1)
+    from ..io.fastq import FastqWriter
+    from .tadpole_ecc import EccEngine
+
+    eng = EccEngine(self.table, cfg.k)
+    k = cfg.k
+    mask = (1 << (2 * k)) - 1
+    n_ext = 0
+    reader = read_batches(cfg.in1, batch_reads=cfg.batch_reads)
+    with FastqWriter(cfg.out) as w:
+        for b in reader:
+            seqs, quals, ids = [], [], []
+            for i in range(b.n):
+                n = int(b.lengths[i])
+                codes = b.bases[i, :n].copy()
+                q = b.quals[i, :n].copy() if b.quals is not None else None
+                ext_r = ext_l = 0
+                if cfg.extend_right > 0 and n >= k and (codes[-k:] < 4).all():
+                    km = 0
+                    for x in codes[-k:]:
+                        km = ((km << 2) | int(x)) & mask
+                    bases_r, ext_r = eng._extend_right(km, cfg.extend_right)
+                    if ext_r:
+                        codes = np.concatenate(
+                            [codes, np.array(bases_r[:ext_r], np.uint8)]
+                        )
+                if cfg.extend_left > 0 and n >= k and (codes[:k] < 4).all():
+                    rcodes = np.where(codes < 4, 3 - codes, 4)[::-1]
+                    km = 0
+                    for x in rcodes[-k:]:
+                        km = ((km << 2) | int(x)) & mask
+                    bases_l, ext_l = eng._extend_right(km, cfg.extend_left)
+                    if ext_l:
+                        add = np.where(
+                            np.array(bases_l[:ext_l], np.uint8) < 4,
+                            3 - np.array(bases_l[:ext_l], np.uint8), 4,
+                        )[::-1]
+                        codes = np.concatenate([add, codes])
+                if ext_r or ext_l:
+                    n_ext += 1
+                from ..core.dna import CODE_TO_BASE
+
+                seqs.append(CODE_TO_BASE[np.minimum(codes, 4)].tobytes())
+                if q is not None:
+                    quals.append(
+                        bytes([30 + 33] * ext_l)
+                        + (q + 33).tobytes()
+                        + bytes([30 + 33] * (len(codes) - n - ext_l))
+                    )
+                ids.append(b.ids[i])
+            from ..io.batch import ReadBatch
+
+            nb = ReadBatch.from_sequences(
+                seqs, quals=quals if quals else None, ids=ids,
+                ordinal=b.ordinal,
+            )
+            w.add(nb)
+    self.reads_in = reader.reads_in
+    self.elapsed = time.time() - t0
+    print(f"Reads Extended:      \t{n_ext}", file=sys.stderr)
+    return self
+
+
+Tadpole.run_extend = _tadpole_extend_impl
 
 
 def main(argv=None):

@@ -266,3 +266,31 @@ def test_shave_removes_hair(tmp_path):
 
     longest_shaved = asm(True)
     assert longest_shaved >= 2900, longest_shaved  # full backbone
+
+
+def test_mode_extend(tmp_path):
+    """mode=extend (er=/el=): reads extend through the kmer graph up to
+    the requested distances."""
+    import numpy as np
+
+    from bbtools_tpu.models.tadpole import Tadpole, parse_args
+
+    rng = np.random.default_rng(77)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    genome = ACGT[rng.integers(0, 4, 2000)].tobytes()
+    reads = [genome[i : i + 80] for i in range(0, 1900, 5)]
+    with open(tmp_path / "r.fq", "wb") as f:
+        for i, r in enumerate(reads):
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, r, b"I" * len(r)))
+    cfg = parse_args([
+        f"in={tmp_path}/r.fq", f"out={tmp_path}/e.fq", "k=31",
+        "mincount=1", "er=50", "el=20",
+    ])
+    assert cfg.mode == "extend"
+    Tadpole(cfg).run()
+    lines = open(tmp_path / "e.fq", "rb").read().splitlines()
+    seqs = lines[1::4]
+    # interior reads extend fully and stay genome-consistent
+    mid = seqs[len(seqs) // 2]
+    assert len(mid) == 80 + 50 + 20
+    assert mid in genome
