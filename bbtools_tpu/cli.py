@@ -23,6 +23,34 @@ def _bbmap(args):
     return main(args)
 
 
+def _bbwrap(args):
+    """bbwrap.sh: map MULTIPLE in=/out= comma-lists against one reference
+    without rebuilding the index (BBWrap.java role)."""
+    from .core.parser import tokenize
+    from .models.bbmap import BBMap, parse_args
+
+    a = tokenize(args)
+    ins = (a.get("in", "in1") or "").split(",")
+    in2s = (a.get("in2") or "").split(",") if a.get("in2") else [None] * len(ins)
+    outs = (a.get("out", "outm") or "").split(",") if a.get("out", "outm") else [None] * len(ins)
+    base = [t for t in args if not t.split("=")[0] in ("in", "in1", "in2", "out", "outm")]
+    tool = None
+    for i, inp in enumerate(ins):
+        sub = base + [f"in={inp}"]
+        if i < len(in2s) and in2s[i]:
+            sub.append(f"in2={in2s[i]}")
+        if i < len(outs) and outs[i]:
+            sub.append(f"out={outs[i]}")
+        cfg = parse_args(sub)
+        if tool is None:
+            tool = BBMap(cfg)
+        else:
+            tool = BBMap(cfg, index=tool.index)  # reuse the index
+        tool.run()
+        tool.print_stats()
+    return tool
+
+
 def _mappacbio(args):
     from .models.bbmap import main
 
@@ -285,7 +313,7 @@ def _filterbytaxa(args):
 TOOLS = {
     "bbduk": _bbduk,
     "bbmap": _bbmap,
-    "bbwrap": _bbmap,
+    "bbwrap": _bbwrap,
     "bbmapskimmer": _bbmapskimmer,
     "mappacbio": _mappacbio,
     "mappacbioskimmer": _bbmapskimmer,
@@ -368,6 +396,7 @@ TOOLS = {
     "filterbysequence": lambda a: _lazy("filtertools", "filterbysequence", a),
     "filtersam": lambda a: _lazy("filtertools", "filtersam", a),
     "countbarcodes": lambda a: _lazy("filtertools", "countbarcodes", a),
+    "countbarcodes2": lambda a: _lazy("filtertools", "countbarcodes", a),
     "cutprimers": lambda a: _lazy("filtertools", "cutprimers", a),
     "mutate": lambda a: _lazy("synthtools", "mutate", a),
     "mutategenome": lambda a: _lazy("synthtools", "mutate", a),

@@ -548,3 +548,28 @@ def test_sketchblacklist_and_bloomfilter(tmp_path):
     assert total == 40 and kept == 20
     names = _read_fq_names(tmp_path / "clean.fq")
     assert all(int(n[1:]) % 2 == 0 for n in names)
+
+
+def test_bbwrap_reuses_index(tmp_path):
+    from bbtools_tpu.cli import main as cli_main
+    from bbtools_tpu.io.fasta import write_fasta
+    from bbtools_tpu.utils.synth import random_genome, random_reads, write_reads
+    from bbtools_tpu.io.fasta import load_reference
+
+    g = random_genome(30_000, seed=2)
+    write_fasta(str(tmp_path / "ref.fa"), g)
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    for tag, seed in (("a", 3), ("b", 4)):
+        reads = random_reads(ref, 60, read_len=100, snp_rate=0.01, seed=seed)
+        write_reads(str(tmp_path / f"{tag}.fq"), reads)
+    cli_main([
+        "bbwrap", f"ref={tmp_path}/ref.fa",
+        f"in={tmp_path}/a.fq,{tmp_path}/b.fq",
+        f"out={tmp_path}/a.sam,{tmp_path}/b.sam", "nodisk",
+    ])
+    for tag in ("a", "b"):
+        body = [
+            ln for ln in (tmp_path / f"{tag}.sam").read_bytes().splitlines()
+            if ln and not ln.startswith(b"@")
+        ]
+        assert len(body) == 60
