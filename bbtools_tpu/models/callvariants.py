@@ -1023,6 +1023,10 @@ class CallVariants:
                     self.total_mapq_avg, self.read_length_avg, self.ploidy,
                     self.ref,
                 )
+                if nn_scores is not None and f.min_score > 0:
+                    # with a net, QUAL and the min_score gate both use the
+                    # scaled NN score (VarFilter.passesFilter net path)
+                    passes = passes and phred >= f.min_score
                 scaf_codes = self.ref.scaffold_codes(v.scafnum)
                 name = self.ref.names[v.scafnum].split()[0]
                 indel = v.type in (INS, DEL)
