@@ -1018,15 +1018,26 @@ class CallVariants:
                     nn_scores[vi] if nn_scores is not None
                     else v.phred_score(*args)
                 )
-                passes = f.passes(
-                    v, self.pairing_rate, self.total_quality_avg,
-                    self.total_mapq_avg, self.read_length_avg, self.ploidy,
-                    self.ref,
-                )
                 if nn_scores is not None and f.min_score > 0:
-                    # with a net, QUAL and the min_score gate both use the
-                    # scaled NN score (VarFilter.passesFilter net path)
-                    passes = passes and phred >= f.min_score
+                    # with a net, the score gate uses the scaled NN score
+                    # INSTEAD of the composite (VarFilter.passesFilter
+                    # net path); other filter tiers still apply
+                    ms = f.min_score
+                    f.min_score = 0
+                    try:
+                        passes = f.passes(
+                            v, self.pairing_rate, self.total_quality_avg,
+                            self.total_mapq_avg, self.read_length_avg,
+                            self.ploidy, self.ref,
+                        ) and phred >= ms
+                    finally:
+                        f.min_score = ms
+                else:
+                    passes = f.passes(
+                        v, self.pairing_rate, self.total_quality_avg,
+                        self.total_mapq_avg, self.read_length_avg,
+                        self.ploidy, self.ref,
+                    )
                 scaf_codes = self.ref.scaffold_codes(v.scafnum)
                 name = self.ref.names[v.scafnum].split()[0]
                 indel = v.type in (INS, DEL)
