@@ -35,6 +35,12 @@ class ServerState:
     def __init__(self):
         self.tree = None
         self.sketches = []  # (name, hashes, k)
+        self.clades = []  # Clade profiles (QuickClade DB role)
+
+    def add_clade_fasta(self, path: str):
+        from .clade import profile_fasta
+
+        self.clades.append(profile_fasta(path))
 
     def load_tax(self, names_dmp: str, nodes_dmp: str):
         from .taxonomy import TaxTree
@@ -98,6 +104,29 @@ def _make_handler(state: ServerState):
             return self._reply({"error": "bad path"}, 404)
 
         def do_POST(self):
+            if self.path == "/clade/classify":
+                # QuickClade-with-server role (clade/CladeServer): POST a
+                # fasta body, get the nearest reference clade
+                if not state.clades:
+                    return self._reply({"error": "no clade DB loaded"}, 503)
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                import tempfile
+
+                from .clade import classify, profile_fasta
+
+                with tempfile.NamedTemporaryFile(suffix=".fa") as tf:
+                    tf.write(body)
+                    tf.flush()
+                    q = profile_fasta(tf.name)
+                scored = classify(q, state.clades)
+                score, best = scored[0]
+                name = best.name
+                if isinstance(name, bytes):
+                    name = name.decode(errors="replace")
+                return self._reply(
+                    {"best": name, "absdif": float(score)}
+                )
             if self.path == "/demux/assign":
                 # DemuxServer/DemuxClient role (barcode/DemuxClient.java):
                 # probability-model barcode assignment as a service
@@ -185,6 +214,9 @@ def main(argv=None):
     for path in (a.get("ref") or "").split(","):
         if path.strip():
             state.add_reference_fasta(path.strip(), k=a.get_int("k", default=31))
+    for path in (a.get("clade", "claderef") or "").split(","):
+        if path.strip():
+            state.add_clade_fasta(path.strip())
     port = a.get_int("port", default=3068)
     srv, port = start_server(state, port)
     print(f"Server listening on 127.0.0.1:{port}", file=sys.stderr)

@@ -201,3 +201,34 @@ def test_demux_server_endpoint():
         assert a[3] is None  # far from both
     finally:
         srv.shutdown()
+
+
+def test_clade_server_endpoint(tmp_path):
+    import json
+    import urllib.request
+
+    import numpy as np
+
+    from bbtools_tpu.models.server import ServerState, start_server
+
+    rng = np.random.default_rng(41)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    # two references with different GC character
+    a = ACGT[rng.choice(4, 8000, p=[0.35, 0.15, 0.15, 0.35])].tobytes()
+    b = ACGT[rng.choice(4, 8000, p=[0.15, 0.35, 0.35, 0.15])].tobytes()
+    (tmp_path / "a.fa").write_bytes(b">orgA\n" + a + b"\n")
+    (tmp_path / "b.fa").write_bytes(b">orgB\n" + b + b"\n")
+    st = ServerState()
+    st.add_clade_fasta(str(tmp_path / "a.fa"))
+    st.add_clade_fasta(str(tmp_path / "b.fa"))
+    srv, port = start_server(st, 0)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/clade/classify",
+            data=b">q\n" + a[2000:5000] + b"\n",
+        )
+        with urllib.request.urlopen(req, timeout=10) as resp:
+            out = json.loads(resp.read())
+        assert out["best"].endswith("a.fa")
+    finally:
+        srv.shutdown()
