@@ -405,6 +405,8 @@ TOOLS = {
     "kcompress": lambda a: _lazy("synthtools", "kcompress", a),
     "kmerlimit": lambda a: _lazy("synthtools", "kmerlimit", a),
     "findrepeats": lambda a: _lazy("synthtools", "findrepeats", a),
+    "addadapters": lambda a: _lazy("synthtools", "addadapters", a),
+    "makechimeras": lambda a: _lazy("synthtools", "makechimeras", a),
     "checkstrand": lambda a: _lazy("synthtools", "checkstrand", a),
 }
 

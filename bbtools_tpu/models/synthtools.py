@@ -383,3 +383,107 @@ def checkstrand(argv=None):
     maj = max(reads_p, reads_m) / max(reads_p + reads_m, 1)
     print(f"Strandedness:       \t{maj*100:.2f}%", file=sys.stderr)
     return frac
+
+
+# ------------------------------------------------------------ addadapters
+def addadapters(argv=None):
+    """jgi/AddAdapters.java: write adapters into reads at random
+    positions, encoding the truth position in the header
+    (`name insert=<pos>`); `grade` mode re-reads a TRIMMED file and
+    scores how many reads were trimmed to exactly the right length."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    grade = a.get_bool("grade", default=False)
+    if grade:
+        total = correct = over = under = 0
+        for b in FastqReader(in1):
+            for i in range(b.n):
+                rid = b.ids[i]
+                if b" insert=" not in rid:
+                    continue
+                want = int(rid.rsplit(b" insert=", 1)[1].split()[0])
+                got = int(b.lengths[i])
+                total += 1
+                if got == want:
+                    correct += 1
+                elif got < want:
+                    over += 1
+                else:
+                    under += 1
+        print(f"Total:               \t{total}", file=sys.stderr)
+        print(f"Correct:             \t{correct}\t"
+              f"{100*correct/max(total,1):.2f}%", file=sys.stderr)
+        print(f"Overtrimmed:         \t{over}", file=sys.stderr)
+        print(f"Undertrimmed:        \t{under}", file=sys.stderr)
+        return total, correct, over, under
+    adapters = []
+    if a.get("adapters"):
+        adapters += [rec.seq for rec in iter_fasta(a.get("adapters"))]
+    adapters += [x.encode() for x in (a.get("literal") or "").split(",") if x]
+    if not adapters:
+        raise SystemExit("addadapters: adapters= or literal= required")
+    rate = a.get_float("rate", default=0.5)
+    seed = a.get_int("seed", default=-1)
+    rng = np.random.default_rng(None if seed < 0 else seed)
+    right = (a.get("right") or "t").lower() in ("t", "true", "1")
+    n_added = 0
+    from ..io.batch import ReadBatch
+
+    with FastqWriter(out1) as w:
+        for b in FastqReader(in1):
+            seqs, quals, ids = [], [], []
+            for i in range(b.n):
+                seq = bytearray(b.sequence(i))
+                q = bytearray(b.quality_string(i) or b"I" * len(seq))
+                L = len(seq)
+                if rng.random() < rate and L > 20 and right:
+                    pos = int(rng.integers(10, L - 5))
+                    ad = adapters[int(rng.integers(0, len(adapters)))]
+                    m = min(len(ad), L - pos)
+                    seq[pos : pos + m] = ad[:m]
+                    # fill any tail after the adapter with random bases
+                    for t in range(pos + m, L):
+                        seq[t] = b"ACGT"[int(rng.integers(0, 4))]
+                    ids.append(b.ids[i] + b" insert=%d" % pos)
+                    n_added += 1
+                else:
+                    ids.append(b.ids[i] + b" insert=%d" % L)
+                seqs.append(bytes(seq))
+                quals.append(bytes(q))
+            w.add(ReadBatch.from_sequences(
+                seqs, quals=quals, ids=ids, ordinal=b.ordinal))
+    print(f"Adapters Added:      \t{n_added}", file=sys.stderr)
+    return n_added
+
+
+# ----------------------------------------------------------- makechimeras
+def makechimeras(argv=None):
+    """jgi/MakeChimeras.java: join random pairs of input sequences into
+    `chimeras=` chimeric records (benchmarking data for chimera
+    detectors)."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    n_chim = a.get_int("chimeras", default=-1)
+    seed = a.get_int("seed", default=-1)
+    if n_chim < 0:
+        raise SystemExit("makechimeras: chimeras= is required")
+    rng = np.random.default_rng(None if seed < 0 else seed)
+    seqs = [(rec.name.split()[0], rec.seq) for rec in iter_fasta(in1)]
+    if len(seqs) < 2:
+        raise SystemExit("makechimeras: need >= 2 input sequences")
+    recs = []
+    for i in range(n_chim):
+        ai, bi = rng.choice(len(seqs), 2, replace=False)
+        na, sa = seqs[ai]
+        nb, sb = seqs[bi]
+        ca = int(rng.integers(1, len(sa)))
+        cb = int(rng.integers(1, len(sb)))
+        recs.append(
+            (b"chimera_%d_%s_%d_%s_%d" % (i, na, ca, nb, cb),
+             sa[:ca] + sb[cb:])
+        )
+    write_fasta(out1, recs)
+    print(f"Chimeras Made:       \t{len(recs)}", file=sys.stderr)
+    return recs

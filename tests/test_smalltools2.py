@@ -573,3 +573,52 @@ def test_bbwrap_reuses_index(tmp_path):
             if ln and not ln.startswith(b"@")
         ]
         assert len(body) == 60
+
+
+def test_addadapters_roundtrip_grade(tmp_path, capfd):
+    """addadapters -> bbduk trim -> addadapters grade: the canonical
+    trimming-accuracy loop (AddAdapters.java both modes)."""
+    rng = np.random.default_rng(19)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    recs = [
+        (b"r%d" % i, ACGT[rng.integers(0, 4, 120)].tobytes(), b"I" * 120)
+        for i in range(200)
+    ]
+    _write_fq(tmp_path / "in.fq", recs)
+    from bbtools_tpu.models.synthtools import addadapters
+
+    n = addadapters([
+        f"in={tmp_path}/in.fq", f"out={tmp_path}/ad.fq",
+        "literal=AGATCGGAAGAGCACACGTCTGAACTCCAGTCA", "rate=0.5", "seed=3",
+    ])
+    assert n > 60
+    main([
+        "bbduk", f"in={tmp_path}/ad.fq", f"out={tmp_path}/trim.fq",
+        "literal=AGATCGGAAGAGCACACGTCTGAACTCCAGTCA", "k=23", "mink=11",
+        "hdist=1", "ktrim=r", "minlen=1",
+    ])
+    total, correct, over, under = addadapters([
+        f"in={tmp_path}/trim.fq", "grade=t",
+    ])
+    assert total == 200
+    assert correct >= 0.95 * total, (correct, over, under)
+
+
+def test_makechimeras(tmp_path):
+    rng = np.random.default_rng(5)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    recs = [
+        (b"s%d" % i, ACGT[rng.integers(0, 4, 300)].tobytes())
+        for i in range(5)
+    ]
+    from bbtools_tpu.io.fasta import write_fasta
+
+    write_fasta(str(tmp_path / "in.fa"), recs)
+    from bbtools_tpu.models.synthtools import makechimeras
+
+    out = makechimeras([
+        f"in={tmp_path}/in.fa", f"out={tmp_path}/chim.fa", "chimeras=7",
+        "seed=1",
+    ])
+    assert len(out) == 7
+    assert all(nm.startswith(b"chimera_") for nm, _ in out)
