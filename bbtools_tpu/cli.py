@@ -390,6 +390,9 @@ TOOLS = {
     "statswrapper": lambda a: _lazy("texttools", "statswrapper", a),
     "sketchblacklist": lambda a: _lazy("texttools", "sketchblacklist", a),
     "bloomfilter": lambda a: _lazy("texttools", "bloomfilter", a),
+    "rename": lambda a: _lazy("texttools", "rename", a),
+    "bbrename": lambda a: _lazy("texttools", "rename", a),
+    "kmercountmulti": lambda a: _lazy("texttools", "kmercountmulti", a),
     "findprimers": lambda a: _lazy("findprimers", "main", a),
     "indelfreealigner": lambda a: _lazy("indelfree", "main", a),
     "filterbyname": lambda a: _lazy("filtertools", "filterbyname", a),

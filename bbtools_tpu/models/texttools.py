@@ -276,3 +276,65 @@ def bloomfilter(argv=None):
     print(f"Reads Processed:    \t{total}", file=sys.stderr)
     print(f"Reads Out:          \t{kept}", file=sys.stderr)
     return kept, total
+
+
+def rename(argv=None):
+    """rename.sh (jgi/RenameReads.java): rename reads with prefix= and a
+    running number (or addprefix=t to keep the old name after it)."""
+    from ..io.batch import ReadBatch
+    from ..io.fastq import FastqWriter
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    prefix = (a.get("prefix") or "").encode()
+    addprefix = a.get_bool("addprefix", default=False)
+    renumber = a.get_bool("renumber", default=True)
+    n = 0
+    with FastqWriter(out1) as w:
+        for b in FastqReader(in1):
+            ids = []
+            for i in range(b.n):
+                if addprefix:
+                    ids.append(prefix + b" " + b.ids[i])
+                elif renumber:
+                    ids.append(
+                        (prefix + b"_" if prefix else b"") + b"%d" % n
+                    )
+                else:
+                    ids.append(prefix or b.ids[i])
+                n += 1
+            b.ids = ids
+            w.add(b)
+    print(f"Reads Renamed:       \t{n}", file=sys.stderr)
+    return n
+
+
+def kmercountmulti(argv=None):
+    """kmercountmulti.sh (jgi/KmerCountMulti.java): HLL cardinality
+    estimates for a sweep of k values in one pass."""
+    from .loglog import LogLog
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    ks = [
+        int(x) for x in (a.get("k") or "17,24,31").replace("-", ",").split(",")
+    ]
+    sweep = a.get("sweep")
+    if sweep:
+        lo, hi, step = (int(x) for x in sweep.split(","))
+        ks = list(range(lo, hi + 1, step))
+    out = a.get("out")
+    lls = {k: LogLog(k=k) for k in ks}
+    for b in FastqReader(in1):
+        for k in ks:
+            lls[k].add_batch(b.bases, b.lengths)
+    rows = [(k, int(lls[k].cardinality())) for k in ks]
+    lines = ["#k\tunique_kmers"] + [f"{k}\t{c}" for k, c in rows]
+    text = "\n".join(lines) + "\n"
+    if out:
+        with open_output(out) as fh:
+            fh.write(text.encode())
+    else:
+        print(text, end="")
+    return rows

@@ -622,3 +622,26 @@ def test_makechimeras(tmp_path):
     ])
     assert len(out) == 7
     assert all(nm.startswith(b"chimera_") for nm, _ in out)
+
+
+def test_rename_and_kmercountmulti(tmp_path):
+    rng = np.random.default_rng(9)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    recs = [
+        (b"orig%d xyz" % i, ACGT[rng.integers(0, 4, 100)].tobytes(), b"")
+        for i in range(30)
+    ]
+    _write_fq(tmp_path / "in.fq", recs)
+    from bbtools_tpu.models.texttools import kmercountmulti, rename
+
+    rename([
+        f"in={tmp_path}/in.fq", f"out={tmp_path}/rn.fq", "prefix=read",
+    ])
+    names = _read_fq_names(tmp_path / "rn.fq")
+    assert names[0] == b"read_0" and names[29] == b"read_29"
+    rows = kmercountmulti([
+        f"in={tmp_path}/in.fq", "k=15,31", f"out={tmp_path}/kc.txt",
+    ])
+    est = dict(rows)
+    # ~30*(100-k+1) distinct random kmers, HLL ~2% error
+    assert 2200 <= est[15] <= 3000 and 1700 <= est[31] <= 2600, est
