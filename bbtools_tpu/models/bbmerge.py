@@ -70,6 +70,11 @@ PRESETS = {
     "vstrict": Preset(0.05, 12, 0.5, 0.16, 2, 0.05, 0.008, 12, 4, 0, 35, 25, 52),
     "strict": Preset(0.075, 7.5, 0.55, 0.12, 4, 0.05, 0.0008, 11, 5, 0, 35, 25, 42),
     "loose": Preset(0.11, 4.7, 0.45, 0.1, 8, 0.55, 0.00002, 5, 6, 0, 16, 16, 30),
+    # vloose/xloose rows from the loose-family ladder
+    # (jgi/BBMerge.java:238-300: maxratio/margin/offset/minsecondratio/
+    # efilter/pfilter/minoverlap/minoverlap0/reduction/minentropy)
+    "vloose": Preset(0.12, 3.0, 0.45, 0.08, 7.5, 0.55, 0.000004, 8, 9, 3, 16, 16, 28),
+    "xloose": Preset(0.2, 2.0, 0.4, 0.08, 8, 0.55, 0.0000001, 8, 7, 2, 16, 16, 22),
 }
 
 
