@@ -88,6 +88,9 @@ class BBMapConfig:
     #: print secondary alignments (skimmer semantics, flag 0x100)
     secondary: bool = False
     dp_top: int = 3  # gapped-extend the top-N ungapped sites per read
+    #: bloom prescreen (bbmap.sh bloomfilter flag): reads sharing NO
+    #: k=31 kmer with the reference skip seeding entirely
+    bloom_prescreen: bool = False
 
 
 def pacbio_preset(c: "BBMapConfig"):
@@ -137,6 +140,7 @@ def parse_args(argv, preset: str | None = None):
     c.secondary = a.get_bool("secondary", default=c.secondary)
     c.fastareadlen = a.get_int("fastareadlen", default=c.fastareadlen)
     c.batch_reads = a.get_int("batchreads", default=c.batch_reads)
+    c.bloom_prescreen = a.get_bool("bloomfilter", "bloom", default=False)
     from ..core.parser import test_output_files
 
     test_output_files(
@@ -170,7 +174,24 @@ class BBMap:
             index = self._load_or_build_index()
         self.index = index
         self.ref = index.ref
+        self.bloom = None
+        if cfg.bloom_prescreen:
+            from ..ops.cms import CountMinSketch
+            from ..ops.kmers import rolling_kmers_np as _rk
+
+            cms = CountMinSketch()
+            codes = self.ref.codes
+            CHUNK = 1 << 20
+            for c0 in range(0, len(codes), CHUNK):
+                seg = codes[max(c0 - 30, 0) : c0 + CHUNK]
+                if len(seg) < 31:
+                    continue
+                fwd, rkm, runlen = _rk(seg[None, :], 31)
+                ok = runlen[0] >= 31
+                cms.add(np.maximum(fwd[0][ok], rkm[0][ok]))
+            self.bloom = cms
         self.reads_mapped = 0
+        self.prescreened = 0
         self.reads_unmapped = 0
         self.reads_in = 0
         self.rescued = 0
@@ -318,6 +339,26 @@ class BBMap:
         B, L = bases.shape
         self.reads_in += B
         cand = self.candidates_for_batch(bases, lengths)
+        if self.bloom is not None:
+            from ..ops.kmers import rolling_kmers_np as _rk
+
+            fwd31, rkm31, run31 = _rk(bases, 31)
+            ok31 = (run31 >= 31) & (
+                np.arange(L)[None, :] < lengths[:, None]
+            )
+            keys31 = np.maximum(fwd31, rkm31)
+            hits = np.zeros(B, np.int64)
+            flat_ok = ok31.reshape(-1)
+            if flat_ok.any():
+                cnt = np.zeros(ok31.size, np.int64)
+                cnt[flat_ok] = self.bloom.query(
+                    keys31.reshape(-1)[flat_ok]
+                )
+                hits = (cnt.reshape(ok31.shape) > 0).sum(axis=1)
+            for b in np.flatnonzero(hits == 0):
+                if cand[b]:
+                    cand[b] = []
+                self.prescreened += 1
         # flatten tasks
         t_read = []
         t_diag = []

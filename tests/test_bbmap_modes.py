@@ -188,3 +188,46 @@ def test_skimmer_secondary_sites(tmp_path):
     # secondary records omit seq/qual per SAM convention
     f = secondary[0].split(b"\t")
     assert f[9] == b"*" and f[10] == b"*"
+
+
+def test_bloom_prescreen(genome, tmp_path):
+    """bloomfilter=t: foreign reads (no shared 31-mers) skip seeding and
+    come out unmapped; genuine reads map identically to the non-bloom
+    run."""
+    tmp, ref, idx = genome
+    rng2 = np.random.default_rng(3)
+    codes = ref.scaffold_codes(0)
+    recs = []
+    for i in range(30):
+        start = 100 + i * 900
+        read = codes[start : start + 100]
+        recs.append(
+            (b"real%d_scaf0_pos%d_strand0_insert0" % (i, start),
+             CODE_TO_BASE[read].tobytes(), b"F" * 100)
+        )
+    for i in range(30):
+        recs.append(
+            (b"junk%d_scaf0_pos0_strand0_insert0" % i,
+             CODE_TO_BASE[rng2.integers(0, 4, 100).astype(np.uint8)].tobytes(),
+             b"F" * 100)
+        )
+    fq = tmp_path / "bl.fq"
+    write_reads(str(fq), recs)
+    outs = {}
+    for tag, bloom in (("off", False), ("on", True)):
+        sam = tmp_path / f"bl_{tag}.sam"
+        cfg = BBMapConfig(in1=str(fq), out=str(sam), batch_reads=64,
+                          bloom_prescreen=bloom)
+        tool = BBMap(cfg, index=idx)
+        tool.run()
+        body = [
+            ln.split(b"\t")
+            for ln in sam.read_bytes().splitlines()
+            if ln and not ln.startswith(b"@")
+        ]
+        outs[tag] = {f[0]: (f[1], f[3]) for f in body}
+        if bloom:
+            assert tool.prescreened >= 30, tool.prescreened
+    for name, rec in outs["off"].items():
+        if name.startswith(b"real"):
+            assert outs["on"][name] == rec  # identical mapping
