@@ -127,6 +127,8 @@ class BBDukConfig:
     ktrim_exclusive: bool = False
     skip_r1: bool = False
     skip_r2: bool = False
+    speed: int = 0
+    qskip: int = 1
     # phiX side-channel aligner (SideChannel4, aligner/SideChannel4.java)
     align: bool = False
     align_ref: str | None = None
@@ -201,6 +203,8 @@ def parse_args(argv: list[str]) -> BBDukConfig:
         return names
 
     a.get(*h("showtimes", "xtime", "profile"))  # handled by main()
+    c.speed = a.get_int(*h("speed"), default=0)
+    c.qskip = a.get_int(*h("qskip"), default=1)
     c.in1 = a.get(*h("in", "in1"))
     c.in2 = a.get(*h("in2"))
     c.out1 = a.get(*h("out", "out1", "outu", "outu1"))
@@ -367,6 +371,7 @@ def build_index(cfg: BBDukConfig):
         edist=cfg.edist,
         edist2=cfg.edist2,
         mid_mask=cfg.mid_mask_bits,
+        speed=cfg.speed,
     )
     index = None
     if len(keys):
@@ -404,6 +409,8 @@ class BBDuk:
                 restrict_left=cfg.restrict_left,
                 restrict_right=cfg.restrict_right,
                 qhdist=cfg.qhdist,
+                speed=cfg.speed,
+                qskip=cfg.qskip,
                 nb=self.index.nb if self.index else 64,
                 packed=bool(getattr(self.index, "packed", False)),
                 rcomp=cfg.rcomp,

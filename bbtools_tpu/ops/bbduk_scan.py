@@ -35,6 +35,11 @@ class KScanConfig:
     restrict_left: int = 0
     restrict_right: int = 0
     qhdist: int = 0
+    #: speed=0-16 sampling (BBDukIndexAndLoader.java:997): kmers with
+    #: (key & MAX_LONG) % 17 < speed are ignored at scan time (the load
+    #: side applies the same test in build_ref_keys)
+    speed: int = 0
+    qskip: int = 1  # look up every qskip-th query position only
     nb: int = 64  # bucket count of the BucketKmerIndex (static)
     packed: bool = False  # BucketKmerIndex key48|id16 single-plane layout
     rcomp: bool = True
@@ -181,6 +186,14 @@ def kscan_full(cfg: KScanConfig, table, bases, lengths, bound_start=None,
         & (i_idx >= start[:, None])
         & (i_idx < stop[:, None])
     )
+    if cfg.qskip > 1:
+        eligible &= (i_idx % cfg.qskip) == 0
+    if cfg.speed > 0:
+        mx = jnp.maximum(fwd, rkm) if cfg.rcomp else fwd
+        key0 = (mx & jnp.int64(cfg.mid_mask)) | jnp.int64(length_mask(cfg.k))
+        eligible &= (
+            (key0 & jnp.int64(0x7FFFFFFFFFFFFFFF)) % jnp.int64(17)
+        ) >= cfg.speed
     ids = _lookup_qhdist(cfg, table, fwd, rkm, cfg.k, length_mask(cfg.k))
     ids = jnp.where(eligible, ids, 0)
     hit = ids > 0

@@ -262,6 +262,7 @@ def build_ref_keys(
     edist2: int | None = None,
     mid_mask: int = -1,
     ids: list[int] | None = None,
+    speed: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Build the (sorted_keys, ids) arrays for a reference set.
 
@@ -318,7 +319,16 @@ def build_ref_keys(
     # first-insertion-wins dedup: np.unique returns the first occurrence
     # index for each unique key
     ukeys, first = np.unique(keys, return_index=True)
-    return ukeys, idv[first]
+    uids = idv[first]
+    if speed > 0:
+        # speed sampling (BBDukIndexAndLoader.passesSpeed :997), applied
+        # on the same canonical key the scan side tests so both agree
+        keep = (
+            (ukeys.astype(np.uint64) & np.uint64(0x7FFFFFFFFFFFFFFF))
+            % np.uint64(17)
+        ) >= np.uint64(speed)
+        ukeys, uids = ukeys[keep], uids[keep]
+    return ukeys, uids
 
 
 # ---------------------------------------------------------------------------

@@ -589,3 +589,42 @@ def test_sidechannel_phix(tmp_path):
         f = l.split(b"\t")
         assert f[2].startswith(b"PhiX") or f[2] != b"*"
         assert f[5] != b"*"
+
+
+def test_speed_and_qskip_flags(tmp_path):
+    """speed= samples kmers consistently on load+scan (fewer hits, no
+    false hits); qskip= strides query positions."""
+    import numpy as np
+
+    from bbtools_tpu.cli import main
+
+    rng = np.random.default_rng(12)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    adapter = b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
+    recs = []
+    for i in range(300):
+        seq = ACGT[rng.integers(0, 4, 120)].copy()
+        if i % 2 == 0:
+            seq[60 : 60 + len(adapter)] = np.frombuffer(adapter, np.uint8)
+        recs.append(b"@r%d\n%s\n+\n%s\n" % (i, seq.tobytes(), b"I" * 120))
+    (tmp_path / "in.fq").write_bytes(b"".join(recs))
+
+    def run(extra, tag):
+        main([
+            "bbduk", f"in={tmp_path}/in.fq", f"out={tmp_path}/{tag}.fq",
+            f"literal={adapter.decode()}", "k=23", "ktrim=r", "minlen=1",
+            f"stats={tmp_path}/{tag}.txt",
+        ] + extra)
+        txt = (tmp_path / f"{tag}.txt").read_bytes()
+        m = [ln for ln in txt.splitlines() if ln.startswith(b"#Matched")]
+        return int(m[0].split(b"\t")[1])
+
+    base = run([], "base")
+    fast = run(["speed=9"], "speed")
+    strided = run(["qskip=3"], "qskip")
+    assert base == 150
+    # sampling drops some but not all detections; never adds any
+    assert 0 < fast <= base
+    assert 0 < strided <= base
+    # an 11-kmer adapter still detected at every position stride 3
+    assert strided >= 140, strided
