@@ -17,6 +17,23 @@ from .readwrite import open_output
 INTRON_LIMIT = 999999999  # SamLine.INTRON_LIMIT default
 
 
+def cigar14_to_13(cigar: str) -> str:
+    """SAM 1.4 (=/X) -> 1.3 (M) cigar (SamLine toCigar13 role): merge
+    adjacent =/X runs into M."""
+    if cigar == "*":
+        return cigar
+    import re
+
+    out = []
+    for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cigar):
+        op = "M" if op in "=X" else op
+        if out and out[-1][1] == op:
+            out[-1][0] += int(n)
+        else:
+            out.append([int(n), op])
+    return "".join(f"{n}{op}" for n, op in out)
+
+
 def match_to_cigar14(match: bytes, read_start: int, reflen: int) -> str:
     """toCigar14: long-form match string -> SAM 1.4 CIGAR (=/X).
 

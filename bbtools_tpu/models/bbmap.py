@@ -91,6 +91,7 @@ class BBMapConfig:
     #: bloom prescreen (bbmap.sh bloomfilter flag): reads sharing NO
     #: k=31 kmer with the reference skip seeding entirely
     bloom_prescreen: bool = False
+    sam_version: str = "1.4"  # sam=1.3 emits M cigars
 
 
 def pacbio_preset(c: "BBMapConfig"):
@@ -141,6 +142,7 @@ def parse_args(argv, preset: str | None = None):
     c.fastareadlen = a.get_int("fastareadlen", default=c.fastareadlen)
     c.batch_reads = a.get_int("batchreads", default=c.batch_reads)
     c.bloom_prescreen = a.get_bool("bloomfilter", "bloom", default=False)
+    c.sam_version = a.get("sam", "samversion", default="1.4") or "1.4"
     from ..core.parser import test_output_files
 
     test_output_files(
@@ -808,6 +810,10 @@ class BBMap:
                     scaf_start = int(ref.starts[scaf])
                     rstart0 = r.flat_start - scaf_start
                     cigar = match_to_cigar14(r.match, rstart0, int(ref.lengths[scaf]))
+                    if self.cfg.sam_version.startswith("1.3"):
+                        from ..io.sam import cigar14_to_13
+
+                        cigar = cigar14_to_13(cigar)
                     mapq = to_mapq(r.score, n, True, r.ambig)
                     if r.strand:
                         flag |= FREVERSE
@@ -896,6 +902,10 @@ class BBMap:
             scaf_len = int(ref.lengths[scaf])
             rstart0 = r.flat_start - scaf_start
             cigar = match_to_cigar14(r.match, rstart0, scaf_len)
+            if self.cfg.sam_version.startswith("1.3"):
+                from ..io.sam import cigar14_to_13
+
+                cigar = cigar14_to_13(cigar)
             mapq = to_mapq(r.score, n, True, r.ambig)
             flag = FREVERSE if r.strand else 0
             seq = batch.sequence(b)

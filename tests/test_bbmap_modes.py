@@ -231,3 +231,25 @@ def test_bloom_prescreen(genome, tmp_path):
     for name, rec in outs["off"].items():
         if name.startswith(b"real"):
             assert outs["on"][name] == rec  # identical mapping
+
+
+def test_sam13_cigars(genome, tmp_path):
+    from bbtools_tpu.io.sam import cigar14_to_13
+
+    assert cigar14_to_13("5=1X4=1I3=1D2=") == "10M1I3M1D2M"
+    assert cigar14_to_13("3S7=") == "3S7M"
+    tmp, ref, idx = genome
+    reads = random_reads(ref, 30, read_len=100, snp_rate=0.02, seed=9)
+    fq = tmp_path / "s13.fq"
+    write_reads(str(fq), reads)
+    sam = tmp_path / "s13.sam"
+    cfg = BBMapConfig(in1=str(fq), out=str(sam), batch_reads=32,
+                      sam_version="1.3")
+    BBMap(cfg, index=idx).run()
+    body = [
+        ln.split(b"\t")[5]
+        for ln in sam.read_bytes().splitlines()
+        if ln and not ln.startswith(b"@")
+    ]
+    assert all(b"=" not in c and b"X" not in c for c in body if c != b"*")
+    assert any(b"M" in c for c in body)
