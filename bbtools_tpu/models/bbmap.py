@@ -92,6 +92,8 @@ class BBMapConfig:
     #: k=31 kmer with the reference skip seeding entirely
     bloom_prescreen: bool = False
     sam_version: str = "1.4"  # sam=1.3 emits M cigars
+    mhist: str | None = None  # per-position match/sub/del/ins rates
+    idhist: str | None = None  # identity histogram
 
 
 def pacbio_preset(c: "BBMapConfig"):
@@ -143,6 +145,8 @@ def parse_args(argv, preset: str | None = None):
     c.batch_reads = a.get_int("batchreads", default=c.batch_reads)
     c.bloom_prescreen = a.get_bool("bloomfilter", "bloom", default=False)
     c.sam_version = a.get("sam", "samversion", default="1.4") or "1.4"
+    c.mhist = a.get("mhist")
+    c.idhist = a.get("idhist")
     from ..core.parser import test_output_files
 
     test_output_files(
@@ -197,6 +201,8 @@ class BBMap:
         self.reads_unmapped = 0
         self.reads_in = 0
         self.rescued = 0
+        self._mhist = np.zeros((4, 1024), np.int64)  # m, S, D, I by pos
+        self._idhist = np.zeros(101, np.int64)
 
     def _load_or_build_index(self) -> SeedIndex:
         """Build the seed index, caching it under `path=` like the
@@ -585,11 +591,69 @@ class BBMap:
             if not near:
                 r.sites.append((fs, int(t_strand[i]), s, m))
         for b in range(B):
-            if results[b].mapped:
+            r = results[b]
+            if r.mapped:
                 self.reads_mapped += 1
+                if self.cfg.mhist or self.cfg.idhist:
+                    self._tally_match(r.match)
             else:
                 self.reads_unmapped += 1
         return results
+
+    def _tally_match(self, match: bytes):
+        """mhist/idhist accumulation (align2 MHIST/IDHIST roles): read-
+        position-resolved op counts and an identity histogram."""
+        pos = 0
+        n_m = n_s = n_i = n_d = 0
+        H = self._mhist.shape[1]
+        for ch in match:
+            if ch in (109, 115):  # m s
+                if pos < H:
+                    self._mhist[0, pos] += 1
+                pos += 1
+                n_m += 1
+            elif ch in (83, 86, 78):  # S V N
+                if pos < H:
+                    self._mhist[1, pos] += 1
+                pos += 1
+                n_s += 1
+            elif ch == 68:  # D
+                if pos < H:
+                    self._mhist[2, pos] += 1
+                n_d += 1
+            elif ch in (73, 88, 89, 67):  # I X Y C
+                if pos < H:
+                    self._mhist[3, pos] += 1
+                pos += 1
+                n_i += 1
+        denom = n_m + n_s + n_i + n_d
+        if denom:
+            self._idhist[int(round(100 * n_m / denom))] += 1
+
+    def _write_hists(self):
+        cfg = self.cfg
+        if cfg.mhist:
+            tot = self._mhist.sum(axis=0)
+            lastp = int(np.max(np.flatnonzero(tot), initial=0))
+            with open(cfg.mhist, "wb") as fh:
+                fh.write(b"#BaseNum\tMatch\tSub\tDel\tIns\n")
+                for p in range(lastp + 1):
+                    t = max(int(tot[p]), 1)
+                    fh.write(
+                        b"%d\t%.5f\t%.5f\t%.5f\t%.5f\n"
+                        % (
+                            p,
+                            self._mhist[0, p] / t,
+                            self._mhist[1, p] / t,
+                            self._mhist[2, p] / t,
+                            self._mhist[3, p] / t,
+                        )
+                    )
+        if cfg.idhist:
+            with open(cfg.idhist, "wb") as fh:
+                fh.write(b"#Identity\tReads\n")
+                for i in range(101):
+                    fh.write(b"%d\t%d\n" % (i, self._idhist[i]))
 
     def _ref_windows(self, starts: np.ndarray, W: int) -> np.ndarray:
         """[T, W] ref-code windows at flat coords `starts`, OOB filled
@@ -678,6 +742,8 @@ class BBMap:
                 writer.add_batch(batch.ordinal, payload)
         if writer:
             writer.close()
+        if cfg.mhist or cfg.idhist:
+            self._write_hists()
         self.elapsed = time.time() - t0
         return self
 

@@ -253,3 +253,25 @@ def test_sam13_cigars(genome, tmp_path):
     ]
     assert all(b"=" not in c and b"X" not in c for c in body if c != b"*")
     assert any(b"M" in c for c in body)
+
+
+def test_mhist_idhist(genome, tmp_path):
+    tmp, ref, idx = genome
+    reads = random_reads(ref, 60, read_len=100, snp_rate=0.03, seed=13)
+    fq = tmp_path / "mh.fq"
+    write_reads(str(fq), reads)
+    cfg = BBMapConfig(
+        in1=str(fq), out=str(tmp_path / "mh.sam"), batch_reads=64,
+        mhist=str(tmp_path / "mhist.txt"), idhist=str(tmp_path / "id.txt"),
+    )
+    BBMap(cfg, index=idx).run()
+    mh = (tmp_path / "mhist.txt").read_bytes().splitlines()
+    assert mh[0].startswith(b"#BaseNum")
+    assert len(mh) >= 100
+    row = mh[50].split(b"\t")
+    assert 0.9 < float(row[1]) <= 1.0  # ~97% match rate at 3% snps
+    idh = (tmp_path / "id.txt").read_bytes().splitlines()
+    counts = {int(r.split(b"\t")[0]): int(r.split(b"\t")[1])
+              for r in idh[1:]}
+    assert sum(counts.values()) == 60
+    assert sum(c for i, c in counts.items() if i >= 90) >= 55
