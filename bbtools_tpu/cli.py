@@ -411,7 +411,37 @@ TOOLS = {
     "addadapters": lambda a: _lazy("synthtools", "addadapters", a),
     "makechimeras": lambda a: _lazy("synthtools", "makechimeras", a),
     "checkstrand": lambda a: _lazy("synthtools", "checkstrand", a),
+    "splitsam": lambda a: _lazy("samutils", "splitsam", a),
+    "splitsam4way": lambda a: _splitsam_n(a, 4),
+    "splitsam6way": lambda a: _splitsam_n(a, 6),
+    "mergesam": lambda a: _lazy("samutils", "mergesam", a),
+    "samtoroc": lambda a: _lazy("samutils", "samtoroc", a),
+    "filtervcf": lambda a: _lazy("vcftools", "filtervcf", a),
+    "applyvariants": lambda a: _lazy("vcftools", "applyvariants", a),
+    "vcf2gff": lambda a: _lazy("vcftools", "vcf2gff", a),
+    "shuffle": lambda a: _lazy("seqtools", "shuffle", a),
+    "getreads": lambda a: _lazy("seqtools", "getreads", a),
+    "replaceheaders": lambda a: _lazy("seqtools", "replaceheaders", a),
+    "filterbycoverage": lambda a: _lazy("seqtools", "filterbycoverage", a),
+    "randomgenome": lambda a: _lazy("seqtools", "randomgenome", a),
+    "makepolymers": lambda a: _lazy("seqtools", "makepolymers", a),
+    "tetramerfreq": lambda a: _lazy("seqtools", "tetramerfreq", a),
+    "callpeaks": lambda a: _lazy("seqtools", "callpeaks", a),
+    "polyfilter": lambda a: _lazy("polyfilter", "main", a),
+    "repair": lambda a: _lazy("splitpairs", "main", list(a) + ["repair=t"]),
+    "mergesorted": lambda a: _lazy("sortbyname", "mergesorted", a),
+    "filterlines": lambda a: _lazy("texttools", "filterlines", a),
+    "countsharedlines": lambda a: _lazy("texttools", "countsharedlines", a),
+    "unicode2ascii": lambda a: _lazy("texttools", "unicode2ascii", a),
+    "phylip2fasta": lambda a: _lazy("texttools", "phylip2fasta", a),
+    "summarizeseal": lambda a: _lazy("texttools", "summarizeseal", a),
 }
+
+
+def _splitsam_n(args, way: int):
+    from .models.samutils import splitsam
+
+    return splitsam(args, way=way)
 
 
 def _lazy(module: str, fn: str, args):

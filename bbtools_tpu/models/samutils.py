@@ -1,0 +1,197 @@
+"""SAM stream utilities: splitsam (3/4/6-way), mergesam, samtoroc.
+
+References (semantics source, no code reuse):
+  - driver/SplitSamFile.java (splitsam.sh) — split a SAM into
+    plus-mapped / minus-mapped / unmapped streams; positional usage
+    `splitsam <in> <plus> <minus> <unmapped> [header]`; the 4way variant
+    adds a chimeric stream (mapped pair on different contigs), the 6way
+    variant splits by read-1/read-2 as well.
+  - driver/MergeSamFiles.java (mergesam.sh) — concatenate SAM files,
+    keeping only the first file's header.
+  - samtoroc.sh (align2/SamToRoc role) — from a SAM of synthetic reads
+    with RandomReads truth headers, emit a ROC table of cumulative
+    true/false mappings by descending MAPQ threshold (thresh=20 bp
+    positional tolerance, utils/synth.parse_truth header format).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..core.parser import tokenize
+from ..io.readwrite import open_input, open_output
+from ..io.sam_read import parse_cigar
+from ..utils.synth import parse_truth
+
+
+def _iter_lines(path: str):
+    with open_input(path) as fh:
+        for line in fh:
+            if line.strip():
+                yield line if line.endswith(b"\n") else line + b"\n"
+
+
+def splitsam(argv=None, way: int = 3):
+    argv = argv if argv is not None else sys.argv[1:]
+    pos = [t for t in argv if "=" not in t]
+    a = tokenize([t for t in argv if "=" in t])
+    keep_header = "header" in pos
+    pos = [p for p in pos if p != "header"]
+    inp = a.get("in", "in1") or (pos[0] if pos else None)
+    outs = pos[1:] if pos else []
+    if way == 3:
+        names = ["plus", "minus", "unmapped"]
+    elif way == 4:
+        names = ["plus", "minus", "chimeric", "unmapped"]
+    else:
+        names = ["r1plus", "r1minus", "r1unmapped",
+                 "r2plus", "r2minus", "r2unmapped"]
+    paths = {n: (outs[i] if i < len(outs) else a.get(n)) for i, n in enumerate(names)}
+    handles = {n: open_output(p) for n, p in paths.items() if p}
+    counts = dict.fromkeys(names, 0)
+    for line in _iter_lines(inp):
+        if line.startswith(b"@"):
+            if keep_header:
+                for fh in handles.values():
+                    fh.write(line)
+            continue
+        f = line.split(b"\t", 8)
+        flag = int(f[1])
+        unmapped = bool(flag & 0x4)
+        minus = bool(flag & 0x10)
+        if way == 6:
+            pre = "r2" if flag & 0x80 else "r1"
+            key = pre + ("unmapped" if unmapped else "minus" if minus else "plus")
+        elif way == 4:
+            rnext = f[6]
+            chimeric = (not unmapped) and rnext not in (b"=", b"*") and rnext != f[2]
+            key = (
+                "unmapped" if unmapped
+                else "chimeric" if chimeric
+                else "minus" if minus else "plus"
+            )
+        else:
+            key = "unmapped" if unmapped else "minus" if minus else "plus"
+        counts[key] += 1
+        if key in handles:
+            handles[key].write(line)
+    for fh in handles.values():
+        fh.close()
+    print(
+        "  ".join(f"{n}: {counts[n]}" for n in names), file=sys.stderr
+    )
+    return counts
+
+
+def mergesam(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    a = tokenize([t for t in argv if "=" in t])
+    files = [t for t in argv if "=" not in t]
+    spec = a.get("in", "in1")
+    if spec:
+        files = spec.split(",") + files
+    out1 = a.get("out", "out1")
+    n = 0
+    with open_output(out1) as fh:
+        for fi, path in enumerate(files):
+            for line in _iter_lines(path):
+                if line.startswith(b"@"):
+                    if fi == 0:
+                        fh.write(line)
+                    continue
+                fh.write(line)
+                n += 1
+    print(f"Merged {n} alignments from {len(files)} files.", file=sys.stderr)
+    return n
+
+
+def _clip_adjusted_start(pos: int, cigar: str) -> int:
+    """0-based leftmost read-base position (undo leading soft clip)."""
+    start = pos - 1
+    for n, op in parse_cigar(cigar):
+        if op in "SH":
+            start -= n
+        else:
+            break
+    return start
+
+
+def samtoroc(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    thresh = a.get_int("thresh", default=20)
+    total = a.get_int("reads", default=0)
+    use_bitset = a.get_bool("bitset", default=True)
+
+    # per-mapq buckets of (true, loose, false) primary alignments
+    buckets: dict[int, list[int]] = {}
+    seen: set[bytes] = set()
+    sq_index: dict[bytes, int] = {}  # RNAME -> scaffold index (@SQ order)
+    n_lines = unmapped = 0
+    for line in _iter_lines(in1):
+        if line.startswith(b"@"):
+            if line.startswith(b"@SQ"):
+                for col in line.split(b"\t"):
+                    if col.startswith(b"SN:"):
+                        sq_index[col[3:].strip()] = len(sq_index)
+            continue
+        f = line.split(b"\t")
+        flag = int(f[1])
+        if flag & 0x100 or flag & 0x800:
+            continue
+        qname = f[0]
+        if use_bitset:
+            key = qname + (b"/2" if flag & 0x80 else b"/1")
+            if key in seen:
+                continue
+            seen.add(key)
+        n_lines += 1
+        if flag & 0x4:
+            unmapped += 1
+            continue
+        mapq = int(f[4])
+        try:
+            scaf_t, pos_t, strand_t = parse_truth(qname)
+        except Exception:
+            continue
+        start = _clip_adjusted_start(int(f[3]), f[5].decode())
+        strand = 1 if flag & 0x10 else 0
+        same_scaf = sq_index.get(f[2].split()[0], -1) == scaf_t
+        strict = same_scaf and strand == strand_t and abs(start - pos_t) <= 1
+        loose = same_scaf and strand == strand_t and abs(start - pos_t) <= thresh
+        b = buckets.setdefault(mapq, [0, 0, 0])
+        if strict:
+            b[0] += 1
+        elif loose:
+            b[1] += 1
+        else:
+            b[2] += 1
+    total = total or (n_lines)
+    lines = [b"#mapq\tmapped\ttrueStrict\ttrueLoose\tfalse\ttruePct\tfalsePct\n"]
+    ct = cl = cf = 0
+    for q in sorted(buckets, reverse=True):
+        t, l, fcnt = buckets[q]
+        ct += t
+        cl += l
+        cf += fcnt
+        mapped = ct + cl + cf
+        lines.append(
+            b"%d\t%d\t%d\t%d\t%d\t%.4f\t%.4f\n"
+            % (
+                q, mapped, ct, ct + cl, cf,
+                100.0 * (ct + cl) / max(total, 1),
+                100.0 * cf / max(total, 1),
+            )
+        )
+    text = b"".join(lines)
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(text)
+    else:
+        sys.stdout.buffer.write(text)
+    return buckets
+
+
+if __name__ == "__main__":
+    splitsam()

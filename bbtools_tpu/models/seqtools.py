@@ -1,0 +1,384 @@
+"""Sequence/stream utility tools: shuffle, getreads, replaceheaders,
+filterbycoverage, randomgenome, makepolymers, tetramerfreq, callpeaks.
+
+References (semantics source, no code reuse):
+  - sort/Shuffle.java (shuffle.sh) — reorder reads randomly, keeping
+    pairs together (in2/out2 shuffled with the same permutation).
+  - driver/GetReads.java (getreads.sh) — select reads by numeric id
+    (first read/pair is 0); id= takes numbers and ranges (5,17-31,...).
+  - driver/ReplaceHeaders.java (replaceheaders.sh) — replace read names
+    with names from hin= (a sequence file, or one name per line).
+  - jgi/FilterByCoverage.java (filterbycoverage.sh) — filter an
+    assembly by pileup covstats: minc (avg fold), minp (covered %),
+    minr (mapped reads), minl (length after trim=), outd= for removed.
+  - jgi/RandomGenome.java (randomgenome.sh) — random repeat-free
+    genome: len=, chroms=, gc=, seed.
+  - jgi/MakePolymers.java (makepolymers.sh) — every repeating polymer
+    unit of length k (mink..maxk sweep) tiled to minlen so all kmers of
+    length minlen are present.
+  - jgi/TetramerFrequencies.java (tetramerfreq.sh) — sliding-window
+    canonical tetramer frequency table per window (window=, step=).
+  - jgi/CallPeaks.java (callpeaks.sh) — call peaks from a 2-column
+    depth histogram; minHeight/minVolume/minWidth/minPeak gates, plus
+    genome-size and ploidy estimates from the primary peak.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.parser import parse_kmg, tokenize
+from ..io.fasta import FastaRecord, read_fasta, write_fasta
+from ..io.fastq import FastqReader
+from ..io.readwrite import open_input, open_output
+
+BASES = b"ACGT"
+
+
+def _records(path: str):
+    for b in FastqReader(path):
+        for i in range(b.n):
+            yield (b.ids[i], b.sequence(i), b.quality_string(i))
+
+
+def _write_rec(fh, rec):
+    fh.write(b"@%s\n%s\n+\n%s\n" % rec)
+
+
+def shuffle(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1, in2 = a.get("in", "in1"), a.get("in2")
+    out1, out2 = a.get("out", "out1"), a.get("out2")
+    rng = np.random.default_rng(a.get_int("seed", default=None))
+    r1 = list(_records(in1))
+    r2 = list(_records(in2)) if in2 else None
+    perm = rng.permutation(len(r1))
+    with open_output(out1) as fh1:
+        fh2 = open_output(out2) if (r2 and out2) else None
+        for j in perm:
+            _write_rec(fh1, r1[j])
+            if r2 is not None:
+                _write_rec(fh2 if fh2 is not None else fh1, r2[j])
+        if fh2 is not None:
+            fh2.close()
+    print(f"Shuffled {len(r1)} reads.", file=sys.stderr)
+    return len(r1)
+
+
+def _parse_id_spec(spec: str) -> set[int]:
+    ids: set[int] = set()
+    for tok in spec.split(","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        if "-" in tok:
+            lo, hi = tok.split("-")
+            ids.update(range(int(lo), int(hi) + 1))
+        else:
+            ids.add(int(tok))
+    return ids
+
+
+def getreads(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1, in2 = a.get("in", "in1"), a.get("in2")
+    out1, out2 = a.get("out", "out1"), a.get("out2")
+    ids = _parse_id_spec(a.get("id", "ids", default="") or "")
+    kept = 0
+    with open_output(out1) as fh1:
+        fh2 = open_output(out2) if (in2 and out2) else None
+        it2 = _records(in2) if in2 else None
+        for rid, rec in enumerate(_records(in1)):
+            mate = next(it2) if it2 is not None else None
+            if rid not in ids:
+                continue
+            kept += 1
+            _write_rec(fh1, rec)
+            if mate is not None:
+                _write_rec(fh2 if fh2 is not None else fh1, mate)
+        if fh2 is not None:
+            fh2.close()
+    print(f"Kept {kept} reads.", file=sys.stderr)
+    return kept
+
+
+def replaceheaders(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    hin = a.get("hin", "headers")
+    out1 = a.get("out", "out1")
+    prefix = a.get_bool("prefix", default=False)
+    # header source: fasta/fastq sequence file, or one name per line
+    with open_input(hin) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    if lines and lines[0].startswith(b">"):
+        names = [ln[1:].strip() for ln in lines if ln.startswith(b">")]
+    elif lines and lines[0].startswith(b"@") and len(lines) % 4 == 0:
+        names = [lines[i][1:].strip() for i in range(0, len(lines), 4)]
+    else:
+        names = [ln.strip() for ln in lines]
+    n = 0
+    with open_output(out1) as fh:
+        for i, rec in enumerate(_records(in1)):
+            nm = names[i % len(names)] if names else rec[0]
+            if prefix:
+                nm = nm + b"_" + rec[0]
+            _write_rec(fh, (nm, rec[1], rec[2]))
+            n += 1
+    print(f"Renamed {n} reads.", file=sys.stderr)
+    return n
+
+
+def filterbycoverage(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    cov = a.get("cov")
+    cov0 = a.get("cov0")
+    out1 = a.get("out", "out1")
+    outd = a.get("outd", "outdirty")
+    minc = a.get_float("minc", "mincov", default=5.0)
+    minp = a.get_float("minp", "minpercent", default=40.0)
+    minr = a.get_int("minr", "minreads", default=0)
+    minl = a.get_int("minl", "minlength", default=1)
+    trim = a.get_int("trim", "trimends", default=0)
+    ratio = a.get_float("ratio", default=0.0)
+
+    def read_cov(path):
+        # pileup covstats: #ID Avg_fold Length Ref_GC Covered_percent
+        #                  Covered_bases Plus_reads Minus_reads
+        stats = {}
+        with open_input(path) as fh:
+            for line in fh.read().splitlines():
+                if not line or line.startswith(b"#"):
+                    continue
+                f = line.split(b"\t")
+                stats[f[0]] = (
+                    float(f[1]), float(f[4]), int(f[6]) + int(f[7]),
+                )
+        return stats
+
+    stats = read_cov(cov)
+    stats0 = read_cov(cov0) if cov0 else None
+    clean, dirty = [], []
+    for rec in read_fasta(in1):
+        name = rec.name.split()[0]
+        seq = rec.seq[trim : len(rec.seq) - trim] if trim else rec.seq
+        avg, pct, reads = stats.get(name, (0.0, 0.0, 0))
+        keep = (
+            len(seq) >= minl and avg >= minc and pct >= minp and reads >= minr
+        )
+        if not keep and ratio > 0 and stats0 is not None:
+            avg0 = stats0.get(name, (0.0, 0.0, 0))[0]
+            if avg0 > 0 and avg / avg0 < ratio:
+                keep = True  # coverage did not actually drop; retain
+        (clean if keep else dirty).append(FastaRecord(rec.name, seq))
+    if out1:
+        write_fasta(out1, clean)
+    if outd:
+        write_fasta(outd, dirty)
+    print(
+        f"Kept {len(clean)} contigs, removed {len(dirty)}.", file=sys.stderr
+    )
+    return clean, dirty
+
+
+def randomgenome(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    total = parse_kmg(a.get("len", "length", default="1m"))
+    chroms = a.get_int("chroms", default=1)
+    gc = a.get_float("gc", default=0.5)
+    out1 = a.get("out", "out1")
+    rng = np.random.default_rng(a.get_int("seed", default=0))
+    p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+    per = total // chroms
+    recs = []
+    for c in range(chroms):
+        n = per if c < chroms - 1 else total - per * (chroms - 1)
+        codes = rng.choice(4, size=n, p=p)
+        seq = np.frombuffer(BASES, dtype=np.uint8)[codes].tobytes()
+        recs.append(FastaRecord(b"chr%d" % (c + 1), seq))
+    if out1:
+        write_fasta(out1, recs)
+    return recs
+
+
+def makepolymers(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    out1 = a.get("out", "out1")
+    k = a.get_int("k", default=1)
+    mink = a.get_int("mink", default=k)
+    maxk = a.get_int("maxk", default=k)
+    minlen = a.get_int("minlen", default=31)
+    recs = []
+    for kk in range(mink, maxk + 1):
+        for idx in range(4**kk):
+            unit = bytes(
+                BASES[(idx >> (2 * (kk - 1 - j))) & 3] for j in range(kk)
+            )
+            # long enough that all kmers of length minlen are present
+            reps = -(-(minlen + kk - 1) // kk)
+            seq = (unit * reps)[: minlen + kk - 1]
+            recs.append(FastaRecord(b"poly_%s" % unit, seq))
+    if out1:
+        write_fasta(out1, recs)
+    print(f"Wrote {len(recs)} polymers.", file=sys.stderr)
+    return recs
+
+
+_TET_INDEX = None
+
+
+def _tetramer_index():
+    """Map each of the 256 tetramers to its canonical slot (136 total)."""
+    global _TET_INDEX
+    if _TET_INDEX is None:
+        canon = {}
+        idx = np.zeros(256, dtype=np.int64)
+        for v in range(256):
+            codes = [(v >> (2 * (3 - j))) & 3 for j in range(4)]
+            rc = 0
+            for c in codes:
+                rc = (rc << 2) | (3 - c)
+            key = min(v, rc)
+            if key not in canon:
+                canon[key] = len(canon)
+            idx[v] = canon[key]
+        _TET_INDEX = (idx, len(canon))
+    return _TET_INDEX
+
+
+def tetramerfreq(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    window = a.get_int("window", "w", default=2000)
+    step = a.get_int("step", "s", default=window)
+    short = a.get_bool("short", default=False)
+    idx, nslots = _tetramer_index()
+    lines = [b"#scaffold\tstart\tlength\t" + b"\t".join(
+        b"t%d" % i for i in range(nslots)
+    ) + b"\n"]
+    B2C = np.full(256, 4, dtype=np.uint8)
+    for i, b in enumerate(b"ACGT"):
+        B2C[b] = i
+        B2C[b + 32] = i
+    for rec in read_fasta(in1):
+        codes = B2C[np.frombuffer(rec.seq, dtype=np.uint8)]
+        L = len(codes)
+        if L < 4 or (short and L < window):
+            continue
+        # rolling 4-mer values; invalid where any base is N
+        v = codes[:-3].astype(np.int64) * 64 + codes[1:-2] * 16 \
+            + codes[2:-1] * 4 + codes[3:]
+        valid = (
+            (codes[:-3] < 4) & (codes[1:-2] < 4)
+            & (codes[2:-1] < 4) & (codes[3:] < 4)
+        )
+        slots = idx[np.clip(v, 0, 255)]
+        for start in range(0, max(L - 3, 1), step):
+            stop = min(start + window - 3, len(slots))
+            if stop <= start:
+                break
+            w_slots = slots[start:stop][valid[start:stop]]
+            counts = np.bincount(w_slots, minlength=nslots)
+            lines.append(
+                rec.name.split()[0]
+                + b"\t%d\t%d\t" % (start, min(window, L - start))
+                + b"\t".join(b"%d" % c for c in counts)
+                + b"\n"
+            )
+            if start + window >= L:
+                break
+    if out1:
+        with open_output(out1) as fh:
+            fh.writelines(lines)
+    return lines
+
+
+def callpeaks(argv=None):
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    min_height = a.get_int("minheight", "h", default=2)
+    min_volume = a.get_int("minvolume", "v", default=5)
+    min_width = a.get_int("minwidth", "w", default=3)
+    min_peak = a.get_int("minpeak", "minp", default=2)
+    max_peak = a.get_int("maxpeak", "maxp", default=1_000_000_000)
+    max_count = a.get_int("maxpeakcount", "maxpc", default=12)
+    ploidy_in = a.get_int("ploidy", default=-1)
+    k = a.get_int("k", default=31)
+
+    # 2-column histogram (depth, count); '#' comments ignored
+    xs, ys = [], []
+    with open_input(in1) as fh:
+        for line in fh.read().splitlines():
+            if not line or line.startswith(b"#"):
+                continue
+            f = line.split()
+            xs.append(int(f[0]))
+            ys.append(int(float(f[1])))
+    size = (max(xs) + 2) if xs else 2
+    hist = np.zeros(size, dtype=np.int64)
+    for x, y in zip(xs, ys):
+        hist[x] = y
+    sm = hist.astype(np.float64).copy()
+    sm[1:-1] = (hist[:-2] + hist[1:-1] + hist[2:]) / 3.0
+
+    peaks = []  # (start, center, stop, max, volume)
+    i = max(min_peak, 1)
+    while i < len(sm) - 1:
+        if sm[i] > sm[i - 1] and sm[i] >= sm[i + 1] and hist[i] > 0:
+            lo = i
+            while lo > 1 and sm[lo - 1] < sm[lo]:
+                lo -= 1
+            hi = i
+            while hi < len(sm) - 1 and sm[hi + 1] < sm[hi]:
+                hi += 1
+            vol = int(hist[lo : hi + 1].sum())
+            if (
+                hist[i] >= min_height and vol >= min_volume
+                and hi - lo + 1 >= min_width and min_peak <= i <= max_peak
+            ):
+                peaks.append((lo, i, hi, int(hist[i]), vol))
+            i = hi + 1
+        else:
+            i += 1
+    peaks = peaks[:max_count]
+
+    # genome size / ploidy estimates from the primary (largest-volume) peak
+    text = [b"#k\t%d\n" % k]
+    if peaks:
+        primary = max(peaks, key=lambda p: p[4])
+        center = primary[1]
+        # unique kmer volume above the error valley
+        first_lo = peaks[0][0]
+        total_kmers = int((hist[first_lo:] * np.arange(first_lo, size)).sum())
+        genome_size = total_kmers // max(center, 1)
+        # ploidy: a half-coverage peak with substantial volume implies 2
+        ploidy = ploidy_in if ploidy_in > 0 else (
+            2 if any(
+                abs(p[1] * 2 - center) <= max(2, center // 10)
+                and p[4] >= primary[4] * 0.2
+                for p in peaks
+            ) else 1
+        )
+        text.append(b"#unique_kmers\t%d\n" % int(hist[first_lo:].sum()))
+        text.append(b"#main_peak\t%d\n" % center)
+        text.append(b"#genome_size_in_peaks\t%d\n" % genome_size)
+        text.append(b"#ploidy\t%d\n" % ploidy)
+    text.append(b"#start\tcenter\tstop\tmax\tvolume\n")
+    for p in peaks:
+        text.append(("\t".join(str(x) for x in p) + "\n").encode())
+    blob = b"".join(text)
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return peaks
+
+
+if __name__ == "__main__":
+    shuffle()

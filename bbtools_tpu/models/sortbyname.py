@@ -80,3 +80,36 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def mergesorted(argv=None):
+    """mergesorted.sh (sort/MergeSorted.java): merge already-sorted
+    files (e.g. SortByName temp files) into one sorted output.
+    Usage: mergesorted sort_temp* out=<file> [length=t|sequence=t]."""
+    argv = argv if argv is not None else sys.argv[1:]
+    a = tokenize([t for t in argv if "=" in t])
+    files = [t for t in argv if "=" not in t]
+    spec = a.get("in", "in1")
+    if spec:
+        files = spec.split(",") + files
+    out1 = a.get("out", "out1")
+    by_length = a.get_bool("length", default=False)
+    by_seq = a.get_bool("sequence", default=False)
+    descending = a.get_bool("descending", default=False)
+
+    def key(rec):
+        if by_length:
+            return (len(rec[1]), rec[0])
+        if by_seq:
+            return (rec[1], rec[0])
+        return rec[0]
+
+    n = 0
+    with open_output(out1) as fh:
+        for rec in heapq.merge(
+            *[_record_iter(p) for p in files], key=key, reverse=descending
+        ):
+            fh.write(b"@%s\n%s\n+\n%s\n" % rec)
+            n += 1
+    print(f"Merged {n} reads from {len(files)} files.", file=sys.stderr)
+    return n

@@ -14,7 +14,7 @@ import sys
 import numpy as np
 
 from ..core.parser import tokenize
-from ..io.fastq import FastqReader, FastqWriter, encode_fastq
+from ..io.fastq import FastqReader, encode_fastq
 from ..io.readwrite import open_output
 
 
@@ -46,11 +46,7 @@ def main(argv=None):
     if repair:
         # re-pair by name
         pending: dict[bytes, tuple[bytes, bytes, bytes]] = {}
-        w1 = FastqWriter(out1) if out1 else None
-        w2 = FastqWriter(out2) if out2 else None
-        ws = FastqWriter(outs) if outs else None
         pairs = singles = 0
-        fh1 = open_output(out1) if False else None
         o1 = open_output(out1) if out1 else None
         o2 = open_output(out2) if out2 else None
         osng = open_output(outs) if outs else None

@@ -16,6 +16,7 @@ References (semantics source):
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -24,7 +25,7 @@ from ..core.parser import tokenize
 from ..io.fasta import iter_fasta, write_fasta
 from ..io.fastq import FastqReader
 from ..io.fileformat import Format, test_input
-from ..io.readwrite import open_output
+from ..io.readwrite import open_input, open_output
 
 
 def _iter_lengths(path: str):
@@ -338,3 +339,190 @@ def kmercountmulti(argv=None):
     else:
         print(text, end="")
     return rows
+
+
+def filterlines(argv=None):
+    """filterlines.sh (driver/FilterLines.java): keep/toss text lines
+    matching names= (exact, prefix=t first-token, substring=t/line)."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    include = a.get_bool("include", default=False)
+    prefix = a.get_bool("prefix", default=False)
+    substring = (a.get("substring") or "f").lower()
+    case = a.get_bool("casesensitive", "case", default=True)
+    names: set[bytes] = set()
+    spec = a.get("names", default="") or ""
+    for tok in spec.split(","):
+        if os.path.exists(tok):
+            with open_input(tok) as fh:
+                for ln in fh.read().splitlines():
+                    if ln.strip():
+                        names.add(ln.strip() if case else ln.strip().lower())
+        elif tok:
+            names.add(tok.encode() if case else tok.encode().lower())
+
+    def matches(line: bytes) -> bool:
+        x = line if case else line.lower()
+        probe = x.split()[0] if (prefix and x.split()) else x
+        if probe in names:
+            return True
+        if substring in ("t", "true"):
+            return any(n in x or x in n for n in names)
+        if substring == "line":
+            return any(x in n for n in names)
+        return False
+
+    kept = total = 0
+    with open_input(in1) as fi, open_output(out1) as fo:
+        for raw in fi.read().splitlines():
+            total += 1
+            if matches(raw) == include:
+                fo.write(raw + b"\n")
+                kept += 1
+    print(f"Kept {kept} of {total} lines.", file=sys.stderr)
+    return kept, total
+
+
+def countsharedlines(argv=None):
+    """countsharedlines.sh (driver/CountSharedLines.java): one output
+    file per in1= file listing shared-line counts vs each in2= file."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    set1 = (a.get("in", "in1", default="") or "").split(",")
+    set2 = (a.get("in2", default="") or "").split(",")
+    case = a.get_bool("casesensitive", "case", default=True)
+    prefix = a.get_bool("prefix", default=False)
+    out = a.get("out")
+
+    def load(path):
+        with open_input(path) as fh:
+            lines = {
+                ln.strip() if case else ln.strip().lower()
+                for ln in fh.read().splitlines() if ln.strip()
+            }
+        if prefix:
+            lines = {ln.split()[0] for ln in lines}
+        return lines
+
+    s2 = {p: load(p) for p in set2 if p}
+    results = {}
+    for p1 in set1:
+        if not p1:
+            continue
+        l1 = load(p1)
+        rows = [(p2, len(l1 & l2)) for p2, l2 in s2.items()]
+        results[p1] = rows
+        text = "".join(f"{p2}\t{n}\n" for p2, n in rows)
+        dest = out or (p1.rsplit("/", 1)[-1] + ".shared")
+        with open_output(dest) as fh:
+            fh.write(text.encode())
+    return results
+
+
+def unicode2ascii(argv=None):
+    """unicode2ascii.sh: replace non-ascii/control bytes with printable
+    ascii (best-effort transliteration, '?' fallback)."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    with open_input(in1) as fh:
+        data = fh.read()
+    text = data.decode("utf-8", errors="replace")
+    import unicodedata
+
+    norm = unicodedata.normalize("NFKD", text)
+    cleaned = []
+    for ch in norm:
+        o = ord(ch)
+        if ch in "\n\t" or 32 <= o < 127:
+            cleaned.append(ch)
+        elif o < 32 or 127 <= o < 160:
+            continue  # control characters are dropped
+        elif unicodedata.category(ch).startswith("M"):
+            continue  # combining marks (from NFKD decomposition)
+        else:
+            cleaned.append("?")
+    blob = "".join(cleaned).encode("ascii", errors="replace")
+    with open_output(out1) as fh:
+        fh.write(blob)
+    return blob
+
+
+def phylip2fasta(argv=None):
+    """phylip2fasta.sh (driver/Phylip2Fasta.java): interleaved phylip ->
+    fasta."""
+    from ..io.fasta import FastaRecord, write_fasta
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    with open_input(in1) as fh:
+        lines = [ln.rstrip(b"\r\n") for ln in fh.read().splitlines()]
+    if not lines:
+        return []
+    ntaxa = int(lines[0].split()[0])
+    names: list[bytes] = []
+    seqs: list[list[bytes]] = []
+    body = [ln for ln in lines[1:]]
+    block_i = 0
+    for ln in body:
+        if not ln.strip():
+            continue
+        if len(names) < ntaxa:
+            parts = ln.split(None, 1)
+            names.append(parts[0])
+            seqs.append([parts[1].replace(b" ", b"") if len(parts) > 1 else b""])
+        else:
+            seqs[block_i % ntaxa].append(ln.replace(b" ", b""))
+            block_i += 1
+    recs = [FastaRecord(n, b"".join(s)) for n, s in zip(names, seqs)]
+    if out1:
+        write_fasta(out1, recs)
+    return recs
+
+
+def summarizeseal(argv=None):
+    """summarizeseal.sh (driver/SummarizeSealStats.java): merge Seal
+    stats= files into one table of primary vs nonprimary hits. Primary =
+    the ref row whose name shares the stats file's name prefix (or the
+    largest row with primary=auto, the default here)."""
+    argv = argv if argv is not None else sys.argv[1:]
+    a = tokenize([t for t in argv if "=" in t])
+    files = [t for t in argv if "=" not in t]
+    spec = a.get("in", "in1")
+    if spec:
+        files = spec.split(",") + files
+    out = a.get("out")
+    lines = [b"#file\treads\tprimary\tnonprimary\tpctPrimary\n"]
+    results = []
+    for path in files:
+        rows = []
+        with open_input(path) as fh:
+            for ln in fh.read().splitlines():
+                if not ln or ln.startswith(b"#"):
+                    continue
+                f = ln.split(b"\t")
+                if f[0] == b"*unmatched*":
+                    continue
+                rows.append((f[0], int(f[1])))
+        stem = path.rsplit("/", 1)[-1].split(".")[0].encode()
+        named = [r for r in rows if stem and stem in r[0]]
+        primary = (
+            named[0][1] if named
+            else max((r[1] for r in rows), default=0)
+        )
+        total = sum(r[1] for r in rows)
+        nonprim = total - primary
+        pct = 100.0 * primary / max(total, 1)
+        results.append((path, total, primary, nonprim, pct))
+        lines.append(
+            b"%s\t%d\t%d\t%d\t%.3f\n"
+            % (path.encode(), total, primary, nonprim, pct)
+        )
+    blob = b"".join(lines)
+    if out:
+        with open_output(out) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return results
