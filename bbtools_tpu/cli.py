@@ -435,6 +435,8 @@ TOOLS = {
     "unicode2ascii": lambda a: _lazy("texttools", "unicode2ascii", a),
     "phylip2fasta": lambda a: _lazy("texttools", "phylip2fasta", a),
     "summarizeseal": lambda a: _lazy("texttools", "summarizeseal", a),
+    "splitnextera": lambda a: _lazy("splitnextera", "main", a),
+    "fixgaps": lambda a: _lazy("fixgaps", "main", a),
 }
 
 

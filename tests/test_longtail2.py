@@ -404,3 +404,87 @@ def test_summarizeseal(tmp_path):
     out = (tmp_path / "o.txt").read_bytes()
     row = out.splitlines()[1].split(b"\t")
     assert row[1] == b"100" and row[2] == b"90" and row[3] == b"10"
+
+
+def test_splitnextera(tmp_path):
+    # paired reads: r1 has the junction, r2 does not -> outer LMP + singleton
+    jx = b"CTGTCTCTTATACACATCTAGATGTGTATAAGAGACAG"
+    left = b"ACGTACGTTGCAACGGTCAGTACCGATAGGCTAACGGTCAGTAC"  # 44 bp
+    right = b"TTGCAACGGTCAGTACCGATAGGCTAACGGTCAGTACACGTACG"  # 44 bp
+    r1seq = left + jx + right
+    r2seq = b"CCGATAGGCTAACGGTCAGTACACGTACGACGTACGTTGCAACG"
+    _write_fq(tmp_path / "1.fq", [(b"p/1", r1seq, b"")])
+    _write_fq(tmp_path / "2.fq", [(b"p/2", r2seq, b"")])
+    main([
+        "splitnextera", f"in={tmp_path}/1.fq", f"in2={tmp_path}/2.fq",
+        f"out={tmp_path}/lmp.fq", f"outf={tmp_path}/f.fq",
+        f"outu={tmp_path}/u.fq", f"outs={tmp_path}/s.fq", "mask=t",
+    ])
+    lmp = _read_fq(tmp_path / "lmp.fq")
+    # outer LMP = (r1left, r2right=whole r2); r1right -> singleton
+    assert len(lmp) == 2
+    assert lmp[0][1] == left and lmp[1][1] == r2seq
+    s = _read_fq(tmp_path / "s.fq")
+    assert len(s) == 1 and s[0][1] == right
+
+
+def test_splitnextera_single_end(tmp_path):
+    left = b"A" * 50
+    right = b"C" * 50
+    _write_fq(tmp_path / "in.fq", [
+        (b"a", left + b"J" * 19 + right, b""),
+        (b"b", b"ACGT" * 20, b""),
+    ])
+    main([
+        "splitnextera", f"in={tmp_path}/in.fq", f"out={tmp_path}/lmp.fq",
+        f"outs={tmp_path}/s.fq",
+    ])
+    lmp = _read_fq(tmp_path / "lmp.fq")
+    assert [r[1] for r in lmp] == [left, right]
+    assert [n for n, _, _ in _read_fq(tmp_path / "s.fq")] == [b"b"]
+
+
+def test_fixgaps(tmp_path):
+    # scaffold: 600 bp + 20 Ns + 600 bp; true gap is 50, insert 200
+    rng = np.random.default_rng(2)
+    A = rng.choice(np.frombuffer(b"ACGT", np.uint8), 600).tobytes()
+    B = rng.choice(np.frombuffer(b"ACGT", np.uint8), 600).tobytes()
+    scaffold = A + b"N" * 20 + B
+    (tmp_path / "ref.fa").write_bytes(b">s\n" + scaffold + b"\n")
+    lines = [b"@SQ\tSN:s\tLN:%d\n" % len(scaffold)]
+    readlen = 50
+
+    def pair(qname, pos, tlen):
+        seq = b"A" * readlen
+        q = b"I" * readlen
+        l1 = b"\t".join([
+            qname, b"99", b"s", b"%d" % pos, b"40", b"50M", b"=",
+            b"%d" % (pos + tlen - readlen), b"%d" % tlen, seq, q,
+        ])
+        return l1 + b"\n"
+
+    # non-spanning pairs with true insert 200 covering both flanks
+    i = 0
+    for start in range(1, 420, 4):
+        lines.append(pair(b"n%d" % i, start, 200))
+        i += 1
+    for start in range(640, 1040, 4):
+        lines.append(pair(b"n%d" % i, start, 200))
+        i += 1
+    # spanning pairs: true insert 200 but reference gap is 30 too small
+    # -> observed tlen = 170, covering the gap pivot (~610)
+    for start in range(470, 570, 2):
+        lines.append(pair(b"sp%d" % i, start, 170))
+        i += 1
+    (tmp_path / "m.sam").write_bytes(b"".join(lines))
+    main([
+        "fixgaps", f"in={tmp_path}/m.sam", f"ref={tmp_path}/ref.fa",
+        f"out={tmp_path}/fixed.fa",
+    ])
+    out = (tmp_path / "fixed.fa").read_bytes()
+    seq = b"".join(
+        ln for ln in out.splitlines() if not ln.startswith(b">")
+    )
+    gap = seq.count(b"N")
+    assert seq.startswith(A) and seq.endswith(B)
+    assert 40 <= gap <= 60, gap  # resized from 20 toward the true 50
