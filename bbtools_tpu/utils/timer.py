@@ -42,7 +42,10 @@ class PhaseTimer:
     def total(self) -> float:
         return time.perf_counter() - self.t0
 
-    def report(self, stream=sys.stderr):
+    def report(self, stream=None):
+        # resolve sys.stderr at call time so stream redirection
+        # (including pytest capture) is honored
+        stream = stream if stream is not None else sys.stderr
         for name, dt in self.phases:
             print(f"{name+':':<22s}\t{dt:.3f} seconds.", file=stream)
         print(f"{'Total Time:':<22s}\t{self.total():.3f} seconds.",
