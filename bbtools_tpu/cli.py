@@ -437,6 +437,16 @@ TOOLS = {
     "summarizeseal": lambda a: _lazy("texttools", "summarizeseal", a),
     "splitnextera": lambda a: _lazy("splitnextera", "main", a),
     "fixgaps": lambda a: _lazy("fixgaps", "main", a),
+    "countduplicates": lambda a: _lazy("misctools", "countduplicates", a),
+    "commonkmers": lambda a: _lazy("misctools", "commonkmers", a),
+    "kmerposition": lambda a: _lazy("misctools", "kmerposition", a),
+    "mergebarcodes": lambda a: _lazy("misctools", "mergebarcodes", a),
+    "removesmartbell": lambda a: _lazy("misctools", "removesmartbell", a),
+    "filtersubs": lambda a: _lazy("misctools", "filtersubs", a),
+    "kmercoverage": lambda a: _lazy("misctools", "kmercoverage", a),
+    "bbrealign": lambda a: _lazy("bbrealign", "main", a),
+    "fungalrelease": lambda a: _lazy("fungalrelease", "main", a),
+    "gradebins": lambda a: _lazy("gradebins", "main", a),
 }
 
 
