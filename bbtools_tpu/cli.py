@@ -447,6 +447,17 @@ TOOLS = {
     "bbrealign": lambda a: _lazy("bbrealign", "main", a),
     "fungalrelease": lambda a: _lazy("fungalrelease", "main", a),
     "gradebins": lambda a: _lazy("gradebins", "main", a),
+    "muxbyname": lambda a: _lazy("barcodetools", "muxbyname", a),
+    "removebadbarcodes": lambda a: _lazy("barcodetools", "removebadbarcodes", a),
+    "filterbarcodes": lambda a: _lazy("barcodetools", "filterbarcodes", a),
+    "cutgff": lambda a: _lazy("gfftools", "cutgff", a),
+    "comparegff": lambda a: _lazy("gfftools", "comparegff", a),
+    "alltoall": lambda a: _lazy("alltoall", "main", a),
+    "idmatrix": lambda a: _lazy("alltoall", "main", a),
+    "kmutate": lambda a: _lazy("synthtools", "kmutate", a),
+    "picksubset": lambda a: _lazy("texttools", "picksubset", a),
+    "summarizecoverage": lambda a: _lazy("texttools", "summarizecoverage", a),
+    "summarizescafstats": lambda a: _lazy("texttools", "summarizescafstats", a),
 }
 
 

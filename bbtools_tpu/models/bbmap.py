@@ -94,6 +94,9 @@ class BBMapConfig:
     sam_version: str = "1.4"  # sam=1.3 emits M cigars
     mhist: str | None = None  # per-position match/sub/del/ins rates
     idhist: str | None = None  # identity histogram
+    #: per-scaffold hit table (BBMap scafstats= flag,
+    #: align2/BBSplitter scafstats/refstats machinery)
+    scafstats: str | None = None
 
 
 def pacbio_preset(c: "BBMapConfig"):
@@ -147,6 +150,7 @@ def parse_args(argv, preset: str | None = None):
     c.sam_version = a.get("sam", "samversion", default="1.4") or "1.4"
     c.mhist = a.get("mhist")
     c.idhist = a.get("idhist")
+    c.scafstats = a.get("scafstats")
     from ..core.parser import test_output_files
 
     test_output_files(
@@ -203,6 +207,7 @@ class BBMap:
         self.rescued = 0
         self._mhist = np.zeros((4, 1024), np.int64)  # m, S, D, I by pos
         self._idhist = np.zeros(101, np.int64)
+        self._scaf_counts = None  # [nscaf, 4]: reads_u, reads_a, bases_u, bases_a
 
     def _load_or_build_index(self) -> SeedIndex:
         """Build the seed index, caching it under `path=` like the
@@ -738,14 +743,66 @@ class BBMap:
                 payload = self.to_sam_paired(batch, results, batch2, results2)
             else:
                 payload = self.to_sam(batch, results) if writer else b""
+            if cfg.scafstats:
+                self._scafstats_add(batch, results)
+                if it2 is not None:
+                    self._scafstats_add(batch2, results2)
             if writer:
                 writer.add_batch(batch.ordinal, payload)
         if writer:
             writer.close()
         if cfg.mhist or cfg.idhist:
             self._write_hists()
+        if cfg.scafstats:
+            self._write_scafstats()
         self.elapsed = time.time() - t0
         return self
+
+    def _scafstats_add(self, batch, results):
+        """Per-scaffold hit accumulation (scafstats= flag; the
+        align2/BBSplitter scafstats table: unambiguous vs ambiguous
+        reads and bases per scaffold)."""
+        if self._scaf_counts is None:
+            self._scaf_counts = np.zeros(
+                (len(self.ref.names), 4), dtype=np.int64
+            )
+        for i in range(batch.n):
+            r = results[i]
+            if not r.mapped:
+                continue
+            scaf = int(
+                self.ref.scaffold_of(np.array([max(r.flat_start, 0)]))[0]
+            )
+            col = 1 if r.ambig else 0
+            self._scaf_counts[scaf, col] += 1
+            self._scaf_counts[scaf, 2 + col] += int(batch.lengths[i])
+
+    def _write_scafstats(self):
+        counts = (
+            self._scaf_counts
+            if self._scaf_counts is not None
+            else np.zeros((len(self.ref.names), 4), dtype=np.int64)
+        )
+        total = max(self.reads_in, 1)
+        order = np.argsort(-(counts[:, 0] + counts[:, 1]), kind="stable")
+        with open(self.cfg.scafstats, "wb") as fh:
+            fh.write(
+                b"#name\t%unambiguousReads\tunambiguousMB\t"
+                b"%ambiguousReads\tambiguousMB\tunambiguousReads\t"
+                b"ambiguousReads\n"
+            )
+            for s in order:
+                ru, ra_, bu, ba_ = (int(x) for x in counts[s])
+                if ru == 0 and ra_ == 0:
+                    continue
+                fh.write(
+                    b"%s\t%.5f\t%.5f\t%.5f\t%.5f\t%d\t%d\n"
+                    % (
+                        self.ref.names[s].split()[0],
+                        100.0 * ru / total, bu / 1e6,
+                        100.0 * ra_ / total, ba_ / 1e6, ru, ra_,
+                    )
+                )
 
     def rescue(self, ba, ra, bb, rb):
         """Mate rescue (AbstractMapThread.rescue): when read A mapped and

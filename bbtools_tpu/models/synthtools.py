@@ -487,3 +487,68 @@ def makechimeras(argv=None):
     write_fasta(out1, recs)
     print(f"Chimeras Made:       \t{len(recs)}", file=sys.stderr)
     return recs
+
+
+def kmutate(argv=None):
+    """kmutate.sh (jgi/KmerFilterSet / SpecialKmers role): emit the kmer
+    spectrum of a reference expanded by hdist= substitutions or edist=
+    edits (sub+ins+del), as fasta — for BBDuk/Seal filter sets. Reuses
+    the BBDuk load-side expansion (ops/kmer_index.expand_kmers[_edist],
+    BBDukIndexMod.mutate semantics)."""
+    from ..ops.kmer_index import expand_kmers, expand_kmers_edist
+    from ..ops.kmers import canonical_keys_np
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    k = a.get_int("k", default=31)
+    hdist = a.get_int("hdist", default=0)
+    edist = a.get_int("edist", default=0)
+    if k > 31:
+        raise ValueError("kmutate: k<=31")
+
+    kmers = []
+    extras = []
+    for rec in iter_fasta(in1) if in1.endswith(
+        (".fa", ".fasta", ".fa.gz", ".fasta.gz", ".fna", ".fna.gz")
+    ) else ():
+        codes = encode(rec.seq)
+        fwd, rkm, runlen = rolling_kmers_np(codes[None, :], k)
+        ok = runlen[0] >= k
+        idx = np.nonzero(ok)[0]
+        kmers.append(fwd[0][idx])
+        ext = np.full(len(idx), -1, dtype=np.int64)
+        nxt = idx + 1
+        inb = nxt < len(codes)
+        ext[inb] = np.where(codes[nxt[inb]] < 4, codes[nxt[inb]], -1)
+        extras.append(ext)
+    if not kmers:
+        # fastq input
+        from ..io.fastq import FastqReader
+
+        for b in FastqReader(in1):
+            fwd, rkm, runlen = rolling_kmers_np(b.bases, k)
+            ok = (runlen >= k) & (
+                np.arange(b.padded_len)[None, :] < b.lengths[:, None]
+            )
+            kmers.append(fwd[ok])
+            extras.append(np.full(int(ok.sum()), -1, dtype=np.int64))
+    raw = np.concatenate(kmers) if kmers else np.zeros(0, np.int64)
+    ext = np.concatenate(extras) if extras else np.zeros(0, np.int64)
+    if edist > 0:
+        keys, _ = expand_kmers_edist(raw, ext, k, edist)
+    else:
+        keys, _ = expand_kmers(raw, k, hdist)
+    keys = np.unique(keys)
+    # strip the length mask to recover literal kmers
+    from ..ops.kmers import length_mask
+
+    vals = keys & ~np.int64(length_mask(k))
+    with open_output(out1) as fh:
+        for i, v in enumerate(vals):
+            km = bytes(
+                b"ACGT"[(int(v) >> (2 * (k - 1 - j))) & 3] for j in range(k)
+            )
+            fh.write(b">%d\n%s\n" % (i, km))
+    print(f"Wrote {len(vals)} kmers.", file=sys.stderr)
+    return len(vals)

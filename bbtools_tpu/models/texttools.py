@@ -526,3 +526,151 @@ def summarizeseal(argv=None):
     else:
         sys.stdout.buffer.write(blob)
     return results
+
+
+def picksubset(argv=None):
+    """picksubset.sh (driver/PickSubset.java): from an all-to-all
+    (query, ref, ANI%) TSV, keep files=N maximizing pairwise distance
+    and/or drop members of pairs above ani= (greedy: repeatedly remove
+    the file with the highest summed similarity to the remainder)."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out = a.get("out")
+    invalid = a.get("invalid")
+    files = a.get_int("files", default=0)
+    max_ani = a.get_float("ani", default=0.0)
+    if not files and not max_ani:
+        raise ValueError("picksubset: files= or ani= must be set")
+    sim: dict[tuple[bytes, bytes], float] = {}
+    names: list[bytes] = []
+    seen = set()
+    with open_input(in1) as fh:
+        for line in fh.read().splitlines():
+            if not line or line.startswith(b"#"):
+                continue
+            f = line.split(b"\t")
+            if len(f) < 3:
+                continue
+            q, r, ani = f[0], f[1], float(f[2])
+            if q == r:
+                continue
+            sim[(q, r)] = sim[(r, q)] = max(ani, sim.get((q, r), 0.0))
+            for x in (q, r):
+                if x not in seen:
+                    seen.add(x)
+                    names.append(x)
+    alive = set(names)
+
+    def worst():
+        # file with the highest max (then summed) similarity to the rest
+        best_name, best_key = None, (-1.0, -1.0)
+        for x in alive:
+            mx = 0.0
+            sm = 0.0
+            for y in alive:
+                if x != y:
+                    s = sim.get((x, y), 0.0)
+                    mx = max(mx, s)
+                    sm += s
+            if (mx, sm) > best_key:
+                best_key, best_name = (mx, sm), x
+        return best_name, best_key[0]
+
+    removed = []
+    while len(alive) > 1:
+        name, mx = worst()
+        over_ani = max_ani > 0 and mx > max_ani
+        over_count = files > 0 and len(alive) > files
+        if not over_ani and not over_count:
+            break
+        alive.discard(name)
+        removed.append(name)
+    kept = [n for n in names if n in alive]
+    if out:
+        with open_output(out) as fh:
+            fh.write(b"\n".join(kept) + b"\n")
+    if invalid:
+        with open_output(invalid) as fh:
+            fh.write(b"\n".join(removed) + (b"\n" if removed else b""))
+    print(f"Kept {len(kept)} of {len(names)} files.", file=sys.stderr)
+    return kept, removed
+
+
+def summarizecoverage(argv=None):
+    """summarizecoverage.sh (driver/SummarizeCoverage.java): merge
+    pileup basecov files into one table (reads the per-base column,
+    reports mean/median/stdev coverage and covered fraction per file)."""
+    argv = argv if argv is not None else sys.argv[1:]
+    a = tokenize([t for t in argv if "=" in t])
+    files = [t for t in argv if "=" not in t]
+    spec = a.get("in", "in1")
+    if spec:
+        files = spec.split(",") + files
+    out = a.get("out")
+    lines = [b"#file\tmean\tmedian\tstdev\tcoveredPct\tbases\n"]
+    results = []
+    for path in files:
+        cov = []
+        with open_input(path) as fh:
+            for ln in fh.read().splitlines():
+                if not ln or ln.startswith(b"#"):
+                    continue
+                cov.append(int(ln.rsplit(b"\t", 1)[-1]))
+        arr = np.asarray(cov, dtype=np.int64)
+        if len(arr) == 0:
+            arr = np.zeros(1, dtype=np.int64)
+        mean = float(arr.mean())
+        med = float(np.median(arr))
+        sd = float(arr.std())
+        covered = 100.0 * float((arr > 0).mean())
+        results.append((path, mean, med, sd, covered, len(cov)))
+        lines.append(
+            b"%s\t%.3f\t%.1f\t%.3f\t%.2f\t%d\n"
+            % (path.encode(), mean, med, sd, covered, len(cov))
+        )
+    blob = b"".join(lines)
+    if out:
+        with open_output(out) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return results
+
+
+def summarizescafstats(argv=None):
+    """summarizescafstats.sh (driver/SummarizeSealStats scafstats mode):
+    merge BBMap scafstats= files into one primary-vs-nonprimary table
+    (primary = the row with the most unambiguous reads)."""
+    argv = argv if argv is not None else sys.argv[1:]
+    a = tokenize([t for t in argv if "=" in t])
+    files = [t for t in argv if "=" not in t]
+    spec = a.get("in", "in1")
+    if spec:
+        files = spec.split(",") + files
+    out = a.get("out")
+    lines = [b"#file\treads\tprimary\tnonprimary\tpctPrimary\tprimaryScaf\n"]
+    results = []
+    for path in files:
+        rows = []
+        with open_input(path) as fh:
+            for ln in fh.read().splitlines():
+                if not ln or ln.startswith(b"#"):
+                    continue
+                f = ln.split(b"\t")
+                rows.append((f[0], int(f[5]) + int(f[6])))
+        total = sum(r[1] for r in rows)
+        pname, primary = max(rows, key=lambda r: r[1]) if rows else (b"", 0)
+        nonprim = total - primary
+        pct = 100.0 * primary / max(total, 1)
+        results.append((path, total, primary, nonprim, pct, pname))
+        lines.append(
+            b"%s\t%d\t%d\t%d\t%.3f\t%s\n"
+            % (path.encode(), total, primary, nonprim, pct, pname)
+        )
+    blob = b"".join(lines)
+    if out:
+        with open_output(out) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return results

@@ -1,0 +1,226 @@
+"""Behavior tests for the round-2 fourth tool batch: muxbyname,
+removebadbarcodes, filterbarcodes, cutgff, comparegff, alltoall/idmatrix,
+kmutate, picksubset, summarizecoverage, summarizescafstats, and bbmap
+scafstats= output."""
+
+import numpy as np
+
+from bbtools_tpu.cli import main
+
+ACGT = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _write_fq(path, recs):
+    data = b"".join(
+        b"@%s\n%s\n+\n%s\n" % (n, s, q if q else b"I" * len(s))
+        for n, s, q in recs
+    )
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+def _read_fq(path):
+    lines = open(path, "rb").read().splitlines()
+    return [
+        (lines[i][1:], lines[i + 1], lines[i + 3])
+        for i in range(0, len(lines), 4)
+    ]
+
+
+def test_muxbyname(tmp_path):
+    _write_fq(tmp_path / "s1.fq", [(b"a", b"ACGT", b"")])
+    _write_fq(tmp_path / "s2.fq", [(b"b", b"TTTT", b"")])
+    main([
+        "muxbyname", f"{tmp_path}/s1.fq", f"{tmp_path}/s2.fq",
+        f"out={tmp_path}/mux.fq",
+    ])
+    names = [n for n, _, _ in _read_fq(tmp_path / "mux.fq")]
+    assert names == [b"s1_a", b"s2_b"]
+
+
+def test_removebadbarcodes(tmp_path):
+    recs = [
+        (b"m:1:GATTACA", b"ACGT", b""),
+        (b"m:2:GANTACA", b"ACGT", b""),
+        (b"m:3:ACGT+TTGG", b"ACGT", b""),
+    ]
+    _write_fq(tmp_path / "in.fq", recs)
+    main([
+        "removebadbarcodes", f"in={tmp_path}/in.fq", f"out={tmp_path}/o.fq",
+    ])
+    names = [n for n, _, _ in _read_fq(tmp_path / "o.fq")]
+    assert names == [b"m:1:GATTACA", b"m:3:ACGT+TTGG"]
+
+
+def test_filterbarcodes(tmp_path):
+    hi = (np.full(6, 35, np.uint8) + 33).tobytes()
+    lo = (np.full(6, 5, np.uint8) + 33).tobytes()
+    recs = [
+        (b"good_AACCGG_" + hi, b"ACGTACGT", b""),
+        (b"bad_TTGGCC_" + lo, b"ACGTACGT", b""),
+    ]
+    _write_fq(tmp_path / "in.fq", recs)
+    main([
+        "filterbarcodes", f"in={tmp_path}/in.fq", f"out={tmp_path}/o.fq",
+        "maq=20", f"baqhist={tmp_path}/h.txt",
+    ])
+    names = [n for n, _, _ in _read_fq(tmp_path / "o.fq")]
+    assert len(names) == 1 and names[0].startswith(b"good")
+    assert (tmp_path / "h.txt").read_bytes().startswith(b"#quality")
+
+
+def test_cutgff(tmp_path):
+    rng = np.random.default_rng(0)
+    seq = rng.choice(ACGT, 100).tobytes()
+    (tmp_path / "g.fna").write_bytes(b">c1\n" + seq + b"\n")
+    (tmp_path / "g.gff").write_bytes(
+        b"##gff-version 3\n"
+        b"c1\tx\tCDS\t11\t40\t.\t+\t0\tID=f1\n"
+        b"c1\tx\tCDS\t51\t80\t.\t-\t0\tID=f2\n"
+        b"c1\tx\trRNA\t5\t9\t.\t+\t.\tID=r1\n"
+    )
+    main([
+        "cutgff", f"in={tmp_path}/g.fna", f"out={tmp_path}/o.fa",
+        "types=CDS",
+    ])
+    out = (tmp_path / "o.fa").read_bytes()
+    recs = {}
+    name = None
+    for ln in out.splitlines():
+        if ln.startswith(b">"):
+            name = ln[1:]
+            recs[name] = b""
+        else:
+            recs[name] += ln
+    assert recs[b"c1_11_40_CDS"] == seq[10:40]
+    rc = seq[50:80].translate(
+        bytes.maketrans(b"ACGT", b"TGCA"))[::-1]
+    assert recs[b"c1_51_80_CDS"] == rc
+    assert b"rRNA" not in out
+
+
+def test_comparegff(tmp_path):
+    (tmp_path / "ref.gff").write_bytes(
+        b"c1\tx\tCDS\t10\t40\t.\t+\t0\tID=a\n"
+        b"c1\tx\tCDS\t60\t90\t.\t-\t0\tID=b\n"
+    )
+    (tmp_path / "q.gff").write_bytes(
+        b"c1\ty\tCDS\t10\t40\t.\t+\t0\tID=a\n"     # exact
+        b"c1\ty\tCDS\t66\t90\t.\t-\t0\tID=b2\n"    # wrong start... but
+        # on '-' the 3' end is the start field, so this is stopOnly=0;
+        # use same start for stop-match semantics below
+        b"c1\ty\tCDS\t200\t260\t.\t+\t0\tID=c\n"   # false positive
+    )
+    from bbtools_tpu.models.gfftools import comparegff
+
+    res = comparegff([
+        f"in={tmp_path}/q.gff", f"ref={tmp_path}/ref.gff",
+        f"out={tmp_path}/o.txt",
+    ])
+    q, r, exact, stop_only, fp, recall = res[b"CDS"]
+    assert (q, r, exact) == (3, 2, 1)
+    assert fp == 2 - stop_only + 1 - 1  # one fp for ID=c; b2 depends on 3' rule
+    assert (tmp_path / "o.txt").read_bytes().startswith(b"#type")
+
+
+def test_alltoall(tmp_path):
+    rng = np.random.default_rng(1)
+    s1 = rng.choice(ACGT, 80).tobytes()
+    s2 = bytearray(s1)
+    for p in (10, 30, 50):
+        s2[p] = ord("A") if s2[p] != ord("A") else ord("C")
+    s3 = rng.choice(ACGT, 80).tobytes()
+    (tmp_path / "in.fa").write_bytes(
+        b">a\n" + s1 + b"\n>b\n" + bytes(s2) + b"\n>c\n" + s3 + b"\n"
+    )
+    from bbtools_tpu.models.alltoall import main as alltoall
+
+    ident = alltoall([f"in={tmp_path}/in.fa", f"out={tmp_path}/m.txt"])
+    assert ident[0, 1] > 0.9  # 3 subs in 80
+    assert ident[0, 2] < ident[0, 1]
+    txt = (tmp_path / "m.txt").read_bytes()
+    assert txt.startswith(b"#name\ta\tb\tc")
+
+
+def test_kmutate(tmp_path):
+    (tmp_path / "in.fa").write_bytes(b">x\nACGTACGTACG\n")
+    from bbtools_tpu.models.synthtools import kmutate
+
+    n = kmutate([
+        f"in={tmp_path}/in.fa", f"out={tmp_path}/o.fa", "k=11", "hdist=1",
+    ])
+    # 1 kmer * (1 + 11*3) mutants = 34 raw; canonical dedup may merge a few
+    assert 30 <= n <= 34
+    out = (tmp_path / "o.fa").read_bytes()
+    assert out.count(b">") == n
+
+
+def test_picksubset(tmp_path):
+    (tmp_path / "ani.tsv").write_bytes(
+        b"f1\tf2\t99.0\nf1\tf3\t80.0\nf2\tf3\t81.0\nf3\tf4\t60.0\n"
+    )
+    from bbtools_tpu.models.texttools import picksubset
+
+    kept, removed = picksubset([
+        f"in={tmp_path}/ani.tsv", f"out={tmp_path}/keep.txt", "ani=90",
+    ])
+    # f1/f2 pair exceeds 90 -> one of them dropped; others stay
+    assert len(kept) == 3 and len(removed) == 1
+    assert removed[0] in (b"f1", b"f2")
+
+
+def test_summarize_coverage_and_scafstats(tmp_path):
+    (tmp_path / "s1_basecov.txt").write_bytes(
+        b"#RefName\tPos\tCoverage\n" + b"".join(
+            b"c\t%d\t%d\n" % (i, 10 if i < 80 else 0) for i in range(100)
+        )
+    )
+    from bbtools_tpu.models.texttools import (
+        summarizecoverage,
+        summarizescafstats,
+    )
+
+    res = summarizecoverage([
+        f"{tmp_path}/s1_basecov.txt", f"out={tmp_path}/sc.txt",
+    ])
+    path, mean, med, sd, covered, nbases = res[0]
+    assert nbases == 100 and abs(mean - 8.0) < 1e-9 and covered == 80.0
+
+    (tmp_path / "lib1.scafstats").write_bytes(
+        b"#name\t%unambiguousReads\tunambiguousMB\t%ambiguousReads\t"
+        b"ambiguousMB\tunambiguousReads\tambiguousReads\n"
+        b"orgA\t90\t1.0\t0\t0\t90\t0\n"
+        b"orgB\t10\t0.1\t0\t0\t8\t2\n"
+    )
+    res2 = summarizescafstats([
+        f"{tmp_path}/lib1.scafstats", f"out={tmp_path}/ss.txt",
+    ])
+    path, total, primary, nonprim, pct, pname = res2[0]
+    assert (total, primary, nonprim, pname) == (100, 90, 10, b"orgA")
+
+
+def test_bbmap_scafstats(tmp_path):
+    rng = np.random.default_rng(3)
+    g1 = rng.choice(ACGT, 3000).tobytes()
+    g2 = rng.choice(ACGT, 3000).tobytes()
+    (tmp_path / "ref.fa").write_bytes(
+        b">s1\n" + g1 + b"\n>s2\n" + g2 + b"\n"
+    )
+    reads = []
+    for i in range(20):
+        p = int(rng.integers(0, 2900))
+        src = g1 if i < 15 else g2
+        reads.append((b"r%d" % i, src[p : p + 100], b""))
+    _write_fq(tmp_path / "r.fq", reads)
+    main([
+        "bbmap", f"ref={tmp_path}/ref.fa", f"in={tmp_path}/r.fq",
+        f"out={tmp_path}/o.sam", f"scafstats={tmp_path}/scaf.txt",
+        "nodisk=t",
+    ])
+    txt = (tmp_path / "scaf.txt").read_bytes()
+    rows = {
+        ln.split(b"\t")[0]: ln.split(b"\t")
+        for ln in txt.splitlines()[1:]
+    }
+    assert int(rows[b"s1"][5]) >= 14
+    assert int(rows[b"s2"][5]) >= 4
