@@ -224,3 +224,28 @@ def test_bbmap_scafstats(tmp_path):
     }
     assert int(rows[b"s1"][5]) >= 14
     assert int(rows[b"s2"][5]) >= 4
+
+
+def test_filterbytile_polyg_metric(tmp_path):
+    from bbtools_tpu.models.filterbytile import FilterByTile, parse_args
+
+    rng = np.random.default_rng(7)
+    with open(tmp_path / "in.fq", "wb") as fh:
+        for i in range(2000):
+            tile = 1101 if i % 2 == 0 else 1102
+            x = int(rng.integers(0, 1000))
+            y = int(rng.integers(0, 1000))
+            # tile 1101 cell (0,0): heavy poly-G tails, same quality
+            bad = tile == 1101 and x < 500 and y < 500
+            seq = rng.choice(ACGT, 100).tobytes()
+            if bad and i % 3:
+                seq = seq[:70] + b"G" * 30
+            name = b"M01:5:FC1:1:%d:%d:%d" % (tile, x, y)
+            fh.write(b"@" + name + b"\n" + seq + b"\n+\n" + b"I" * 100 + b"\n")
+    cfg = parse_args([
+        f"in={tmp_path}/in.fq", f"out={tmp_path}/good.fq",
+        f"outb={tmp_path}/bad.fq",
+    ])
+    t = FilterByTile(cfg).run()
+    assert (1101, 0, 0) in t.bad_keys
+    assert len(t.bad_keys) <= 2
