@@ -137,6 +137,56 @@ def bin_contigs(contigs: list[Contig],
     return [b for b in bins if b]
 
 
+def sketch_refine(bins: list[list["Contig"]], depth_limit: float,
+                  min_ani: float = 0.96, sketch_size: int = 2000):
+    """Sketch-based bin merging (BinSketcher/Oracle role): bottom-k
+    sketch each bin; merge bin pairs whose sketch ANI estimate >=
+    min_ani and whose depths agree — same-organism bins the greedy
+    composition pass left split."""
+    from .sketch import compare_sketches, sketch_sequences
+
+    if len(bins) < 2:
+        return bins
+    sketches = []
+    depths = []
+    for b in bins:
+        sketches.append(
+            sketch_sequences(
+                (
+                    BASE_TO_CODE[np.frombuffer(c.seq, np.uint8)]
+                    for c in b
+                ),
+                size=sketch_size,
+            )
+        )
+        w = sum(len(c.seq) for c in b)
+        depths.append(
+            sum(c.depth * len(c.seq) for c in b) / max(w, 1)
+        )
+    parent = list(range(len(bins)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(bins)):
+        for j in range(i + 1, len(bins)):
+            ratio = max(depths[i], depths[j]) / max(
+                min(depths[i], depths[j]), 1e-9
+            )
+            if ratio > depth_limit:
+                continue
+            _, ani, matches, n = compare_sketches(sketches[i], sketches[j])
+            if n and matches >= 3 and ani >= min_ani:
+                parent[find(j)] = find(i)
+    merged: dict[int, list[Contig]] = {}
+    for i, b in enumerate(bins):
+        merged.setdefault(find(i), []).extend(b)
+    return list(merged.values())
+
+
 def main(argv=None):
     a = tokenize(argv if argv is not None else sys.argv[1:])
     in1 = a.get("in", "in1", "contigs")
@@ -175,6 +225,17 @@ def main(argv=None):
             Contig(rec.name, rec.seq, tetramer_profile(codes), float(d))
         )
     bins = bin_contigs(contigs, tetra_limit, depth_limit)
+    if a.get_bool("sketch", "refine", default=True):
+        before = len(bins)
+        bins = sketch_refine(
+            bins, depth_limit,
+            min_ani=a.get_float("minani", default=0.96),
+        )
+        if len(bins) != before:
+            print(
+                f"Sketch refinement merged {before - len(bins)} bins.",
+                file=sys.stderr,
+            )
     for bi, members in enumerate(bins):
         if out_pat:
             write_fasta(

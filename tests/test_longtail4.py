@@ -249,3 +249,32 @@ def test_filterbytile_polyg_metric(tmp_path):
     t = FilterByTile(cfg).run()
     assert (1101, 0, 0) in t.bad_keys
     assert len(t.bad_keys) <= 2
+
+
+def test_quickbin_sketch_refine(tmp_path):
+    from bbtools_tpu.models.quickbin import (
+        Contig,
+        bin_contigs,
+        sketch_refine,
+        tetramer_profile,
+    )
+    from bbtools_tpu.core.dna import BASE_TO_CODE
+
+    rng = np.random.default_rng(9)
+    genome = rng.choice(ACGT, 12000).tobytes()
+    # two halves of the same genome, forced into separate bins
+    c1 = genome[:6000]
+    c2 = genome[6000:]
+    other = rng.choice(np.frombuffer(b"GC", np.uint8), 6000).tobytes()
+    mk = lambda n, s, d: Contig(
+        n, s, tetramer_profile(BASE_TO_CODE[np.frombuffer(s, np.uint8)]), d
+    )
+    bins = [[mk(b"a", c1, 10.0)], [mk(b"b", c2, 10.0)],
+            [mk(b"c", other, 10.0)]]
+    merged = sketch_refine(bins, depth_limit=1.6, min_ani=0.9)
+    # halves of one genome share no sketch kmers (disjoint sequence), so
+    # they stay split; but identical copies merge:
+    bins2 = [[mk(b"a", c1, 10.0)], [mk(b"b", c1, 10.0)]]
+    merged2 = sketch_refine(bins2, depth_limit=1.6, min_ani=0.9)
+    assert len(merged2) == 1
+    assert len(merged) == 3
