@@ -45,6 +45,10 @@ class ICConfig:
     trim: bool = False
     min_ratio1: float = MIN_RATIO1
     min_ratio2: float = MIN_RATIO2
+    #: keep all subreads of a ZMW together (ZMWStreamer role,
+    #: icecream/ZMW.java): one flagged subread sends the whole ZMW to
+    #: outb — a missed adapter corrupts the molecule, not one subread
+    kzt: bool = False
 
 
 def parse_args(argv) -> ICConfig:
@@ -56,7 +60,17 @@ def parse_args(argv) -> ICConfig:
     c.trim = a.get_bool("trim", "trimreads", default=False)
     c.min_ratio1 = a.get_float("minratio1", "ratio1", default=MIN_RATIO1)
     c.min_ratio2 = a.get_float("minratio2", "ratio2", default=MIN_RATIO2)
+    c.kzt = a.get_bool("kzt", "keepzmwstogether", default=False)
     return c
+
+
+def zmw_of(name: bytes) -> bytes:
+    """PacBio subread header movie/zmw/start_end -> movie/zmw key;
+    reads without the PacBio shape get a unique key (their own name)."""
+    parts = name.split()[0].split(b"/")
+    if len(parts) >= 3:
+        return parts[0] + b"/" + parts[1]
+    return name
 
 
 def _rc(codes: np.ndarray) -> np.ndarray:
@@ -179,6 +193,20 @@ class IceCreamFinder:
         cfg = self.cfg
         wg = FastqWriter(cfg.outg) if cfg.outg else None
         wb = FastqWriter(cfg.outb) if cfg.outb else None
+        bad_zmws: set[bytes] = set()
+        if cfg.kzt:
+            # pass 1 (ZMWStreamer role): find ZMWs with any flagged
+            # subread; untrimmed flagged reads poison their whole ZMW
+            for b in FastqReader(cfg.in1):
+                codes_list = [
+                    b.bases[i, : int(b.lengths[i])] for i in range(b.n)
+                ]
+                for i, (ic, junction) in enumerate(
+                    check_batch(codes_list, cfg)
+                ):
+                    if ic and not (cfg.trim and junction > 0):
+                        bad_zmws.add(zmw_of(b.ids[i]))
+            self.zmws_flagged = len(bad_zmws)
         for b in FastqReader(cfg.in1):
             bad = np.zeros(b.n, dtype=bool)
             codes_list = [
@@ -198,6 +226,10 @@ class IceCreamFinder:
                         bad[i] = False  # trimmed read is kept as good
                 else:
                     self.kept += 1
+            if bad_zmws:
+                for i in range(b.n):
+                    if zmw_of(b.ids[i]) in bad_zmws:
+                        bad[i] = True
             if wg:
                 wg.add(b, ~bad)
             if wb:
@@ -206,6 +238,10 @@ class IceCreamFinder:
             if w:
                 w.close()
         print(f"Ice cream flagged:   \t{self.flagged}", file=sys.stderr)
+        if cfg.kzt:
+            print(
+                f"ZMWs discarded:      \t{len(bad_zmws)}", file=sys.stderr
+            )
         if cfg.trim:
             print(
                 f"Bases trimmed:       \t{self.trimmed_bases}",

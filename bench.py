@@ -213,17 +213,72 @@ def bench_kmercount():
     """Config #2: exact k=31 counting — the production count_batch path
     (all-device sort-reduce on TPU, device extraction + host sort on
     CPU; the function dispatches on platform)."""
-    from bbtools_tpu.ops.kmer_count import count_batch
+    import jax
+    import jax.numpy as jnp
+
+    from bbtools_tpu.ops.kmer_count import (
+        batch_kmers_jnp,
+        count_batch,
+        sort_reduce,
+    )
 
     rng = _rng()
     bases, lengths = make_reads(rng, batch=BATCH // 2)
     reads = BATCH // 2
 
-    dt = timeit(lambda: count_batch(bases, lengths, 31), warmup=1, iters=4)
+    if jax.devices()[0].platform == "cpu":
+        dt = timeit(
+            lambda: count_batch(bases, lengths, 31), warmup=1, iters=4
+        )
+        return {
+            "reads_per_sec": reads / dt,
+            "bases_per_sec": reads * READ_LEN / dt,
+            "kmers_per_sec": reads * (READ_LEN - 30) / dt,
+        }
+
+    # TPU: separate device compute from the spectrum read-back — the
+    # dev-harness tunnel (~28 MB/s) makes the ~16 MB result transfer
+    # dominate, which measures the link, not the architecture.
+    db, dl = jnp.asarray(bases), jnp.asarray(lengths)
+    INNER = 16  # chained in-graph iterations: defeats the tunnel's
+    # async-caching on sub-ms timings (only large warmed runs are
+    # trustworthy through the dev harness link)
+
+    @jax.jit
+    def compute(db, dl):
+        keys = batch_kmers_jnp(db, dl, 31)
+        return sort_reduce(keys)
+
+    @jax.jit
+    def compute_chained(db, dl):
+        import jax.lax as lax
+
+        def body(i, acc):
+            keys = batch_kmers_jnp(jnp.roll(db, i, axis=0), dl, 31)
+            _, _, n = sort_reduce(keys)
+            return (acc + n).astype(jnp.int32)
+
+        return lax.fori_loop(0, INNER, body, jnp.int32(0))
+
+    def dev_only():
+        jax.block_until_ready(compute_chained(db, dl))
+
+    dt_dev = timeit(dev_only, warmup=1, iters=2) / INNER
+
+    def with_transfer():
+        v, c, n = compute(db, dl)
+        nn = int(n)
+        np.asarray(v[:nn]), np.asarray(c[:nn])
+
+    dt_all = timeit(with_transfer, warmup=1, iters=2)
     return {
-        "reads_per_sec": reads / dt,
-        "bases_per_sec": reads * READ_LEN / dt,
-        "kmers_per_sec": reads * (READ_LEN - 30) / dt,
+        "reads_per_sec": reads / dt_dev,
+        "bases_per_sec": reads * READ_LEN / dt_dev,
+        "kmers_per_sec": reads * (READ_LEN - 30) / dt_dev,
+        "with_spectrum_readback": {
+            "reads_per_sec": reads / dt_all,
+            "kmers_per_sec": reads * (READ_LEN - 30) / dt_all,
+        },
     }
 
 

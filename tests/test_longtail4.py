@@ -278,3 +278,33 @@ def test_quickbin_sketch_refine(tmp_path):
     merged2 = sketch_refine(bins2, depth_limit=1.6, min_ani=0.9)
     assert len(merged2) == 1
     assert len(merged) == 3
+
+
+def test_icecream_kzt(tmp_path):
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models.icecream import IceCreamFinder, parse_args
+
+    rng = np.random.default_rng(13)
+    reads = []
+    # ZMW 7: one clean subread + one triangle subread
+    clean = rng.integers(0, 4, 1600).astype(np.uint8)
+    half = rng.integers(0, 4, 800).astype(np.uint8)
+    tri = np.concatenate([half, np.where(half < 4, 3 - half, 4)[::-1]])
+    reads.append((b"m1/7/0_1600", clean))
+    reads.append((b"m1/7/1700_3300", tri))
+    # ZMW 9: clean only
+    reads.append((b"m1/9/0_1600", rng.integers(0, 4, 1600).astype(np.uint8)))
+    with open(tmp_path / "in.fq", "wb") as fh:
+        for n, c in reads:
+            s = CODE_TO_BASE[c].tobytes()
+            fh.write(b"@" + n + b"\n" + s + b"\n+\n" + b"F" * len(s) + b"\n")
+    cfg = parse_args([
+        f"in={tmp_path}/in.fq", f"outg={tmp_path}/g.fq",
+        f"outb={tmp_path}/b.fq", "kzt=t",
+    ])
+    IceCreamFinder(cfg).run()
+    good = (tmp_path / "g.fq").read_bytes().splitlines()[::4]
+    bad = (tmp_path / "b.fq").read_bytes().splitlines()[::4]
+    # the clean subread of ZMW 7 goes bad too (whole-ZMW discard)
+    assert good == [b"@m1/9/0_1600"]
+    assert sorted(bad) == [b"@m1/7/0_1600", b"@m1/7/1700_3300"]
