@@ -458,6 +458,20 @@ TOOLS = {
     "picksubset": lambda a: _lazy("texttools", "picksubset", a),
     "summarizecoverage": lambda a: _lazy("texttools", "summarizecoverage", a),
     "summarizescafstats": lambda a: _lazy("texttools", "summarizescafstats", a),
+    "splitbytaxa": lambda a: _lazy("taxonomy", "split_by_taxa", a),
+    "fusebytaxa": lambda a: _lazy("taxonomy", "fuse_by_taxa", a),
+    "gi2taxid": lambda a: _lazy("taxonomy", "gi2taxid", a),
+    "splitnexteralmp": lambda a: _lazy("splitnextera", "main", a),
+    # in-reference rewrites of the same tool surface (reformat2/3 ->
+    # ReformatReads2/3, pileup2 -> CoveragePileup2, stats3, dedupe2,
+    # testformat2): one implementation here serves all generations
+    "reformat2": _reformat,
+    "reformat3": _reformat,
+    "pileup2": _pileup,
+    "stats3": _stats,
+    "bbstats": _stats,
+    "dedupe2": _dedupe,
+    "testformat2": lambda a: _lazy("texttools", "testformat", a),
 }
 
 

@@ -284,3 +284,124 @@ def main(argv=None):
         else:
             print(f"{token}\t{tree.lineage_string(tid)}")
     return tree
+
+
+def split_by_taxa(argv):
+    """splitbytaxa.sh (tax/SplitByTaxa.java): route sequences to one
+    output file per taxon at level= (out pattern uses %)."""
+    from ..io.fasta import iter_fasta
+
+    a = tokenize(argv)
+    in1 = a.get("in", "in1")
+    pattern = a.get("out", "pattern", default="%.fa")
+    tree = TaxTree.load(a.get("names"), a.get("nodes"))
+    acc_map = (
+        load_accession_map(a.get("accession"))
+        if a.get("accession")
+        else None
+    )
+    level = a.get("level", default="phylum")
+    from ..io.readwrite import open_output
+
+    handles = {}
+    counts: dict[bytes, int] = {}
+    for rec in iter_fasta(in1):
+        tid = taxid_of_header(rec.name, acc_map)
+        anc = tree.ancestor_at_level(tid, level) if tid >= 0 else -1
+        label = tree.names.get(anc, "unknown") if anc >= 0 else "unknown"
+        label = label.replace(" ", "_")
+        if label not in handles:
+            handles[label] = open_output(pattern.replace("%", label))
+        fh = handles[label]
+        fh.write(b">" + rec.name + b"\n")
+        for i in range(0, len(rec.seq), 70):
+            fh.write(rec.seq[i : i + 70] + b"\n")
+        counts[label] = counts.get(label, 0) + 1
+    for fh in handles.values():
+        fh.close()
+    for label, n in sorted(counts.items()):
+        print(f"{label}\t{n}", file=sys.stderr)
+    return counts
+
+
+def fuse_by_taxa(argv):
+    """fusebytaxa.sh (tax/FuseByTaxa role): fuse all sequences sharing a
+    taxonomic ancestor at level= into one scaffold per taxon, joined by
+    npad= Ns (the summarize-cross-contamination reference prep)."""
+    from ..io.fasta import iter_fasta, write_fasta
+
+    a = tokenize(argv)
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    tree = TaxTree.load(a.get("names"), a.get("nodes"))
+    acc_map = (
+        load_accession_map(a.get("accession"))
+        if a.get("accession")
+        else None
+    )
+    level = a.get("level", default="species")
+    npad = a.get_int("npad", "pad", default=300)
+    groups: dict[str, list[bytes]] = {}
+    for rec in iter_fasta(in1):
+        tid = taxid_of_header(rec.name, acc_map)
+        anc = tree.ancestor_at_level(tid, level) if tid >= 0 else -1
+        label = tree.names.get(anc, "unknown") if anc >= 0 else "unknown"
+        groups.setdefault(
+            f"tid_{anc}_{label.replace(' ', '_')}", []
+        ).append(rec.seq)
+    recs = [
+        (name.encode(), (b"N" * npad).join(seqs))
+        for name, seqs in groups.items()
+    ]
+    if out1:
+        write_fasta(out1, recs)
+    print(f"Fused into {len(recs)} scaffolds.", file=sys.stderr)
+    return recs
+
+
+def gi2taxid(argv):
+    """gi2taxid.sh (tax/RenameGiToTaxid.java): rename sequence headers
+    to tid|<taxid>|<original> using gi numbers / accessions / organism
+    names (names= + nodes= enable name resolution)."""
+    from ..io.fasta import iter_fasta
+
+    a = tokenize(argv)
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    acc_map = (
+        load_accession_map(a.get("accession"))
+        if a.get("accession")
+        else None
+    )
+    tree = (
+        TaxTree.load(a.get("names"), a.get("nodes"))
+        if a.get("names") and a.get("nodes")
+        else None
+    )
+
+    def by_name(header: bytes) -> int:
+        if tree is None:
+            return -1
+        words = header.decode(errors="replace").split()
+        # longest name prefix wins (genus+species before genus)
+        for end in range(len(words), 0, -1):
+            tid = tree.name_to_id.get(" ".join(words[:end]).lower(), -1)
+            if tid >= 0:
+                return tid
+        return -1
+
+    from ..io.readwrite import open_output
+
+    n = known = 0
+    with open_output(out1) as fh:
+        for rec in iter_fasta(in1):
+            tid = taxid_of_header(rec.name, acc_map)
+            if tid < 0:
+                tid = by_name(rec.name)
+            known += tid >= 0
+            n += 1
+            fh.write(b">tid|%d|%s\n" % (max(tid, -1), rec.name))
+            for i in range(0, len(rec.seq), 70):
+                fh.write(rec.seq[i : i + 70] + b"\n")
+    print(f"Renamed {n} sequences ({known} with taxIDs).", file=sys.stderr)
+    return n, known

@@ -232,3 +232,45 @@ def test_clade_server_endpoint(tmp_path):
         assert out["best"].endswith("a.fa")
     finally:
         srv.shutdown()
+
+
+def test_splitbytaxa_and_fuse_and_gi2taxid(tiny_tree, tmp_path):
+    from bbtools_tpu.models.taxonomy import (
+        fuse_by_taxa,
+        gi2taxid,
+        split_by_taxa,
+    )
+
+    d = tmp_path
+    (d / "in.fa").write_bytes(
+        b">tid|562|ecoli_a\nACGTACGTAC\n"
+        b">tid|83333|k12_b\nTTTTGGGGCC\n"
+        b">tid|9606|human_c\nAAAACCCCGG\n"
+    )
+    counts = split_by_taxa([
+        f"in={d}/in.fa", f"out={d}/split_%.fa",
+        f"names={d/'names.dmp'}", f"nodes={d/'nodes.dmp'}",
+        "level=superkingdom",
+    ])
+    assert counts == {"Bacteria": 2, "Eukaryota": 1}
+    bact = (d / "split_Bacteria.fa").read_bytes()
+    assert b"ecoli_a" in bact and b"k12_b" in bact and b"human" not in bact
+
+    recs = fuse_by_taxa([
+        f"in={d}/in.fa", f"out={d}/fused.fa",
+        f"names={d/'names.dmp'}", f"nodes={d/'nodes.dmp'}",
+        "level=species", "npad=5",
+    ])
+    fused = {n: s for n, s in recs}
+    assert fused[b"tid_562_Escherichia_coli"] == (
+        b"ACGTACGTAC" + b"N" * 5 + b"TTTTGGGGCC"
+    )
+    assert fused[b"tid_9606_Homo_sapiens"] == b"AAAACCCCGG"
+
+    (d / "named.fa").write_bytes(b">Escherichia coli strain X\nACGT\n")
+    n, known = gi2taxid([
+        f"in={d}/named.fa", f"out={d}/renamed.fa",
+        f"names={d/'names.dmp'}", f"nodes={d/'nodes.dmp'}",
+    ])
+    assert (n, known) == (1, 1)
+    assert (d / "renamed.fa").read_bytes().startswith(b">tid|562|")
