@@ -383,6 +383,8 @@ TOOLS = {
     "msa": lambda a: _lazy("findprimers", "main", a),
     "rqcfilter": lambda a: _lazy("rqcfilter", "main", a),
     "rqcfilter2": lambda a: _lazy("rqcfilter", "main", a),
+    "decontaminate": lambda a: _lazy("decontaminate", "main", a),
+    "crossblock": lambda a: _lazy("decontaminate", "main", a),
     "readlength": lambda a: _lazy("texttools", "readlength", a),
     "countgc": lambda a: _lazy("texttools", "countgc", a),
     "testformat": lambda a: _lazy("texttools", "testformat", a),

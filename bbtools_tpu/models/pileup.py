@@ -19,6 +19,28 @@ from ..io.readwrite import open_output
 from ..io.sam_read import iter_sam, parse_cigar
 
 
+def bases_under_window(cov: np.ndarray, avg: float, window: int) -> int:
+    """Bases belonging to any length-`window` sliding window whose summed
+    coverage is below ceil(window*avg) (CoveragePileup.java
+    basesUnderAverageCoverage :1566; computed here as the union of
+    below-limit windows via a vectorized rolling sum).
+    """
+    n = len(cov)
+    if n < window:
+        return 0
+    limit = int(np.ceil(window * avg))
+    sums = np.convolve(cov, np.ones(window, dtype=np.int64), "valid")
+    below = sums < limit  # window starting at each position
+    if not below.any():
+        return 0
+    # union of [start, start+window) intervals for every below window
+    covered = np.zeros(n + 1, dtype=np.int32)
+    starts = np.flatnonzero(below)
+    covered[starts] += 1
+    covered[starts + window] -= 1
+    return int((np.cumsum(covered[:-1]) > 0).sum())
+
+
 def main(argv=None):
     a = tokenize(argv if argv is not None else sys.argv[1:])
     sam = a.get("in", "in1")
@@ -27,6 +49,14 @@ def main(argv=None):
     basecov = a.get("basecov")
     bincov = a.get("bincov")
     binsize = a.get_int("binsize", default=1000)
+    # low-coverage sliding window (CoveragePileup.java LOW_COV_WINDOW /
+    # LOW_COV_DEPTH, covwindow=/covwindowavg= flags :249-256): adds an
+    # "Under_<depth>/<window>" covstats column counting bases inside
+    # windows whose mean coverage is below the threshold.
+    covwindow = a.get_int("covwindow", "window", default=0)
+    covwindowavg = a.get_float(
+        "covwindowavg", "windowcov", "lowcovdepth", default=5.0
+    )
     ref = load_reference(ref_path)
     name_to_idx = {n.split()[0]: i for i, n in enumerate(ref.names)}
     cov = [np.zeros(int(l), dtype=np.int32) for l in ref.lengths]
@@ -50,24 +80,29 @@ def main(argv=None):
             plus_reads[i] += 1
     if out:
         with open_output(out) as fh:
-            fh.write(
+            hdr = (
                 b"#ID\tAvg_fold\tLength\tRef_GC\tCovered_percent\t"
-                b"Covered_bases\tPlus_reads\tMinus_reads\n"
+                b"Covered_bases\tPlus_reads\tMinus_reads"
             )
+            if covwindow > 0:
+                hdr += b"\tUnder_%.0f/%d" % (covwindowavg, covwindow)
+            fh.write(hdr + b"\n")
             for i, name in enumerate(ref.names):
                 c = cov[i]
                 codes = ref.scaffold_codes(i)
                 gc = float(((codes == 1) | (codes == 2)).sum()) / max(len(codes), 1)
                 covered = int((c > 0).sum())
                 avg = float(c.sum()) / max(len(c), 1)
-                fh.write(
-                    b"%s\t%.4f\t%d\t%.4f\t%.4f\t%d\t%d\t%d\n"
-                    % (
-                        name.split()[0], avg, len(c), gc,
-                        100.0 * covered / max(len(c), 1), covered,
-                        plus_reads[i], minus_reads[i],
-                    )
+                row = b"%s\t%.4f\t%d\t%.4f\t%.4f\t%d\t%d\t%d" % (
+                    name.split()[0], avg, len(c), gc,
+                    100.0 * covered / max(len(c), 1), covered,
+                    plus_reads[i], minus_reads[i],
                 )
+                if covwindow > 0:
+                    row += b"\t%d" % bases_under_window(
+                        c, covwindowavg, covwindow
+                    )
+                fh.write(row + b"\n")
     if basecov:
         with open_output(basecov) as fh:
             fh.write(b"#RefName\tPos\tCoverage\n")

@@ -25,6 +25,7 @@ References (semantics source, no code reuse):
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -131,49 +132,130 @@ def replaceheaders(argv=None):
     return n
 
 
+def _read_covstats(path):
+    """Parse a pileup covstats file into {id: dict} keyed by the header
+    line (jgi/CovStatsLine.java initializeHeader :100 — columns located
+    by name, any Under_* column aliased to under_min)."""
+    stats = {}
+    with open_input(path) as fh:
+        lines = fh.read().splitlines()
+    if not lines:
+        return stats
+    hdr = lines[0].lstrip(b"#").split(b"\t")
+    col = {}
+    for i, h in enumerate(hdr):
+        h = h.lower()
+        if h.startswith(b"under_"):
+            h = b"under_min"
+        col[h.decode()] = i
+    for line in lines[1:]:
+        if not line or line.startswith(b"#"):
+            continue
+        f = line.split(b"\t")
+
+        def g(name, cast=float, default=0):
+            i = col.get(name)
+            return cast(f[i]) if i is not None and i < len(f) else default
+
+        stats[f[0]] = dict(
+            avg=g("avg_fold"),
+            pct=g("covered_percent"),
+            reads=g("plus_reads", int) + g("minus_reads", int),
+            under=g("under_min", int),
+        )
+    return stats
+
+
 def filterbycoverage(argv=None):
+    """FilterByCoverage (filterbycoverage.sh) — split an assembly into
+    clean/dirty by covstats thresholds. Decision logic mirrors
+    jgi/FilterByCoverage.java process() :295-330: with a cov0 (pre-
+    normalization) file, a contig is contaminant when its normalized
+    stats fail minr/minl/minp, OR (avgFold<minc AND the raw/normalized
+    coverage ratio exceeds minratio) OR avgFold<0.5, OR the low-coverage
+    window base count exceeds basesundermin; without cov0, avgFold<minc
+    is unconditional. Contigs missing from covstats are contaminants.
+    """
     a = tokenize(argv if argv is not None else sys.argv[1:])
     in1 = a.get("in", "in1")
-    cov = a.get("cov")
+    cov1 = a.get("cov", "cov1")
     cov0 = a.get("cov0")
-    out1 = a.get("out", "out1")
+    out1 = a.get("out", "out1", "outclean")
     outd = a.get("outd", "outdirty")
-    minc = a.get_float("minc", "mincov", default=5.0)
+    minc = a.get_float("minc", "mincov", "mincoverage", default=5.0)
     minp = a.get_float("minp", "minpercent", default=40.0)
-    minr = a.get_int("minr", "minreads", default=0)
-    minl = a.get_int("minl", "minlength", default=1)
+    minr = a.get_int("minr", "minreads", default=20)
+    minl = a.get_int("minl", "minlen", "minlength", default=0)
     trim = a.get_int("trim", "trimends", default=0)
-    ratio = a.get_float("ratio", default=0.0)
+    minratio = a.get_float("minratio", "ratio", default=0.0)
+    basesundermin = a.get_int("basesundermin", default=-1)
+    logfile = a.get("log", "results")
+    logheader = a.get_bool("logheader", default=True)
+    logappend = a.get_bool(
+        "appendlog", "logappend", "appendresults", default=False
+    )
 
-    def read_cov(path):
-        # pileup covstats: #ID Avg_fold Length Ref_GC Covered_percent
-        #                  Covered_bases Plus_reads Minus_reads
-        stats = {}
-        with open_input(path) as fh:
-            for line in fh.read().splitlines():
-                if not line or line.startswith(b"#"):
-                    continue
-                f = line.split(b"\t")
-                stats[f[0]] = (
-                    float(f[1]), float(f[4]), int(f[6]) + int(f[7]),
-                )
-        return stats
-
-    stats = read_cov(cov)
-    stats0 = read_cov(cov0) if cov0 else None
+    stats1 = _read_covstats(cov1)
+    stats0 = _read_covstats(cov0) if cov0 else None
+    assembly = os.path.basename(in1)
+    logfh = None
+    if logfile:
+        logfh = open(logfile, "ab" if logappend else "wb")
+        if logheader:
+            logfh.write(
+                b"#assembly\tcontig\tcontam\tlength\tavgFold\treads\t"
+                b"percentCovered"
+                + (b"" if stats0 is None else b"\tavgFold0\treads0\tnormRatio")
+                + b"\n"
+            )
     clean, dirty = [], []
     for rec in read_fasta(in1):
         name = rec.name.split()[0]
-        seq = rec.seq[trim : len(rec.seq) - trim] if trim else rec.seq
-        avg, pct, reads = stats.get(name, (0.0, 0.0, 0))
-        keep = (
-            len(seq) >= minl and avg >= minc and pct >= minp and reads >= minr
-        )
-        if not keep and ratio > 0 and stats0 is not None:
-            avg0 = stats0.get(name, (0.0, 0.0, 0))[0]
-            if avg0 > 0 and avg / avg0 < ratio:
-                keep = True  # coverage did not actually drop; retain
-        (clean if keep else dirty).append(FastaRecord(rec.name, seq))
+        seq = rec.seq
+        if trim:
+            if len(seq) - 2 * trim < minl:
+                seq = b""
+            else:
+                seq = seq[trim : len(seq) - trim]
+        length = len(seq)
+        s1 = stats1.get(name)
+        s0 = stats0.get(name) if stats0 is not None else None
+        ratio = 0.0
+        if s1 is None:
+            contam = True
+        elif s0 is not None:
+            ratio = s0["avg"] / max(0.01, s1["avg"])
+            under = s0["under"] - s1["under"]
+            contam = (
+                s1["reads"] < minr
+                or length < minl
+                or s1["pct"] < minp
+                or (s1["avg"] < minc and ratio > minratio)
+                or s1["avg"] < 0.5
+                or (basesundermin > 0 and under > basesundermin)
+            )
+        else:
+            contam = (
+                s1["reads"] < minr
+                or length < minl
+                or s1["pct"] < minp
+                or s1["avg"] < minc
+                or (basesundermin > 0 and s1["under"] > basesundermin)
+            )
+        if logfh is not None:
+            a1 = s1 or dict(avg=0.0, reads=0, pct=0.0)
+            row = b"%s\t%s\t%s\t%d\t%.2f\t%d\t%.2f" % (
+                assembly.encode(), name, b"1" if contam else b"0", length,
+                a1["avg"], a1["reads"], a1["pct"],
+            )
+            if stats0 is not None:
+                a0 = s0 or dict(avg=0.0, reads=0)
+                row += b"\t%.2f\t%d\t%.2f" % (a0["avg"], a0["reads"], ratio)
+            logfh.write(row + b"\n")
+        if length > 0:
+            (dirty if contam else clean).append(FastaRecord(rec.name, seq))
+    if logfh is not None:
+        logfh.close()
     if out1:
         write_fasta(out1, clean)
     if outd:
