@@ -385,6 +385,15 @@ TOOLS = {
     "rqcfilter2": lambda a: _lazy("rqcfilter", "main", a),
     "decontaminate": lambda a: _lazy("decontaminate", "main", a),
     "crossblock": lambda a: _lazy("decontaminate", "main", a),
+    "summarizecrossblock": lambda a: _lazy(
+        "decontaminate", "summarizecrossblock", a
+    ),
+    "trimcontigs": lambda a: _lazy("seqtools", "trimcontigs", a),
+    "dedupebymapping": lambda a: _lazy("samutils", "dedupebymapping", a),
+    "invertvcf": lambda a: _lazy("vcftools", "invertvcf", a),
+    "fastqscan": lambda a: _lazy("texttools", "fastqscan", a),
+    "grademerge": _grademerged,
+    "khist": lambda a: _lazy("kmercountexact", "main", a),
     "readlength": lambda a: _lazy("texttools", "readlength", a),
     "countgc": lambda a: _lazy("texttools", "countgc", a),
     "testformat": lambda a: _lazy("texttools", "testformat", a),

@@ -212,5 +212,54 @@ def main(argv=None):
     return kept
 
 
+def summarizecrossblock(argv=None):
+    """SummarizeCrossblock (summarizecrossblock.sh) — summarize one or
+    more crossblock results.txt files. Mirrors
+    driver/SummarizeCrossblock.java: in= is a comma list of results
+    files OR a file-of-filenames; output rows are
+    `fname copies contigs contigsDiscarded bases basesDiscarded` where
+    copies is the 1-based ordinal and the counts come from the contam
+    column + length of each row (driver/ParseCrossblockResults.java).
+    """
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    if "," in in1:
+        paths = [p for p in in1.split(",") if p]
+    else:
+        with open(in1) as fh:
+            paths = [ln.strip() for ln in fh if ln.strip()]
+    rows = [b"#fname\tcopies\tcontigs\tcontigsDiscarded\tbases\tbasesDiscarded"]
+    for i, path in enumerate(paths, 1):
+        try:
+            ck = cd = bk = bd = 0
+            with open(path, "rb") as fh:
+                for line in fh.read().splitlines():
+                    if not line or line.startswith(b"#"):
+                        continue
+                    f = line.split(b"\t")
+                    contam, length = f[2] == b"1", int(f[3])
+                    if contam:
+                        cd += 1
+                        bd += length
+                    else:
+                        ck += 1
+                        bk += length
+            rows.append(
+                b"%s\t%d\t%d\t%d\t%d\t%d"
+                % (path.encode(), i, ck + cd, cd, bk + bd, bd)
+            )
+        except Exception as e:
+            print(e, file=sys.stderr)
+            rows.append(b"%s\tERROR" % path.encode())
+    blob = b"\n".join(rows) + b"\n"
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return rows
+
+
 if __name__ == "__main__":
     main()

@@ -57,6 +57,10 @@ def main(argv=None):
     covwindowavg = a.get_float(
         "covwindowavg", "windowcov", "lowcovdepth", default=5.0
     )
+    # covered-range report consumed by trimcontigs
+    # (CoveragePileup.java writeCoverageRanges :1927)
+    rangecov = a.get("ranges", "rangecov")
+    mindepthcovered = a.get_int("mindepthcovered", default=1)
     ref = load_reference(ref_path)
     name_to_idx = {n.split()[0]: i for i, n in enumerate(ref.names)}
     cov = [np.zeros(int(l), dtype=np.int32) for l in ref.lengths]
@@ -103,6 +107,28 @@ def main(argv=None):
                         c, covwindowavg, covwindow
                     )
                 fh.write(row + b"\n")
+    if rangecov:
+        # per scaffold: "#name" then "start-end\tavgDepth" rows for each
+        # maximal run with coverage >= mindepthcovered (0-based inclusive)
+        with open_output(rangecov) as fh:
+            for i, name in enumerate(ref.names):
+                fh.write(b"#" + name + b"\n")
+                c = cov[i]
+                covered = c >= mindepthcovered
+                if not covered.any():
+                    continue
+                edges = np.diff(covered.astype(np.int8))
+                starts = list(np.flatnonzero(edges == 1) + 1)
+                ends = list(np.flatnonzero(edges == -1) + 1)
+                if covered[0]:
+                    starts.insert(0, 0)
+                if covered[-1]:
+                    ends.append(len(c))
+                for s, e in zip(starts, ends):
+                    seg = c[s:e]
+                    fh.write(
+                        b"%d-%d\t%.2f\n" % (s, e - 1, float(seg.mean()))
+                    )
     if basecov:
         with open_output(basecov) as fh:
             fh.write(b"#RefName\tPos\tCoverage\n")

@@ -193,5 +193,116 @@ def samtoroc(argv=None):
     return buckets
 
 
+def dedupebymapping(argv=None):
+    """DedupeByMapping (dedupebymapping.sh) — remove duplicate reads by
+    pair mapping coordinates. Mirrors jgi/DedupeByMapping.java: pairs
+    are keyed by the 5'-end position+contig of each mate (toQuad :444 —
+    strand 0 uses start, strand 1 uses stop; ignorepairorder sorts the
+    two halves), and the pair with the lowest expected-error rate per
+    base wins (:260). Unmapped pairs and half-mapped singletons are kept
+    by default (keepunmapped/keepsingletons).
+    """
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    keep_unmapped = a.get_bool("keepunmapped", "ku", default=True)
+    keep_singletons = a.get_bool("keepsingletons", "ks", default=True)
+    use_pair_order = not a.get_bool("ignorepairorder", "ipo", default=False)
+
+    from ..io.sam_read import iter_sam, parse_cigar
+
+    def coords(rec):
+        """(chrom, unclipped_start, unclipped_stop, strand); chrom=-1
+        for unmapped."""
+        if not rec.mapped:
+            return (-1, -1, -1, 0)
+        ops = parse_cigar(rec.cigar)
+        lead = ops[0][0] if ops and ops[0][1] in "SH" else 0
+        tail = ops[-1][0] if ops and ops[-1][1] in "SH" else 0
+        span = sum(n for n, op in ops if op in "M=XDN")
+        start = rec.pos - 1 - lead
+        return (rec.rname, start, start + lead + span + tail - 1, rec.strand)
+
+    def exp_errors(qual):
+        return sum(10.0 ** (-(q - 33) / 10.0) for q in qual)
+
+    # pair up primary records by name
+    by_name: dict[bytes, list] = {}
+    for rec in iter_sam(in1):
+        if rec.secondary:
+            continue
+        by_name.setdefault(rec.qname, []).append(rec)
+
+    kept, dups, unmapped_n = [], 0, 0
+    quad_best: dict[tuple, tuple] = {}
+    for name, recs in by_name.items():
+        recs = recs[:2]
+        c = [coords(r) for r in recs]
+        n_mapped = sum(1 for x in c if x[0] != -1)
+        if n_mapped == 0:
+            unmapped_n += len(recs)
+            if keep_unmapped:
+                kept.extend(recs)
+            continue
+        if len(recs) == 2 and n_mapped == 1 and keep_singletons:
+            kept.extend(recs)
+            continue
+        halves = []
+        for (chrom, start, stop, strand) in c:
+            halves.append((chrom, start if strand == 0 else stop))
+        while len(halves) < 2:
+            halves.append((0, 0))
+        if not use_pair_order:
+            halves.sort()
+        quad = (halves[0], halves[1])
+        rate = sum(exp_errors(r.qual) for r in recs) / max(
+            1, sum(len(r.seq) for r in recs)
+        )
+        old = quad_best.get(quad)
+        if old is None or rate < old[0]:
+            if old is not None:
+                dups += len(old[1])
+            quad_best[quad] = (rate, recs)
+        else:
+            dups += len(recs)
+    for rate, recs in quad_best.values():
+        kept.extend(recs)
+
+    comp = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+    if out1:
+        as_sam = out1.endswith(".sam")
+        with open_output(out1) as fh:
+            if as_sam:
+                with open_input(in1) as src:
+                    for line in src:
+                        if line.startswith(b"@"):
+                            fh.write(line)
+                        else:
+                            break
+            for rec in kept:
+                if as_sam:
+                    fh.write(
+                        b"%s\t%d\t%s\t%d\t%d\t%s\t*\t0\t0\t%s\t%s\n"
+                        % (
+                            rec.qname, rec.flag, rec.rname, rec.pos,
+                            rec.mapq, rec.cigar.encode(), rec.seq, rec.qual,
+                        )
+                    )
+                else:
+                    seq, qual = rec.seq, rec.qual
+                    if rec.mapped and rec.strand:
+                        seq = seq.translate(comp)[::-1]
+                        qual = qual[::-1]
+                    fh.write(
+                        b"@" + rec.qname + b"\n" + seq + b"\n+\n" + qual
+                        + b"\n"
+                    )
+    print(
+        f"Reads kept: {len(kept)}  duplicates: {dups}  "
+        f"unmapped: {unmapped_n}", file=sys.stderr,
+    )
+    return kept, dups
+
+
 if __name__ == "__main__":
     splitsam()

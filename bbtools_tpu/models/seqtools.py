@@ -462,5 +462,141 @@ def callpeaks(argv=None):
     return peaks
 
 
+def _read_ranges(path):
+    """Parse a pileup rangecov file: '#contig' header lines followed by
+    'start-end\\tdepth' rows, 0-based inclusive (CoveragePileup.java
+    writeCoverageRanges :1927)."""
+    out: dict[bytes, list] = {}
+    cur = None
+    with open_input(path) as fh:
+        for line in fh.read().splitlines():
+            if not line:
+                continue
+            if line.startswith(b"#"):
+                cur = line[1:].split()[0]
+                out[cur] = []
+            else:
+                span, depth = line.split(b"\t")
+                a, b = span.split(b"-")
+                out[cur].append([int(a), int(b), float(depth)])
+    return out
+
+
+def trimcontigs(argv=None):
+    """TrimContigs (trimcontigs.sh) — trim/break contigs to read-supported
+    coverage ranges. Mirrors jgi/TrimContigs.java: ranges separated by
+    <=maxuncovered defined bases (or poly-N gaps up to 2x that, when
+    skippolyn) are fused (fixPolyN :551); with break=f all ranges collapse
+    to the bounding range (toMaximalRange :534); each surviving part is
+    trimmed with trimmin/trimmax/trimextra clamps and discarded below
+    mincov/minlen (processSeq :432).
+    """
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    ranges_path = a.get("ranges", "rangefile")
+    out1 = a.get("out", "out1", "outclean")
+    outd = a.get("outd", "outdirty")
+    minc = a.get_float("mincov", "minc", "mincoverage", default=1.0)
+    minl = max(1, a.get_int("minlen", "minl", "minlength", default=1))
+    trimmin = max(0, a.get_int("trimmin", "trim", "trimends", default=0))
+    trimmax = a.get_int("trimmax", "maxtrim", default=2_000_000_000)
+    extra = a.get_int("trimextra", "extra", default=5)
+    maxuncov = a.get_int("maxuncovered", "maxuncoveredlength", default=3)
+    breakc = a.get_bool("break", "breakcontigs", default=True)
+    skippolyn = a.get_bool("skippolyn", default=True)
+    breaklist = a.get("breaklist")
+
+    rmap = _read_ranges(ranges_path) if ranges_path else {}
+    clean, dirty, broken = [], [], []
+
+    def mid(x, lo, hi):
+        # Tools.mid: the median of the three values
+        return sorted((x, lo, hi))[1]
+
+    for rec in read_fasta(in1):
+        name = rec.name.split()[0]
+        seq = rec.seq
+        ranges = [list(r) for r in rmap.get(name, [])]
+        if len(ranges) > 1:
+            if not breakc:
+                depth_sum = sum((b - a0 + 1) * d for a0, b, d in ranges)
+                a0 = min(r[0] for r in ranges)
+                b0 = max(r[1] for r in ranges)
+                ranges = [[a0, b0, depth_sum / (b0 - a0 + 1)]]
+            else:
+                # fixPolyN: fuse across small or poly-N gaps
+                fused = []
+                left = ranges[0]
+                for right in ranges[1:]:
+                    gap = seq[left[1] + 1 : right[0]]
+                    undefined = sum(
+                        1 for ch in gap if ch not in b"ACGTacgt"
+                    )
+                    defined = len(gap) - undefined
+                    if not skippolyn:
+                        defined += undefined
+                        undefined = 0
+                    if defined <= maxuncov or (
+                        undefined > 0 and defined <= maxuncov * 2
+                    ):
+                        ds = (left[1] - left[0] + 1) * left[2] + (
+                            right[1] - right[0] + 1
+                        ) * right[2]
+                        left = [
+                            left[0], right[1],
+                            ds / (right[1] - left[0] + 1),
+                        ]
+                    else:
+                        fused.append(left)
+                        left = right
+                fused.append(left)
+                ranges = fused
+        if not ranges or len(seq) - 2 * trimmin < minl:
+            dirty.append(rec)
+            continue
+        if len(ranges) > 1:
+            broken.append(name)
+        parts_kept = 0
+        for pi, (ra, rb, depth) in enumerate(ranges):
+            if depth < minc:
+                continue
+            # processSeq trimming clamps
+            if len(ranges) == 1 and (
+                depth >= minc and len(seq) >= minl and trimmin < 1
+                and ra <= maxuncov and len(seq) - rb - 1 <= maxuncov
+            ):
+                clean.append(rec)
+                parts_kept += 1
+                continue
+            a1 = ra + extra if ra >= maxuncov else 0
+            a1 = mid(a1, trimmin, trimmax)
+            b1 = rb - extra if len(seq) - rb - 1 > maxuncov else len(seq) - 1
+            b1 = mid(b1, len(seq) - trimmin - 1, len(seq) - trimmax - 1)
+            sub = seq[a1 : b1 + 1]
+            if len(sub) < minl:
+                continue
+            pname = (
+                rec.name if len(ranges) == 1
+                else rec.name + b"_part%d" % (pi + 1)
+            )
+            clean.append(FastaRecord(pname, sub))
+            parts_kept += 1
+        if parts_kept == 0:
+            dirty.append(rec)
+    if out1:
+        write_fasta(out1, clean)
+    if outd:
+        write_fasta(outd, dirty)
+    if breaklist:
+        with open_output(breaklist) as fh:
+            for n in broken:
+                fh.write(n + b"\n")
+    print(
+        f"Kept {len(clean)} contigs, removed {len(dirty)}, "
+        f"broke {len(broken)}.", file=sys.stderr,
+    )
+    return clean, dirty
+
+
 if __name__ == "__main__":
     shuffle()

@@ -674,3 +674,61 @@ def summarizescafstats(argv=None):
     else:
         sys.stdout.buffer.write(blob)
     return results
+
+
+def fastqscan(argv=None):
+    """FastqScan (fastqscan.sh) — fast record/base counter with basic
+    integrity checks. Mirrors stream/FastqScan.java output (:70-77):
+    Records/Bases/Quals/Bytes lines, plus corruption notes (partial
+    trailing records, seq/qual length mismatches, Windows \\r\\n).
+    FASTA inputs report records and bases only.
+    """
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    pos = [t for t in (argv if argv is not None else sys.argv[1:])
+           if "=" not in t]
+    in1 = a.get("in", "in1") or (pos[0] if pos else None)
+    with open_input(in1) as fh:
+        data = fh.read()
+    total_bytes = len(data)
+    crlf = b"\r\n" in data
+    lines = data.split(b"\n")
+    if lines and lines[-1] == b"":
+        lines.pop()
+    if crlf:
+        lines = [ln.rstrip(b"\r") for ln in lines]
+    records = bases = quals = 0
+    corrupt = []
+    if lines and lines[0].startswith(b">"):
+        for ln in lines:
+            if ln.startswith(b">"):
+                records += 1
+            else:
+                bases += len(ln)
+    else:
+        partial = len(lines) % 4
+        if partial:
+            corrupt.append(b"At least 1 corrupt records.")
+        for i in range(0, len(lines) - partial, 4):
+            h, s, p, q = lines[i : i + 4]
+            records += 1
+            bases += len(s)
+            quals += len(q)
+            if not h.startswith(b"@") or not p.startswith(b"+"):
+                corrupt.append(
+                    b"Malformed record at line %d." % (i + 1)
+                )
+            elif len(s) != len(q):
+                corrupt.append(
+                    b"Seq/qual length mismatch at line %d." % (i + 1)
+                )
+    out = [
+        b"Records:\t%d" % records,
+        b"Bases:  \t%d" % bases,
+        b"Quals:  \t%d" % quals,
+        b"Bytes:  \t%d" % total_bytes,
+    ]
+    if crlf:
+        out.append(b"Contained Windows-style \\r\\n")
+    out += corrupt[:10]
+    sys.stdout.buffer.write(b"\n".join(out) + b"\n")
+    return records, bases, len(corrupt) == 0 and not crlf

@@ -283,5 +283,83 @@ def vcf2gff(argv=None):
     return lines
 
 
+def invertvcf(argv=None):
+    """InvertVCF (invertvcf.sh) — invert a mutate.sh VCF: swap REF/ALT,
+    flip INS<->DEL in the INFO TYP= field, and shift POS (and STA=/STO=)
+    by the cumulative indel length delta so coordinates move from
+    original-genome space to mutated-genome space. Mirrors
+    var2/InvertVCF.java process() :91-214 (per-chrom cumulative shift,
+    ##contig length adjustment by the chrom's net shift).
+    """
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    with open_input(in1) as fh:
+        lines = [l for l in fh.read().splitlines() if l]
+    header = [l for l in lines if l.startswith(b"#")]
+    data = [l for l in lines if not l.startswith(b"#")]
+
+    net_shift: dict[bytes, int] = {}
+    for line in data:
+        f = line.split(b"\t")
+        net_shift[f[0]] = net_shift.get(f[0], 0) + len(f[4]) - len(f[3])
+
+    out_lines = []
+    for h in header:
+        if h.startswith(b"##contig=<ID="):
+            body = h[len(b"##contig=<ID="):]
+            cid = body.split(b",")[0].split(b">")[0]
+            shift = net_shift.get(cid, 0)
+            import re as _re
+
+            def _adj(m, shift=shift):
+                return b"length=%d" % (int(m.group(1)) + shift)
+
+            h = _re.sub(rb"length=(\d+)", _adj, h)
+            out_lines.append(h)
+        elif h.startswith(b"##Program="):
+            out_lines.append(h)
+            out_lines.append(b"##InvertedBy=InvertVCF")
+        else:
+            out_lines.append(h)
+
+    prev_chrom, cum = None, 0
+    for line in data:
+        f = line.split(b"\t")
+        if f[0] != prev_chrom:
+            cum, prev_chrom = 0, f[0]
+        ref, alt = f[3], f[4]
+        new_info_parts = []
+        for part in f[7].split(b";"):
+            if part.startswith(b"STA="):
+                new_info_parts.append(b"STA=%d" % (int(part[4:]) + cum))
+            elif part.startswith(b"STO="):
+                new_info_parts.append(b"STO=%d" % (int(part[4:]) + cum))
+            elif part == b"TYP=INS":
+                new_info_parts.append(b"TYP=DEL")
+            elif part == b"TYP=DEL":
+                new_info_parts.append(b"TYP=INS")
+            else:
+                new_info_parts.append(part)
+        f[1] = b"%d" % (int(f[1]) + cum)
+        f[3], f[4] = alt, ref
+        f[7] = b";".join(new_info_parts)
+        cum += len(alt) - len(ref)
+        out_lines.append(b"\t".join(f))
+
+    blob = b"\n".join(out_lines) + b"\n"
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    print(
+        f"Header Lines Out:  \t{len(header) + sum(1 for l in out_lines if l.startswith(b'##InvertedBy'))}",
+        file=sys.stderr,
+    )
+    print(f"Variant Lines Out: \t{len(data)}", file=sys.stderr)
+    return out_lines
+
+
 if __name__ == "__main__":
     filtervcf()
