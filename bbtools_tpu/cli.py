@@ -394,6 +394,13 @@ TOOLS = {
     "fastqscan": lambda a: _lazy("texttools", "fastqscan", a),
     "grademerge": _grademerged,
     "khist": lambda a: _lazy("kmercountexact", "main", a),
+    "taxsize": lambda a: _lazy("taxonomy", "taxsize", a),
+    "explodetree": lambda a: _lazy("taxonomy", "explodetree", a),
+    "shrinkaccession": lambda a: _lazy("taxonomy", "shrinkaccession", a),
+    "gi2ancestors": lambda a: _lazy("taxonomy", "gi2ancestors", a),
+    "mergesketch": lambda a: _lazy("sketch", "mergesketch", a),
+    "subsketch": lambda a: _lazy("sketch", "subsketch", a),
+    "summarizesketch": lambda a: _lazy("sketch", "summarizesketch", a),
     "readlength": lambda a: _lazy("texttools", "readlength", a),
     "countgc": lambda a: _lazy("texttools", "countgc", a),
     "testformat": lambda a: _lazy("texttools", "testformat", a),

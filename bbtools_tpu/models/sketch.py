@@ -21,7 +21,7 @@ from ..core.parser import tokenize
 from ..io.fasta import iter_fasta
 from ..io.fastq import FastqReader
 from ..io.fileformat import Format, test_input
-from ..io.readwrite import open_output
+from ..io.readwrite import open_input, open_output
 from ..ops.kmer_index import _mix64
 from ..core.dna import encode
 from ..ops.kmers import rolling_kmers_np
@@ -183,3 +183,88 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def mergesketch(argv=None):
+    """mergesketch.sh (sketch/MergeSketch.java role): merge multiple
+    sketches into one. Bottom-k union: concatenate hash sets, dedupe,
+    keep the smallest `size=` values (so the merged sketch is what
+    sketching the concatenated input would produce)."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    ins = a.get_list("in") or []
+    out = a.get("out", "out1")
+    size = a.get_int("size", default=0)
+    name = a.get("name", default=out or "merged")
+    hashes, k = [], None
+    for p in ins:
+        h, kk = read_sketch(p)
+        if k is None:
+            k = kk
+        elif k != kk:
+            raise ValueError(f"mismatched k: {k} vs {kk} in {p}")
+        hashes.append(h)
+    merged = np.unique(np.concatenate(hashes))
+    merged.sort()
+    if size > 0:
+        merged = merged[:size]
+    elif ins:
+        merged = merged[: max(len(h) for h in hashes)]
+    write_sketch(out, merged, name, k or 31)
+    print(
+        f"Merged {len(ins)} sketches -> {len(merged)} hashes.",
+        file=sys.stderr,
+    )
+    return merged
+
+
+def subsketch(argv=None):
+    """subsketch.sh (sketch/SubSketch.java role): shrink sketches to a
+    smaller fixed size (bottom-k prefix keeps comparison validity)."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    ins = a.get_list("in") or []
+    out = a.get("out", "out1", default="%.sub.sketch")
+    size = a.get_int("size", "sketchsize", default=1000)
+    outs = []
+    for p in ins:
+        h, k = read_sketch(p)
+        h = np.sort(h)[:size]
+        dest = out.replace("%", p.rsplit(".", 1)[0]) if "%" in out else out
+        write_sketch(dest, h, p, k)
+        outs.append(dest)
+    print(f"Wrote {len(outs)} subsketches.", file=sys.stderr)
+    return outs
+
+
+def summarizesketch(argv=None):
+    """summarizesketch.sh (sketch/SummarizeSketchStats.java role):
+    summarize per-query best hits from one or more comparesketch/
+    sendsketch result files (Query/Ref/WKID/ANI/Matches/Size rows):
+    one line per query with its best reference by WKID."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    ins = a.get_list("in") or []
+    out = a.get("out", "out1")
+    best: dict[bytes, tuple] = {}
+    for p in ins:
+        with open_input(p) as fh:
+            for line in fh.read().splitlines():
+                f = line.split(b"\t")
+                if len(f) < 6 or f[0] in (b"Query", b"A") or not f[2].endswith(b"%"):
+                    continue
+                wkid = float(f[2].rstrip(b"%"))
+                cur = best.get(f[0])
+                if cur is None or wkid > cur[0]:
+                    best[f[0]] = (wkid, f[1], f[3], f[4], f[5])
+    lines = [b"#query\tbestRef\tWKID\tANI\tmatches\tsize"]
+    for q in sorted(best):
+        wkid, ref, ani, m, n = best[q]
+        lines.append(
+            q + b"\t" + ref + b"\t%.2f%%\t" % wkid + ani + b"\t" + m
+            + b"\t" + n
+        )
+    blob = b"\n".join(lines) + b"\n"
+    if out:
+        with open_output(out) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return best

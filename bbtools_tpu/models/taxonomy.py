@@ -405,3 +405,220 @@ def gi2taxid(argv):
                 fh.write(rec.seq[i : i + 70] + b"\n")
     print(f"Renamed {n} sequences ({known} with taxIDs).", file=sys.stderr)
     return n, known
+
+
+def _load_tree(a) -> "TaxTree":
+    """tree= (.npz) or names=/nodes= dmp pair."""
+    tree_path = a.get("tree", "taxtree")
+    if tree_path and not a.get("names"):
+        return TaxTree.load_tree(tree_path)
+    return TaxTree.load(a.get("names"), a.get("nodes"))
+
+
+def taxsize(argv=None):
+    """taxsize.sh (tax/TaxSize.java): per-node sequence size report.
+    Streams a taxid-annotated fasta, accumulates bases/seqs per node,
+    then percolates cumulative values up the tree (percolateUp :217).
+    Output: `#taxID bases basesC seqs seqsC nodesC` sorted by taxid —
+    plain columns are node-local, *C columns include all descendants.
+    """
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    from ..io.fasta import iter_fasta
+
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    tree = _load_tree(a)
+    acc_map = (
+        load_accession_map(a.get("accession"))
+        if a.get("accession")
+        else None
+    )
+    size: dict[int, int] = {}
+    seqs: dict[int, int] = {}
+    for rec in iter_fasta(in1):
+        tid = taxid_of_header(rec.name, acc_map)
+        if tid < 0:
+            continue
+        size[tid] = size.get(tid, 0) + len(rec.seq)
+        seqs[tid] = seqs.get(tid, 0) + 1
+    csize: dict[int, int] = {}
+    cseqs: dict[int, int] = {}
+    cnodes: dict[int, int] = {}
+    for tid in size:
+        s, q = size[tid], seqs[tid]
+        for anc in tree.lineage(tid):
+            csize[anc] = csize.get(anc, 0) + s
+            cseqs[anc] = cseqs.get(anc, 0) + q
+            cnodes[anc] = cnodes.get(anc, 0) + 1
+    lines = [b"#taxID\tbases\tbasesC\tseqs\tseqsC\tnodesC"]
+    for tid in sorted(csize):
+        lines.append(
+            b"%d\t%d\t%d\t%d\t%d\t%d"
+            % (
+                tid, size.get(tid, 0), csize[tid], seqs.get(tid, 0),
+                cseqs[tid], cnodes[tid],
+            )
+        )
+    blob = b"\n".join(lines) + b"\n"
+    from ..io.readwrite import open_output
+
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return size, csize
+
+
+def explodetree(argv=None):
+    """explodetree.sh (tax/ExplodeTree.java): write each sequence into a
+    directory tree mirroring the taxonomy — path root/<id0>/<id1>/.../
+    from the tree root down to the node (TaxTree.toDir :998), file
+    `<taxid>.fa.gz` analog `<taxid>.fa`, plus `<name>.name` marker files
+    and an optional results= per-node size report."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    from ..io.fasta import iter_fasta
+
+    in1 = a.get("in", "in1")
+    out_root = a.get("out", "path", default=".") or "."
+    results = a.get("results")
+    tree = _load_tree(a)
+    acc_map = (
+        load_accession_map(a.get("accession"))
+        if a.get("accession")
+        else None
+    )
+    import os
+
+    sizes: dict[int, int] = {}
+    handles: dict[int, object] = {}
+    try:
+        for rec in iter_fasta(in1):
+            tid = taxid_of_header(rec.name, acc_map)
+            if tid < 0 or not tree.valid(tid):
+                continue
+            fh = handles.get(tid)
+            if fh is None:
+                rel = "/".join(
+                    str(t) for t in reversed(tree.lineage(tid))
+                )
+                d = os.path.join(out_root, rel)
+                os.makedirs(d, exist_ok=True)
+                name_file = os.path.join(
+                    d, tree.name_of(tid).replace("/", "_") + ".name"
+                )
+                if not os.path.exists(name_file):
+                    with open(name_file, "w") as nf:
+                        nf.write(tree.name_of(tid))
+                fh = open(os.path.join(d, f"{tid}.fa"), "ab")
+                handles[tid] = fh
+            fh.write(b">" + rec.name + b"\n")
+            for i in range(0, len(rec.seq), 70):
+                fh.write(rec.seq[i : i + 70] + b"\n")
+            sizes[tid] = sizes.get(tid, 0) + len(rec.seq)
+    finally:
+        for fh in handles.values():
+            fh.close()
+    if results:
+        with open(results, "w") as fh:
+            for tid, sz in sorted(sizes.items()):
+                fh.write(f"{tid}\t{sz}\t{tree.name_of(tid)}\n")
+    print(f"Exploded {len(sizes)} taxa under {out_root}", file=sys.stderr)
+    return sizes
+
+
+def shrinkaccession(argv=None):
+    """shrinkaccession.sh (tax/ShrinkAccession.java processSeq :145):
+    shrink an NCBI accession2taxid table to `accession\\ttaxid[\\tgi]`,
+    dropping the accession.version column; gzip in/out supported; lines
+    with taxid<1 are dropped. keepgi=f drops the gi column too."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    from ..io.readwrite import open_input, open_output
+
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    keep_gi = a.get_bool("keepgi", "gi", default=True)
+    n_out = bad = 0
+    with open_input(in1) as src, open_output(out1) as dst:
+        for line in src:
+            line = line.rstrip(b"\n")
+            if not line:
+                continue
+            if line.startswith(b"accession\t"):
+                dst.write(line + b"\n")
+                continue
+            if line.startswith(b"accession.version\ttaxid"):
+                dst.write(b"accession\t\ttaxid\t\n")
+                continue
+            f = line.split(b"\t")
+            if len(f) >= 3:
+                acc, tid = f[0], f[2]
+                gi = f[3] if len(f) > 3 else b""
+            elif len(f) == 2:
+                acc, tid, gi = f[0], f[1], b""
+            else:
+                bad += 1
+                continue
+            try:
+                if int(tid) < 1:
+                    bad += 1
+                    continue
+            except ValueError:
+                bad += 1
+                continue
+            row = acc + b"\t" + tid
+            if keep_gi and gi and gi != b"na" and gi.isdigit():
+                row += b"\t" + gi
+            dst.write(row + b"\n")
+            n_out += 1
+    print(f"Wrote {n_out} rows, dropped {bad}.", file=sys.stderr)
+    return n_out, bad
+
+
+def gi2ancestors(argv=None):
+    """gi2ancestors.sh (tax/FindAncestors role): for each query line of
+    taxids (or gi|/accession tokens), print the common ancestor taxid
+    and its lineage."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    from ..io.readwrite import open_input, open_output
+
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    tree = _load_tree(a)
+    acc_map = (
+        load_accession_map(a.get("accession"))
+        if a.get("accession")
+        else None
+    )
+    lines_out = []
+    with open_input(in1) as fh:
+        for line in fh.read().splitlines():
+            toks = line.replace(b",", b"\t").split(b"\t")
+            tids = []
+            for t in toks:
+                t = t.strip()
+                if not t:
+                    continue
+                tid = (
+                    int(t) if t.isdigit()
+                    else taxid_of_header(t, acc_map)
+                )
+                if tid >= 0 and tree.valid(tid):
+                    tids.append(tid)
+            if not tids:
+                lines_out.append(line + b"\t<not found>")
+                continue
+            anc = tids[0]
+            for t in tids[1:]:
+                anc = tree.common_ancestor(anc, t)
+            lines_out.append(
+                line + b"\t%d\t" % anc
+                + tree.lineage_string(anc).encode()
+            )
+    blob = b"\n".join(lines_out) + b"\n"
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return lines_out
