@@ -398,6 +398,10 @@ TOOLS = {
     "explodetree": lambda a: _lazy("taxonomy", "explodetree", a),
     "shrinkaccession": lambda a: _lazy("taxonomy", "shrinkaccession", a),
     "gi2ancestors": lambda a: _lazy("taxonomy", "gi2ancestors", a),
+    "randomreadsmg": lambda a: _lazy("synthtools", "randomreadsmg", a),
+    "kmerfilterset": lambda a: _lazy("synthtools", "kmerfilterset", a),
+    "icecreammaker": lambda a: _lazy("synthtools", "icecreammaker", a),
+    "gbff2gff": lambda a: _lazy("gfftools", "gbff2gff", a),
     "mergesketch": lambda a: _lazy("sketch", "mergesketch", a),
     "subsketch": lambda a: _lazy("sketch", "subsketch", a),
     "summarizesketch": lambda a: _lazy("sketch", "summarizesketch", a),

@@ -158,3 +158,111 @@ def comparegff(argv=None):
 
 if __name__ == "__main__":
     cutgff()
+
+
+def gbff2gff(argv=None):
+    """gbff2gff.sh (gff/GbffFile.java toGff :62) — convert a GenBank
+    flat file to GFF3. Emits the gff-version/column header, a
+    `##sequence-region <accession> 1 <length>` line per locus, and one
+    9-column row per CDS/tRNA/rRNA feature (GbffLocus.toGff :374 prints
+    only those types, skipping pseudo), with seqid=accession, source '.',
+    strand from complement(...) joins, and product=/locus_tag=
+    attributes (GbffFeature.appendGff :189).
+    """
+    import re
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    lines_out = [
+        b"##gff-version 3",
+        b"#seqid\tsource\ttype\tstart\tend\tscore\tstrand\tphase\tattributes",
+    ]
+    wanted = {b"CDS", b"tRNA", b"rRNA"}
+    accession = None
+    length = 0
+    feats: list = []
+    cur = None  # [type, location_str, {quals}]
+    in_features = in_origin = False
+
+    def flush_locus():
+        nonlocal feats, accession
+        if accession is None:
+            return
+        lines_out.append(
+            b"##sequence-region %s 1 %d" % (accession, length)
+            if length
+            else b"##sequence-region " + accession
+        )
+        for ftype, loc, quals in feats:
+            if ftype not in wanted or b"pseudo" in quals:
+                continue
+            strand = b"-" if b"complement" in loc else b"+"
+            coords = [int(x) for x in re.findall(rb"\d+", loc)]
+            if not coords:
+                continue
+            attrs = []
+            if b"product" in quals:
+                attrs.append(b"product=" + quals[b"product"])
+            if b"locus_tag" in quals:
+                attrs.append(b"locus_tag=" + quals[b"locus_tag"])
+            lines_out.append(
+                b"%s\t.\t%s\t%d\t%d\t.\t%s\t.\t%s"
+                % (
+                    accession, ftype, min(coords), max(coords), strand,
+                    b";".join(attrs) or b".",
+                )
+            )
+        feats = []
+        accession = None
+
+    with open_input(in1) as fh:
+        for raw in fh.read().splitlines():
+            if raw.startswith(b"LOCUS"):
+                flush_locus()
+                f = raw.split()
+                length = int(f[2]) if len(f) > 2 and f[2].isdigit() else 0
+                accession = f[1] if len(f) > 1 else b"?"
+                in_features = in_origin = False
+                cur = None
+            elif raw.startswith(b"ACCESSION"):
+                f = raw.split()
+                if len(f) > 1:
+                    accession = f[1]
+            elif raw.startswith(b"FEATURES"):
+                in_features, in_origin = True, False
+            elif raw.startswith(b"ORIGIN") or raw.startswith(b"//"):
+                in_features, in_origin = False, True
+                if cur:
+                    feats.append(cur)
+                    cur = None
+            elif in_features and raw[:1].isspace():
+                stripped = raw.strip()
+                if not stripped:
+                    continue
+                indent = len(raw) - len(raw.lstrip())
+                if indent < 10 and not stripped.startswith(b"/"):
+                    # new feature: "  CDS   complement(a..b)"
+                    if cur:
+                        feats.append(cur)
+                    f = stripped.split(None, 1)
+                    cur = [f[0], f[1] if len(f) > 1 else b"", {}]
+                elif cur is not None:
+                    if stripped.startswith(b"/"):
+                        kv = stripped[1:].split(b"=", 1)
+                        key = kv[0]
+                        val = (
+                            kv[1].strip(b'"') if len(kv) > 1 else b""
+                        )
+                        cur[2][key] = val
+                    elif b".." in stripped and not cur[2]:
+                        cur[1] += stripped  # continuation of location
+    flush_locus()
+    blob = b"\n".join(lines_out) + b"\n"
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    print(f"Wrote {len(lines_out) - 2} gff lines.", file=sys.stderr)
+    return lines_out

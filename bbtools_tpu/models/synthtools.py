@@ -552,3 +552,349 @@ def kmutate(argv=None):
             fh.write(b">%d\n%s\n" % (i, km))
     print(f"Wrote {len(vals)} kmers.", file=sys.stderr)
     return len(vals)
+
+
+def randomreadsmg(argv=None):
+    """RandomReadsMG (randomreadsmg.sh, synth/RandomReadsMG.java role) —
+    synthetic metagenome reads from a set of assemblies, each at a
+    random (or custom) coverage level. Headers follow the documented
+    style `f_N c_N s_N p_N i_N r_N d_N[ tid_N]` (file, contig, strand,
+    position, insert, reflen, pcr-duplicate flag, taxid parsed from a
+    `tid_x_` filename prefix). Supports depth modes uniform/exp/root/
+    min4, `file=depth` custom coverage, reads=/readspercontig= targets,
+    paired reads with avginsert, pcr= duplicate injection, and a
+    substitution error model via adderrors=t snprate=.
+    """
+    import os
+    import re
+
+    argv = list(argv if argv is not None else sys.argv[1:])
+    kv = [t for t in argv if "=" in t]
+    pos = [t for t in argv if "=" not in t]
+    a = tokenize(kv)
+    ins = []
+    custom: dict[str, float] = {}
+    for t in pos:
+        ins.append(t)
+    for spec in (a.get("in", "in1") or "").split(","):
+        if spec:
+            ins.append(spec)
+    # file=depth and cov_x= custom coverage forms
+    for t in kv:
+        key, val = t.split("=", 1)
+        if os.path.exists(key) and key not in ins:
+            ins.append(key)
+            custom[os.path.basename(key)] = float(val)
+        elif key.startswith("cov_"):
+            custom[key[4:]] = float(val)
+    # expand directories
+    expanded = []
+    for p in ins:
+        if os.path.isdir(p):
+            expanded += sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if f.endswith((".fa", ".fasta", ".fna", ".fa.gz"))
+            )
+        else:
+            expanded.append(p)
+    ins = expanded
+    out1 = a.get("out", "out1")
+    out2 = a.get("out2")
+    mindepth = a.get_float("mindepth", default=1.0)
+    maxdepth = a.get_float("maxdepth", default=256.0)
+    depth = a.get_float("depth", default=0.0)
+    if depth > 0:
+        mindepth = maxdepth = depth
+    reads_target = a.get_int("reads", default=-1)
+    per_contig = a.get_int("readspercontig", default=-1)
+    mode = a.get("mode", default="min4") or "min4"
+    paired = a.get_bool("paired", default=True)
+    length = a.get_int("length", "len", default=150)
+    avginsert = a.get_int("avginsert", default=300)
+    pcr = a.get_float("pcr", default=0.0)
+    adderrors = a.get_bool("adderrors", default=False)
+    snprate = a.get_float("snprate", default=0.01 if adderrors else 0.0)
+    seed = a.get_int("seed", default=-1)
+    rng = np.random.default_rng(seed if seed > 0 else None)
+
+    def draw_depth():
+        u = rng.random()
+        lo, hi = mindepth, maxdepth
+        if mode == "uniform":
+            return lo + u * (hi - lo)
+        if mode == "exp":
+            return lo * (hi / lo) ** u
+        if mode == "root":
+            return lo + (u ** 0.5) * (hi - lo)
+        # min4: min of 4 uniform draws (skews low, metagenome-like)
+        return lo + float(np.min(rng.random(4))) * (hi - lo)
+
+    comp = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+    n_out = 0
+    w1 = open_output(out1)
+    w2 = open_output(out2) if out2 else None
+    try:
+        for fi, path in enumerate(ins):
+            base = os.path.basename(path)
+            m = re.match(r"tid_(\d+)_", base)
+            tid = int(m.group(1)) if m else -1
+            cov = custom.get(base, custom.get(str(tid) if tid > 0 else ""))
+            if cov is None:
+                cov = draw_depth()
+            contigs = [
+                (rec.name, rec.seq) for rec in iter_fasta(path)
+            ]
+            total_len = sum(len(s) for _, s in contigs)
+            if reads_target > 0:
+                span = length * (2 if paired else 1)
+                cov = reads_target * span / max(total_len, 1)
+            for ci, (cname, seq) in enumerate(contigs):
+                span = avginsert if paired else length
+                if len(seq) < span + 2:
+                    continue
+                if per_contig > 0:
+                    n = per_contig
+                else:
+                    n = max(
+                        1,
+                        int(cov * len(seq) / (length * (2 if paired else 1))),
+                    )
+                i = 0
+                while i < n:
+                    dup = 0
+                    p0 = int(rng.integers(0, len(seq) - span + 1))
+                    while True:
+                        insert = span
+                        strand = int(rng.integers(0, 2))
+                        frag = seq[p0 : p0 + insert]
+                        if strand:
+                            frag = frag.translate(comp)[::-1]
+                        def _err(s):
+                            if snprate <= 0:
+                                return s
+                            arr = np.frombuffer(s, np.uint8).copy()
+                            mask = rng.random(len(arr)) < snprate
+                            subs = rng.integers(0, 4, int(mask.sum()))
+                            arr[mask] = np.frombuffer(b"ACGT", np.uint8)[subs]
+                            return arr.tobytes()
+                        hdr = b"f_%d c_%d s_%d p_%d i_%d r_%d d_%d" % (
+                            fi, ci, strand, p0, insert, insert, dup,
+                        )
+                        if tid > 0:
+                            hdr += b" tid_%d" % tid
+                        q = b"I" * length
+                        if paired:
+                            r1 = _err(frag[:length])
+                            r2 = _err(
+                                frag[-length:].translate(comp)[::-1]
+                            )
+                            if w2 is not None:
+                                w1.write(b"@" + hdr + b" /1\n" + r1
+                                         + b"\n+\n" + q + b"\n")
+                                w2.write(b"@" + hdr + b" /2\n" + r2
+                                         + b"\n+\n" + q + b"\n")
+                            else:
+                                w1.write(b"@" + hdr + b" /1\n" + r1
+                                         + b"\n+\n" + q + b"\n")
+                                w1.write(b"@" + hdr + b" /2\n" + r2
+                                         + b"\n+\n" + q + b"\n")
+                            n_out += 2
+                        else:
+                            r = _err(frag[:length])
+                            w1.write(b"@" + hdr + b"\n" + r + b"\n+\n"
+                                     + q + b"\n")
+                            n_out += 1
+                        i += 1
+                        if pcr > 0 and rng.random() < pcr and i < n:
+                            dup = 1
+                            continue
+                        break
+            print(
+                f"{base}: depth {cov:.2f}", file=sys.stderr,
+            )
+    finally:
+        w1.close()
+        if w2 is not None:
+            w2.close()
+    print(f"Wrote {n_out} reads.", file=sys.stderr)
+    return n_out
+
+
+def kmerfilterset(argv=None):
+    """KmerFilterSetMaker (kmerfilterset.sh, jgi/KmerFilterSetMaker.java)
+    — greedy minimal kmer set covering every input sequence: each pass
+    counts canonical kmers over the still-uncovered sequences, keeps the
+    top maxkpp (>= minkpp) most common, removes sequences containing
+    them, and repeats until all sequences are covered. Output is one
+    kmer per fasta record.
+    """
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    k = a.get_int("k", default=31)
+    rcomp = a.get_bool("rcomp", default=True)
+    minkpp = a.get_int("minkpp", "minkmersperpass", default=1)
+    maxkpp = a.get_int("maxkpp", "maxkmersperpass", default=2)
+    mincount = a.get_int("mincount", default=1)
+    maxpasses = a.get_int("maxpasses", default=3000)
+
+    def canon_kmers(seq: bytes):
+        codes = encode(seq).astype(np.int64)
+        if len(codes) < k:
+            return np.zeros(0, dtype=np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(codes, k)
+        ok = (win < 4).all(axis=1)
+        win = win[ok]
+        weights = (np.int64(1) << (2 * np.arange(k - 1, -1, -1))).astype(
+            np.int64
+        )
+        kmers = (win * weights).sum(axis=1).astype(np.uint64)
+        if rcomp:
+            rc = _revcomp_kmers(kmers, k)
+            kmers = np.minimum(kmers, rc)
+        return np.unique(kmers)
+
+    seqs = [canon_kmers(rec.seq) for rec in iter_fasta(in1)]
+    seqs = [s for s in seqs if len(s)]
+    chosen: list[int] = []
+    passes = 0
+    while seqs and passes < maxpasses:
+        passes += 1
+        allk = np.concatenate(seqs)
+        vals, counts = np.unique(allk, return_counts=True)
+        order = np.argsort(-counts)
+        take = [
+            int(vals[i]) for i in order[:maxkpp]
+            if counts[i] >= mincount
+        ]
+        if len(take) < minkpp:
+            take = [int(vals[i]) for i in order[:minkpp]]
+        if not take:
+            break
+        chosen += take
+        tset = np.array(take, dtype=np.uint64)
+        seqs = [s for s in seqs if not np.isin(s, tset).any()]
+    with open_output(out1) as fh:
+        for i, v in enumerate(chosen):
+            km = bytes(
+                b"ACGT"[(v >> (2 * (k - 1 - j))) & 3] for j in range(k)
+            )
+            fh.write(b">%d\n%s\n" % (i, km))
+    print(
+        f"Chose {len(chosen)} kmers in {passes} passes.", file=sys.stderr,
+    )
+    return chosen
+
+
+def _revcomp_kmers(kmers: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized reverse complement of packed 2-bit kmers."""
+    out = np.zeros_like(kmers)
+    v = kmers.copy()
+    for _ in range(k):
+        out = (out << np.uint64(2)) | (
+            np.uint64(3) - (v & np.uint64(3))
+        )
+        v >>= np.uint64(2)
+    return out
+
+
+def icecreammaker(argv=None):
+    """IceCreamMaker (icecreammaker.sh, icecream/IceCreamMaker.java
+    role) — synthesize PacBio movies with 'ice cream cone' triangle
+    reads. Each ZMW takes a genomic molecule (length in
+    [minlen,maxlen]), builds a movie of alternating-strand passes, and
+    emits one subread per adapter-delimited pass with headers
+    `movie/zmw/start_end`. missingrate= makes a ZMW's FIRST adapter
+    missing, fusing a forward pass to its reverse complement (the
+    triangle read icecream.py detects); hiddenrate= leaves an adapter
+    in-sequence but undetected (same chimeric effect per flanked pair).
+    Substitution errors are drawn per-ZMW from [miner,maxer].
+    """
+    import os
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1", "ref")
+    out1 = a.get("out", "out1")
+    n_zmws = a.get_int("zmws", "reads", default=1000)
+    minlen = a.get_int("minlen", "minlength", default=500)
+    maxlen = a.get_int("maxlen", "maxlength", default=5000)
+    if a.get("len", "length"):
+        minlen = maxlen = a.get_int("len", "length")
+    minmov = a.get_int("minmovie", "minmov", default=500)
+    maxmov = a.get_int("maxmovie", "maxmov", default=40000)
+    missingrate = a.get_float("missingrate", "missing", default=0.0)
+    hiddenrate = a.get_float("hiddenrate", "hidden", default=0.0)
+    miner = a.get_float("miner", "minerrorrate", default=0.05)
+    maxer = a.get_float("maxer", "maxerrorrate", default=0.28)
+    gc = a.get_float("gc", default=0.6)
+    genomesize = a.get_int("genomesize", default=10_000_000)
+    ccs = a.get_bool("ccs", default=False)
+    seed = a.get_int("seed", default=-1)
+    rng = np.random.default_rng(seed if seed > 0 else None)
+
+    if in1 and os.path.exists(in1):
+        genome = b"".join(rec.seq for rec in iter_fasta(in1))
+    else:
+        p = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+        genome = np.frombuffer(b"ACGT", np.uint8)[
+            rng.choice(4, size=min(genomesize, 10_000_000), p=p)
+        ].tobytes()
+    comp = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+
+    def add_errors(s: bytes, rate: float) -> bytes:
+        arr = np.frombuffer(s, np.uint8).copy()
+        mask = rng.random(len(arr)) < rate
+        subs = rng.integers(0, 4, int(mask.sum()))
+        arr[mask] = np.frombuffer(b"ACGT", np.uint8)[subs]
+        return arr.tobytes()
+
+    n_out = n_triangle = 0
+    movie_name = b"m64012_000000_000000"
+    with open_output(out1) as fh:
+        for z in range(n_zmws):
+            mol_len = int(rng.integers(minlen, maxlen + 1))
+            if mol_len >= len(genome):
+                mol_len = len(genome) - 1
+            p0 = int(rng.integers(0, len(genome) - mol_len))
+            mol = genome[p0 : p0 + mol_len]
+            movie_len = int(rng.integers(minmov, maxmov + 1))
+            err = float(rng.uniform(miner, maxer))
+            # passes alternate strand; adapters delimit subreads
+            passes = []
+            total = 0
+            strand = int(rng.integers(0, 2))
+            while total < movie_len:
+                s = mol if strand == 0 else mol.translate(comp)[::-1]
+                passes.append(s)
+                total += len(s)
+                strand ^= 1
+            if ccs:
+                passes = passes[:1]
+            # decide adapter visibility between passes
+            missing = rng.random() < missingrate
+            subreads = []
+            cur = passes[0]
+            for i, nxt in enumerate(passes[1:]):
+                hidden = rng.random() < hiddenrate
+                if (missing and i == 0) or hidden:
+                    cur = cur + nxt  # fused chimera (triangle read)
+                    n_triangle += 1
+                else:
+                    subreads.append(cur)
+                    cur = nxt
+            subreads.append(cur)
+            start = 0
+            for s in subreads:
+                s = add_errors(s, err)
+                name = b"%s/%d/%d_%d" % (
+                    movie_name, z, start, start + len(s),
+                )
+                fh.write(b"@" + name + b"\n" + s + b"\n+\n"
+                         + b"I" * len(s) + b"\n")
+                start += len(s) + 50  # adapter gap
+                n_out += 1
+    print(
+        f"Wrote {n_out} subreads from {n_zmws} ZMWs "
+        f"({n_triangle} fused/triangle).", file=sys.stderr,
+    )
+    return n_out, n_triangle
