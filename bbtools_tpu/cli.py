@@ -398,6 +398,8 @@ TOOLS = {
     "explodetree": lambda a: _lazy("taxonomy", "explodetree", a),
     "shrinkaccession": lambda a: _lazy("taxonomy", "shrinkaccession", a),
     "gi2ancestors": lambda a: _lazy("taxonomy", "gi2ancestors", a),
+    "splitribo": lambda a: _lazy("ribo", "splitribo", a),
+    "mergeribo": lambda a: _lazy("ribo", "mergeribo", a),
     "randomreadsmg": lambda a: _lazy("synthtools", "randomreadsmg", a),
     "kmerfilterset": lambda a: _lazy("synthtools", "kmerfilterset", a),
     "icecreammaker": lambda a: _lazy("synthtools", "icecreammaker", a),

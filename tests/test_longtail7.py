@@ -122,3 +122,64 @@ def test_icecreammaker_feeds_icecream(tmp_path):
         len(s) for s in (tmp_path / "ok.fq").read_bytes().splitlines()[1::4]
     ]
     assert max(lens_ok) <= 400
+
+
+def _consensus_seq(t):
+    import os
+    from bbtools_tpu.models.ribo import RES_DIR
+
+    path = os.path.join(RES_DIR, f"{t}_consensus_sequence.fa")
+    seqs = []
+    cur = []
+    for ln in open(path, "rb").read().splitlines():
+        if ln.startswith(b">"):
+            if cur:
+                seqs.append(b"".join(cur))
+                cur = []
+        else:
+            cur.append(ln)
+    if cur:
+        seqs.append(b"".join(cur))
+    return seqs[0]
+
+
+def test_splitribo(tmp_path):
+    # fragments of the real consensus sequences must route to their type
+    rng = np.random.default_rng(21)
+    s16 = _consensus_seq("16S")[100:900]
+    s5 = _consensus_seq("5S")[:100]
+    junk = bytes(b"ACGT"[c] for c in rng.integers(0, 4, 400))
+    (tmp_path / "in.fa").write_bytes(
+        b">a16\n" + s16 + b"\n>b5\n" + s5 + b"\n>noise\n" + junk + b"\n"
+    )
+    main([
+        "splitribo", f"in={tmp_path}/in.fa", f"out={tmp_path}/out_#.fa",
+        "types=16S,5S,23S",
+    ])
+    assert b">a16" in (tmp_path / "out_16S.fa").read_bytes()
+    assert b">b5" in (tmp_path / "out_5S.fa").read_bytes()
+    assert b">noise" in (tmp_path / "out_junk.fa").read_bytes()
+
+
+def test_mergeribo(tmp_path):
+    s16 = _consensus_seq("16S")
+    rng = np.random.default_rng(22)
+    # taxid 7: a full-length clean copy vs a short fragment -> full wins
+    full = s16[:1500]
+    frag = s16[200:600]
+    # taxid 9: only one (mutated) copy
+    arr = np.frombuffer(s16[:1200], np.uint8).copy()
+    idx = rng.choice(len(arr), 60, replace=False)
+    arr[idx] = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, 60)]
+    other = arr.tobytes()
+    (tmp_path / "a.fa").write_bytes(
+        b">tid|7|full\n" + full + b"\n>tid|7|frag\n" + frag
+        + b"\n>tid|9|only\n" + other + b"\n"
+    )
+    main([
+        "mergeribo", f"in={tmp_path}/a.fa", f"out={tmp_path}/best.fa",
+        "types=16S",
+    ])
+    out = (tmp_path / "best.fa").read_bytes()
+    assert b">tid|7|full" in out and b">tid|7|frag" not in out
+    assert b">tid|9|only" in out
