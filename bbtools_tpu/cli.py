@@ -398,6 +398,17 @@ TOOLS = {
     "explodetree": lambda a: _lazy("taxonomy", "explodetree", a),
     "shrinkaccession": lambda a: _lazy("taxonomy", "shrinkaccession", a),
     "gi2ancestors": lambda a: _lazy("taxonomy", "gi2ancestors", a),
+    "comparelabels": lambda a: _lazy("barcodetools", "comparelabels", a),
+    "consect": lambda a: _lazy("misctools", "consect", a),
+    "mergeotus": lambda a: _lazy("misctools", "mergeotus", a),
+    "plotgc": lambda a: _lazy("texttools", "plotgc", a),
+    "bbest": lambda a: _lazy("samutils", "samtoest", a),
+    "samtoest": lambda a: _lazy("samutils", "samtoest", a),
+    "filterassemblysummary": lambda a: _lazy(
+        "taxonomy", "filterassemblysummary", a
+    ),
+    "analyzeaccession": lambda a: _lazy("taxonomy", "analyzeaccession", a),
+    "fetchproks": lambda a: _lazy("taxonomy", "fetchproks", a),
     "splitribo": lambda a: _lazy("ribo", "splitribo", a),
     "mergeribo": lambda a: _lazy("ribo", "mergeribo", a),
     "randomreadsmg": lambda a: _lazy("synthtools", "randomreadsmg", a),

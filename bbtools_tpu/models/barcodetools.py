@@ -113,3 +113,95 @@ def filterbarcodes(argv=None):
 
 if __name__ == "__main__":
     muxbyname()
+
+
+def comparelabels(argv=None):
+    """CompareLabels (comparelabels.sh, barcode/CompareLabels.java) —
+    compare the last two delimited label terms of each read header
+    (demux method A vs B). Counts AA (agree), AB (disagree), AU/UA
+    (one side unknown), UU (both unknown); summary block mirrors
+    printResults :200-225 (#RelYield/#AbsYield/#Contam*_PPM rows and the
+    Count/Rate/PPM metric table). labelstats= writes per-label rows.
+    """
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    labelstats = a.get("labelstats")
+    swap = a.get_bool("swap", default=False)
+    delim = a.get("delimiter", default="tab") or "tab"
+    delim = {"tab": b"\t", "whitespace": b" ", "space": b" "}.get(
+        delim, delim.encode()
+    )
+    quantset = None
+    if a.get("quantset"):
+        with open(a.get("quantset"), "rb") as fh:
+            quantset = {
+                ln.strip() for ln in fh.read().splitlines() if ln.strip()
+            }
+            quantset.add(b"unknown")
+    unknown = b"unknown"
+    aa = uu = au = ua = ab = invalid = n = 0
+    per: dict[bytes, list] = {}  # label -> [match, mismatch, unknown2]
+    for name, _, _ in _records(in1):
+        n += 1
+        terms = name.split(delim)
+        if len(terms) < 3:
+            invalid += 1
+            continue
+        l1, l2 = terms[-2].strip(), terms[-1].strip()
+        if swap:
+            l1, l2 = l2, l1
+        if quantset is not None and (
+            l1 not in quantset or l2 not in quantset
+        ):
+            invalid += 1
+            continue
+        u1, u2 = l1 == unknown, l2 == unknown
+        stat = per.setdefault(l1, [0, 0, 0])
+        if u1 and u2:
+            uu += 1
+        elif u1:
+            ua += 1
+        elif u2:
+            au += 1
+            stat[2] += 1
+        elif l1 == l2:
+            aa += 1
+            stat[0] += 1
+        else:
+            ab += 1
+            stat[1] += 1
+    valid = n - invalid
+    count1 = aa + ab + au  # reads side 1 assigned
+    count2 = aa + ab + ua
+    frac = 1.0 / max(n, 1)
+    ppm = 1e6 / max(n, 1)
+    lines = [
+        b"#Labels\t%d" % n,
+        b"#Valid\t%d\t%.6f" % (valid, valid * frac),
+        b"#RelYield1\t%.5f" % (aa / max(count2, 1)),
+        b"#RelYield2\t%.5f" % (aa / max(count1, 1)),
+        b"#AbsYield1\t%.5f" % (count1 * frac),
+        b"#AbsYield2\t%.5f" % (count2 * frac),
+        b"#Contam1_PPM\t%.2f" % (ab * 1e6 / max(count1, 1)),
+        b"#Contam2_PPM\t%.2f" % (ab * 1e6 / max(count2, 1)),
+        b"#Metric\tCount\tRate\tPPM",
+        b"AACount\t%d\t%.5f\t%.2f" % (aa, aa * frac, aa * ppm),
+        b"UUCount\t%d\t%.5f\t%.2f" % (uu, uu * frac, uu * ppm),
+        b"AUCount\t%d\t%.5f\t%.2f" % (au, au * frac, au * ppm),
+        b"UACount\t%d\t%.5f\t%.2f" % (ua, ua * frac, ua * ppm),
+        b"ABCount\t%d\t%.5f\t%.2f" % (ab, ab * frac, ab * ppm),
+    ]
+    blob = b"\n".join(lines) + b"\n"
+    if out1 and out1 != "stdout":
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    if labelstats:
+        with open_output(labelstats) as fh:
+            fh.write(b"#label\tmatch\tmismatch\tunknown2\n")
+            for lab in sorted(per, key=lambda x: -sum(per[x])):
+                m, mm, u2 = per[lab]
+                fh.write(b"%s\t%d\t%d\t%d\n" % (lab, m, mm, u2))
+    return dict(aa=aa, uu=uu, au=au, ua=ua, ab=ab, n=n)

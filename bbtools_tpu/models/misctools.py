@@ -420,3 +420,128 @@ def kmercoverage(argv=None):
 
 if __name__ == "__main__":
     countduplicates()
+
+
+def consect(argv=None):
+    """Consect (consect.sh, jgi/Consect.java) — conservative consensus
+    of multiple error-correction tools: the FIRST input is the
+    uncorrected stream, the rest are corrected versions in the same
+    order; a substitution is accepted only when EVERY corrected stream
+    agrees on the same changed base (indel-changed reads pass through
+    uncorrected). Needs >= 3 inputs (raw + 2 correctors)."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    ins = (a.get("in", "in1") or "").split(",")
+    out1 = a.get("out", "out1")
+    if len(ins) < 3:
+        raise ValueError("consect needs in=raw,corrected1,corrected2[,...]")
+    readers = [iter(FastqReader(p, batch_reads=4096)) for p in ins]
+    n = accepted = rejected = 0
+    with open_output(out1) as fh:
+        while True:
+            batches = []
+            done = False
+            for r in readers:
+                b = next(r, None)
+                if b is None:
+                    done = True
+                batches.append(b)
+            if done:
+                break
+            raw = batches[0]
+            La = raw.bases.shape[1]
+            # per-read consensus: all correctors agree -> accept subs
+            agree = None
+            usable = np.ones(raw.n, bool)
+            for b in batches[1:]:
+                if b.n != raw.n:
+                    raise ValueError("inputs out of sync (read counts)")
+                same_len = b.lengths == raw.lengths
+                usable &= same_len  # indel corrections pass through
+                Lb = b.bases.shape[1]
+                L = max(La, Lb)
+                bb = np.full((raw.n, L), 255, np.uint8)
+                bb[:, :Lb] = b.bases
+                if agree is None:
+                    agree = bb
+                else:
+                    mism = agree[:, :L] != bb
+                    agree = np.where(mism, 254, agree[:, :L])
+            cons = raw.bases.copy()
+            rows = np.flatnonzero(usable)
+            sub = agree[rows, :La]
+            ok = sub < 4  # all correctors agree on a real base
+            cons[rows] = np.where(ok, sub, cons[rows])
+            changed = (cons != raw.bases).any(axis=1)
+            accepted += int(changed.sum())
+            rejected += int((~usable).sum())
+            n += raw.n
+            from ..io.fastq import encode_fastq
+
+            out_b = raw
+            out_b.bases = cons
+            out_b.ascii_bases = None
+            fh.write(encode_fastq(out_b))
+    print(
+        f"Reads: {n}  corrected: {accepted}  "
+        f"indel-skipped: {rejected}", file=sys.stderr,
+    )
+    return n, accepted
+
+
+def mergeotus(argv=None):
+    """MergeOTUs (mergeOTUs.sh, driver/MergeCoverageOTU.java) — merge
+    pileup covstats rows whose ID shares the same OTU tag (the token
+    after the first space of the ID column, :44-52), summing
+    length/coverage/read counts and recomputing Avg_fold as the
+    length-weighted mean."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    header = None
+    merged: dict[bytes, list] = {}
+    order: list[bytes] = []
+    with open_input(in1) as fh:
+        for line in fh.read().splitlines():
+            if not line:
+                continue
+            if line.startswith(b"#"):
+                if header is None:
+                    header = line
+                continue
+            f = line.split(b"\t")
+            id_field = f[0]
+            otu = (
+                id_field.split(b" ", 1)[1].split(b"\t")[0]
+                if b" " in id_field else id_field
+            )
+            row = merged.get(otu)
+            length = int(f[2])
+            covsum = float(f[1]) * length
+            cb, pr, mr = int(f[5]), int(f[6]), int(f[7])
+            if row is None:
+                merged[otu] = [covsum, length, float(f[3]) * length, cb,
+                               pr, mr]
+                order.append(otu)
+            else:
+                row[0] += covsum
+                row[1] += length
+                row[2] += float(f[3]) * length
+                row[3] += cb
+                row[4] += pr
+                row[5] += mr
+    with open_output(out1) as fh:
+        fh.write((header or b"#ID\tAvg_fold\tLength\tRef_GC\t"
+                  b"Covered_percent\tCovered_bases\tPlus_reads\t"
+                  b"Minus_reads") + b"\n")
+        for otu in order:
+            covsum, length, gcsum, cb, pr, mr = merged[otu]
+            fh.write(
+                b"%s\t%.4f\t%d\t%.4f\t%.4f\t%d\t%d\t%d\n"
+                % (
+                    otu, covsum / max(length, 1), length,
+                    gcsum / max(length, 1), 100.0 * cb / max(length, 1),
+                    cb, pr, mr,
+                )
+            )
+    print(f"Merged to {len(merged)} OTUs.", file=sys.stderr)
+    return merged

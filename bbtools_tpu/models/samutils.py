@@ -306,3 +306,81 @@ def dedupebymapping(argv=None):
 
 if __name__ == "__main__":
     splitsam()
+
+
+def samtoest(argv=None):
+    """SamToEst / bbest.sh (jgi/SamToEst.java) — EST capture statistics
+    from a SAM of ESTs mapped to an assembly. Per EST (query) the
+    matched-base count drives the capture class (:403-419): `all` when
+    match >= fraction*length (fraction=0.98), `most` >= length/2,
+    `some` > 0, else `none`; multi-scaffold ESTs (primary alignments on
+    >1 scaffold) are counted separately. Output mirrors the new-style
+    key=value block + the type/n_est/pct table (:300-312)."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1", "sam")
+    out1 = a.get("out", "stats")
+    ref = a.get("ref", default="") or ""
+    est_file = a.get("est", default="") or ""
+    fraction = a.get_float("fraction", default=0.98)
+
+    from ..io.sam_read import iter_sam, parse_cigar
+
+    match: dict[bytes, int] = {}
+    length: dict[bytes, int] = {}
+    scafs: dict[bytes, set] = {}
+    for rec in iter_sam(in1):
+        L = len(rec.seq) if rec.seq != b"*" else 0
+        if rec.qname not in length or L > length[rec.qname]:
+            length[rec.qname] = L
+        if not rec.mapped:
+            match.setdefault(rec.qname, 0)
+            continue
+        m = sum(n for n, op in parse_cigar(rec.cigar) if op in "M=")
+        match[rec.qname] = match.get(rec.qname, 0) + m
+        scafs.setdefault(rec.qname, set()).add(rec.rname)
+    est_count = len(match)
+    est_bases = sum(length.values())
+    cls = {b"all": [0, 0], b"most": [0, 0], b"some": [0, 0],
+           b"none": [0, 0]}
+    multi = [0, 0]
+    for q, m in match.items():
+        L = length.get(q, 0)
+        if len(scafs.get(q, ())) > 1:
+            multi[0] += 1
+            multi[1] += L
+        if L and m >= L * fraction:
+            key = b"all"
+        elif L and m >= L / 2:
+            key = b"most"
+        elif m > 0:
+            key = b"some"
+        else:
+            key = b"none"
+        cls[key][0] += 1
+        cls[key][1] += L
+    me = 100.0 / max(est_count, 1)
+    mb = 100.0 / max(est_bases, 1)
+    lines = [
+        b"ref_file=%s" % ref.encode(),
+        b"est_file=%s" % est_file.encode(),
+        b"sam_file=%s" % in1.encode(),
+        b"n_est=%d" % est_count,
+        b"n_est_bases=%d" % est_bases,
+        b"type\tn_est\tpct_est\tn_bases\tpct_bases",
+    ]
+    for key in (b"all", b"most", b"some", b"none"):
+        n, bs = cls[key]
+        lines.append(
+            b"%s\t%d\t%.2f\t%d\t%.2f" % (key, n, n * me, bs, bs * mb)
+        )
+    lines.append(
+        b"multi_scaffold\t%d\t%.2f\t%d\t%.2f"
+        % (multi[0], multi[0] * me, multi[1], multi[1] * mb)
+    )
+    blob = b"\n".join(lines) + b"\n"
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return cls

@@ -622,3 +622,142 @@ def gi2ancestors(argv=None):
     else:
         sys.stdout.buffer.write(blob)
     return lines_out
+
+
+def filterassemblysummary(argv=None):
+    """filterassemblysummary.sh (driver/FilterAssemblySummary.java) —
+    filter an NCBI assembly_summary.txt by taxonomy: a row is kept when
+    its species_taxid (column 7, :167) is under one of the requested
+    nodes (ids= names or taxids, tree from names=/nodes= or tree=)."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    from ..io.readwrite import open_input, open_output
+
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    tree = _load_tree(a)
+    want = set()
+    for tok in (a.get("ids", "id", "taxa") or "").split(","):
+        tok = tok.strip()
+        if tok:
+            tid = tree.resolve(tok)
+            if tid >= 0:
+                want.add(tid)
+    kept = n = 0
+    with open_input(in1) as src, open_output(out1) as dst:
+        for line in src:
+            if line.startswith(b"#"):
+                dst.write(line)
+                continue
+            n += 1
+            f = line.split(b"\t")
+            if len(f) <= 6:
+                continue
+            try:
+                tid = int(f[6])
+            except ValueError:
+                continue
+            if any(tree.is_descendant(tid, w) for w in want):
+                dst.write(line)
+                kept += 1
+    print(f"Lines Retained: {kept}/{n}", file=sys.stderr)
+    return kept, n
+
+
+def analyzeaccession(argv=None):
+    """analyzeaccession.sh (tax/AnalyzeAccession.java) — count accession
+    shape patterns (letter->L, digit->D, others literal) across
+    accession2taxid files; output `#Pattern Count Combos Bits` rows
+    (:149-154), combos = 26^letters * 10^digits."""
+    import math
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    from ..io.readwrite import open_input, open_output
+
+    ins = (a.get("in", "in1") or "").split(",")
+    out1 = a.get("out", "out1")
+    counts: dict[bytes, int] = {}
+    for path in ins:
+        with open_input(path) as fh:
+            for line in fh:
+                if line.startswith(b"accession"):
+                    continue
+                acc = line.split(b"\t", 1)[0].split(b".", 1)[0].strip()
+                if not acc:
+                    continue
+                pat = bytes(
+                    (ord("L") if bytes([c]).isalpha()
+                     else ord("D") if bytes([c]).isdigit() else c)
+                    for c in acc
+                )
+                counts[pat] = counts.get(pat, 0) + 1
+    lines = [b"#Pattern\tCount\tCombos\tBits"]
+    for pat in sorted(counts, key=lambda p: -counts[p]):
+        nl = pat.count(b"L")
+        nd = pat.count(b"D")
+        combos = (26 ** nl) * (10 ** nd)
+        bits = math.log2(combos) if combos > 0 else 0.0
+        lines.append(
+            b"%s\t%d\t%d\t%.2f" % (pat, counts[pat], combos, bits)
+        )
+    blob = b"\n".join(lines) + b"\n"
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return counts
+
+
+def fetchproks(argv=None):
+    """fetchproks.sh (prok/FetchProks.java role) — write a shell script
+    of download commands for genome assemblies listed in an NCBI
+    assembly_summary.txt, keeping at most maxspeciespergenus= species
+    per genus and preferring reference/representative genomes and
+    higher assembly levels. No network access is performed; the output
+    script is the deliverable."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    from ..io.readwrite import open_input, open_output
+
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1", default="fetch.sh")
+    max_per_genus = a.get_int("maxspeciespergenus", "mspg", default=1)
+    level_rank = {
+        b"Complete Genome": 0, b"Chromosome": 1, b"Scaffold": 2,
+        b"Contig": 3,
+    }
+    cat_rank = {b"reference genome": 0, b"representative genome": 1}
+    rows = []
+    with open_input(in1) as fh:
+        for line in fh:
+            if line.startswith(b"#"):
+                continue
+            f = line.rstrip(b"\n").split(b"\t")
+            if len(f) < 20 or not f[19].startswith(b"ftp"):
+                continue
+            organism = f[7]
+            genus = organism.split()[0] if organism.split() else b"?"
+            species = b" ".join(organism.split()[:2])
+            rank = (
+                cat_rank.get(f[4], 2), level_rank.get(f[11], 4),
+            )
+            rows.append((genus, species, rank, f[0], f[19]))
+    rows.sort(key=lambda r: (r[0], r[2]))
+    taken: dict[bytes, set] = {}
+    n = 0
+    with open_output(out1) as fh:
+        fh.write(b"#!/bin/bash\n")
+        for genus, species, rank, acc, ftp in rows:
+            seen = taken.setdefault(genus, set())
+            if species in seen:
+                continue
+            if len(seen) >= max_per_genus:
+                continue
+            seen.add(species)
+            base = ftp.rsplit(b"/", 1)[-1]
+            fh.write(
+                b"wget -q -O %s.fa.gz %s/%s_genomic.fna.gz\n"
+                % (acc, ftp, base)
+            )
+            n += 1
+    print(f"Wrote {n} fetch commands.", file=sys.stderr)
+    return n

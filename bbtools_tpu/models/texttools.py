@@ -732,3 +732,41 @@ def fastqscan(argv=None):
     out += corrupt[:10]
     sys.stdout.buffer.write(b"\n".join(out) + b"\n")
     return records, bases, len(corrupt) == 0 and not crlf
+
+
+def plotgc(argv=None):
+    """plotgc.sh (driver/PlotGC.java) — GC fraction per fixed interval
+    of each sequence; columns `name interval start stop runningStart
+    runningStop gc` (:142). printshortbins=f drops trailing short bins.
+    """
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    interval = a.get_int("interval", default=1000)
+    psb = a.get_bool("printshortbins", "psb", default=True)
+    lines = [b"name\tinterval\tstart\tstop\trunningStart\trunningStop\tgc"]
+    running = 0
+    for rec in iter_fasta(in1):
+        seq = rec.seq.upper()
+        arr = np.frombuffer(seq, np.uint8)
+        isgc = (arr == ord("G")) | (arr == ord("C"))
+        for s in range(0, len(seq), interval):
+            e = min(s + interval, len(seq))
+            if e - s < interval and not psb:
+                continue
+            gc = float(isgc[s:e].mean()) if e > s else 0.0
+            lines.append(
+                b"%s\t%d\t%d\t%d\t%d\t%d\t%.3f"
+                % (
+                    rec.name.split()[0], interval, s, e - 1,
+                    running + s, running + e - 1, gc,
+                )
+            )
+        running += len(seq)
+    blob = b"\n".join(lines) + b"\n"
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return lines
