@@ -398,6 +398,9 @@ TOOLS = {
     "explodetree": lambda a: _lazy("taxonomy", "explodetree", a),
     "shrinkaccession": lambda a: _lazy("taxonomy", "shrinkaccession", a),
     "gi2ancestors": lambda a: _lazy("taxonomy", "gi2ancestors", a),
+    "tadpipe": lambda a: _lazy("tadpipe", "tadpipe", a),
+    "tadwrapper": lambda a: _lazy("tadpipe", "tadpolewrapper", a),
+    "tadpolewrapper": lambda a: _lazy("tadpipe", "tadpolewrapper", a),
     "comparelabels": lambda a: _lazy("barcodetools", "comparelabels", a),
     "consect": lambda a: _lazy("misctools", "consect", a),
     "mergeotus": lambda a: _lazy("misctools", "mergeotus", a),
@@ -414,6 +417,7 @@ TOOLS = {
     "randomreadsmg": lambda a: _lazy("synthtools", "randomreadsmg", a),
     "kmerfilterset": lambda a: _lazy("synthtools", "kmerfilterset", a),
     "icecreammaker": lambda a: _lazy("synthtools", "icecreammaker", a),
+    "icecreamgrader": lambda a: _lazy("synthtools", "icecreamgrader", a),
     "gbff2gff": lambda a: _lazy("gfftools", "gbff2gff", a),
     "mergesketch": lambda a: _lazy("sketch", "mergesketch", a),
     "subsketch": lambda a: _lazy("sketch", "subsketch", a),

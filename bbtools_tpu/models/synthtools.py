@@ -872,22 +872,36 @@ def icecreammaker(argv=None):
                 passes = passes[:1]
             # decide adapter visibility between passes
             missing = rng.random() < missingrate
-            subreads = []
-            cur = passes[0]
+            subreads = []  # (bases, n_fused_passes)
+            cur, cur_n = passes[0], 1
+            n_missing = 0
             for i, nxt in enumerate(passes[1:]):
                 hidden = rng.random() < hiddenrate
                 if (missing and i == 0) or hidden:
                     cur = cur + nxt  # fused chimera (triangle read)
+                    cur_n += 1
+                    n_missing += 1
                     n_triangle += 1
                 else:
-                    subreads.append(cur)
-                    cur = nxt
-            subreads.append(cur)
+                    subreads.append((cur, cur_n))
+                    cur, cur_n = nxt, 1
+            subreads.append((cur, cur_n))
             start = 0
-            for s in subreads:
+            n_adapters = len(passes) - 1 - n_missing
+            for s, sn in subreads:
                 s = add_errors(s, err)
-                name = b"%s/%d/%d_%d" % (
-                    movie_name, z, start, start + len(s),
+                # reference metadata header (icecream/ReadBuilder.java
+                # toHeader :105-112; isIceCream reads subreads= at
+                # tab-term index 3)
+                name = (
+                    b"%s/%d/%d_%d\tpasses=%.2f\tfullPasses=%d\t"
+                    b"subreads=%d\tmissing=%d\tadapters=%d\t"
+                    b"errorRate=%.3f"
+                    % (
+                        movie_name, z, start, start + len(s),
+                        len(s) / max(mol_len, 1), max(sn - 1, 0), sn,
+                        n_missing, n_adapters, err,
+                    )
                 )
                 fh.write(b"@" + name + b"\n" + s + b"\n+\n"
                          + b"I" * len(s) + b"\n")
@@ -898,3 +912,31 @@ def icecreammaker(argv=None):
         f"({n_triangle} fused/triangle).", file=sys.stderr,
     )
     return n_out, n_triangle
+
+
+def icecreamgrader(argv=None):
+    """IceCreamGrader (icecreamgrader.sh, icecream/IceCreamGrader.java)
+    — grade an icecream-filtered stream of icecreammaker reads: a read
+    whose `subreads=` header term exceeds 1 is a fused triangle read
+    ('bad'); reports good/bad reads and bases (:193-219)."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    good = bad = goodb = badb = 0
+    for b in FastqReader(in1):
+        for i in range(b.n):
+            name = b.ids[i]
+            sub = 1
+            for term in bytes(name).split(b"\t"):
+                if term.startswith(b"subreads="):
+                    sub = int(term[9:])
+                    break
+            L = int(b.lengths[i])
+            if sub > 1:
+                bad += 1
+                badb += L
+            else:
+                good += 1
+                goodb += L
+    print(f"Good reads:\t{good}\t{goodb} bases", file=sys.stderr)
+    print(f"Bad reads: \t{bad}\t{badb} bases", file=sys.stderr)
+    return good, bad

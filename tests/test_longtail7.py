@@ -183,3 +183,31 @@ def test_mergeribo(tmp_path):
     out = (tmp_path / "best.fa").read_bytes()
     assert b">tid|7|full" in out and b">tid|7|frag" not in out
     assert b">tid|9|only" in out
+
+
+def test_icecream_maker_filter_grader_roundtrip(tmp_path, capfd):
+    # maker -> icecream filter -> grader: filtering must reduce the
+    # bad (fused) read count in the kept stream
+    main([
+        "icecreammaker", f"out={tmp_path}/pb.fq", "zmws=40",
+        "minlen=400", "maxlen=700", "minmovie=3000", "maxmovie=5000",
+        "missingrate=0.5", "miner=0.01", "maxer=0.03", "seed=33",
+        "genomesize=30000",
+    ])
+    main(["icecreamgrader", f"in={tmp_path}/pb.fq"])
+    err = capfd.readouterr().err
+    bad_before = int(
+        [l for l in err.splitlines() if l.startswith("Bad")][0].split("\t")[1]
+    )
+    assert bad_before >= 10
+    main([
+        "icecream", f"in={tmp_path}/pb.fq", f"out={tmp_path}/keep.fq",
+        f"outb={tmp_path}/toss.fq",
+    ])
+    capfd.readouterr()
+    main(["icecreamgrader", f"in={tmp_path}/keep.fq"])
+    err2 = capfd.readouterr().err
+    bad_after = int(
+        [l for l in err2.splitlines() if l.startswith("Bad")][0].split("\t")[1]
+    )
+    assert bad_after < bad_before
