@@ -23,6 +23,29 @@ def _bbmap(args):
     return main(args)
 
 
+def _remove_preset(args, what: str):
+    """removehuman.sh / removemicrobes.sh / removecatdogmousehuman.sh:
+    BBMap decontamination presets (minratio=0.9 maxindel=3 maxsites=1
+    k=14 bloomfilter; mapped reads -> outm, clean reads -> outu). The
+    reference hardcodes JGI-filesystem masked references; here ref= (or
+    path= with a prebuilt index) must point at the local masked genome.
+    """
+    from .models.bbmap import main
+
+    keys = {t.split("=")[0].lower() for t in args if "=" in t}
+    if not ({"ref", "path", "indexpath"} & keys):
+        raise ValueError(
+            f"{what} requires ref= (masked {what} genome) or path= "
+            "(prebuilt index); the reference's hardcoded JGI paths "
+            "are not portable"
+        )
+    preset = [
+        "minratio=0.9", "maxindel=3", "maxsites=1", "k=14",
+        "bloomfilter=t",
+    ]
+    return main(preset + list(args))
+
+
 def _bbwrap(args):
     """bbwrap.sh: map MULTIPLE in=/out= comma-lists against one reference
     without rebuilding the index (BBWrap.java role)."""
@@ -398,6 +421,11 @@ TOOLS = {
     "explodetree": lambda a: _lazy("taxonomy", "explodetree", a),
     "shrinkaccession": lambda a: _lazy("taxonomy", "shrinkaccession", a),
     "gi2ancestors": lambda a: _lazy("taxonomy", "gi2ancestors", a),
+    "removehuman": lambda a: _remove_preset(a, "human"),
+    "removehuman2": lambda a: _remove_preset(a, "human"),
+    "removemicrobes": lambda a: _remove_preset(a, "microbe"),
+    "removecatdogmousehuman": lambda a: _remove_preset(a, "catdogmousehuman"),
+    "reformatpb": lambda a: _lazy("icecream", "reformatpb", a),
     "tadpipe": lambda a: _lazy("tadpipe", "tadpipe", a),
     "tadwrapper": lambda a: _lazy("tadpipe", "tadpolewrapper", a),
     "tadpolewrapper": lambda a: _lazy("tadpipe", "tadpolewrapper", a),

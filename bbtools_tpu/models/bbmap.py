@@ -32,6 +32,7 @@ from ..core.dna import CODE_TO_BASE
 from ..core.parser import tokenize
 from ..io.fasta import load_reference
 from ..io.fastq import FastqReader
+from ..io.readwrite import open_output
 from ..io.sam import (
     FFIRST,
     FPAIRED,
@@ -97,6 +98,14 @@ class BBMapConfig:
     #: per-scaffold hit table (BBMap scafstats= flag,
     #: align2/BBSplitter scafstats/refstats machinery)
     scafstats: str | None = None
+    #: fastq split outputs (BBMap outu=/outm= flags): unmapped reads /
+    #: mapped reads as fastq; pairs stay together (a pair counts as
+    #: mapped when EITHER mate maps — AbstractMapThread pair semantics
+    #: used by removehuman.sh-style decontamination wrappers)
+    outu1: str | None = None
+    outu2: str | None = None
+    outm1: str | None = None
+    outm2: str | None = None
 
 
 def pacbio_preset(c: "BBMapConfig"):
@@ -135,7 +144,14 @@ def parse_args(argv, preset: str | None = None):
     c.overwrite_index = a.get_bool("overwrite", "ow", default=False)
     c.in1 = a.get("in", "in1")
     c.in2 = a.get("in2")
-    c.out = a.get("out", "outm")
+    c.out = a.get("out")
+    c.outu1 = a.get("outu", "outu1")
+    c.outu2 = a.get("outu2")
+    c.outm1 = a.get("outm", "outm1")
+    c.outm2 = a.get("outm2")
+    # `outm=` doubles as the SAM destination when it looks like SAM
+    if c.out is None and c.outm1 and c.outm1.endswith((".sam", ".bam")):
+        c.out, c.outm1 = c.outm1, None
     c.k = a.get_int("k", default=c.k)
     c.min_ratio = a.get_float("minratio", "minid", default=c.min_ratio)
     c.rescue_mates = a.get_bool("rescuemates", "rescue", default=True)
@@ -731,9 +747,15 @@ class BBMap:
             if cfg.out
             else None
         )
+        split = any((cfg.outu1, cfg.outu2, cfg.outm1, cfg.outm2))
+        wu1 = open_output(cfg.outu1) if cfg.outu1 else None
+        wu2 = open_output(cfg.outu2) if cfg.outu2 else None
+        wm1 = open_output(cfg.outm1) if cfg.outm1 else None
+        wm2 = open_output(cfg.outm2) if cfg.outm2 else None
         it2 = iter(reader2) if reader2 else None
         for batch in reader:
             results = self.map_batch(batch)
+            batch2 = results2 = None
             if it2 is not None:
                 batch2 = next(it2)
                 results2 = self.map_batch(batch2)
@@ -743,6 +765,25 @@ class BBMap:
                 payload = self.to_sam_paired(batch, results, batch2, results2)
             else:
                 payload = self.to_sam(batch, results) if writer else b""
+            if split:
+                from ..io.fastq import encode_fastq
+
+                mapped = np.array(
+                    [bool(r.mapped) for r in results], dtype=bool
+                )
+                if results2 is not None:
+                    mapped |= np.array(
+                        [bool(r.mapped) for r in results2], dtype=bool
+                    )
+                if wu1 is not None:
+                    wu1.write(encode_fastq(batch, ~mapped))
+                if wm1 is not None:
+                    wm1.write(encode_fastq(batch, mapped))
+                if batch2 is not None:
+                    if wu2 is not None:
+                        wu2.write(encode_fastq(batch2, ~mapped))
+                    if wm2 is not None:
+                        wm2.write(encode_fastq(batch2, mapped))
             if cfg.scafstats:
                 self._scafstats_add(batch, results)
                 if it2 is not None:
@@ -751,6 +792,9 @@ class BBMap:
                 writer.add_batch(batch.ordinal, payload)
         if writer:
             writer.close()
+        for w in (wu1, wu2, wm1, wm2):
+            if w is not None:
+                w.close()
         if cfg.mhist or cfg.idhist:
             self._write_hists()
         if cfg.scafstats:

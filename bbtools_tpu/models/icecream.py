@@ -254,3 +254,156 @@ def main(argv=None):
     return IceCreamFinder(
         parse_args(argv if argv is not None else sys.argv[1:])
     ).run()
+
+
+def reformatpb(argv=None):
+    """ReformatPacBio (reformatpb.sh, icecream/ReformatPacBio.java) —
+    ZMW-aware reformat: minlen filtering, poly-A/T end trimming
+    (trimpolya= with minpolymer=/polyerror=), ZMW whitelist/blacklist,
+    reads=/zmws= sampling caps, bestpass= (keep the median-length read
+    of each ZMW's non-outermost subreads), kzt= whole-ZMW routing, and
+    schist= subreads-per-ZMW histogram.
+    """
+    from ..core.parser import tokenize
+    from ..io.fastq import FastqReader, encode_fastq
+    from ..io.readwrite import open_output
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "outgood")
+    outb = a.get("outb", "outbad")
+    minlen = a.get_int("minlen", "minlength", default=40)
+    kzt = a.get_bool("kzt", "keepzmwstogether", default=False)
+    trimpolya = a.get_bool("trimpolya", default=False)
+    minpolymer = a.get_int("minpolymer", default=5)
+    max_reads = a.get_int("reads", default=-1)
+    max_zmws = a.get_int("zmws", default=-1)
+    bestpass = a.get_bool("bestpass", default=False)
+    schist = a.get("schist")
+
+    def load_zmw_set(spec):
+        if not spec:
+            return None
+        out = set()
+        import os
+
+        for tok in spec.split(","):
+            if os.path.exists(tok):
+                with open(tok) as fh:
+                    out |= {int(l) for l in fh.read().split() if l.strip()}
+            elif tok.strip():
+                out.add(int(tok))
+        return out
+
+    whitelist = load_zmw_set(a.get("whitelist"))
+    blacklist = load_zmw_set(a.get("blacklist")) or set()
+
+    def zmw_num(name: bytes) -> int:
+        parts = name.split()[0].split(b"/")
+        try:
+            return int(parts[1])
+        except (IndexError, ValueError):
+            return -1
+
+    def trim_poly(seq: bytes) -> bytes:
+        if not trimpolya:
+            return seq
+        for base in (b"A", b"T"):
+            # trim a terminal homopolymer run >= minpolymer
+            n = 0
+            while n < len(seq) and seq[len(seq) - 1 - n : len(seq) - n] == base:
+                n += 1
+            if n >= minpolymer:
+                seq = seq[: len(seq) - n]
+            n = 0
+            while n < len(seq) and seq[n : n + 1] == base:
+                n += 1
+            if n >= minpolymer:
+                seq = seq[n:]
+        return seq
+
+    # group records by ZMW (subreads are adjacent in PacBio output)
+    zmw_reads: dict[int, list] = {}
+    order: list[int] = []
+    for b in FastqReader(in1):
+        for i in range(b.n):
+            name = bytes(b.ids[i])
+            z = zmw_num(name)
+            if z not in zmw_reads:
+                zmw_reads[z] = []
+                order.append(z)
+            seq = b.record_bytes(i) if hasattr(b, "record_bytes") else None
+            m = int(b.lengths[i])
+            raw = b.ascii_bases[i, :m].tobytes() if b.ascii_bases is not None \
+                else None
+            if raw is None:
+                from ..core.dna import CODE_TO_BASE
+
+                raw = CODE_TO_BASE[np.minimum(b.bases[i, :m], 4)].tobytes()
+            qual = (
+                (b.quals[i, :m] + 33).astype(np.uint8).tobytes()
+                if b.quals is not None else b"I" * m
+            )
+            zmw_reads[z].append((name, raw, qual))
+
+    n_good = n_bad = 0
+    zmws_out = 0
+    schist_counts: dict[int, int] = {}
+    wg = open_output(out1) if out1 else None
+    wb = open_output(outb) if outb else None
+    stop = False
+    for z in order:
+        if stop:
+            break
+        recs = zmw_reads[z]
+        schist_counts[len(recs)] = schist_counts.get(len(recs), 0) + 1
+        zmw_bad = (
+            (whitelist is not None and z not in whitelist)
+            or z in blacklist
+        )
+        if bestpass and len(recs) > 2:
+            inner = recs[1:-1]
+            inner.sort(key=lambda r: len(r[1]))
+            recs = [inner[len(inner) // 2]]
+        out_recs = []
+        for name, seq, qual in recs:
+            seq2 = trim_poly(seq)
+            qual2 = qual[: len(seq2)]
+            bad = zmw_bad or len(seq2) < minlen
+            out_recs.append((name, seq2, qual2, bad))
+        if kzt and any(bad for _, _, _, bad in out_recs):
+            out_recs = [(n_, s, q, True) for n_, s, q, _ in out_recs]
+        wrote_any = False
+        for name, seq, qual, bad in out_recs:
+            target = wb if bad else wg
+            if bad:
+                n_bad += 1
+            else:
+                n_good += 1
+                wrote_any = True
+            if target is not None:
+                target.write(
+                    b"@" + name + b"\n" + seq + b"\n+\n" + qual + b"\n"
+                )
+            if 0 < max_reads <= n_good + n_bad:
+                stop = True
+                break
+        if wrote_any:
+            zmws_out += 1
+            if 0 < max_zmws <= zmws_out:
+                stop = True
+    for w in (wg, wb):
+        if w is not None:
+            w.close()
+    if schist:
+        with open_output(schist) as fh:
+            fh.write(b"#Subreads\tZMWs\n")
+            for k in sorted(schist_counts):
+                fh.write(b"%d\t%d\n" % (k, schist_counts[k]))
+    print(
+        f"Reads kept:       \t{n_good}", file=sys.stderr,
+    )
+    print(
+        f"Reads discarded:  \t{n_bad}", file=sys.stderr,
+    )
+    return n_good, n_bad
