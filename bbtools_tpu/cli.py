@@ -421,6 +421,27 @@ TOOLS = {
     "explodetree": lambda a: _lazy("taxonomy", "explodetree", a),
     "shrinkaccession": lambda a: _lazy("taxonomy", "shrinkaccession", a),
     "gi2ancestors": lambda a: _lazy("taxonomy", "gi2ancestors", a),
+    # same-class v2/auto launcher rows (the reference ships these as
+    # separate .sh files over successor classes of the same tools)
+    "mergesam2": lambda a: _lazy("samutils", "mergesam", a),
+    "shuffle2": lambda a: _lazy("seqtools", "shuffle", a),
+    "kmerlimit2": lambda a: _lazy("synthtools", "kmerlimit", a),
+    "sketchblacklist2": lambda a: _lazy("texttools", "sketchblacklist", a),
+    "rqcfilter3": lambda a: _lazy("rqcfilter", "main", a),
+    "callvariants2": lambda a: _lazy("callvariants", "main", a),
+    "bbmerge-auto": lambda a: _lazy("bbmerge", "main", a),
+    "bbsketch": _sketch,
+    "sendclade": _quickclade,
+    "keepbestcopy": lambda a: _lazy("ribo", "mergeribo", a),
+    "loadreads": lambda a: _lazy("texttools", "fastqscan", a),
+    "summarizemerge": lambda a: _lazy("texttools", "summarizemerge", a),
+    "summarizequast": lambda a: _lazy("texttools", "summarizequast", a),
+    "invertkey": lambda a: _lazy("texttools", "invertkey", a),
+    "bamlinestreamer": lambda a: _lazy("texttools", "bam2sam", a),
+    "streamsam": lambda a: _lazy("texttools", "bam2sam", a),
+    "bam2sam": lambda a: _lazy("texttools", "bam2sam", a),
+    "gitable": lambda a: _lazy("taxonomy", "gitable", a),
+    "bbversion": lambda a: print("bbtools_tpu 2.0 (BBTools 39.x surface)"),
     "removehuman": lambda a: _remove_preset(a, "human"),
     "removehuman2": lambda a: _remove_preset(a, "human"),
     "removemicrobes": lambda a: _remove_preset(a, "microbe"),

@@ -761,3 +761,30 @@ def fetchproks(argv=None):
             n += 1
     print(f"Wrote {n} fetch commands.", file=sys.stderr)
     return n
+
+
+def gitable(argv=None):
+    """gitable.sh (tax/GiToTaxid table builder role) — condense NCBI
+    accession2taxid / gi dump files into a 2-column `gi<TAB>taxid`
+    table consumed by gi2taxid renaming."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    from ..io.readwrite import open_input, open_output
+
+    ins = (a.get("in", "in1") or "").split(",")
+    out1 = a.get("out", "out1")
+    n = 0
+    with open_output(out1) as dst:
+        for path in ins:
+            with open_input(path) as src:
+                for line in src:
+                    if line.startswith(b"accession"):
+                        continue
+                    f = line.rstrip(b"\n").split(b"\t")
+                    if len(f) >= 4 and f[3].isdigit():
+                        dst.write(f[3] + b"\t" + f[2] + b"\n")
+                        n += 1
+                    elif len(f) == 2 and f[0].isdigit():
+                        dst.write(f[0] + b"\t" + f[1] + b"\n")
+                        n += 1
+    print(f"Wrote {n} gi->taxid rows.", file=sys.stderr)
+    return n

@@ -770,3 +770,126 @@ def plotgc(argv=None):
     else:
         sys.stdout.buffer.write(blob)
     return lines
+
+
+def summarizemerge(argv=None):
+    """summarizemerge.sh (driver role) — summarize one or more
+    GradeMergedReads output blocks (Correct/Incorrect/Too Short/Too
+    Long/SNR lines) into a single TSV for comparing merge runs."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    ins = (a.get("in", "in1") or "").split(",")
+    out1 = a.get("out", "out1")
+    rows = [b"#file\tcorrect\tincorrect\ttooShort\ttooLong\tsnr"]
+    for path in ins:
+        vals = {}
+        with open_input(path) as fh:
+            for line in fh.read().splitlines():
+                for key, tag in (
+                    (b"Correct:", b"correct"),
+                    (b"Incorrect:", b"incorrect"),
+                    (b"Too Short:", b"tooShort"),
+                    (b"Too Long:", b"tooLong"),
+                    (b"SNR:", b"snr"),
+                ):
+                    if line.startswith(key):
+                        f = line.split(b"\t")
+                        vals[tag] = f[1].strip().rstrip(b"%")
+        rows.append(
+            path.encode() + b"\t"
+            + b"\t".join(
+                vals.get(t, b"?")
+                for t in (b"correct", b"incorrect", b"tooShort",
+                          b"tooLong", b"snr")
+            )
+        )
+    blob = b"\n".join(rows) + b"\n"
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return rows
+
+
+def summarizequast(argv=None):
+    """summarizequast.sh — combine multiple QUAST report.tsv files
+    (2-column `metric<TAB>value` format) into one matrix, metrics as
+    rows and one column per report."""
+    argv = list(argv if argv is not None else sys.argv[1:])
+    a = tokenize([t for t in argv if "=" in t])
+    ins = [t for t in argv if "=" not in t]
+    spec = a.get("in", "in1")
+    if spec:
+        ins = spec.split(",") + ins
+    out1 = a.get("out", "out1")
+    metrics: list[bytes] = []
+    table: dict[bytes, list] = {}
+    for ci, path in enumerate(ins):
+        with open_input(path) as fh:
+            for line in fh.read().splitlines():
+                f = line.split(b"\t")
+                if len(f) < 2:
+                    continue
+                key = f[0]
+                if key not in table:
+                    table[key] = [b"?"] * len(ins)
+                    metrics.append(key)
+                table[key][ci] = f[1]
+    rows = [b"#metric\t" + b"\t".join(p.encode() for p in ins)]
+    for m in metrics:
+        rows.append(m + b"\t" + b"\t".join(table[m]))
+    blob = b"\n".join(rows) + b"\n"
+    if out1:
+        with open_output(out1) as fh:
+            fh.write(blob)
+    else:
+        sys.stdout.buffer.write(blob)
+    return table
+
+
+def invertkey(argv=None):
+    """invertkey.sh — swap the key and value columns of a TSV."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    n = 0
+    with open_input(in1) as src, open_output(out1) as dst:
+        for line in src:
+            line = line.rstrip(b"\n")
+            if not line or line.startswith(b"#"):
+                dst.write(line + b"\n")
+                continue
+            f = line.split(b"\t")
+            if len(f) >= 2:
+                f[0], f[1] = f[1], f[0]
+            dst.write(b"\t".join(f) + b"\n")
+            n += 1
+    print(f"Inverted {n} lines.", file=sys.stderr)
+    return n
+
+
+def bam2sam(argv=None):
+    """bamlinestreamer.sh / streamsam.sh (bam/Bam2Sam role) — decode a
+    BAM to SAM text via the native BGZF/BAM reader."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    from ..io.bam import read_bam
+
+    it = read_bam(in1)
+    header_text, refs = next(it)
+    n = 0
+    with open_output(out1) as fh:
+        if header_text:
+            fh.write(header_text)
+        for rec in it:
+            fh.write(
+                b"%s\t%d\t%s\t%d\t%d\t%s\t*\t0\t0\t%s\t%s\n"
+                % (
+                    rec.qname, rec.flag, rec.rname, rec.pos, rec.mapq,
+                    rec.cigar.encode(), rec.seq, rec.qual,
+                )
+            )
+            n += 1
+    print(f"Wrote {n} alignments.", file=sys.stderr)
+    return n

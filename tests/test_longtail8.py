@@ -187,3 +187,68 @@ def test_fetchproks(tmp_path):
     assert b"GCF_1.fa.gz" in sh and b"GCF_3.fa.gz" in sh
     assert b"GCF_2" not in sh
     assert b"GCF_1_v1/GCF_1_v1_genomic.fna.gz" in sh
+
+
+def test_summarizemerge(tmp_path):
+    (tmp_path / "g1.txt").write_bytes(
+        b"Correct:                \t97.00000%\t97 reads\n"
+        b"Incorrect:              \t3.00000%\t3 reads\n"
+        b"Too Short:              \t2.00000%\t2 reads\n"
+        b"Too Long:               \t1.00000%\t1 reads\n"
+        b"SNR:                    \t15.100\n"
+    )
+    main([
+        "summarizemerge", f"in={tmp_path}/g1.txt", f"out={tmp_path}/s.txt",
+    ])
+    lines = (tmp_path / "s.txt").read_bytes().splitlines()
+    f = lines[1].split(b"\t")
+    assert f[1] == b"97.00000" and f[5] == b"15.100"
+
+
+def test_summarizequast(tmp_path):
+    (tmp_path / "q1.tsv").write_bytes(b"N50\t5000\nGC (%)\t52.1\n")
+    (tmp_path / "q2.tsv").write_bytes(b"N50\t7000\nGC (%)\t48.9\n")
+    main([
+        "summarizequast", f"{tmp_path}/q1.tsv", f"{tmp_path}/q2.tsv",
+        f"out={tmp_path}/q.txt",
+    ])
+    lines = (tmp_path / "q.txt").read_bytes().splitlines()
+    rows = {l.split(b"\t")[0]: l.split(b"\t") for l in lines[1:]}
+    assert rows[b"N50"][1:] == [b"5000", b"7000"]
+
+
+def test_invertkey(tmp_path):
+    (tmp_path / "kv.txt").write_bytes(b"a\t1\nb\t2\n")
+    main([
+        "invertkey", f"in={tmp_path}/kv.txt", f"out={tmp_path}/vk.txt",
+    ])
+    assert (tmp_path / "vk.txt").read_bytes() == b"1\ta\n2\tb\n"
+
+
+def test_bam2sam(tmp_path):
+    from bbtools_tpu.io.bam import BamWriter
+    from bbtools_tpu.io.sam_read import SamRecord
+
+    p = str(tmp_path / "t.bam")
+    w = BamWriter(p, b"@HD\tVN:1.4\n", [(b"c1", 1000)])
+    w.write_record(SamRecord(
+        qname=b"r0", flag=0, rname=b"c1", pos=10, mapq=30,
+        cigar="4M", seq=b"ACGT", qual=b"IIII",
+    ))
+    w.close()
+    main(["bam2sam", f"in={p}", f"out={tmp_path}/t.sam"])
+    sam = (tmp_path / "t.sam").read_bytes()
+    assert b"@HD" in sam
+    assert b"r0\t0\tc1\t10\t30\t4M\t*\t0\t0\tACGT\tIIII" in sam
+
+
+def test_gitable(tmp_path):
+    (tmp_path / "acc.txt").write_bytes(
+        b"accession\taccession.version\ttaxid\tgi\n"
+        b"A1\tA1.1\t562\t1001\n"
+        b"B2\tB2.1\t9606\tna\n"
+    )
+    main([
+        "gitable", f"in={tmp_path}/acc.txt", f"out={tmp_path}/gi.tsv",
+    ])
+    assert (tmp_path / "gi.tsv").read_bytes() == b"1001\t562\n"
