@@ -560,6 +560,53 @@ TOOLS = {
     "bbstats": _stats,
     "dedupe2": _dedupe,
     "testformat2": lambda a: _lazy("texttools", "testformat", a),
+    # idaligner/aligner launcher family (idaligner/Test.java testAndPrint
+    # surface; per-engine launchers <engine>aligner.sh). Research "plus"
+    # variants map to their family's engine (documented refinement in
+    # ops/idalign.make_id_aligner).
+    "glocalaligner": lambda a: _lazy("alignertools", "test_main", a, "glocal"),
+    "bandedaligner": lambda a: _lazy("alignertools", "test_main", a, "banded"),
+    "bandedplusaligner": lambda a: _lazy(
+        "alignertools", "test_main", a, "bandedplus"),
+    "driftingaligner": lambda a: _lazy(
+        "alignertools", "test_main", a, "drifting"),
+    "driftingplusaligner": lambda a: _lazy(
+        "alignertools", "test_main", a, "driftingplus"),
+    "wavefrontaligner": lambda a: _lazy(
+        "alignertools", "test_main", a, "wavefront"),
+    "quantumaligner": lambda a: _lazy(
+        "alignertools", "test_main", a, "quantum"),
+    "quabblealigner": lambda a: _lazy(
+        "alignertools", "test_main", a, "quabble"),
+    "scrabblealigner": lambda a: _lazy(
+        "alignertools", "test_main", a, "scrabble"),
+    "wobblealigner": lambda a: _lazy("alignertools", "test_main", a, "wobble"),
+    "wobbleplusaligner": lambda a: _lazy(
+        "alignertools", "test_main", a, "wobbleplus"),
+    "crosscutaligner": lambda a: _lazy(
+        "alignertools", "test_main", a, "crosscut"),
+    "xdrophaligner": lambda a: _lazy("alignertools", "test_main", a, "xdroph"),
+    "parallelogram": lambda a: _lazy(
+        "alignertools", "test_main", a, "parallelogram"),
+    "smithwaterman": lambda a: _lazy("alignertools", "test_main", a, "glocal"),
+    "testaligners": lambda a: _lazy("alignertools", "test_main", a),
+    "testaligners2": lambda a: _lazy("alignertools", "suite_main", a),
+    "testalignersbatch": lambda a: _lazy("alignertools", "batch_main", a),
+    "testalignerslength": lambda a: _lazy("alignertools", "length_main", a),
+    "alignrandom": lambda a: _lazy("alignertools", "align_random_main", a),
+    "alignerbenchmark": lambda a: _lazy("alignertools", "benchmark_main", a),
+    "visualizealignment": lambda a: _lazy("alignertools", "visualize_main", a),
+    "wavefrontalignerviz": lambda a: _lazy(
+        "alignertools", "visualize_main", a),
+    "microalign": lambda a: _lazy("alignertools", "micro_main", a),
+    # same-main-class launcher aliases: bbdukS.sh is the current bbduk.sh
+    # main (bbduk.BBDukS), bbdukOld.sh the legacy jgi.BBDuk monolith;
+    # bbmap5/bbmapacc are align2.BBMap5/BBMapAcc generations of the same
+    # pipeline; mapPacBio.sh is the camel-case launcher for mappacbio.
+    "bbduks": _bbduk,
+    "bbdukold": _bbduk,
+    "bbmap5": _bbmap,
+    "bbmapacc": _bbmap,
 }
 
 
@@ -569,11 +616,11 @@ def _splitsam_n(args, way: int):
     return splitsam(args, way=way)
 
 
-def _lazy(module: str, fn: str, args):
+def _lazy(module: str, fn: str, args, *extra):
     import importlib
 
     m = importlib.import_module(f".models.{module}", __package__)
-    return getattr(m, fn)(args)
+    return getattr(m, fn)(args, *extra)
 
 
 def main(argv=None):

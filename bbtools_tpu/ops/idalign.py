@@ -20,7 +20,10 @@ from __future__ import annotations
 
 import numpy as np
 
-MATCH, SUB, GAP = 1, -1, -2
+# idaligner/GlocalAligner.java:196-199: MATCH=+1, SUB=INS=DEL=-1.
+# gap=-1 (not -2) is load-bearing: Test.validate pins align(AA,AGA)=2/3,
+# which requires the gapped path to beat the substitution path on ties.
+MATCH, SUB, GAP = 1, -1, -1
 
 
 def glocal_align_np(q: np.ndarray, r: np.ndarray):
@@ -137,13 +140,15 @@ def make_id_aligner(name: str = "glocal"):
     them on accuracy: approximating an approximation with the exact
     answer is a correct refinement, not an alias."""
     name = name.lower()
-    if name in ("glocal", "quantum", "crosscut", "ssa2", "ssa3"):
+    if name in ("glocal", "glocalplus", "quantum", "quantumplus", "quabble",
+                "crosscut", "ssa2", "ssa3", "parallelogram"):
         return GlocalAligner()
-    if name in ("wave", "wavefront"):
+    if name in ("wave", "wavefront", "xdrop", "xdroph"):
         return WaveFrontIDAligner()
-    if name in ("drifting", "wobble"):
+    if name in ("drifting", "driftingplus", "wobble", "wobbleplus",
+                "scrabble"):
         return DriftingIDAligner()
-    if name == "banded":
+    if name in ("banded", "bandedplus"):
         return BandedIDAligner()
     raise ValueError(f"unknown aligner {name!r}")
 
