@@ -607,6 +607,15 @@ TOOLS = {
     "bbdukold": _bbduk,
     "bbmap5": _bbmap,
     "bbmapacc": _bbmap,
+    # ml/ tool family over the CellNet runtime
+    "seqtovec": lambda a: _lazy("mltools", "seqtovec_main", a),
+    "train": lambda a: _lazy("mltools", "train_main", a),
+    "netconvert": lambda a: _lazy("mltools", "netconvert_main", a),
+    "scoresequence": lambda a: _lazy("mltools", "scoresequence_main", a),
+    "netfilter": lambda a: _lazy("mltools", "netfilter_main", a),
+    "reducecolumns": lambda a: _lazy("mltools", "reducecolumns_main", a),
+    "vectorutils": lambda a: _lazy("mltools", "vectorutils_main", a),
+    "balancevectors": lambda a: _lazy("mltools", "balancevectors_main", a),
 }
 
 
