@@ -616,6 +616,33 @@ TOOLS = {
     "reducecolumns": lambda a: _lazy("mltools", "reducecolumns_main", a),
     "vectorutils": lambda a: _lazy("mltools", "vectorutils_main", a),
     "balancevectors": lambda a: _lazy("mltools", "balancevectors_main", a),
+    # SSU/Silva ribosomal family
+    "comparessu": lambda a: _lazy("ssutools", "comparessu_main", a),
+    "findssu": lambda a: _lazy("ssutools", "findssu_main", a),
+    "filtersilva": lambda a: _lazy("ssutools", "filtersilva_main", a),
+    "reducesilva": lambda a: _lazy("ssutools", "reducesilva_main", a),
+    "addssu": lambda a: _lazy("ssutools", "addssu_main", a),
+    "idtree": lambda a: _lazy("ssutools", "idtree_main", a),
+    "trnaconsensus": lambda a: _lazy("ssutools", "trnaconsensus_main", a),
+    "runhmm": lambda a: _lazy("ssutools", "runhmm_main", a),
+    # servers: one ThreadingHTTPServer serves tax/sketch/clade/demux
+    # endpoints (the reference runs one process per service)
+    "demuxserver": _server,
+    "cladeserver": _server,
+    "ssuserver": _server,
+    "cladeloader": lambda a: _lazy("clade", "cladeloader_main", a),
+    # file/stream utilities
+    "unzip": lambda a: _lazy("fileutils", "unzip_main", a),
+    "cat": lambda a: _lazy("fileutils", "cat_main", a),
+    "copyfile": lambda a: _lazy("fileutils", "copyfile_main", a),
+    "textfile": lambda a: _lazy("fileutils", "textfile_main", a),
+    "filescan": lambda a: _lazy("fileutils", "filescan_main", a),
+    "printtime": lambda a: _lazy("fileutils", "printtime_main", a),
+    "stream": lambda a: _lazy("fileutils", "streamer_main", a),
+    "samstreamer": lambda a: _lazy("fileutils", "samstreamer_main", a),
+    "diskbench": lambda a: _lazy("fileutils", "diskbench_main", a),
+    "testfilesystem": lambda a: _lazy("fileutils", "testfilesystem_main", a),
+    "a_sample_mt": lambda a: _lazy("fileutils", "sample_mt_main", a),
 }
 
 

@@ -101,6 +101,64 @@ def classify(query: Clade, refs: list[Clade]):
     return scored
 
 
+def save_db(clades: list[Clade], path: str) -> None:
+    """CladeLoader role (clade/CladeLoader.java): persist reference
+    clade profiles as one .npz the server/classifier can load."""
+    arrs = {}
+    names = []
+    for i, c in enumerate(clades):
+        names.append(c.name)
+        arrs[f"gc_{i}"] = np.float64(c.gc)
+        arrs[f"bases_{i}"] = np.int64(c.bases)
+        for k in KS:
+            arrs[f"f{k}_{i}"] = c.freqs[k].astype(np.float32)
+    arrs["names"] = np.array(names)
+    np.savez_compressed(path, **arrs)
+
+
+def load_db(path: str) -> list[Clade]:
+    data = np.load(path, allow_pickle=False)
+    names = [str(n) for n in data["names"]]
+    out = []
+    for i, name in enumerate(names):
+        c = Clade(name)
+        c.gc = float(data[f"gc_{i}"])
+        c.bases = int(data[f"bases_{i}"])
+        for k in KS:
+            c.freqs[k] = data[f"f{k}_{i}"].astype(np.float64)
+        out.append(c)
+    return out
+
+
+def cladeloader_main(argv=None):
+    """cladeloader.sh -> clade.CladeLoader: build a clade profile DB
+    from reference fastas (one profile per file, or per=sequence for
+    one per record)."""
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    out = a.get("out", "db")
+    paths = [p.strip() for p in (a.get("ref", "in") or "").split(",")
+             if p.strip()]
+    if not out or not paths:
+        raise ValueError(
+            "Usage: cladeloader ref=a.fa,b.fa out=db.npz [per=file|sequence]")
+    per_seq = (a.get("per", default="file").lower() in
+               ("sequence", "seq", "record"))
+    clades = []
+    from ..core.dna import BASE_TO_CODE
+
+    for p in paths:
+        if per_seq:
+            for rec in iter_fasta(p):
+                clades.append(profile_codes(
+                    [BASE_TO_CODE[np.frombuffer(rec.seq, np.uint8)]],
+                    rec.name.decode(errors="replace")))
+        else:
+            clades.append(profile_fasta(p))
+    save_db(clades, out)
+    print(f"Saved {len(clades)} clade profiles to {out}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None):
     a = tokenize(argv if argv is not None else sys.argv[1:])
     refs = [
@@ -108,8 +166,10 @@ def main(argv=None):
         for p in (a.get("ref") or "").split(",")
         if p.strip()
     ]
+    if a.get("db"):
+        refs.extend(load_db(a.get("db")))
     if not refs:
-        raise ValueError("quickclade requires ref=a.fa,b.fa,...")
+        raise ValueError("quickclade requires ref=a.fa,b.fa,... or db=")
     in1 = a.get("in", "in1")
     out_rows = []
     for rec in iter_fasta(in1):

@@ -38,6 +38,11 @@ class ServerState:
         self.clades = []  # Clade profiles (QuickClade DB role)
 
     def add_clade_fasta(self, path: str):
+        if path.endswith(".npz"):  # cladeloader DB
+            from .clade import load_db
+
+            self.clades.extend(load_db(path))
+            return
         from .clade import profile_fasta
 
         self.clades.append(profile_fasta(path))
