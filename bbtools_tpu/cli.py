@@ -643,6 +643,23 @@ TOOLS = {
     "diskbench": lambda a: _lazy("fileutils", "diskbench_main", a),
     "testfilesystem": lambda a: _lazy("fileutils", "testfilesystem_main", a),
     "a_sample_mt": lambda a: _lazy("fileutils", "sample_mt_main", a),
+    # misc sequence/SAM/interval tools
+    "adjusthomopolymers": lambda a: _lazy(
+        "seqmisc", "adjusthomopolymers_main", a),
+    "restorebases": lambda a: _lazy("seqmisc", "restorebases_main", a),
+    "representative": lambda a: _lazy("seqmisc", "representative_main", a),
+    "bedset": lambda a: _lazy("seqmisc", "bedset_main", a),
+    "tagandmerge": lambda a: _lazy("seqmisc", "tagandmerge_main", a),
+    "processhi-c": lambda a: _lazy("seqmisc", "hic_junctions_main", a),
+    "synthmda": lambda a: _lazy("seqmisc", "synthmda_main", a),
+    "kmercountshort": lambda a: _lazy("seqmisc", "kmercountshort_main", a),
+    "kmerhashdump": lambda a: _lazy("seqmisc", "kmerhashdump_main", a),
+    "estherfilter": lambda a: _lazy("seqmisc", "estherfilter_main", a),
+    "renameref": lambda a: _lazy("seqmisc", "renameref_main", a),
+    "renamebymapping": lambda a: _lazy("seqmisc", "renamebymapping_main", a),
+    "renamecami": lambda a: _lazy("seqmisc", "renamecami_main", a),
+    "renameimg": lambda a: _lazy("seqmisc", "renameimg_main", a),
+    "renamebysketch": lambda a: _lazy("seqmisc", "renamebysketch_main", a),
 }
 
 
