@@ -660,6 +660,14 @@ TOOLS = {
     "renamecami": lambda a: _lazy("seqmisc", "renamecami_main", a),
     "renameimg": lambda a: _lazy("seqmisc", "renameimg_main", a),
     "renamebysketch": lambda a: _lazy("seqmisc", "renamebysketch_main", a),
+    # hiseq flowcell plumbing
+    "tiledump": lambda a: _lazy("hiseqtools", "tiledump_main", a),
+    "plotflowcell": lambda a: _lazy("hiseqtools", "plotflowcell_main", a),
+    "plothist": lambda a: _lazy("hiseqtools", "plothist_main", a),
+    "plotreadposition": lambda a: _lazy(
+        "hiseqtools", "plotreadposition_main", a),
+    "cg2illumina": lambda a: _lazy("hiseqtools", "cg2illumina_main", a),
+    "kapastats": lambda a: _lazy("hiseqtools", "kapastats_main", a),
 }
 
 
