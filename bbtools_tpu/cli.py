@@ -668,6 +668,16 @@ TOOLS = {
         "hiseqtools", "plotreadposition_main", a),
     "cg2illumina": lambda a: _lazy("hiseqtools", "cg2illumina_main", a),
     "kapastats": lambda a: _lazy("hiseqtools", "kapastats_main", a),
+    # PGM gene-model training/merging
+    "analyzegenes": lambda a: _lazy("pgmtrain", "analyzegenes_main", a),
+    "mergepgm": lambda a: _lazy("pgmtrain", "mergepgm_main", a),
+    # protein family
+    "proteinsearch": lambda a: _lazy("prottools", "proteinsearch_main", a),
+    "clusterproteins": lambda a: _lazy(
+        "prottools", "clusterproteins_main", a),
+    "markerfactory": lambda a: _lazy("prottools", "markerfactory_main", a),
+    "markervector": lambda a: _lazy("prottools", "markervector_main", a),
+    "magqc": lambda a: _lazy("prottools", "magqc_main", a),
 }
 
 
