@@ -678,6 +678,48 @@ TOOLS = {
     "markerfactory": lambda a: _lazy("prottools", "markerfactory_main", a),
     "markervector": lambda a: _lazy("prottools", "markervector_main", a),
     "magqc": lambda a: _lazy("prottools", "magqc_main", a),
+    # compositional scalars
+    "scalars": lambda a: _lazy("scalartools", "scalars_main", a),
+    "scalarintervals": lambda a: _lazy(
+        "scalartools", "scalarintervals_main", a),
+    "cloudplot": lambda a: _lazy("scalartools", "cloudplot_main", a),
+    # cardinality estimator harnesses (one accuracy sweep serves the
+    # FLL2/TTLL/DLC/LCHist/MantissaCompare/LowComplex research family)
+    "fll2simulate": lambda a: _lazy(
+        "research", "cardinality_sim_main", a, "fll2"),
+    "ttllsimulate": lambda a: _lazy(
+        "research", "cardinality_sim_main", a, "ttll"),
+    "dlctieraccuracy": lambda a: _lazy(
+        "research", "cardinality_sim_main", a, "dlctier"),
+    "trainlchist": lambda a: _lazy(
+        "research", "cardinality_sim_main", a, "lchist"),
+    "mantissacompare": lambda a: _lazy(
+        "research", "cardinality_sim_main", a, "mantissa"),
+    "lowcomplexcalibrate": lambda a: _lazy(
+        "research", "cardinality_sim_main", a, "lowcomplex"),
+    # ddl sketch pipeline (exact bottom-k engine serves the DDL contract)
+    "ddlwriter": lambda a: _lazy("research", "ddlwriter_main", a),
+    "ddlmerger": lambda a: _lazy("research", "ddlmerger_main", a),
+    "ddlcompare": lambda a: _lazy("research", "ddlcompare_main", a),
+    "ddlblacklist": lambda a: _lazy("research", "ddlblacklist_main", a),
+    "ddlcalibrate": lambda a: _lazy("research", "ddlcalibrate_main", a),
+    # ml extras
+    "calibrate": lambda a: _lazy("research", "calibrate_main", a),
+    "regressiontrainer": lambda a: _lazy(
+        "research", "regressiontrainer_main", a),
+    "rankingvectorizer": lambda a: _lazy(
+        "research", "rankingvectorizer_main", a),
+    # bin/ coverage + misc drivers
+    "covmaker": lambda a: _lazy("research", "covmaker_main", a),
+    "makequickbinvector": lambda a: _lazy(
+        "research", "makequickbinvector_main", a),
+    "matrixtocolumns": lambda a: _lazy(
+        "research", "matrixtocolumns_main", a),
+    "bloomfilterparser": lambda a: _lazy(
+        "research", "bloomfilterparser_main", a),
+    "processfrag": lambda a: _lazy("research", "processfrag_main", a),
+    "postfilter": lambda a: _lazy("research", "postfilter_main", a),
+    "reassemble": lambda a: _lazy("research", "reassemble_main", a),
 }
 
 
