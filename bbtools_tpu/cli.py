@@ -720,6 +720,25 @@ TOOLS = {
     "processfrag": lambda a: _lazy("research", "processfrag_main", a),
     "postfilter": lambda a: _lazy("research", "postfilter_main", a),
     "reassemble": lambda a: _lazy("research", "reassemble_main", a),
+    # launcher infra + log processing
+    "calcmem": lambda a: _lazy("fileutils", "calcmem_main", a),
+    "memdetect": lambda a: _lazy("fileutils", "calcmem_main", a),
+    "javasetup": lambda a: _lazy("fileutils", "javasetup_main", a),
+    "profile": lambda a: _lazy("fileutils", "profile_main", a),
+    "fix_script_paths": lambda a: _lazy(
+        "fileutils", "fix_script_paths_main", a),
+    "addx": lambda a: _lazy("fileutils", "addx_main", a),
+    "zz_rename_package": lambda a: _lazy(
+        "fileutils", "zz_rename_package_main", a),
+    "processspeed": lambda a: _lazy("fileutils", "processspeed_main", a),
+    "webcheck": lambda a: _lazy("fileutils", "webcheck_main", a),
+    "summarizecontam": lambda a: _lazy(
+        "fileutils", "summarizecontam_main", a),
+    "analyzesketchresults": lambda a: _lazy(
+        "fileutils", "analyzesketchresults_main", a),
+    # Illumina CBCL
+    "cbcl2text": lambda a: _lazy("illuminatools", "cbcl2text_main", a),
+    "bbcrisprfinder": lambda a: _lazy("crispr", "main", a),
 }
 
 
