@@ -29,7 +29,7 @@ from ..ops.overlap import (
     calc_min_overlap_by_entropy_np,
     expected_mismatches_np,
     mate_by_overlap_ratio_np,
-    overlap_counts_jnp,
+    overlap_counts,
     probability_np,
 )
 
@@ -209,13 +209,8 @@ class BBMerge:
         )
         good, bad, olen = (
             np.asarray(x)
-            for x in overlap_counts_jnp(
-                jnp.asarray(b1.bases),
-                jnp.asarray(b_rc),
-                jnp.asarray(alens),
-                jnp.asarray(blens),
-                p.min_insert0,
-                n_inserts,
+            for x in overlap_counts(
+                b1.bases, b_rc, alens, blens, p.min_insert0, n_inserts
             )
         )
         nn_stats = None

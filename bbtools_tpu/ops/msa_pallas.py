@@ -94,7 +94,7 @@ def _del_ext_cost(streak):
     )
 
 
-def _kernel(R, Cc, nd, traceback, reads_ref, lens_ref, refp_ref, init_ref1_ref,
+def _kernel(R, Cc, nd, traceback, reads_ref, lens_ref, enter_ref, init_ref1_ref,
             col0_ref, out_s_ref, out_c_ref, out_st_ref, *rest):
     if traceback:
         out_pl_ref = rest[0]
@@ -158,14 +158,12 @@ def _kernel(R, Cc, nd, traceback, reads_ref, lens_ref, refp_ref, init_ref1_ref,
     # ref1(d)[0] = entering code, ref1(d)[r] = ref1(d-1)[r-1]
     prev_ref1 = ref1_reg[:, :]
     ref0 = prev_ref1
-    # entering code refp[d+R+1], selected with an iota mask over the full
-    # padded row (no dynamic slice — Mosaic-friendly)
-    refp_row = refp_ref[:, :].astype(jnp.int32)  # [T, Lp]
-    lp_idx = jax.lax.broadcasted_iota(jnp.int32, refp_row.shape, 1)
-    enter = jnp.sum(
-        jnp.where(lp_idx == (d + R + 1), refp_row, _i32(0)), axis=1, keepdims=True,
-        dtype=jnp.int32,
-    )
+    # entering code refp[d+R+1], delivered as one [T, 1] column per grid
+    # step by the BlockSpec pipeline from the pre-sliced enter matrix
+    # (refp[:, R+3 : R+3+nd], shaped [nd, B, 1] so the block's last two
+    # dims satisfy Mosaic's divisible-or-equal rule) — no in-kernel
+    # extraction work at all
+    enter = enter_ref[0, :, :].astype(jnp.int32)
     ref1 = jnp.concatenate([enter, prev_ref1[:, :-1]], axis=1)
     ref1_reg[:, :] = ref1
 
@@ -312,6 +310,8 @@ def msa_fill_pallas(R: int, Cc: int, reads, read_lens, refp, tile: int = 8,
     # ref1 register init (diagonal 1): ref1(1)[r] = refp[R+2-r], r=0..R
     # (cols 2..R+2 reversed; the reverse runs in XLA, outside the kernel)
     init_ref1 = refp[:, 2 : W + 2][:, ::-1]
+    # entering code for step s (diagonal d = s+2) is refp[:, d + R + 1]
+    enter_mat = refp[:, R + 3 : R + 3 + nd].T[:, :, None]  # [nd, B, 1]
     grid = (B // tile, nd)
     kernel = partial(_kernel, R, Cc, nd, traceback)
     out_shape = [
@@ -340,7 +340,7 @@ def msa_fill_pallas(R: int, Cc: int, reads, read_lens, refp, tile: int = 8,
             pl.BlockSpec((tile, R), lambda i, s: (i, s - s), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i, s: (i, s - s), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tile, refp.shape[1]), lambda i, s: (i, s - s),
+                (1, tile, 1), lambda i, s: (s, i, i - i),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((tile, W), lambda i, s: (i, s - s), memory_space=pltpu.VMEM),
@@ -353,7 +353,7 @@ def msa_fill_pallas(R: int, Cc: int, reads, read_lens, refp, tile: int = 8,
     )(
         reads.astype(jnp.int32),
         read_lens.reshape(B, 1).astype(jnp.int32),
-        refp.astype(jnp.int32),
+        enter_mat.astype(jnp.int32),
         init_ref1.astype(jnp.int32),
         col0,
     )
@@ -385,7 +385,10 @@ def msa_fill_tb_auto(R: int, Cc: int, reads, read_lens, refs):
 
     B = reads.shape[0]
     if use_pallas():
-        tile = 8
+        # big tiles amortize per-grid-step overhead (the DP work per step
+        # is only [tile, R+1] of VPU ops); pick from a small static set so
+        # variable batch sizes hit a handful of compile cache entries
+        tile = 256 if B > 128 else (128 if B > 32 else (32 if B > 8 else 8))
         Bp = ((B + tile - 1) // tile) * tile
         if Bp != B:
             pad = Bp - B

@@ -112,6 +112,39 @@ def overlap_counts_jnp(a, b_rc, alens, blens, min_insert0: int, n_inserts: int):
     )
 
 
+def right_justify_np(b_rc: np.ndarray, blens: np.ndarray, L: int) -> np.ndarray:
+    """Host-side right-justification: b_rj[:, L-1-t] = b_rc[:, blen-1-t]
+    (identical to the device formulation in overlap_counts_jnp). Done on
+    the host so the TPU path never pays a per-element device gather."""
+    b_rc = np.asarray(b_rc)
+    blens = np.asarray(blens)
+    if b_rc.shape[1] == L and (blens == L).all():
+        return b_rc  # uniform full-length reads: already justified
+    i_idx = np.arange(L, dtype=np.int32)[None, :]
+    src = i_idx - (L - blens[:, None]).astype(np.int32)
+    return np.take_along_axis(b_rc, np.clip(src, 0, L - 1), axis=1)
+
+
+def overlap_counts(a, b_rc, alens, blens, min_insert0: int, n_inserts: int):
+    """Backend dispatcher: fused Pallas kernel on TPU (one HBM pass per
+    tile, right-justify on host), XLA insert scan elsewhere. Bit-identical
+    results. Accepts numpy or jax arrays; numpy is preferred on TPU (the
+    host prep avoids a device round-trip)."""
+    from .overlap_pallas import overlap_counts_pallas, use_pallas
+
+    if use_pallas():
+        import jax.numpy as jnp
+
+        bl = np.asarray(blens)
+        b_rj = right_justify_np(np.asarray(b_rc), bl, np.asarray(a).shape[1])
+        return overlap_counts_pallas(
+            jnp.asarray(np.asarray(a)), jnp.asarray(b_rj),
+            jnp.asarray(np.asarray(alens)), jnp.asarray(bl),
+            min_insert0, n_inserts, pre_justified=True,
+        )
+    return overlap_counts_jnp(a, b_rc, alens, blens, min_insert0, n_inserts)
+
+
 def find_best_ratio_np(
     good_c, bad_c, olen, alens, blens, min_insert0: int,
     min_overlap0, min_overlap, min_insert: int, max_ratio: float,

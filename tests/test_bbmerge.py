@@ -402,3 +402,28 @@ def test_overlap_counts_vs_original_semantics():
         np.testing.assert_array_equal(got[0][:, d], (match & (a < 4)).sum(1))
         np.testing.assert_array_equal(got[1][:, d], (valid & (a != bj)).sum(1))
         np.testing.assert_array_equal(got[2][:, d], valid.sum(1))
+
+
+def test_overlap_counts_pallas_equals_xla():
+    """The fused Pallas insert scan (interpret mode on CPU) must equal the
+    XLA scan bit-for-bit, including N codes, unequal lengths, and a batch
+    size that is not a multiple of the kernel tile."""
+    import numpy as np
+
+    from bbtools_tpu.ops.overlap_pallas import overlap_counts_pallas
+
+    rng2 = np.random.default_rng(7)
+    B, L = 77, 51
+    a = rng2.integers(0, 5, (B, L)).astype(np.uint8)
+    b = rng2.integers(0, 5, (B, L)).astype(np.uint8)
+    alens = rng2.integers(10, L + 1, B).astype(np.int32)
+    blens = rng2.integers(10, L + 1, B).astype(np.int32)
+    for min0, D in ((5, 2 * L - 8), (12, 40), (L + 3, 9)):
+        ref = [np.asarray(x) for x in overlap_counts_jnp(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(alens),
+            jnp.asarray(blens), min0, D)]
+        got = [np.asarray(x) for x in overlap_counts_pallas(
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(alens),
+            jnp.asarray(blens), min0, D, interpret=True)]
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(r, g)

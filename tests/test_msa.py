@@ -246,3 +246,35 @@ def test_pallas_traceback_matches_wavefront():
     po, pn = msa_walk(R, Cc, ppl, jnp.asarray(rlens), pc, pst)
     np.testing.assert_array_equal(np.asarray(xn), np.asarray(pn))
     np.testing.assert_array_equal(np.asarray(xo), np.asarray(po))
+
+
+def test_pallas_fill_big_tile():
+    """The multi-lane-tile configuration (tile=32, B not a tile multiple
+    pre-padding) matches the XLA path — covers the adaptive-tile sizes
+    msa_fill_tb_auto picks on TPU."""
+    import jax.numpy as jnp
+
+    from bbtools_tpu.ops.msa_pallas import msa_fill_pallas, prepare_refp
+
+    B, R, Cc = 32, 40, 72
+    rng2 = np.random.default_rng(11)
+    reads = np.zeros((B, R), np.uint8)
+    rlens = (24 + rng2.integers(0, R - 24, B)).astype(np.int32)
+    refs = rng2.integers(0, 4, (B, Cc)).astype(np.uint8)
+    for b in range(B):
+        rl = int(rlens[b])
+        reads[b, :rl] = refs[b, 3 : 3 + rl]
+        m = rng2.random(rl) < 0.1
+        reads[b, :rl][m] = (reads[b, :rl][m] + rng2.integers(1, 4, m.sum())) % 4
+    clens = np.full(B, Cc, np.int32)
+    ms, mc, mst = msa_fill_batch(
+        reads, rlens, refs, clens, np.zeros(B, np.int64), prune=False
+    )
+    refp = prepare_refp(refs, R)
+    ps, pc, pst = msa_fill_pallas(
+        R, Cc, jnp.asarray(reads), jnp.asarray(rlens), jnp.asarray(refp),
+        tile=32, interpret=True,
+    )
+    np.testing.assert_array_equal(ms, np.asarray(ps))
+    np.testing.assert_array_equal(mc, np.asarray(pc))
+    np.testing.assert_array_equal(mst, np.asarray(pst))
