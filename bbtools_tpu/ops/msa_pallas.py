@@ -96,6 +96,11 @@ def _del_ext_cost(streak):
 
 def _kernel(R, Cc, nd, traceback, reads_ref, lens_ref, enter_ref, init_ref1_ref,
             col0_ref, out_s_ref, out_c_ref, out_st_ref, *rest):
+    """Diagonal banks are double-buffered by STEP PARITY: bank A holds
+    diagonal d-1 on even steps and d-2 on odd steps (B the reverse), and
+    each step writes the new diagonal over the d-2 bank in place — no
+    rotation copies (12 plane writes + reads per step in the rotating
+    version, which dominated VMEM traffic)."""
     if traceback:
         out_pl_ref = rest[0]
         rest = rest[1:]
@@ -167,113 +172,144 @@ def _kernel(R, Cc, nd, traceback, reads_ref, lens_ref, enter_ref, init_ref1_ref,
     ref1 = jnp.concatenate([enter, prev_ref1[:, :-1]], axis=1)
     ref1_reg[:, :] = ref1
 
+    # everything below that does not read the diagonal banks is
+    # parity-independent and computed once
     in_range = (rr >= 1) & (c >= 1)
     match = (call1 == ref1) & (ref1 < 4)
     prev_match = (call0 == ref0) & (ref0 < 4)
-    s_diag = shift_row(sc_ms_s2[:, :])
-    s_del = shift_row(sc_del_s2[:, :])
-    s_ins = shift_row(sc_ins_s2[:, :])
-    streak = shift_row(sc_ms_t2[:, :])
-    m_sMS = jnp.where(
-        match,
-        s_diag + jnp.where(prev_match, _i32(C.POINTS_MATCH2), _i32(C.POINTS_MATCH)),
-        jnp.where(
-            (ref1 < 4) & (call1 < 4),
-            s_diag
-            + jnp.where(
-                prev_match,
-                jnp.where(streak <= 1, _i32(C.POINTS_SUBR), _i32(C.POINTS_SUB)),
-                _sub_array_cost(streak),
-            ),
-            s_diag + C.POINTS_NOCALL,
-        ),
-    )
-    m_sD = s_del + jnp.where(match, _i32(C.POINTS_MATCH), _i32(C.POINTS_SUB))
-    m_sI = s_ins + jnp.where(match, _i32(C.POINTS_MATCH), _i32(C.POINTS_SUB))
-    pick_ms = (m_sMS >= m_sD) & (m_sMS >= m_sI)
-    pick_d = ~pick_ms & (m_sD >= m_sI)
-    ms_score = jnp.where(pick_ms, m_sMS, jnp.where(pick_d, m_sD, m_sI))
-    ms_time = jnp.where(
-        pick_ms,
-        jnp.where(
-            match,
-            jnp.where(prev_match, streak + 1, _i32(1)),
-            jnp.where(prev_match, _i32(1), streak + 1),
-        ),
-        _i32(1),
-    )
-    p1_ms_s = sc_ms_s1[:, :]
-    p1_del_s = sc_del_s1[:, :]
-    p1_del_t = sc_del_t1[:, :]
-    p1_ins_s = sc_ins_s1[:, :]
-    p1_ins_t = sc_ins_t1[:, :]
-    d_sMS = p1_ms_s + C.POINTS_DEL
-    d_sD = p1_del_s + _del_ext_cost(p1_del_t)
     refn = ref1 >= 4
-    d_sMS = d_sMS + jnp.where(refn, _i32(C.POINTS_DEL_REF_N), _i32(0))
-    d_sD = d_sD + jnp.where(refn, _i32(C.POINTS_DEL_REF_N), _i32(0))
-    d_pick = d_sMS >= d_sD
-    del_score = jnp.where(d_pick, d_sMS, d_sD)
-    del_time = jnp.where(d_pick, _i32(1), p1_del_t + 1)
-    i_sMS = shift_row(p1_ms_s) + C.POINTS_INS
-    i_streak = shift_row(p1_ins_t)
-    i_sI = shift_row(p1_ins_s) + _ins_array_cost(i_streak)
-    i_pick = i_sMS >= i_sI
-    ins_score = jnp.where(i_pick, i_sMS, i_sI)
-    ins_time = jnp.where(i_pick, _i32(1), i_streak + 1)
-    if traceback:
-        # predecessor-state plane, identical encoding to the XLA fill:
-        # ms_prev | del_prev<<2 | ins_prev<<4 (picks computed pre-barrier,
-        # matching msa.py msa_fill traceback=True)
-        ms_prev = jnp.where(pick_ms, _i32(0), jnp.where(pick_d, _i32(1), _i32(2)))
-        del_prev = jnp.where(d_pick, _i32(0), _i32(1))
-        ins_prev = jnp.where(i_pick, _i32(0), _i32(2))
-        out_pl_ref[0, :, :] = ms_prev + del_prev * _i32(4) + ins_prev * _i32(16)
     del_barrier = (rr < C.BARRIER_D1) | (rr > B_D2)
     ins_barrier = ((rr < C.BARRIER_I1) & (c > 1)) | (
         (rr > B_I2) & (c < B_I2b)
     )
-    del_score = jnp.where(del_barrier, subfloor, del_score)
-    del_time = jnp.where(del_barrier, _i32(0), del_time)
-    ins_score = jnp.where(ins_barrier, subfloor, ins_score)
-    ins_time = jnp.where(ins_barrier, _i32(0), ins_time)
-    ms_time = jnp.where(ms_time > C.MAX_TIME, _i32(C.MAX_TIME - C.MASK5), ms_time)
-    del_time = jnp.where(del_time > C.MAX_TIME, _i32(C.MAX_TIME - C.MASK5), del_time)
-    ins_time = jnp.where(ins_time > C.MAX_TIME, _i32(C.MAX_TIME - C.MASK5), ins_time)
     bnd_s = jnp.where(
         c == 0,
         jnp.broadcast_to(col0v, (T, W)),
         jnp.where(rr == 0, _i32(0), _i32(NEG_BIG)),
     ).astype(jnp.int32)
     use_bnd = ~in_range
-    ms_score = jnp.where(use_bnd, bnd_s, ms_score)
-    del_score = jnp.where(use_bnd, bnd_s, del_score)
-    ins_score = jnp.where(use_bnd, bnd_s, ins_score)
-    ms_time = jnp.where(use_bnd, _i32(0), ms_time)
-    del_time = jnp.where(use_bnd, _i32(0), del_time)
-    ins_time = jnp.where(use_bnd, _i32(0), ins_time)
-    # final-row extraction: r == rows_b, c = d - rows_b
     fin_mask = rr == rows_b
     fin_c = d - rows_b[:, 0]
     valid_fin = (fin_c >= 1) & (fin_c <= Cc)
-    for st, s_plane in ((0, ms_score), (1, del_score), (2, ins_score)):
-        fs = jnp.max(jnp.where(fin_mask, s_plane, _i32(NEG_BIG)), axis=1)
-        cand = valid_fin & (fs > best_s[st, :])
-        best_s[st, :] = jnp.where(cand, fs, best_s[st, :])
-        best_c[st, :] = jnp.where(cand, fin_c, best_c[st, :])
-    # rotate diagonals: d-1 -> d-2, current -> d-1
-    sc_ms_s2[:, :] = p1_ms_s
-    sc_ms_t2[:, :] = sc_ms_t1[:, :]
-    sc_del_s2[:, :] = p1_del_s
-    sc_del_t2[:, :] = p1_del_t
-    sc_ins_s2[:, :] = p1_ins_s
-    sc_ins_t2[:, :] = p1_ins_t
-    sc_ms_s1[:, :] = ms_score
-    sc_ms_t1[:, :] = ms_time
-    sc_del_s1[:, :] = del_score
-    sc_del_t1[:, :] = del_time
-    sc_ins_s1[:, :] = ins_score
-    sc_ins_t1[:, :] = ins_time
+
+    def diag_step(q_ms_s, q_ms_t, q_del_s, q_del_t, q_ins_s, q_ins_t,
+                  p_ms_s_ref, p_del_s_ref, p_del_t_ref, p_ins_s_ref,
+                  p_ins_t_ref):
+        """Compute diagonal d from the d-1 bank (p refs) and d-2 bank
+        (q refs), writing the new diagonal over the q bank in place."""
+        s_diag = shift_row(q_ms_s[:, :])
+        s_del = shift_row(q_del_s[:, :])
+        s_ins = shift_row(q_ins_s[:, :])
+        streak = shift_row(q_ms_t[:, :])
+        m_sMS = jnp.where(
+            match,
+            s_diag
+            + jnp.where(prev_match, _i32(C.POINTS_MATCH2), _i32(C.POINTS_MATCH)),
+            jnp.where(
+                (ref1 < 4) & (call1 < 4),
+                s_diag
+                + jnp.where(
+                    prev_match,
+                    jnp.where(
+                        streak <= 1, _i32(C.POINTS_SUBR), _i32(C.POINTS_SUB)
+                    ),
+                    _sub_array_cost(streak),
+                ),
+                s_diag + C.POINTS_NOCALL,
+            ),
+        )
+        m_sD = s_del + jnp.where(match, _i32(C.POINTS_MATCH), _i32(C.POINTS_SUB))
+        m_sI = s_ins + jnp.where(match, _i32(C.POINTS_MATCH), _i32(C.POINTS_SUB))
+        pick_ms = (m_sMS >= m_sD) & (m_sMS >= m_sI)
+        pick_d = ~pick_ms & (m_sD >= m_sI)
+        ms_score = jnp.where(pick_ms, m_sMS, jnp.where(pick_d, m_sD, m_sI))
+        ms_time = jnp.where(
+            pick_ms,
+            jnp.where(
+                match,
+                jnp.where(prev_match, streak + 1, _i32(1)),
+                jnp.where(prev_match, _i32(1), streak + 1),
+            ),
+            _i32(1),
+        )
+        p1_ms_s = p_ms_s_ref[:, :]
+        p1_del_s = p_del_s_ref[:, :]
+        p1_del_t = p_del_t_ref[:, :]
+        p1_ins_s = p_ins_s_ref[:, :]
+        p1_ins_t = p_ins_t_ref[:, :]
+        d_sMS = p1_ms_s + C.POINTS_DEL
+        d_sD = p1_del_s + _del_ext_cost(p1_del_t)
+        d_sMS = d_sMS + jnp.where(refn, _i32(C.POINTS_DEL_REF_N), _i32(0))
+        d_sD = d_sD + jnp.where(refn, _i32(C.POINTS_DEL_REF_N), _i32(0))
+        d_pick = d_sMS >= d_sD
+        del_score = jnp.where(d_pick, d_sMS, d_sD)
+        del_time = jnp.where(d_pick, _i32(1), p1_del_t + 1)
+        i_sMS = shift_row(p1_ms_s) + C.POINTS_INS
+        i_streak = shift_row(p1_ins_t)
+        i_sI = shift_row(p1_ins_s) + _ins_array_cost(i_streak)
+        i_pick = i_sMS >= i_sI
+        ins_score = jnp.where(i_pick, i_sMS, i_sI)
+        ins_time = jnp.where(i_pick, _i32(1), i_streak + 1)
+        if traceback:
+            # predecessor-state plane, identical encoding to the XLA fill:
+            # ms_prev | del_prev<<2 | ins_prev<<4 (picks computed
+            # pre-barrier, matching msa.py msa_fill traceback=True)
+            ms_prev = jnp.where(
+                pick_ms, _i32(0), jnp.where(pick_d, _i32(1), _i32(2))
+            )
+            del_prev = jnp.where(d_pick, _i32(0), _i32(1))
+            ins_prev = jnp.where(i_pick, _i32(0), _i32(2))
+            out_pl_ref[0, :, :] = (
+                ms_prev + del_prev * _i32(4) + ins_prev * _i32(16)
+            )
+        del_score = jnp.where(del_barrier, subfloor, del_score)
+        del_time = jnp.where(del_barrier, _i32(0), del_time)
+        ins_score = jnp.where(ins_barrier, subfloor, ins_score)
+        ins_time = jnp.where(ins_barrier, _i32(0), ins_time)
+        ms_time = jnp.where(
+            ms_time > C.MAX_TIME, _i32(C.MAX_TIME - C.MASK5), ms_time
+        )
+        del_time = jnp.where(
+            del_time > C.MAX_TIME, _i32(C.MAX_TIME - C.MASK5), del_time
+        )
+        ins_time = jnp.where(
+            ins_time > C.MAX_TIME, _i32(C.MAX_TIME - C.MASK5), ins_time
+        )
+        ms_score = jnp.where(use_bnd, bnd_s, ms_score)
+        del_score = jnp.where(use_bnd, bnd_s, del_score)
+        ins_score = jnp.where(use_bnd, bnd_s, ins_score)
+        ms_time = jnp.where(use_bnd, _i32(0), ms_time)
+        del_time = jnp.where(use_bnd, _i32(0), del_time)
+        ins_time = jnp.where(use_bnd, _i32(0), ins_time)
+        # final-row extraction: r == rows_b, c = d - rows_b
+        for st, s_plane in ((0, ms_score), (1, del_score), (2, ins_score)):
+            fs = jnp.max(jnp.where(fin_mask, s_plane, _i32(NEG_BIG)), axis=1)
+            cand = valid_fin & (fs > best_s[st, :])
+            best_s[st, :] = jnp.where(cand, fs, best_s[st, :])
+            best_c[st, :] = jnp.where(cand, fin_c, best_c[st, :])
+        # the new diagonal replaces d-2 in place; banks swap roles next step
+        q_ms_s[:, :] = ms_score
+        q_ms_t[:, :] = ms_time
+        q_del_s[:, :] = del_score
+        q_del_t[:, :] = del_time
+        q_ins_s[:, :] = ins_score
+        q_ins_t[:, :] = ins_time
+
+    bank_a = (sc_ms_s1, sc_ms_t1, sc_del_s1, sc_del_t1, sc_ins_s1, sc_ins_t1)
+    bank_b = (sc_ms_s2, sc_ms_t2, sc_del_s2, sc_del_t2, sc_ins_s2, sc_ins_t2)
+
+    parity = jax.lax.rem(step, jnp.int32(2))
+
+    @pl.when(parity == jnp.int32(0))
+    def _even():
+        # d-1 in bank A, d-2 in bank B (init puts diag1 in A, diag0 in B)
+        diag_step(*bank_b, bank_a[0], bank_a[2], bank_a[3], bank_a[4],
+                  bank_a[5])
+
+    @pl.when(parity == jnp.int32(1))
+    def _odd():
+        diag_step(*bank_a, bank_b[0], bank_b[2], bank_b[3], bank_b[4],
+                  bank_b[5])
 
     @pl.when(step == nd - 1)
     def _finish():
