@@ -32,6 +32,7 @@ from ..ops.bbduk_scan import KScanConfig, credit_id, kscan_full, kscan_short
 from ..ops.entropy import EntropyModel
 from ..ops.kmer_index import BucketKmerIndex, build_ref_keys
 from ..ops.lane_index import LaneKmerIndex
+from ..ops.mm_match import MMKmerIndex
 from ..ops.kmers import mid_mask_len_default, middle_mask
 from ..ops.trim import apply_trim, optimal_trim_jnp
 
@@ -360,6 +361,23 @@ def load_reference(cfg: BBDukConfig):
     return scaffolds, names
 
 
+def _mm_eligible(cfg: BBDukConfig) -> bool:
+    """Configs the MXU matcher can serve exactly (mm_match docstring):
+    canonical queries (rcomp), no indel balls (edist), no query-side
+    mutation (qhdist), and — when speed>0 — no short-kmer classes (the
+    short-end scans apply no speed gate, so load-side sampling of shorts
+    cannot be reproduced scan-side)."""
+    return (
+        cfg.rcomp
+        and cfg.k <= 31
+        and cfg.edist == 0
+        and (cfg.edist2 or 0) == 0
+        and cfg.qhdist == 0
+        and (cfg.hdist > 0 or (cfg.hdist2 or 0) > 0)
+        and not (cfg.speed > 0 and cfg.use_short_kmers)
+    )
+
+
 def build_index(cfg: BBDukConfig):
     scaffolds, names = load_reference(cfg)
     keys, ids = build_ref_keys(
@@ -380,6 +398,21 @@ def build_index(cfg: BBDukConfig):
         # references keep the bucketed HBM table
         if LaneKmerIndex.supports(len(keys)):
             index = LaneKmerIndex.build(keys, ids)
+        if index is None and _mm_eligible(cfg):
+            # hdist-expanded panels that outgrow VMEM: the MXU matcher
+            # stores RAW keys (no x~70 hdist expansion) and resolves the
+            # hamming ball inside a one-hot matmul (ops/mm_match.py)
+            from ..ops.mm_match import MMKmerIndex
+
+            index = MMKmerIndex.build(
+                scaffolds,
+                cfg.k,
+                mink=cfg.mink if cfg.use_short_kmers else 0,
+                hdist=cfg.hdist,
+                hdist2=cfg.hdist2,
+                mid_mask=cfg.mid_mask_bits,
+                rcomp=cfg.rcomp,
+            )
         if index is None:
             index = BucketKmerIndex.build(keys, ids, pack=True)
     lengths = [len(s) for s in scaffolds]
@@ -411,12 +444,17 @@ class BBDuk:
                 qhdist=cfg.qhdist,
                 speed=cfg.speed,
                 qskip=cfg.qskip,
-                nb=self.index.nb if self.index else 64,
+                nb=getattr(self.index, "nb", 64),
                 packed=bool(getattr(self.index, "packed", False)),
                 rcomp=cfg.rcomp,
                 lane=(
                     self.index.static_params()
                     if isinstance(self.index, LaneKmerIndex)
+                    else None
+                ),
+                mxu=(
+                    self.index.static_params()
+                    if isinstance(self.index, MMKmerIndex)
                     else None
                 ),
             )

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from .kmer_index import BucketKmerIndex
 from .kmers import length_mask, rolling_kmers_jnp
 from .lane_index import LaneKmerIndex
+from .mm_match import mm_lookup_jnp
 
 BIG = jnp.int32(999999999)
 
@@ -47,12 +48,18 @@ class KScanConfig:
     #: when set, `table` holds (tlo, thi, tid) and lookups run the VMEM
     #: lane-gather kernel instead of HBM row-gathers
     lane: tuple | None = None
+    #: MMKmerIndex static params (k, mink, Kp, Dp); when set, `table`
+    #: holds (keymat, prio) and lookups run the MXU one-hot matmul
+    #: matcher (raw keys, in-kernel hdist) instead of gathers
+    mxu: tuple | None = None
 
     def resolved_minlen2(self) -> int:
         return self.minlen2 if self.minlen2 > 0 else self.k
 
 
 def _lookup(cfg: KScanConfig, table, keys):
+    if cfg.mxu is not None:
+        return mm_lookup_jnp(*table, *cfg.mxu, keys)
     if cfg.lane is not None:
         return LaneKmerIndex.lookup_jnp(*table, *cfg.lane, keys)
     keys_tbl, ids_tbl = table
