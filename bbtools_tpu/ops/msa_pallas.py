@@ -107,31 +107,35 @@ def _kernel(R, Cc, nd, traceback, reads_ref, lens_ref, enter_ref, init_ref1_ref,
     (sc_ms_s1, sc_ms_t1, sc_del_s1, sc_del_t1, sc_ins_s1, sc_ins_t1,
      sc_ms_s2, sc_ms_t2, sc_del_s2, sc_del_t2, sc_ins_s2, sc_ins_t2,
      ref1_reg, best_s, best_c) = rest
-    T = reads_ref.shape[0]
+    # TRANSPOSED plane layout [W, T]: the wavefront row dim rides the
+    # sublane axis (W=R+1 pads only to a multiple of 8) and tasks ride
+    # the 128-lane axis — the [T, W] layout padded W to a multiple of
+    # 128 lanes, wasting ~40% of every vector op for R=151
+    T = reads_ref.shape[1]
     W = R + 1
     step = pl.program_id(1)
     d = step + 2  # diagonal index
-    rr = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
-    col0v = col0_ref[:, :]  # [1, W]
-    rows_b = lens_ref[:, 0][:, None]  # [T, 1]
+    rr = jax.lax.broadcasted_iota(jnp.int32, (W, T), 0)
+    col0v = col0_ref[:, :]  # [W, 1]
+    rows_b = lens_ref[0:1, :]  # [1, T]
     B_I2 = rows_b - C.BARRIER_I1
     B_D2 = rows_b - C.BARRIER_D1
     B_I2b = Cc - 1
 
     call1 = jnp.concatenate(
-        [jnp.full((T, 1), 99, jnp.int32), reads_ref[:, :].astype(jnp.int32)],
-        axis=1,
+        [jnp.full((1, T), 99, jnp.int32), reads_ref[:, :].astype(jnp.int32)],
+        axis=0,
     )
     call0 = jnp.concatenate(
-        [jnp.full((T, 2), 98, jnp.int32), reads_ref[:, :-1].astype(jnp.int32)],
-        axis=1,
+        [jnp.full((2, T), 98, jnp.int32), reads_ref[:-1, :].astype(jnp.int32)],
+        axis=0,
     )
 
     def init_diag(dd):
         c = dd - rr
         return jnp.where(
             c == 0,
-            jnp.broadcast_to(col0v, (T, W)),
+            jnp.broadcast_to(col0v, (W, T)),
             jnp.where(rr == 0, _i32(0), _i32(NEG_BIG)),
         ).astype(jnp.int32)
 
@@ -139,7 +143,7 @@ def _kernel(R, Cc, nd, traceback, reads_ref, lens_ref, enter_ref, init_ref1_ref,
     def _init():
         s0 = init_diag(0)
         s1 = init_diag(1)
-        z = jnp.zeros((T, W), jnp.int32)
+        z = jnp.zeros((W, T), jnp.int32)
         for ref_, val in (
             (sc_ms_s2, s0), (sc_del_s2, s0), (sc_ins_s2, s0),
             (sc_ms_s1, s1), (sc_del_s1, s1), (sc_ins_s1, s1),
@@ -152,24 +156,24 @@ def _kernel(R, Cc, nd, traceback, reads_ref, lens_ref, enter_ref, init_ref1_ref,
             best_s[st, :] = jnp.full((T,), NEG_BIG, jnp.int32)
             best_c[st, :] = jnp.full((T,), -1, jnp.int32)
 
-    maxgain = (rows_b[:, 0] - 1) * C.POINTS_MATCH2 + C.POINTS_MATCH
-    subfloor = (-2 * maxgain)[:, None]
+    maxgain = (rows_b[0:1, :] - 1) * C.POINTS_MATCH2 + C.POINTS_MATCH
+    subfloor = -2 * maxgain  # [1, T]
 
     def shift_row(x):
-        return jnp.concatenate([jnp.zeros((T, 1), x.dtype), x[:, :-1]], axis=1)
+        return jnp.concatenate([jnp.zeros((1, T), x.dtype), x[:-1, :]], axis=0)
 
     c = d - rr
     # advance the ref shift registers: ref0(d) = ref1(d-1);
     # ref1(d)[0] = entering code, ref1(d)[r] = ref1(d-1)[r-1]
     prev_ref1 = ref1_reg[:, :]
     ref0 = prev_ref1
-    # entering code refp[d+R+1], delivered as one [T, 1] column per grid
+    # entering code refp[d+R+1], delivered as one [1, T] row per grid
     # step by the BlockSpec pipeline from the pre-sliced enter matrix
-    # (refp[:, R+3 : R+3+nd], shaped [nd, B, 1] so the block's last two
+    # (refp[:, R+3 : R+3+nd], shaped [nd, 1, B] so the block's last two
     # dims satisfy Mosaic's divisible-or-equal rule) — no in-kernel
     # extraction work at all
-    enter = enter_ref[0, :, :].astype(jnp.int32)
-    ref1 = jnp.concatenate([enter, prev_ref1[:, :-1]], axis=1)
+    enter = enter_ref[0, :, :].astype(jnp.int32)  # [1, T]
+    ref1 = jnp.concatenate([enter, prev_ref1[:-1, :]], axis=0)
     ref1_reg[:, :] = ref1
 
     # everything below that does not read the diagonal banks is
@@ -184,12 +188,12 @@ def _kernel(R, Cc, nd, traceback, reads_ref, lens_ref, enter_ref, init_ref1_ref,
     )
     bnd_s = jnp.where(
         c == 0,
-        jnp.broadcast_to(col0v, (T, W)),
+        jnp.broadcast_to(col0v, (W, T)),
         jnp.where(rr == 0, _i32(0), _i32(NEG_BIG)),
     ).astype(jnp.int32)
     use_bnd = ~in_range
     fin_mask = rr == rows_b
-    fin_c = d - rows_b[:, 0]
+    fin_c = d - rows_b[0, :]
     valid_fin = (fin_c >= 1) & (fin_c <= Cc)
 
     def diag_step(q_ms_s, q_ms_t, q_del_s, q_del_t, q_ins_s, q_ins_t,
@@ -283,7 +287,7 @@ def _kernel(R, Cc, nd, traceback, reads_ref, lens_ref, enter_ref, init_ref1_ref,
         ins_time = jnp.where(use_bnd, _i32(0), ins_time)
         # final-row extraction: r == rows_b, c = d - rows_b
         for st, s_plane in ((0, ms_score), (1, del_score), (2, ins_score)):
-            fs = jnp.max(jnp.where(fin_mask, s_plane, _i32(NEG_BIG)), axis=1)
+            fs = jnp.max(jnp.where(fin_mask, s_plane, _i32(NEG_BIG)), axis=0)
             cand = valid_fin & (fs > best_s[st, :])
             best_s[st, :] = jnp.where(cand, fs, best_s[st, :])
             best_c[st, :] = jnp.where(cand, fin_c, best_c[st, :])
@@ -342,12 +346,12 @@ def msa_fill_pallas(R: int, Cc: int, reads, read_lens, refp, tile: int = 8,
     B = reads.shape[0]
     W = R + 1
     nd = R + Cc - 1  # diagonals 2 .. R+Cc
-    col0 = jnp.asarray(col0_scores(R), dtype=jnp.int32).reshape(1, W)
+    col0 = jnp.asarray(col0_scores(R), dtype=jnp.int32).reshape(W, 1)
     # ref1 register init (diagonal 1): ref1(1)[r] = refp[R+2-r], r=0..R
     # (cols 2..R+2 reversed; the reverse runs in XLA, outside the kernel)
-    init_ref1 = refp[:, 2 : W + 2][:, ::-1]
+    init_ref1 = refp[:, 2 : W + 2][:, ::-1].T  # [W, B]
     # entering code for step s (diagonal d = s+2) is refp[:, d + R + 1]
-    enter_mat = refp[:, R + 3 : R + 3 + nd].T[:, :, None]  # [nd, B, 1]
+    enter_mat = refp[:, R + 3 : R + 3 + nd].T[:, None, :]  # [nd, 1, B]
     grid = (B // tile, nd)
     kernel = partial(_kernel, R, Cc, nd, traceback)
     out_shape = [
@@ -360,42 +364,45 @@ def msa_fill_pallas(R: int, Cc: int, reads, read_lens, refp, tile: int = 8,
         for _ in range(3)
     ]
     if traceback:
-        out_shape.append(jax.ShapeDtypeStruct((nd, B, W), jnp.int32))
+        # planes land transposed [nd, W, B]; un-transposed to the
+        # msa_walk layout [nd, B, W] in XLA on return
+        out_shape.append(jax.ShapeDtypeStruct((nd, W, B), jnp.int32))
         out_specs.append(
             pl.BlockSpec(
-                (1, tile, W), lambda i, s: (s, i, i - i), memory_space=pltpu.VMEM
+                (1, W, tile), lambda i, s: (s, i - i, i),
+                memory_space=pltpu.VMEM,
             )
         )
-    scr = [pltpu.VMEM((tile, W), jnp.int32) for _ in range(12)]
-    scr += [pltpu.VMEM((tile, W), jnp.int32)]  # ref1 shift register
+    scr = [pltpu.VMEM((W, tile), jnp.int32) for _ in range(12)]
+    scr += [pltpu.VMEM((W, tile), jnp.int32)]  # ref1 shift register
     scr += [pltpu.VMEM((3, tile), jnp.int32), pltpu.VMEM((3, tile), jnp.int32)]
     res = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, R), lambda i, s: (i, s - s), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i, s: (i, s - s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, tile), lambda i, s: (s - s, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i, s: (s - s, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, tile, 1), lambda i, s: (s, i, i - i),
+                (1, 1, tile), lambda i, s: (s, s - s, i),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((tile, W), lambda i, s: (i, s - s), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W), lambda i, s: (i - i, s - s), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, tile), lambda i, s: (s - s, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 1), lambda i, s: (s - s, s - s), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scr,
         interpret=interpret,
     )(
-        reads.astype(jnp.int32),
-        read_lens.reshape(B, 1).astype(jnp.int32),
+        reads.astype(jnp.int32).T,
+        read_lens.reshape(1, B).astype(jnp.int32),
         enter_mat.astype(jnp.int32),
         init_ref1.astype(jnp.int32),
         col0,
     )
     out = tuple(r[:, 0] for r in res[:3])
     if traceback:
-        return out + (res[3].astype(jnp.uint8),)
+        return out + (jnp.transpose(res[3], (0, 2, 1)).astype(jnp.uint8),)
     return out
 
 
@@ -421,10 +428,13 @@ def msa_fill_tb_auto(R: int, Cc: int, reads, read_lens, refs):
 
     B = reads.shape[0]
     if use_pallas():
-        # big tiles amortize per-grid-step overhead (the DP work per step
-        # is only [tile, R+1] of VPU ops); pick from a small static set so
-        # variable batch sizes hit a handful of compile cache entries
-        tile = 256 if B > 128 else (128 if B > 32 else (32 if B > 8 else 8))
+        # tile = lanes per grid step; 128 measured fastest at B=512 in the
+        # transposed layout (11.5G cells/s vs 10.9G at 256, in-graph
+        # slope timing). Tiles below 128 lanes are legal only when
+        # tile == padded batch (block == array dim), which the padding
+        # below guarantees. Small static set -> a handful of compile
+        # cache entries
+        tile = 128 if B > 32 else (32 if B > 8 else 8)
         Bp = ((B + tile - 1) // tile) * tile
         if Bp != B:
             pad = Bp - B

@@ -1,11 +1,21 @@
 """Benchmark suite: the five BASELINE.json configs on one TPU chip.
 
-Each section times DEVICE COMPUTE steady-state (jit-compiled, warmed,
-block_until_ready) and the host->device TRANSFER rate separately, because
-the dev harness reaches the chip through a slow tunnel; BASELINE.md
-records both so the compute numbers are not conflated with link speed.
-An end-to-end BBDuk row (real gzipped FASTQ from disk -> FastqReader ->
-device scan -> trimmed FASTQ out) is also reported.
+Each section times DEVICE COMPUTE steady-state and the host->device
+TRANSFER rate separately, because the dev harness reaches the chip
+through a slow tunnel; BASELINE.md records both so the compute numbers
+are not conflated with link speed. An end-to-end BBDuk row (real gzipped
+FASTQ from disk -> FastqReader -> device scan -> trimmed FASTQ out) is
+also reported.
+
+TIMING METHODOLOGY: on TPU every device row uses the in-graph slope
+(bbtools_tpu/utils/chaintime.slope_time) — M chained invocations inside
+one fori_loop with per-iteration input rolls, completion forced by a
+scalar checksum pull, per-step time taken as the slope between two M
+values. Per-dispatch wall timing through this harness measures the
+tunnel (~20 ms dispatch floor; block_until_ready returns at dispatch
+acknowledgement, and identical executions can be served from a cache),
+not the device; the slope cancels dispatch, RTT, caching, and compile
+exactly.
 
 Baselines are the reference's OWN published numbers (no JVM in this
 image; derivations recorded in BASELINE.md):
@@ -38,6 +48,12 @@ def _rng():
     return np.random.default_rng(42)
 
 
+def _on_tpu():
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
+
+
 def make_reads(rng, batch=BATCH, L=READ_LEN, adapter=None):
     bases = rng.integers(0, 4, (batch, L)).astype(np.uint8)
     if adapter is not None:
@@ -51,48 +67,72 @@ def make_reads(rng, batch=BATCH, L=READ_LEN, adapter=None):
     return bases, lengths
 
 
-def timeit(fn, warmup=2, iters=8):
+def timeit_host(fn, warmup=1, iters=4):
+    """Host-path wall timing (CPU backend or pure-numpy sections)."""
     import jax
 
     for _ in range(warmup):
         r = fn()
     jax.block_until_ready(r)
     t0 = time.perf_counter()
-    rs = []
     for _ in range(iters):
-        rs.append(fn())
-        if len(rs) > 2:
-            rs.pop(0)
-    jax.block_until_ready(rs)
+        jax.block_until_ready(fn())
     return (time.perf_counter() - t0) / iters
+
+
+def step_time(step_fn, m1=4, m2=12):
+    """Per-invocation device time; see module docstring. step_fn(i) must
+    make its work depend on the traced index i (roll an input)."""
+    from bbtools_tpu.utils.chaintime import slope_time
+
+    return slope_time(step_fn, m1=m1, m2=m2)
 
 
 def bench_transfer():
     """Host->device link rate for a packed read batch (quantifies the
-    tunnel bottleneck; on a real TPU host this is PCIe)."""
+    tunnel bottleneck; on a real TPU host this is PCIe). Completion is
+    forced by a device checksum over every staged buffer + scalar pull;
+    the scalar-pull RTT is measured separately and subtracted."""
     import jax
+    import jax.numpy as jnp
 
     from bbtools_tpu.ops.encode import pack_bases_np
+    from bbtools_tpu.utils.chaintime import rtt_seconds
 
     rng = _rng()
     bases, lengths = make_reads(rng)
     packed, nmask = pack_bases_np(bases)
     nbytes = packed.nbytes + nmask.nbytes + lengths.nbytes
+    iters = 4
+    variants = [
+        (np.roll(packed, i, axis=0), np.roll(nmask, i, axis=0), lengths)
+        for i in range(iters + 1)
+    ]
 
-    def step():
-        return (
-            jax.device_put(packed),
-            jax.device_put(nmask),
-            jax.device_put(lengths),
+    @jax.jit
+    def chk(bufs):
+        return sum(
+            jnp.sum(b, dtype=jnp.int32) for trio in bufs for b in trio
         )
 
-    dt = timeit(step, warmup=1, iters=4)
-    return {"bytes_per_sec": nbytes / dt, "batch_bytes": nbytes}
+    # warm: one put + forced pull
+    int(chk([tuple(map(jax.device_put, variants[-1]))]))
+    rtt = rtt_seconds()
+    t0 = time.perf_counter()
+    staged = [tuple(map(jax.device_put, v)) for v in variants[:iters]]
+    int(chk(staged))
+    dt = (time.perf_counter() - t0 - rtt) / iters
+    return {
+        "bytes_per_sec": nbytes / dt,
+        "batch_bytes": nbytes,
+        "rtt_ms": round(rtt * 1e3, 1),
+    }
 
 
 def _bbduk_device_for_panel(scaffolds):
-    """Build the production device step for a reference panel; returns
-    (step_fn, index_name)."""
+    """Build the production device step for a reference panel, mirroring
+    models/bbduk.build_index backend selection (lane -> MXU matmul ->
+    packed bucket); returns (step_fn, index_name, n_keys)."""
     import jax
     import jax.numpy as jnp
 
@@ -100,6 +140,7 @@ def _bbduk_device_for_panel(scaffolds):
     from bbtools_tpu.ops.encode import unpack_bases_jnp
     from bbtools_tpu.ops.kmer_index import BucketKmerIndex, build_ref_keys
     from bbtools_tpu.ops.lane_index import LaneKmerIndex
+    from bbtools_tpu.ops.mm_match import MMKmerIndex
 
     k = 23
     keys, ids = build_ref_keys(scaffolds, k, mink=11, hdist=1)
@@ -111,8 +152,12 @@ def _bbduk_device_for_panel(scaffolds):
     if idx is not None:
         cfg = KScanConfig(k=k, mink=11, lane=idx.static_params())
     else:
-        idx = BucketKmerIndex.build(keys, ids, pack=True)
-        cfg = KScanConfig(k=k, mink=11, nb=idx.nb, packed=idx.packed)
+        idx = MMKmerIndex.build(scaffolds, k, mink=11, hdist=1)
+        if idx is not None:
+            cfg = KScanConfig(k=k, mink=11, mxu=idx.static_params())
+        else:
+            idx = BucketKmerIndex.build(keys, ids, pack=True)
+            cfg = KScanConfig(k=k, mink=11, nb=idx.nb, packed=idx.packed)
     table = idx.device_arrays()
 
     @jax.jit
@@ -130,10 +175,9 @@ def bench_bbduk_device():
     """Config #1: adapter scan k=23 mink=11 hdist=1 ktrim=r, device only —
     the production fused scan graph (full + short + verdict in one
     dispatch), at BOTH panel scales: one adapter (VMEM lane index) and
-    the full bundled adapters.fa (packed HBM bucket index)."""
+    the full bundled adapters.fa (MXU matmul matcher)."""
     import os
 
-    import jax
     import jax.numpy as jnp
 
     from bbtools_tpu.core.dna import encode
@@ -155,7 +199,12 @@ def bench_bbduk_device():
     panels["adapters_fa"] = [encode(r.seq) for r in iter_fasta(res)]
     for name, scafs in panels.items():
         step_fn, idx_name, n_keys = _bbduk_device_for_panel(scafs)
-        dt = timeit(lambda: step_fn(dp, dn, dl))
+        if _on_tpu():
+            dt = step_time(
+                lambda i: step_fn(jnp.roll(dp, i, axis=0), dn, dl)
+            )
+        else:
+            dt = timeit_host(lambda: step_fn(dp, dn, dl))
         out[name] = {
             "reads_per_sec": BATCH / dt,
             "bases_per_sec": BATCH * READ_LEN / dt,
@@ -171,7 +220,9 @@ def bench_bbduk_device():
 def bench_bbduk_end_to_end(tmpdir):
     """Config #1 end-to-end: gzipped FASTQ on disk -> FastqReader (native
     codec) -> device scan/trim -> FASTQ out. Includes ALL host work and
-    the tunnel transfer; the honest user-visible rate in this harness."""
+    the tunnel dispatch latency; the honest user-visible rate in this
+    harness (dominated by per-batch dispatch RTT here, not on a real
+    TPU host)."""
     import gzip
     import os
 
@@ -213,7 +264,6 @@ def bench_kmercount():
     """Config #2: exact k=31 counting — the production count_batch path
     (all-device sort-reduce on TPU, device extraction + host sort on
     CPU; the function dispatches on platform)."""
-    import jax
     import jax.numpy as jnp
 
     from bbtools_tpu.ops.kmer_count import (
@@ -226,58 +276,41 @@ def bench_kmercount():
     bases, lengths = make_reads(rng, batch=BATCH // 2)
     reads = BATCH // 2
 
-    if jax.devices()[0].platform == "cpu":
-        dt = timeit(
-            lambda: count_batch(bases, lengths, 31), warmup=1, iters=4
-        )
+    if not _on_tpu():
+        dt = timeit_host(lambda: count_batch(bases, lengths, 31))
         return {
             "reads_per_sec": reads / dt,
             "bases_per_sec": reads * READ_LEN / dt,
             "kmers_per_sec": reads * (READ_LEN - 30) / dt,
         }
 
-    # TPU: separate device compute from the spectrum read-back — the
-    # dev-harness tunnel (~28 MB/s) makes the ~16 MB result transfer
-    # dominate, which measures the link, not the architecture.
     db, dl = jnp.asarray(bases), jnp.asarray(lengths)
-    INNER = 16  # chained in-graph iterations: defeats the tunnel's
-    # async-caching on sub-ms timings (only large warmed runs are
-    # trustworthy through the dev harness link)
+
+    def dev_step(i):
+        keys = batch_kmers_jnp(jnp.roll(db, i, axis=0), dl, 31)
+        v, c, n = sort_reduce(keys)
+        return v[:8], c[:8], n
+
+    dt_dev = step_time(dev_step)
+
+    # spectrum read-back row: wall including the device->host transfer of
+    # the counted spectrum (~16 MB through the tunnel)
+    import jax
 
     @jax.jit
     def compute(db, dl):
         keys = batch_kmers_jnp(db, dl, 31)
         return sort_reduce(keys)
 
-    @jax.jit
-    def compute_chained(db, dl, salt):
-        import jax.lax as lax
-
-        def body(i, acc):
-            keys = batch_kmers_jnp(jnp.roll(db, i + salt, axis=0), dl, 31)
-            _, _, n = sort_reduce(keys)
-            return (acc + n).astype(jnp.int32)
-
-        return lax.fori_loop(0, INNER, body, jnp.int32(0))
-
-    call_no = [0]
-
-    def dev_only():
-        # distinct salt per call: the tunnel serves repeated identical
-        # executions from a cache, which would time nothing
-        call_no[0] += 1
-        jax.block_until_ready(
-            compute_chained(db, dl, jnp.int32(call_no[0]))
-        )
-
-    dt_dev = timeit(dev_only, warmup=1, iters=2) / INNER
-
     def with_transfer():
         v, c, n = compute(db, dl)
         nn = int(n)
         np.asarray(v[:nn]), np.asarray(c[:nn])
 
-    dt_all = timeit(with_transfer, warmup=1, iters=2)
+    with_transfer()
+    t0 = time.perf_counter()
+    with_transfer()
+    dt_all = time.perf_counter() - t0
     return {
         "reads_per_sec": reads / dt_dev,
         "bases_per_sec": reads * READ_LEN / dt_dev,
@@ -325,10 +358,12 @@ def bench_bbmerge():
         best = jnp.argmin(ratio, axis=1)
         return best, jnp.take_along_axis(g, best[:, None], 1)
 
-    def step():
-        return step_fn(da, dbb, dal, dbl)
-
-    dt = timeit(step)
+    if _on_tpu():
+        dt = step_time(
+            lambda i: step_fn(jnp.roll(da, i, axis=0), dbb, dal, dbl)
+        )
+    else:
+        dt = timeit_host(lambda: step_fn(da, dbb, dal, dbl))
     return {
         "pairs_per_sec": B / dt,
         "bases_per_sec": B * 2 * READ_LEN / dt,
@@ -338,9 +373,7 @@ def bench_bbmerge():
 def bench_bbmap_msa():
     """Config #3 hot loop: banded-window MSA fill with traceback planes
     (the per-site scoring kernel behind bbmap -> SAM), Pallas on TPU."""
-    import jax
-
-    from bbtools_tpu.ops.msa_pallas import msa_fill_tb_auto
+    import jax.numpy as jnp
 
     rng = _rng()
     B = 512
@@ -354,12 +387,27 @@ def bench_bbmap_msa():
     mut = rng.integers(0, R, (B, 3))
     for j in range(3):
         refs[np.arange(B), 12 + mut[:, j]] ^= 1
-
-    def step():
-        return msa_fill_tb_auto(R, Cc, reads, read_lens, refs)
-
-    dt = timeit(step, warmup=2, iters=4)
     cells = B * R * Cc
+
+    if _on_tpu():
+        from bbtools_tpu.ops.msa_pallas import msa_fill_pallas, prepare_refp
+
+        jr = jnp.asarray(reads)
+        jl = jnp.asarray(read_lens)
+        jp = jnp.asarray(prepare_refp(refs, R))
+        dt = step_time(
+            lambda i: msa_fill_pallas(
+                R, Cc, jnp.roll(jr, i, axis=0), jl,
+                jnp.roll(jp, i, axis=0), tile=128, traceback=True,
+            )
+        )
+    else:
+        from bbtools_tpu.ops.msa_pallas import msa_fill_tb_auto
+
+        dt = timeit_host(
+            lambda: msa_fill_tb_auto(R, Cc, reads, read_lens, refs),
+            warmup=2, iters=4,
+        )
     return {
         "alignments_per_sec": B / dt,
         "cells_per_sec": cells / dt,
@@ -394,7 +442,7 @@ def main():
     import jax
 
     platform = jax.devices()[0].platform
-    extras = {"platform": platform}
+    extras = {"platform": platform, "timing": "in-graph slope (chaintime)"}
     sections = [
         ("transfer", bench_transfer),
         ("bbduk_device", bench_bbduk_device),

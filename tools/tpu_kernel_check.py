@@ -1,8 +1,15 @@
-"""On-chip validation + timing for the fused overlap and MSA kernels.
+"""On-chip validation + timing for the fused overlap/MSA kernels and the
+MXU k-mer matcher.
 
 Run on the real TPU (background; compiles take minutes through the
 tunnel):
   PYTHONPATH=/root/repo:/root/.axon_site python tools/tpu_kernel_check.py
+
+All timings use the in-graph slope method (bbtools_tpu/utils/chaintime.py):
+per-dispatch wall timing through this harness measures the tunnel
+(~20 ms dispatch floor, block_until_ready returns at dispatch), not the
+device — the slope of a chained fori_loop is the only dispatch-,
+cache- and RTT-immune number.
 """
 
 import sys
@@ -13,27 +20,14 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def timeit(fn, warmup=2, iters=6):
-    import jax
-
-    for _ in range(warmup):
-        r = fn()
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    rs = []
-    for _ in range(iters):
-        rs.append(fn())
-        if len(rs) > 2:
-            rs.pop(0)
-    jax.block_until_ready(rs)
-    return (time.perf_counter() - t0) / iters
-
-
 def main():
     import jax
     import jax.numpy as jnp
 
+    from bbtools_tpu.utils.chaintime import rtt_seconds, slope_time
+
     print("platform:", jax.devices()[0].platform, flush=True)
+    print(f"harness scalar-pull RTT {rtt_seconds()*1e3:.1f} ms", flush=True)
     rng = np.random.default_rng(42)
 
     # ---- overlap kernel ----
@@ -65,9 +59,17 @@ def main():
         np.testing.assert_array_equal(r, g)
     print("overlap: EQUAL on chip (host right-justify "
           f"{t_just*1e3:.2f} ms)", flush=True)
-    dt_x = timeit(lambda: overlap_counts_jnp(da, db, dal, dbl, 24, D))
-    dt_p = timeit(lambda: overlap_counts_pallas(
-        da, db_rj, dal, dbl, 24, D, pre_justified=True))
+    dt_x = slope_time(
+        lambda i: overlap_counts_jnp(
+            jnp.roll(da, i, axis=0), db, jnp.roll(dal, i), dbl, 24, D
+        )
+    )
+    dt_p = slope_time(
+        lambda i: overlap_counts_pallas(
+            jnp.roll(da, i, axis=0), db_rj, jnp.roll(dal, i), dbl, 24, D,
+            pre_justified=True,
+        )
+    )
     print(
         f"overlap XLA {dt_x*1e3:.2f} ms  Pallas {dt_p*1e3:.2f} ms  "
         f"speedup {dt_x/dt_p:.2f}x  pairs/s {B/dt_p:,.0f}",
@@ -104,21 +106,144 @@ def main():
     for x, y in zip(sx[:3], s256[:3]):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     print("msa: tile=256 == XLA on chip", flush=True)
-    print("compiling msa tile=8...", flush=True)
-    dt8 = timeit(
-        lambda: msa_fill_pallas(R, Cc, jr, jl, jp, tile=8, traceback=True),
-        warmup=1, iters=3,
-    )
-    dt256 = timeit(
-        lambda: msa_fill_pallas(R, Cc, jr, jl, jp, tile=256, traceback=True),
-        warmup=1, iters=3,
-    )
     cells = Bm * R * Cc
+    for tile in (128, 256):
+        dt = slope_time(
+            lambda i: msa_fill_pallas(
+                R, Cc, jnp.roll(jr, i, axis=0), jl, jnp.roll(jp, i, axis=0),
+                tile=tile, traceback=True,
+            )
+        )
+        print(
+            f"msa pallas tile={tile} {dt*1e3:.3f} ms  "
+            f"cells/s {cells/dt:,.0f}",
+            flush=True,
+        )
+    # XLA wavefront scan path, same slope method
+    from bbtools_tpu.ops import msa as msa_mod
+    from bbtools_tpu.ops import msa_constants as C
+
+    maxgain = (rlens.astype(np.int64) - 1) * C.POINTS_MATCH2 + C.POINTS_MATCH
+    subfloor = -2 * maxgain
+    ref_lens = np.full(Bm, Cc, np.int32)
+    vert, horiz, floor, _ = msa_mod.prepare_limits_np(
+        reads, rlens, refs, ref_lens, np.zeros(Bm, np.int64)
+    )
+    drefs = jnp.asarray(refs)
+    dvert = jnp.asarray(vert.astype(np.int32))
+    dhoriz = jnp.asarray(horiz.astype(np.int32))
+    dfloor = jnp.asarray(floor.astype(np.int32))
+    dsub = jnp.asarray(subfloor.astype(np.int32))
+    dt_xla = slope_time(
+        lambda i: msa_mod.msa_fill(
+            R, Cc, False, True,
+            jnp.roll(jr, i, axis=0), jl, jnp.roll(drefs, i, axis=0),
+            jnp.asarray(ref_lens), dvert, dhoriz, dfloor, dsub,
+        ),
+        m1=4, m2=12,
+    )
+    print(f"msa XLA scan {dt_xla*1e3:.3f} ms  cells/s {cells/dt_xla:,.0f}",
+          flush=True)
+    # small-batch path: tile == padded B (legal because block == array dim)
+    s8 = msa_fill_pallas(
+        R, Cc, jr[:8], jl[:8], jp[:8], tile=8, traceback=True
+    )
+    for x, y in zip(sx[:3], s8[:3]):
+        np.testing.assert_array_equal(np.asarray(x)[:8], np.asarray(y))
+    print("msa: tile=8 (B=8) == XLA on chip", flush=True)
+
+    # ---- MXU k-mer matcher vs gather indexes (adapters.fa, hdist=1) ----
+    from bbtools_tpu.core.dna import encode
+    from bbtools_tpu.io.fasta import iter_fasta
+    from bbtools_tpu.ops.kmer_index import BucketKmerIndex, build_ref_keys
+    from bbtools_tpu.ops.lane_index import LaneKmerIndex
+    from bbtools_tpu.ops.mm_match import MMKmerIndex, mm_lookup_jnp
+
+    res = os.path.join("/root/repo/bbtools_tpu/resources/adapters.fa")
+    scafs = [encode(r.seq) for r in iter_fasta(res)]
+    k, mink = 23, 11
+    keys, ids = build_ref_keys(scafs, k, mink=mink, hdist=1)
+    bidx = BucketKmerIndex.build(keys, ids, pack=True)
+    btab = bidx.device_arrays()
+    mm = MMKmerIndex.build(scafs, k, mink=mink, hdist=1)
+    assert mm is not None, "adapters.fa should fit the MXU matcher"
+    mtab = mm.device_arrays()
     print(
-        f"msa tile=8 {dt8*1e3:.2f} ms  tile=256 {dt256*1e3:.2f} ms  "
-        f"speedup {dt8/dt256:.2f}x  cells/s {cells/dt256:,.0f}",
+        f"mm index: {mm.Dp} cols x {mm.Kp} dims vs {len(keys):,} expanded"
+        " keys", flush=True)
+    # equality on a mixed query batch (ref keys + mutants + random)
+    from bbtools_tpu.ops.kmers import length_mask, rc_kmer_np
+
+    qk = keys[rng.integers(0, len(keys), 200000)]
+    qm = qk ^ (
+        rng.integers(1, 4, len(qk)).astype(np.int64)
+        << (2 * rng.integers(0, mink, len(qk)))
+    )
+    tag = np.int64(length_mask(k))
+    qm = np.where(qm & tag, qm, (qm & ~tag) | tag)  # keep in full-k class
+    base = qm & (tag - 1)
+    qm = np.maximum(base, rc_kmer_np(base, k)) | tag
+    qr = (
+        rng.integers(0, 1 << (2 * k), 100000, dtype=np.int64) | tag
+    )
+    queries = np.concatenate([qk, qm, qr])
+    dq = jnp.asarray(queries)
+    print("compiling mm lookup...", flush=True)
+    got_mm = np.asarray(mm_lookup_jnp(*mtab, *mm.static_params(), dq))
+    want_b = np.asarray(
+        BucketKmerIndex.lookup_packed_jnp(btab[0], bidx.nb, dq)
+    )
+    np.testing.assert_array_equal(got_mm, want_b)
+    print("mm: EQUAL to bucket index on chip "
+          f"({len(queries):,} queries)", flush=True)
+    # lookup throughput on the production query shape [32768, 151]
+    Q = rng.integers(0, 1 << (2 * k), (32768, 151), dtype=np.int64) | tag
+    dQ = jnp.asarray(Q)
+    nq = Q.size
+    dt_mm = slope_time(
+        lambda i: mm_lookup_jnp(
+            *mtab, *mm.static_params(), jnp.roll(dQ, i, axis=0)
+        ),
+        m1=2, m2=8,
+    )
+    dt_b = slope_time(
+        lambda i: BucketKmerIndex.lookup_packed_jnp(
+            btab[0], bidx.nb, jnp.roll(dQ, i, axis=0)
+        ),
+        m1=2, m2=8,
+    )
+    print(
+        f"adapters.fa hdist=1 lookups: mm {dt_mm*1e3:.2f} ms "
+        f"({nq/dt_mm/1e6:,.0f} M/s)  bucket {dt_b*1e3:.2f} ms "
+        f"({nq/dt_b/1e6:,.0f} M/s)  speedup {dt_b/dt_mm:.2f}x",
         flush=True,
     )
+    # small-panel comparison: 1 adapter, lane index vs mm
+    one = [scafs[0]]
+    keys1, ids1 = build_ref_keys(one, k, mink=mink, hdist=1)
+    lidx = LaneKmerIndex.build(keys1, ids1)
+    if lidx is not None:
+        ltab = lidx.device_arrays()
+        dt_l = slope_time(
+            lambda i: LaneKmerIndex.lookup_jnp(
+                *ltab, *lidx.static_params(), jnp.roll(dQ, i, axis=0)
+            ),
+            m1=2, m2=8,
+        )
+        mm1 = MMKmerIndex.build(one, k, mink=mink, hdist=1)
+        m1tab = mm1.device_arrays()
+        dt_m1 = slope_time(
+            lambda i: mm_lookup_jnp(
+                *m1tab, *mm1.static_params(), jnp.roll(dQ, i, axis=0)
+            ),
+            m1=2, m2=8,
+        )
+        print(
+            f"1-adapter lookups: lane {dt_l*1e3:.2f} ms "
+            f"({nq/dt_l/1e6:,.0f} M/s)  mm {dt_m1*1e3:.2f} ms "
+            f"({nq/dt_m1/1e6:,.0f} M/s)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
