@@ -39,27 +39,37 @@ def batch_kmers_jnp(bases, lengths, k: int):
 @jax.jit
 def sort_reduce(keys):
     """Sort keys and reduce to run (values, counts, n_runs). Padded output
-    arrays of the same length; rows >= n_runs are PAD/0."""
+    arrays of the same length; rows >= n_runs are PAD/0.
+
+    Compaction is a second STABLE sort that partitions run-boundary
+    rows to the front (carrying the key and its position), not a
+    scatter: TPU random-access scatter runs at ~7M updates/s and
+    dominated this function 50:1 (353 ms vs 6 ms for the sorts,
+    slope-measured on v5e), while a bitonic sort pass is ~6 ms.
+    Counts fall out of adjacent boundary positions."""
     s = jnp.sort(keys)
     n = s.shape[0]
     boundary = jnp.concatenate(
         [jnp.ones(1, bool), s[1:] != s[:-1]]
     ) & (s != PAD)
-    run_id = jnp.cumsum(boundary) - 1  # id per element (within valid)
-    valid = s != PAD
     n_runs = boundary.sum()
-    # scatter into n+1-sized arrays; index n is the dump slot for padding
-    counts = (
-        jnp.zeros(n + 1, jnp.int64)
-        .at[jnp.where(valid, run_id, n)]
-        .add(valid.astype(jnp.int64))
+    n_valid = (s != PAD).sum()
+    iota = jnp.arange(n, dtype=jnp.int32)
+    nb = (~boundary).astype(jnp.int32)
+    # stable partition: boundaries first, in ascending-key order
+    _, values, pos = jax.lax.sort((nb, s, iota), num_keys=1, is_stable=True)
+    nxt = jnp.concatenate([pos[1:], jnp.zeros(1, jnp.int32)])
+    counts = jnp.where(
+        iota < n_runs - 1,
+        (nxt - pos).astype(jnp.int64),
+        (n_valid - pos).astype(jnp.int64),
     )
-    values = (
-        jnp.full(n + 1, PAD)
-        .at[jnp.where(boundary, run_id, n)]
-        .set(jnp.where(boundary, s, PAD))
+    live = iota < n_runs
+    return (
+        jnp.where(live, values, PAD),
+        jnp.where(live, counts, 0),
+        n_runs,
     )
-    return values[:n], counts[:n], n_runs
 
 
 def count_batch(bases, lengths, k: int):

@@ -40,10 +40,12 @@ def sharded_count_step(mesh: Mesh, k: int):
     def step(bases, lengths):
         keys = batch_kmers_jnp(bases, lengths, k)
         values, counts, n_runs = sort_reduce(keys)
-        hist = (
-            jnp.zeros(64, jnp.int64)
-            .at[jnp.minimum(counts, 63)]
-            .add(jnp.where(counts > 0, 1, 0).astype(jnp.int64))
+        # compare-sum bincount (scatter-free; see sharded_index.py)
+        clipped = jnp.minimum(counts, 63)
+        hist = jnp.sum(
+            (clipped[None, :] == jnp.arange(64, dtype=jnp.int64)[:, None])
+            & (counts > 0)[None, :],
+            axis=1, dtype=jnp.int64,
         )
         hist = jax.lax.psum(hist, "dp")
         return (

@@ -100,7 +100,13 @@ def sharded_bbduk_step(mesh: Mesh, cfg: KScanConfig, sidx: ShardedKmerIndex):
         part = jnp.where(eligible & mine, part, 0)
         full = jax.lax.psum(part, "tp")  # exactly one shard hits
         nhits = (full > 0).sum(axis=1, dtype=jnp.int32)
-        hist = jnp.zeros(256, jnp.int32).at[jnp.minimum(nhits, 255)].add(1)
+        # compare-sum bincount: TPU scatter runs ~14M updates/s, a
+        # [256, B] compare+reduce is pure VPU work
+        clipped = jnp.minimum(nhits, 255)
+        hist = jnp.sum(
+            clipped[None, :] == jnp.arange(256, dtype=jnp.int32)[:, None],
+            axis=1, dtype=jnp.int32,
+        )
         hist = jax.lax.psum(hist, "dp")  # dp-global histogram
         return nhits, hist
 
