@@ -87,9 +87,16 @@ class LaneKmerIndex:
     packed: bool
     n: int
 
-    #: above this groups*slots product the XLA HBM row-gather path
-    #: (~350M rows/s) wins; build returns None and callers fall back
-    MAX_COST = 96
+    #: above this groups*slots product the HBM row-gather bucket path
+    #: wins; build returns None and callers fall back. Slope-measured on
+    #: v5e: the kernel costs ~9.6 ns/query per pass, the packed bucket
+    #: gather runs a flat ~53M lookups/s, so the crossover sits near
+    #: cost ~2000; capped a bit below it where the win is still >=1.5x
+    #: (cost 224 = 565M lookups/s, 832 = 126M, 1664 = 68M)
+    MAX_COST = 1280
+    #: per-slot unrolled gather temps are TILE_ROWS*LANES*4B each; cap
+    #: slots so scoped VMEM (16M on v5e) can hold them
+    MAX_SLOTS = 24
 
     @staticmethod
     def supports(n_keys: int) -> bool:
@@ -107,15 +114,17 @@ class LaneKmerIndex:
         lo = (keys & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
         hi = (keys >> 32).astype(np.int32)
         # kernel cost per query tile = groups * slots gather passes; search
-        # nb for the minimum product (one deep group usually beats many
-        # shallow ones)
+        # nb for the minimum product among layouts whose max occupancy
+        # respects the VMEM slot cap
         best = None
         nb = LANES
-        while nb <= LANES << 8:
+        while nb <= LANES << 10:
             for salt in range(8):
                 b = _hash32_np(lo, hi, salt, nb)
                 occ = np.bincount(b, minlength=nb)
                 mo = int(occ.max(initial=0))
+                if mo > LaneKmerIndex.MAX_SLOTS:
+                    continue
                 cost = (nb // LANES) * max(mo, 1)
                 if best is None or cost < best[0]:
                     best = (cost, nb, salt, mo)

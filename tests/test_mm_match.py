@@ -181,7 +181,10 @@ def test_pallas_interpret_matches():
 # ---------------------------------------------------------------------------
 
 
-def _write_panel(tmp_path, n_scafs=24, L=50):
+def _write_panel(tmp_path, n_scafs=150, L=50):
+    # 150 x 50bp -> ~4.5k raw keys -> ~290k hdist-1 expanded keys: above
+    # the lane index's raised cost cap, so build_index selects the MXU
+    # matcher (the point of this test); ~24k raw columns fit it
     lines = []
     for i in range(n_scafs):
         seq = bytes(b"ACGT"[x] for x in RNG.integers(0, 4, L))
