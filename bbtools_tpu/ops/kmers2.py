@@ -282,7 +282,12 @@ def bytes_to_words(keys: np.ndarray, W: int) -> np.ndarray:
 
 def count_batchw_exact(bases: np.ndarray, lengths: np.ndarray, k: int):
     """Exact W-word counting for one batch: returns (keys 'S8W' sorted,
-    counts int64)."""
+    counts int64). On TPU the whole extract+sort+reduce runs on device
+    (count_batchw_device); host fallback uses the native radix sort."""
+    import jax
+
+    if jax.devices()[0].platform == "tpu":
+        return count_batchw_device(bases, lengths, k)
     words, rwords, runlen = rolling_kmersw_np(bases, k)
     i_idx = np.arange(bases.shape[1])[None, :]
     valid = (runlen >= k) & (i_idx < np.asarray(lengths)[:, None])
@@ -369,3 +374,135 @@ class WordSpectrum:
         if len(self.counts):
             np.add.at(h, np.minimum(self.counts, hist_max), 1)
         return h
+
+
+# ---------------------------------------------------------------------------
+# Device W-word counting (sort-based; no scatters)
+# ---------------------------------------------------------------------------
+
+PADW = np.int64(0x7FFFFFFFFFFFFFFF)
+
+
+def rolling_kmersw_jnp(bases, k: int):
+    """Device analog of rolling_kmersw_np: ([B,L,W] words, rwords, runlen).
+    Same word layout; built from one 31-base rolling pass plus static
+    shifts, so the compiled graph is O(W) ops."""
+    import jax.numpy as jnp
+
+    from .kmers import rolling_kmers_jnp
+
+    assert WORD_BASES < k <= MAX_K
+    B, L = bases.shape
+    W = n_words(k)
+    t = k - WORD_BASES * (W - 1)
+    f31, r31, runlen31 = rolling_kmers_jnp(bases, WORD_BASES)
+
+    codes = bases.astype(jnp.int32)
+    idx = jnp.arange(L, dtype=jnp.int32)
+    defined = codes < 4
+    marked = jnp.where(defined, -1, idx[None, :])
+    from .kmers import jax_cummax
+
+    lastn = jax_cummax(marked)
+    runlen = idx[None, :] - lastn
+
+    def shifted(arr, s):
+        if s == 0:
+            return arr
+        if s >= L:
+            return jnp.zeros_like(arr)
+        return jnp.pad(arr[:, :-s], ((0, 0), (s, 0)))
+
+    top_mask = jnp.int64((1 << (2 * t)) - 1)
+    words = []
+    rwords = []
+    for w in range(W):
+        if w < W - 1:
+            words.append(shifted(f31, WORD_BASES * w))
+            rwords.append(shifted(r31, k - WORD_BASES * (w + 1)))
+        else:
+            words.append(shifted(f31, WORD_BASES * w) & top_mask)
+            rwords.append(r31 >> (2 * (WORD_BASES - t)))
+    return jnp.stack(words, -1), jnp.stack(rwords, -1), runlen
+
+
+def canonical_words_jnp(words, rwords):
+    """Lexicographic max of the pair (most-significant word first)."""
+    import jax.numpy as jnp
+
+    W = words.shape[-1]
+    take_f = jnp.zeros(words.shape[:-1], bool)
+    tied = jnp.ones(words.shape[:-1], bool)
+    for w in range(W - 1, -1, -1):
+        gt = words[..., w] > rwords[..., w]
+        lt = words[..., w] < rwords[..., w]
+        take_f |= tied & gt
+        tied &= ~gt & ~lt
+    take_f |= tied
+    return jnp.where(take_f[..., None], words, rwords)
+
+
+def _count_batchw_jit(k: int):
+    import jax
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("k",))
+    def run(bases, lengths, k):
+        import jax.numpy as jnp
+
+        B, L = bases.shape
+        W = n_words(k)
+        words, rwords, runlen = rolling_kmersw_jnp(bases, k)
+        i_idx = jnp.arange(L, dtype=jnp.int32)[None, :]
+        valid = (runlen >= k) & (i_idx < lengths[:, None])
+        cw = canonical_words_jnp(words, rwords)
+        flat = jnp.where(valid.reshape(-1)[:, None], cw.reshape(-1, W), PADW)
+        n = flat.shape[0]
+        ops = tuple(flat[:, w] for w in range(W - 1, -1, -1))
+        sops = jax.lax.sort(ops, num_keys=W)
+        diff = sops[0][1:] != sops[0][:-1]
+        for s in sops[1:]:
+            diff = diff | (s[1:] != s[:-1])
+        # sentinel rows: real top words are < 2^(2t) << PADW
+        live_row = sops[0] != PADW
+        boundary = jnp.concatenate([jnp.ones(1, bool), diff]) & live_row
+        n_runs = boundary.sum()
+        n_valid = live_row.sum()
+        iota = jnp.arange(n, dtype=jnp.int32)
+        nb = (~boundary).astype(jnp.int32)
+        parts = jax.lax.sort(
+            (nb, *sops, iota), num_keys=1, is_stable=True
+        )
+        uwords = parts[1 : 1 + W]  # most-significant first
+        pos = parts[1 + W]
+        nxt = jnp.concatenate([pos[1:], jnp.zeros(1, jnp.int32)])
+        counts = jnp.where(
+            iota < n_runs - 1,
+            (nxt - pos).astype(jnp.int64),
+            (n_valid - pos).astype(jnp.int64),
+        )
+        live = iota < n_runs
+        out_words = jnp.stack(
+            [jnp.where(live, uw, PADW) for uw in uwords[::-1]], axis=-1
+        )  # [n, W] least-significant first (rolling_kmersw layout)
+        return out_words, jnp.where(live, counts, 0), n_runs
+
+    return partial(run, k=k)
+
+
+def count_batchw_device(bases, lengths, k: int):
+    """count_batchw_exact on device: ONE fused sort-reduce graph (the
+    scatter-free compaction of kmer_count.sort_reduce generalized to
+    W-word keys via lexicographic multi-operand sorts). Returns the same
+    ('S8W' sorted byte keys, int64 counts) as the host path."""
+    import jax.numpy as jnp
+
+    fn = _count_batchw_jit(k)
+    words, counts, n_runs = fn(
+        jnp.asarray(bases), jnp.asarray(np.asarray(lengths, np.int32))
+    )
+    n = int(n_runs)
+    w = np.asarray(words[:n]).astype(np.int64)
+    c = np.asarray(counts[:n]).astype(np.int64)
+    return words_to_bytes(w), c

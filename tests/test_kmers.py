@@ -214,3 +214,51 @@ def test_distributed_helpers():
     assert m.shape["dp"] * m.shape["tp"] == 8
     m2 = global_mesh(tp=4)
     assert m2.shape == {"dp": 2, "tp": 4}
+
+
+def test_count_batchw_device_matches_host():
+    """Device W-word sort-reduce == host radix/np path, k=62 and k=93."""
+    import numpy as np
+
+    from bbtools_tpu.ops import kmers2 as K
+
+    rng = np.random.default_rng(11)
+    bases = rng.integers(0, 4, (64, 151)).astype(np.uint8)
+    bases[rng.random(bases.shape) < 0.01] = 4
+    lens = np.full(64, 151, np.int32)
+    lens[:5] = rng.integers(20, 151, 5)
+    for k in (62, 93):
+        words, rwords, runlen = K.rolling_kmersw_np(bases, k)
+        i_idx = np.arange(151)[None, :]
+        valid = (runlen >= k) & (i_idx < lens[:, None])
+        cw = K.canonical_words(words, rwords)[valid]
+        keys = K.words_to_bytes(cw)
+        keys.sort()
+        if len(keys):
+            new = np.concatenate([[True], keys[1:] != keys[:-1]])
+            starts = np.flatnonzero(new)
+            want_k = keys[starts]
+            want_c = np.diff(np.append(starts, len(keys))).astype(np.int64)
+        else:
+            want_k, want_c = keys, np.zeros(0, np.int64)
+        got_k, got_c = K.count_batchw_device(bases, lens, k)
+        np.testing.assert_array_equal(got_k, want_k)
+        np.testing.assert_array_equal(got_c, want_c)
+
+
+def test_rolling_kmersw_jnp_matches_np():
+    import numpy as np
+
+    from bbtools_tpu.ops import kmers2 as K
+
+    rng = np.random.default_rng(12)
+    bases = rng.integers(0, 4, (16, 100)).astype(np.uint8)
+    bases[rng.random(bases.shape) < 0.02] = 4
+    for k in (40, 62, 75):
+        wn, rn, rln = K.rolling_kmersw_np(bases, k)
+        import jax.numpy as jnp
+
+        wj, rj, rlj = K.rolling_kmersw_jnp(jnp.asarray(bases), k)
+        np.testing.assert_array_equal(np.asarray(wj), wn)
+        np.testing.assert_array_equal(np.asarray(rj), rn)
+        np.testing.assert_array_equal(np.asarray(rlj), rln)
