@@ -427,3 +427,25 @@ def _mm_pallas(keymat, prio, oh, interpret: bool = False):
         interpret=interpret,
     )(oh, keymat, prio)
     return out[:N, 0]
+
+
+def mm_best_jnp(keymat, prio, k: int, mink: int, Kp: int, query):
+    """Per-query best (rank<<16 | id) priority word against THIS column
+    set, BIG32 on miss. The shard-combinable half of mm_lookup_jnp:
+    min over column shards == min over all columns, so a tp-sharded
+    index resolves with one pmin (parallel/sharded_count.py)."""
+    flat = query.reshape(-1)
+    oh = _query_onehot_jnp(flat, k, mink, Kp)
+    s = jax.lax.dot_general(
+        oh.astype(jnp.bfloat16),
+        keymat.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pr = jnp.where(s >= 0, prio, BIG32)
+    return pr.min(axis=1).reshape(query.shape)
+
+
+def mm_decode_best(best):
+    """Priority word -> scaffold id (0 on miss)."""
+    return jnp.where(best != BIG32, best & 0xFFFF, 0).astype(jnp.int32)

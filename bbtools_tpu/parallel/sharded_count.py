@@ -139,3 +139,32 @@ def sharded_seed_expand_step(mesh: Mesh, n_shards: int):
         check_rep=False,
     )
     return jax.jit(smapped)
+
+
+def sharded_mm_lookup_step(mesh: Mesh, k: int, mink: int, Kp: int):
+    """Column-sharded MXU k-mer matcher (ops/mm_match.py) on the
+    (dp, tp) mesh: `keymat [Kp, Dp]` and `prio [1, Dp]` shard their
+    column axis over tp (each chip holds 1/tp of the raw-key columns and
+    runs its one-hot matmul locally), queries shard over dp; the
+    first-insertion-wins winner is a single pmin over tp of the local
+    best (rank<<16|id) words — the same combine the reference's WAYS
+    table split resolves with locks (kmer/KmerTableSet.java:273-285).
+    Dp must divide by the tp size (MMKmerIndex pads columns)."""
+    from ..ops.mm_match import mm_best_jnp, mm_decode_best
+
+    def step(keymat, prio, queries):
+        best = mm_best_jnp(keymat, prio, k, mink, Kp, queries)
+        best = jax.lax.pmin(best, "tp")
+        return mm_decode_best(best)
+
+    from jax.experimental.shard_map import shard_map
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(None, "tp"), P(None, "tp"), P("dp", None)),
+            out_specs=P("dp", None),
+            check_rep=False,
+        )
+    )

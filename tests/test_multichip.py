@@ -164,3 +164,32 @@ def test_sharded_seed_expand_matches_csr():
                 x for s in range(S) for x in out[s, b, t].tolist() if x >= 0
             ]
             assert sorted(got) == sorted(want), (key, got, want)
+
+
+def test_sharded_mm_lookup_matches_host():
+    """Column-sharded MXU matcher == host oracle on a (2 dp, 4 tp) mesh."""
+    import numpy as np
+
+    from bbtools_tpu.ops.mm_match import MMKmerIndex
+    from bbtools_tpu.parallel.mesh import make_mesh
+    from bbtools_tpu.parallel.sharded_count import sharded_mm_lookup_step
+
+    rng = np.random.default_rng(21)
+    scafs = [rng.integers(0, 4, 60).astype(np.uint8) for _ in range(6)]
+    mm = MMKmerIndex.build(scafs, 13, mink=8, hdist=1)
+    assert mm is not None
+    import jax
+
+    mesh = make_mesh(n_dp=2, n_tp=4, devices=jax.devices()[:8])
+    assert mm.Dp % 4 == 0, "column padding must divide tp"
+    step = sharded_mm_lookup_step(mesh, mm.k, mm.mink, mm.Kp)
+    from bbtools_tpu.ops.kmers import length_mask, rc_kmer_np
+
+    q = rng.integers(0, 1 << 26, (8, 64), dtype=np.int64)
+    q = np.maximum(q, rc_kmer_np(q, 13)) | np.int64(length_mask(13))
+    import jax.numpy as jnp
+
+    km, pr = mm.device_arrays()
+    got = np.asarray(step(km, pr, jnp.asarray(q)))
+    want = mm.lookup_np(q)
+    np.testing.assert_array_equal(got, want)
