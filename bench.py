@@ -327,7 +327,7 @@ def bench_bbmerge():
     import jax
     import jax.numpy as jnp
 
-    from bbtools_tpu.ops.overlap import overlap_counts_jnp, right_justify_np
+    from bbtools_tpu.ops.overlap import overlap_counts_jnp
     from bbtools_tpu.ops.overlap_pallas import (
         overlap_counts_pallas,
         use_pallas,
@@ -340,15 +340,14 @@ def bench_bbmerge():
     n_inserts = 2 * READ_LEN - 2 * 12
     da, dbb = jnp.asarray(a), jnp.asarray(b)
     dal, dbl = jnp.asarray(alens), jnp.asarray(blens)
-    # right-justification is host batch prep in the production path
-    # (overlap_counts dispatcher); stage its result on device up front so
-    # the timed step is the insert scan itself
-    db_rj = jnp.asarray(right_justify_np(b, blens, READ_LEN))
     pallas = use_pallas()
 
     @jax.jit
     def step_fn(da, dbb, dal, dbl):
         if pallas:
+            from bbtools_tpu.ops.overlap import right_justify_jnp
+
+            db_rj = right_justify_jnp(dbb, dbl, READ_LEN)
             g, bad, ol = overlap_counts_pallas(
                 da, db_rj, dal, dbl, 24, n_inserts, pre_justified=True
             )

@@ -427,3 +427,20 @@ def test_overlap_counts_pallas_equals_xla():
             jnp.asarray(blens), min0, D, interpret=True)]
         for r, g in zip(ref, got):
             np.testing.assert_array_equal(r, g)
+
+
+def test_right_justify_jnp_matches_np():
+    import numpy as np
+
+    from bbtools_tpu.ops.overlap import right_justify_jnp, right_justify_np
+
+    rng = np.random.default_rng(31)
+    B, L = 257, 151
+    b = rng.integers(0, 5, (B, L)).astype(np.uint8)
+    lens = rng.integers(1, L + 1, B).astype(np.int32)
+    lens[0] = L
+    import jax.numpy as jnp
+
+    want = right_justify_np(b, lens, L)
+    got = np.asarray(right_justify_jnp(jnp.asarray(b), jnp.asarray(lens), L))
+    np.testing.assert_array_equal(got, want)

@@ -59,19 +59,25 @@ def main():
         np.testing.assert_array_equal(r, g)
     print("overlap: EQUAL on chip (host right-justify "
           f"{t_just*1e3:.2f} ms)", flush=True)
+    # production path: in-graph right-justify + Pallas scan in ONE jit
+    from bbtools_tpu.ops.overlap import _justify_and_scan
+
+    got2 = [np.asarray(x) for x in _justify_and_scan(da, db, dal, dbl, 24, D)]
+    for r, g in zip(ref, got2):
+        np.testing.assert_array_equal(r, g)
+    print("overlap: fused justify+scan EQUAL on chip", flush=True)
     dt_x = slope_time(
         lambda i: overlap_counts_jnp(
             jnp.roll(da, i, axis=0), db, jnp.roll(dal, i), dbl, 24, D
         )
     )
     dt_p = slope_time(
-        lambda i: overlap_counts_pallas(
-            jnp.roll(da, i, axis=0), db_rj, jnp.roll(dal, i), dbl, 24, D,
-            pre_justified=True,
+        lambda i: _justify_and_scan(
+            jnp.roll(da, i, axis=0), db, jnp.roll(dal, i), dbl, 24, D
         )
     )
     print(
-        f"overlap XLA {dt_x*1e3:.2f} ms  Pallas {dt_p*1e3:.2f} ms  "
+        f"overlap XLA {dt_x*1e3:.2f} ms  fused Pallas {dt_p*1e3:.2f} ms  "
         f"speedup {dt_x/dt_p:.2f}x  pairs/s {B/dt_p:,.0f}",
         flush=True,
     )
