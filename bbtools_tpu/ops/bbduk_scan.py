@@ -205,14 +205,19 @@ def kscan_full(cfg: KScanConfig, table, bases, lengths, bound_start=None,
     ids = jnp.where(eligible, ids, 0)
     hit = ids > 0
     nhits = hit.sum(axis=1, dtype=jnp.int32)
-    # first hit in scan order
-    first_pos = jnp.argmax(hit, axis=1)
-    id0 = jnp.where(nhits > 0, ids[jnp.arange(B), first_pos], 0)
+    # first/last hit and its id via compare-sum selects: row gathers
+    # (ids[arange(B), pos]) run at the ~50M rows/s random-access wall,
+    # a [B, L] masked reduce is pure VPU work
+    first_pos = jnp.min(jnp.where(hit, i_idx, BIG), axis=1)
+    id0 = jnp.where(
+        nhits > 0,
+        jnp.sum(jnp.where(i_idx == first_pos[:, None], ids, 0), axis=1),
+        0,
+    )
     min_loc = jnp.where(
         nhits > 0, first_pos.astype(jnp.int32) - (cfg.k - 1), BIG
     )
-    last_pos = (L - 1) - jnp.argmax(hit[:, ::-1], axis=1)
-    max_loc = jnp.where(nhits > 0, last_pos.astype(jnp.int32), -1)
+    max_loc = jnp.max(jnp.where(hit, i_idx, -1), axis=1).astype(jnp.int32)
     return {
         "nhits": nhits,
         "id0": id0,
@@ -231,10 +236,8 @@ def credit_id(cfg: KScanConfig, ids, credit_ordinal):
     hit = ids > 0
     order = jnp.cumsum(hit, axis=1) - 1  # ordinal of each hit
     sel = hit & (order == credit_ordinal[:, None])
-    pos = jnp.argmax(sel, axis=1)
-    has = sel.any(axis=1)
-    B = ids.shape[0]
-    return jnp.where(has, ids[jnp.arange(B), pos], 0)
+    # at most one position matches per row: compare-sum select (no gather)
+    return jnp.sum(jnp.where(sel, ids, 0), axis=1)
 
 
 @partial(jax.jit, static_argnames=("cfg", "left"))
@@ -268,10 +271,14 @@ def _kscan_short_fast(cfg: KScanConfig, table, bases, lengths, left: bool):
             live_l.append(col < jnp.minimum(jnp.int32(k), lengths))
             i_l.append(jnp.full((B,), col, jnp.int32))
     else:
-        # suffix of length ln ends at the read's last base (one gather)
+        # suffix of length ln ends at the read's last base; masked-sum
+        # select instead of a row gather (gathers run at the
+        # random-access wall, a [B, L] reduce is VPU work)
         last = jnp.maximum(lengths - 1, 0)[:, None]
-        f_end = jnp.take_along_axis(fwd, last, axis=1)[:, 0]
-        r_end = jnp.take_along_axis(rkm_plain, last, axis=1)[:, 0]
+        pos_i = jnp.arange(L, dtype=jnp.int32)[None, :]
+        at_last = pos_i == last
+        f_end = jnp.sum(jnp.where(at_last, fwd, 0), axis=1)
+        r_end = jnp.sum(jnp.where(at_last, rkm_plain, 0), axis=1)
         for ln in range(mink, k + 1):
             kmer = f_end & jnp.int64((1 << (2 * ln)) - 1)
             rkmer = r_end >> (2 * (k - ln))
@@ -292,7 +299,12 @@ def _kscan_short_fast(cfg: KScanConfig, table, bases, lengths, left: bool):
     hit = ids > 0
     any_hit = hit.any(axis=0)
     first = jnp.argmax(hit, axis=0)
-    id0 = jnp.where(any_hit, ids[first, jnp.arange(B)], 0)
+    ln_idx = jnp.arange(ids.shape[0], dtype=jnp.int32)[:, None]
+    id0 = jnp.where(
+        any_hit,
+        jnp.sum(jnp.where(ln_idx == first[None, :], ids, 0), axis=0),
+        0,
+    )
     if left:
         loc = jnp.where(hit, pos, -1).max(axis=0)
     else:
@@ -373,7 +385,12 @@ def _kscan_short_loop(cfg: KScanConfig, table, bases, lengths, left: bool):
     hit = ids > 0
     any_hit = hit.any(axis=1)
     first = jnp.argmax(hit, axis=1)
-    id0 = jnp.where(any_hit, ids[jnp.arange(B), first], 0)
+    s_idx = jnp.arange(ids.shape[1], dtype=jnp.int32)[None, :]
+    id0 = jnp.where(
+        any_hit,
+        jnp.sum(jnp.where(s_idx == first[:, None], ids, 0), axis=1),
+        0,
+    )
     if left:
         loc = jnp.where(hit, pos, -1).max(axis=1)
     else:
