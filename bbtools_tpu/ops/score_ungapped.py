@@ -34,14 +34,40 @@ def score_no_indels(R: int, reads, read_lens, refwins, ref_starts, ref_lens):
     reads_i = reads.astype(i32)
     refs_i = refwins.astype(i32)
 
-    def step(carry, i):
+    # pre-align the windows so step i reads column i of `aligned`
+    # (aligned[b, i] = refwins[b, ref_starts[b] + i]) via log-shifts —
+    # the per-step per-row gathers this replaces run at the ~50M rows/s
+    # random-access wall (2R gathers of B rows per call). Out-of-range
+    # columns hold shifted-in garbage, masked by in_ref below.
+    Wp = max(W, R)
+    x = jnp.pad(refs_i, ((0, 0), (0, Wp - W)))
+    lsh = jnp.maximum(ref_starts, 0)[:, None]
+    rsh = jnp.maximum(-ref_starts, 0)[:, None]
+    j = 0
+    while (1 << j) <= W:
+        sh = 1 << j
+        x = jnp.where(
+            ((lsh >> j) & 1) == 1,
+            jnp.pad(x[:, sh:], ((0, 0), (0, sh))),
+            x,
+        )
+        j += 1
+    j = 0
+    while (1 << j) <= R:
+        sh = 1 << j
+        x = jnp.where(
+            ((rsh >> j) & 1) == 1,
+            jnp.pad(x[:, :-sh], ((0, 0), (sh, 0))),
+            x,
+        )
+        j += 1
+    aligned = x[:, :R]  # [B, R]
+
+    def step(carry, xs):
         score, mode, tim = carry
-        c = jnp.take_along_axis(reads_i, jnp.full((B, 1), i, i32), axis=1)[:, 0]
+        c, r, i = xs
         rpos = ref_starts + i
         in_ref = (rpos >= 0) & (rpos < ref_lens)
-        r = jnp.take_along_axis(
-            refs_i, jnp.clip(rpos, 0, W - 1)[:, None], axis=1
-        )[:, 0]
         active = i < read_lens
         is_match = in_ref & (c == r) & (c < 4)
         is_nocall = in_ref & ~is_match & (c >= 4)
@@ -75,7 +101,12 @@ def score_no_indels(R: int, reads, read_lens, refwins, ref_starts, ref_lens):
         jnp.full(B, -1, i32),
         jnp.zeros(B, i32),
     )
-    (score, _, _), _ = jax.lax.scan(step, init, jnp.arange(R, dtype=i32))
+    xs = (
+        reads_i.T,  # [R, B]: scan consumes rows, no per-step extraction
+        aligned.T,
+        jnp.arange(R, dtype=i32),
+    )
+    (score, _, _), _ = jax.lax.scan(step, init, xs)
     return score
 
 
