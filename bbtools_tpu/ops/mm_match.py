@@ -380,12 +380,14 @@ def _mm_kernel(nd, oh_ref, key_ref, prio_ref, out_ref, best_ref):
     def _init():
         best_ref[:, :] = jnp.full(best_ref.shape, BIG32, jnp.int32)
 
-    a = oh_ref[:, :].astype(jnp.bfloat16)  # [QT, Kp]
-    b = key_ref[:, :].astype(jnp.bfloat16)  # [Kp, DT]
+    # int8 x int8 -> int32 on the MXU (exact; ~15% over bf16 on v5e —
+    # the kernel is bound by the [QT, DT] select+min, not the matmul)
+    a = oh_ref[:, :]  # [QT, Kp] int8
+    b = key_ref[:, :]  # [Kp, DT] int8
     s = jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    pr = jnp.where(s >= 0.0, prio_ref[0:1, :], BIG32)
+    pr = jnp.where(s >= 0, prio_ref[0:1, :], BIG32)
     best_ref[:, :] = jnp.minimum(
         best_ref[:, :], jnp.min(pr, axis=1, keepdims=True)
     )
