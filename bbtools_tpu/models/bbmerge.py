@@ -207,27 +207,49 @@ class BBMerge:
         n_inserts = int(
             max(1, (alens + blens).max(initial=0) - p.min_insert0 + 1)
         )
-        good, bad, olen = (
-            np.asarray(x)
-            for x in overlap_counts(
-                b1.bases, b_rc, alens, blens, p.min_insert0, n_inserts
-            )
-        )
+        from ..ops.overlap_pallas import use_pallas
+
         nn_stats = None
-        if self.net is not None:
-            insert, bad_int, ambig, nn_stats = mate_by_overlap_ratio_np(
-                good, bad, olen, alens, blens, p.min_insert0,
-                mo0, mo, p.min_insert0, p.min_insert,
-                p.max_ratio, p.min_second_ratio, p.ratio_margin,
-                p.ratio_offset, extra_mult=4.0, collect=True,
-            )
-        else:
-            insert, bad_int, ambig = mate_by_overlap_ratio_np(
-                good, bad, olen, alens, blens, p.min_insert0,
+        if use_pallas():
+            # fused device pipeline: insert-scan kernel + mate selection
+            # in one jit; only [B] winner arrays come back (the [B, D]
+            # count matrices never leave the device)
+            from ..ops.overlap import overlap_and_mate
+
+            res = overlap_and_mate(
+                b1.bases, b_rc, alens, blens, p.min_insert0, n_inserts,
                 mo0, mo, p.min_insert0, p.min_insert,
                 p.max_ratio, p.min_second_ratio, p.ratio_margin,
                 p.ratio_offset,
+                extra_mult=4.0 if self.net is not None else 1.2,
+                collect=self.net is not None,
             )
+            insert = np.asarray(res[0])
+            bad_int = np.asarray(res[1])
+            ambig = np.asarray(res[2])
+            if self.net is not None:
+                nn_stats = {k: np.asarray(v) for k, v in res[3].items()}
+        else:
+            good, bad, olen = (
+                np.asarray(x)
+                for x in overlap_counts(
+                    b1.bases, b_rc, alens, blens, p.min_insert0, n_inserts
+                )
+            )
+            if self.net is not None:
+                insert, bad_int, ambig, nn_stats = mate_by_overlap_ratio_np(
+                    good, bad, olen, alens, blens, p.min_insert0,
+                    mo0, mo, p.min_insert0, p.min_insert,
+                    p.max_ratio, p.min_second_ratio, p.ratio_margin,
+                    p.ratio_offset, extra_mult=4.0, collect=True,
+                )
+            else:
+                insert, bad_int, ambig = mate_by_overlap_ratio_np(
+                    good, bad, olen, alens, blens, p.min_insert0,
+                    mo0, mo, p.min_insert0, p.min_insert,
+                    p.max_ratio, p.min_second_ratio, p.ratio_margin,
+                    p.ratio_offset,
+                )
         # efilter (BBMerge.findOverlap :1532-1536)
         has = (insert > 0) & ~ambig
         if p.efilter_ratio >= 0 and b1.quals is not None and has.any():

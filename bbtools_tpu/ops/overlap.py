@@ -533,3 +533,255 @@ def bbmerge_nn_features(alens, blens, min_overlap, r1ee, r2ee, stats,
     ).astype(np.float32)
     feats[:, 20] = (bo + 1) / (so + bo + 1)
     return feats
+
+
+# ---------------------------------------------------------------------------
+# Device best-insert selection (mateByOverlapRatio as a lax.scan)
+# ---------------------------------------------------------------------------
+
+
+def _f32c(*vals):
+    """Host-side f32 constant folding (mirrors the np oracle's rounding)."""
+    out = np.float32(vals[0])
+    for v in vals[1:]:
+        out = np.float32(out + np.float32(v))
+    return out
+
+
+def mate_by_overlap_ratio_jnp(
+    good_c, bad_c, olen, alens, blens, min_insert0_col: int,
+    min_overlap0, min_overlap, min_insert0: int, min_insert: int,
+    max_ratio: float, min_second_ratio: float, margin: float,
+    offset: float, g_incr: float = 0.95, b_incr: float = 0.95,
+    extra_mult: float = 1.2, collect: bool = False,
+):
+    """Device mirror of mate_by_overlap_ratio_np: the per-insert host
+    loop becomes a lax.scan over the (reversed) insert axis with [B]
+    carries, and the bit-exact sequential-f32 increment tables resolve
+    through the VMEM lane-table lookup (ops/lane_table.py) instead of
+    per-element gathers. Identical results (same f32 op order)."""
+    import jax
+
+    from .lane_table import lookup as table_lookup, pack_table
+
+    f32 = jnp.float32
+    B, D = good_c.shape
+    gt2 = jnp.asarray(pack_table(incr_table(g_incr)))
+    bt2 = jnp.asarray(pack_table(incr_table(b_incr)))
+    mo0 = jnp.broadcast_to(jnp.asarray(min_overlap0), (B,)).astype(jnp.int64)
+    mo = jnp.broadcast_to(jnp.asarray(min_overlap), (B,)).astype(jnp.int64)
+    mo_eff = jnp.maximum(4, jnp.maximum(mo0, mo))
+    mo0_eff = jnp.sort(
+        jnp.stack([jnp.full((B,), 4, jnp.int64), mo0, mo_eff]), axis=0
+    )[1]
+    min_len = jnp.minimum(alens, blens)
+    alens = jnp.asarray(alens)
+    blens = jnp.asarray(blens)
+
+    # precompute f32 increments + transposed per-step rows (scan xs)
+    g_all = table_lookup(gt2, good_c).T  # [D, B] f32
+    b_all = table_lookup(bt2, bad_c).T
+    ol_all = olen.T.astype(f32)
+    bad_all = bad_c.T
+    ds = jnp.arange(D - 1, -1, -1, dtype=jnp.int32)
+    xs = (g_all[::-1], b_all[::-1], ol_all[::-1], bad_all[::-1], ds)
+
+    offset_f = np.float32(offset)
+    max_ratio_f = np.float32(max_ratio)
+    margin_f = np.float32(margin)
+
+    # ---- prescan: findBestRatio ----
+    best0 = jnp.full((B,), _f32c(max_ratio, 0.0001), f32)
+    halfmax = np.float32(np.float32(max_ratio_f) * np.float32(0.5))
+    largest_pre = alens + blens - mo_eff
+
+    def pre_step(carry, x):
+        best, returned, result = carry
+        g, b, ol, bad_d, d = x
+        insert = d.astype(jnp.int64) + min_insert0_col
+        inrange = (
+            (insert <= largest_pre) & (insert >= min_insert) & ~returned
+        )
+        badlimit = best * ol
+        ok = inrange & (b <= badlimit)
+        ret100 = ok & (bad_d == 0) & (g > mo0_eff.astype(f32)) & (
+            g < mo_eff.astype(f32)
+        )
+        result = jnp.where(ret100, f32(100.0), result)
+        returned = returned | ret100
+        ok = ok & ~ret100
+        ratio = jnp.where(
+            ol > 0, (b + offset_f) / jnp.maximum(ol, 1), f32(1)
+        )
+        improve = ok & (ratio < best)
+        best = jnp.where(improve, ratio, best)
+        early = improve & (g >= mo_eff.astype(f32)) & (ratio < halfmax)
+        result = jnp.where(early, best, result)
+        returned = returned | early
+        return (best, returned, result), None
+
+    init = (best0, jnp.zeros((B,), bool), jnp.zeros((B,), f32))
+    (best_p, returned_p, result_p), _ = jax.lax.scan(pre_step, init, xs)
+    x_pre = jnp.where(returned_p, result_p, best_p)
+
+    no_sol = x_pre > max_ratio_f
+    maxr = jnp.minimum(max_ratio_f, x_pre).astype(f32)
+    margin2 = (
+        (_f32c(margin, offset)) / min_len.astype(f32)
+    ).astype(f32)
+    extra_mult_f = np.float32(extra_mult)
+    min_second_f = np.float32(min_second_ratio)
+    largest = alens + blens - mo0_eff
+
+    def step(carry, x):
+        (best_insert, best_bad_int, best_ratio, second_ratio, ambig,
+         returned, ret_ambig, best_overlap, best_bad_f, second_insert,
+         second_overlap, second_bad_f, second_bad_int) = carry
+        g, b, ol, bad_d, d = x
+        insert = d.astype(jnp.int64) + min_insert0_col
+        inrange = (
+            (insert <= largest) & (insert >= min_insert0) & ~returned
+        )
+        badlimit = (
+            extra_mult_f * (jnp.minimum(best_ratio, maxr) * margin_f * ol)
+            + f32(1.0)
+        ).astype(f32)
+        ok = inrange & (b <= badlimit)
+        retA = ok & (bad_d == 0) & (g > mo0_eff.astype(f32)) & (
+            g < mo_eff.astype(f32)
+        )
+        ret_ambig = ret_ambig | retA
+        returned = returned | retA
+        ok = ok & ~retA
+        ratio = jnp.where(
+            ol > 0, (b + offset_f) / jnp.maximum(ol, 1), f32(1)
+        )
+        cand = ok & (ratio < best_ratio * margin_f)
+        new_ambig = (ratio * margin_f >= best_ratio) | (
+            g < mo_eff.astype(f32)
+        )
+        ambig = jnp.where(cand, new_ambig, ambig)
+        improve = cand & (ratio < best_ratio)
+        second = cand & ~improve & (ratio < second_ratio)
+        second_ratio0 = second_ratio
+        second_ratio = jnp.where(improve, best_ratio, second_ratio)
+        second_insert = jnp.where(improve, best_insert, second_insert)
+        second_overlap = jnp.where(improve, best_overlap, second_overlap)
+        second_bad_f = jnp.where(improve, best_bad_f, second_bad_f)
+        second_bad_int = jnp.where(improve, best_bad_int, second_bad_int)
+        best_insert = jnp.where(improve, insert, best_insert)
+        best_bad_int = jnp.where(improve, bad_d.astype(jnp.int64),
+                                 best_bad_int)
+        best_ratio = jnp.where(improve, ratio, best_ratio)
+        best_overlap = jnp.where(improve, ol.astype(jnp.int64),
+                                 best_overlap)
+        best_bad_f = jnp.where(improve, b, best_bad_f)
+        second_ratio = jnp.where(second, ratio, second_ratio)
+        second_insert = jnp.where(second, insert, second_insert)
+        second_overlap = jnp.where(second, ol.astype(jnp.int64),
+                                   second_overlap)
+        second_bad_f = jnp.where(second, b, second_bad_f)
+        second_bad_int = jnp.where(second, bad_d.astype(jnp.int64),
+                                   second_bad_int)
+        del second_ratio0
+        retB = cand & (
+            (ambig & (best_ratio < margin2))
+            | (second_ratio < min_second_f)
+        )
+        ret_ambig = ret_ambig | retB
+        returned = returned | retB
+        return (best_insert, best_bad_int, best_ratio, second_ratio,
+                ambig, returned, ret_ambig, best_overlap, best_bad_f,
+                second_insert, second_overlap, second_bad_f,
+                second_bad_int), None
+
+    carry0 = (
+        jnp.full((B,), -1, jnp.int64),            # best_insert
+        jnp.full((B,), -1, jnp.int64),            # best_bad_int
+        jnp.ones((B,), f32),                      # best_ratio
+        jnp.ones((B,), f32),                      # second_ratio
+        jnp.zeros((B,), bool),                    # ambig
+        no_sol,                                   # returned
+        jnp.zeros((B,), bool),                    # ret_ambig
+        jnp.full((B,), -1, jnp.int64),            # best_overlap
+        min_len.astype(f32),                      # best_bad_f
+        jnp.zeros((B,), jnp.int64),               # second_insert
+        jnp.zeros((B,), jnp.int64),               # second_overlap
+        jnp.zeros((B,), f32),                     # second_bad_f
+        jnp.full((B,), -1, jnp.int64),            # second_bad_int
+    )
+    (best_insert, best_bad_int, best_ratio, second_ratio, ambig,
+     returned, ret_ambig, best_overlap, best_bad_f, second_insert,
+     second_overlap, second_bad_f, second_bad_int), _ = jax.lax.scan(
+        step, carry0, xs
+    )
+    normal = ~returned
+    ambig = jnp.where(
+        normal, ambig | (second_ratio < min_second_f), ambig
+    )
+    best_insert = jnp.where(
+        normal & ~ambig & (best_ratio > maxr), -1, best_insert
+    )
+    out_insert = jnp.where(no_sol | ret_ambig, -1, best_insert)
+    out_bad = jnp.where(no_sol, min_len, best_bad_int)
+    out_ambig = jnp.where(
+        no_sol, False, jnp.where(ret_ambig, False, ambig & (out_insert > -1))
+    )
+    if collect:
+        stats = {
+            "best_insert": best_insert, "best_overlap": best_overlap,
+            "best_bad": best_bad_f, "best_ratio": best_ratio,
+            "best_bad_int": best_bad_int,
+            "second_insert": second_insert, "second_overlap": second_overlap,
+            "second_bad": second_bad_f, "second_ratio": second_ratio,
+            "second_bad_int": second_bad_int,
+        }
+        return out_insert, out_bad, out_ambig, stats
+    return out_insert, out_bad, out_ambig
+
+
+def overlap_and_mate(a, b_rc, alens, blens, min_insert0_col: int,
+                     n_inserts: int, min_overlap0, min_overlap,
+                     min_insert0: int, min_insert: int, max_ratio: float,
+                     min_second_ratio: float, margin: float, offset: float,
+                     extra_mult: float = 1.2, collect: bool = False):
+    """Fused device pipeline: insert-scan kernel + mate selection in ONE
+    jit — only [B]-sized winner arrays return to the host (the [B, D]
+    count matrices stay on device; pulling them cost ~27 MB/batch)."""
+    import jax
+
+    from .overlap_pallas import overlap_counts_pallas, use_pallas
+
+    pallas = use_pallas()
+
+    @partial(
+        jax.jit,
+        static_argnames=(
+            "m0c", "ni", "mi0", "mi", "maxr", "msr", "marg", "off",
+            "em", "col",
+        ),
+    )
+    def run(a, b_rc, alens, blens, mo0, mo, m0c, ni, mi0, mi, maxr, msr,
+            marg, off, em, col):
+        if pallas:
+            b_rj = right_justify_jnp(b_rc, blens, a.shape[1])
+            good, bad, ol = overlap_counts_pallas(
+                a, b_rj, alens, blens, m0c, ni, pre_justified=True
+            )
+        else:
+            good, bad, ol = overlap_counts_jnp(a, b_rc, alens, blens,
+                                               m0c, ni)
+        return mate_by_overlap_ratio_jnp(
+            good, bad, ol, alens, blens, m0c, mo0, mo, mi0, mi,
+            maxr, msr, marg, off, extra_mult=em, collect=col,
+        )
+
+    return run(
+        jnp.asarray(np.asarray(a)), jnp.asarray(np.asarray(b_rc)),
+        jnp.asarray(np.asarray(alens)), jnp.asarray(np.asarray(blens)),
+        jnp.asarray(np.asarray(min_overlap0)),
+        jnp.asarray(np.asarray(min_overlap)),
+        min_insert0_col, n_inserts, min_insert0, min_insert,
+        float(max_ratio), float(min_second_ratio), float(margin),
+        float(offset), float(extra_mult), bool(collect),
+    )

@@ -444,3 +444,59 @@ def test_right_justify_jnp_matches_np():
     want = right_justify_np(b, lens, L)
     got = np.asarray(right_justify_jnp(jnp.asarray(b), jnp.asarray(lens), L))
     np.testing.assert_array_equal(got, want)
+
+
+def test_mate_by_overlap_ratio_jnp_matches_np():
+    """Device scan (mate_by_overlap_ratio_jnp) == host oracle, bitwise,
+    incl. collect stats."""
+    import numpy as np
+
+    from bbtools_tpu.ops.overlap import (
+        mate_by_overlap_ratio_jnp,
+        mate_by_overlap_ratio_np,
+    )
+
+    rng = np.random.default_rng(17)
+    B, D = 300, 170
+    alens = rng.integers(60, 152, B)
+    blens = rng.integers(60, 152, B)
+    olen = np.minimum(
+        np.minimum(alens[:, None], blens[:, None]),
+        np.abs(np.arange(D)[None, :] - 90) + 5,
+    ).astype(np.int64)
+    good = (olen * rng.random((B, D)) * 0.98).astype(np.int64)
+    bad = np.maximum(olen - good - rng.integers(0, 3, (B, D)), 0)
+    # plant clean overlaps for a third of the reads
+    sel = rng.integers(0, D, B // 3)
+    rows = np.arange(B // 3)
+    good[rows, sel] = olen[rows, sel]
+    bad[rows, sel] = 0
+    mo0 = rng.integers(3, 9, B)
+    mo = rng.integers(10, 30, B)
+    args = dict(
+        min_insert0_col=26, min_overlap0=mo0, min_overlap=mo,
+        min_insert0=26, min_insert=35, max_ratio=0.09,
+        min_second_ratio=0.1, margin=5.5, offset=0.5,
+    )
+    for em, col in ((1.2, False), (4.0, True)):
+        want = mate_by_overlap_ratio_np(
+            good, bad, olen, alens, blens, extra_mult=em, collect=col,
+            **args,
+        )
+        import jax.numpy as jnp
+
+        got = mate_by_overlap_ratio_jnp(
+            jnp.asarray(good.astype(np.int32)),
+            jnp.asarray(bad.astype(np.int32)),
+            jnp.asarray(olen.astype(np.int32)),
+            jnp.asarray(alens), jnp.asarray(blens),
+            extra_mult=em, collect=col, **args,
+        )
+        np.testing.assert_array_equal(np.asarray(got[0]), want[0])
+        np.testing.assert_array_equal(np.asarray(got[1]), want[1])
+        np.testing.assert_array_equal(np.asarray(got[2]), want[2])
+        if col:
+            for k in want[3]:
+                np.testing.assert_array_equal(
+                    np.asarray(got[3][k]), want[3][k], err_msg=k
+                )
