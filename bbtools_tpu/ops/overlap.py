@@ -565,7 +565,32 @@ def mate_by_overlap_ratio_jnp(
     from .lane_table import lookup as table_lookup, pack_table
 
     f32 = jnp.float32
-    B, D = good_c.shape
+    B0, D = good_c.shape
+    # pad B to a lane multiple and fold [B] carries into [B/128, 128]
+    # tiles: 1-D vectors waste most of each VPU op (measured ~6 ms of
+    # scan overhead at B=8192; 2-D carries cut the per-step cost)
+    Bp = ((B0 + 127) // 128) * 128
+    pad = Bp - B0
+
+    def padded(x, fill):
+        x = jnp.asarray(x)
+        return jnp.pad(x, (0, pad), constant_values=fill) if pad else x
+
+    if pad:
+        good_c = jnp.pad(good_c, ((0, pad), (0, 0)))
+        bad_c = jnp.pad(bad_c, ((0, pad), (0, 0)))
+        olen = jnp.pad(olen, ((0, pad), (0, 0)))
+    alens = padded(alens, 1)
+    blens = padded(blens, 1)
+    min_overlap0 = (
+        padded(min_overlap0, 4)
+        if np.ndim(min_overlap0)
+        else min_overlap0
+    )
+    min_overlap = (
+        padded(min_overlap, 4) if np.ndim(min_overlap) else min_overlap
+    )
+    B = Bp
     gt2 = jnp.asarray(pack_table(incr_table(g_incr)))
     bt2 = jnp.asarray(pack_table(incr_table(b_incr)))
     mo0 = jnp.broadcast_to(jnp.asarray(min_overlap0), (B,)).astype(jnp.int64)
@@ -578,11 +603,23 @@ def mate_by_overlap_ratio_jnp(
     alens = jnp.asarray(alens)
     blens = jnp.asarray(blens)
 
+    # fold reads into [B/128, 128] lane tiles for the scans
+    R2 = B // 128
+
+    def r2(x):
+        return x.reshape(R2, 128)
+
+    mo0_eff = r2(mo0_eff)
+    mo_eff = r2(mo_eff)
+    min_len = r2(min_len)
+    alens = r2(alens)
+    blens = r2(blens)
+
     # precompute f32 increments + transposed per-step rows (scan xs)
-    g_all = table_lookup(gt2, good_c).T  # [D, B] f32
-    b_all = table_lookup(bt2, bad_c).T
-    ol_all = olen.T.astype(f32)
-    bad_all = bad_c.T
+    g_all = table_lookup(gt2, good_c).T.reshape(D, R2, 128)  # f32
+    b_all = table_lookup(bt2, bad_c).T.reshape(D, R2, 128)
+    ol_all = olen.T.astype(f32).reshape(D, R2, 128)
+    bad_all = bad_c.T.reshape(D, R2, 128)
     ds = jnp.arange(D - 1, -1, -1, dtype=jnp.int32)
     xs = (g_all[::-1], b_all[::-1], ol_all[::-1], bad_all[::-1], ds)
 
@@ -591,7 +628,7 @@ def mate_by_overlap_ratio_jnp(
     margin_f = np.float32(margin)
 
     # ---- prescan: findBestRatio ----
-    best0 = jnp.full((B,), _f32c(max_ratio, 0.0001), f32)
+    best0 = jnp.full((R2, 128), _f32c(max_ratio, 0.0001), f32)
     halfmax = np.float32(np.float32(max_ratio_f) * np.float32(0.5))
     largest_pre = alens + blens - mo_eff
 
@@ -620,7 +657,7 @@ def mate_by_overlap_ratio_jnp(
         returned = returned | early
         return (best, returned, result), None
 
-    init = (best0, jnp.zeros((B,), bool), jnp.zeros((B,), f32))
+    init = (best0, jnp.zeros((R2, 128), bool), jnp.zeros((R2, 128), f32))
     (best_p, returned_p, result_p), _ = jax.lax.scan(pre_step, init, xs)
     x_pre = jnp.where(returned_p, result_p, best_p)
 
@@ -696,19 +733,19 @@ def mate_by_overlap_ratio_jnp(
                 second_bad_int), None
 
     carry0 = (
-        jnp.full((B,), -1, jnp.int64),            # best_insert
-        jnp.full((B,), -1, jnp.int64),            # best_bad_int
-        jnp.ones((B,), f32),                      # best_ratio
-        jnp.ones((B,), f32),                      # second_ratio
-        jnp.zeros((B,), bool),                    # ambig
+        jnp.full((R2, 128), -1, jnp.int64),       # best_insert
+        jnp.full((R2, 128), -1, jnp.int64),       # best_bad_int
+        jnp.ones((R2, 128), f32),                 # best_ratio
+        jnp.ones((R2, 128), f32),                 # second_ratio
+        jnp.zeros((R2, 128), bool),               # ambig
         no_sol,                                   # returned
-        jnp.zeros((B,), bool),                    # ret_ambig
-        jnp.full((B,), -1, jnp.int64),            # best_overlap
+        jnp.zeros((R2, 128), bool),               # ret_ambig
+        jnp.full((R2, 128), -1, jnp.int64),       # best_overlap
         min_len.astype(f32),                      # best_bad_f
-        jnp.zeros((B,), jnp.int64),               # second_insert
-        jnp.zeros((B,), jnp.int64),               # second_overlap
-        jnp.zeros((B,), f32),                     # second_bad_f
-        jnp.full((B,), -1, jnp.int64),            # second_bad_int
+        jnp.zeros((R2, 128), jnp.int64),          # second_insert
+        jnp.zeros((R2, 128), jnp.int64),          # second_overlap
+        jnp.zeros((R2, 128), f32),                # second_bad_f
+        jnp.full((R2, 128), -1, jnp.int64),       # second_bad_int
     )
     (best_insert, best_bad_int, best_ratio, second_ratio, ambig,
      returned, ret_ambig, best_overlap, best_bad_f, second_insert,
@@ -727,6 +764,12 @@ def mate_by_overlap_ratio_jnp(
     out_ambig = jnp.where(
         no_sol, False, jnp.where(ret_ambig, False, ambig & (out_insert > -1))
     )
+    def unfold(x):
+        return x.reshape(-1)[:B0]
+
+    out_insert, out_bad, out_ambig = map(
+        unfold, (out_insert, out_bad, out_ambig)
+    )
     if collect:
         stats = {
             "best_insert": best_insert, "best_overlap": best_overlap,
@@ -736,6 +779,7 @@ def mate_by_overlap_ratio_jnp(
             "second_bad": second_bad_f, "second_ratio": second_ratio,
             "second_bad_int": second_bad_int,
         }
+        stats = {k: unfold(v) for k, v in stats.items()}
         return out_insert, out_bad, out_ambig, stats
     return out_insert, out_bad, out_ambig
 
