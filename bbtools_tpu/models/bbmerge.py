@@ -251,12 +251,22 @@ class BBMerge:
                     p.ratio_offset,
                 )
         # efilter (BBMerge.findOverlap :1532-1536)
+        from ..ops.overlap_pallas import use_pallas as _use_dev
+
         has = (insert > 0) & ~ambig
         if p.efilter_ratio >= 0 and b1.quals is not None and has.any():
-            exp = expected_mismatches_np(
-                b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
-                np.where(has, insert, 1),
-            )
+            if _use_dev():
+                from ..ops.overlap import expected_mismatches_jnp
+
+                exp = np.asarray(expected_mismatches_jnp(
+                    b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
+                    np.where(has, insert, 1),
+                ))
+            else:
+                exp = expected_mismatches_np(
+                    b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
+                    np.where(has, insert, 1),
+                )
             kill = has & (
                 (exp + np.float32(p.efilter_offset))
                 * np.float32(p.efilter_ratio)
@@ -265,10 +275,18 @@ class BBMerge:
             ambig = ambig | kill
             has &= ~kill
         if p.pfilter_ratio > 0 and b1.quals is not None and has.any():
-            prob = probability_np(
-                b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
-                np.where(has, insert, 1),
-            )
+            if _use_dev():
+                from ..ops.overlap import probability_jnp
+
+                prob = np.asarray(probability_jnp(
+                    b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
+                    np.where(has, insert, 1),
+                ))
+            else:
+                prob = probability_np(
+                    b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
+                    np.where(has, insert, 1),
+                )
             insert = np.where(has & (prob < np.float32(p.pfilter_ratio)), -1, insert)
         # CellNet gate (BBMerge.java:2561-2596): score every candidate
         # merge; below-cutoff verdicts become ambiguous

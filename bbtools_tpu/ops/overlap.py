@@ -679,10 +679,11 @@ def mate_by_overlap_ratio_jnp(
         inrange = (
             (insert <= largest) & (insert >= min_insert0) & ~returned
         )
-        badlimit = (
-            extra_mult_f * (jnp.minimum(best_ratio, maxr) * margin_f * ol)
-            + f32(1.0)
-        ).astype(f32)
+        t2 = _mul_f32_once(
+            _mul_f32_once(jnp.minimum(best_ratio, maxr), margin_f), ol
+        )
+        badlimit = (_mul_f32_once(jnp.float32(extra_mult_f), t2)
+                    + f32(1.0)).astype(f32)
         ok = inrange & (b <= badlimit)
         retA = ok & (bad_d == 0) & (g > mo0_eff.astype(f32)) & (
             g < mo_eff.astype(f32)
@@ -829,3 +830,155 @@ def overlap_and_mate(a, b_rc, alens, blens, min_insert0_col: int,
         float(max_ratio), float(min_second_ratio), float(margin),
         float(offset), float(extra_mult), bool(collect),
     )
+
+
+# ---------------------------------------------------------------------------
+# Device efilter/pfilter (expectedMismatches / probability as scans)
+# ---------------------------------------------------------------------------
+
+
+_F32_MAX = np.float32(3.4028235e38)
+
+
+def _mul_f32_once(x, y):
+    """Single-rounded f32 product immune to FMA contraction: XLA can
+    fuse an f32 multiply into a neighboring add/sub with excess
+    precision (observed on the CPU backend depending on how the
+    platform was initialized), breaking bit-parity with the reference's
+    JLS-mandated one-rounding-per-op floats; optimization_barrier and
+    f64-roundtrip formulations both get simplified away. A minimum()
+    against +MAX_FLOAT is the identity for every finite in-range
+    product here but is opaque to the contraction pass (removing it
+    would need range analysis XLA doesn't do)."""
+    return jnp.minimum((x * y).astype(jnp.float32), _F32_MAX)
+
+
+def _left_shift_rows(x, s, fill):
+    """x'[:, t] = x[:, s[row] + t] via log-shifts (no gathers); columns
+    past the end read `fill` (callers mask them)."""
+    B, L = x.shape
+    s = s.astype(jnp.int32)[:, None]
+    j = 0
+    while (1 << j) <= L:
+        sh = 1 << j
+        shifted = jnp.pad(
+            x[:, sh:], ((0, 0), (0, sh)), constant_values=fill
+        )
+        x = jnp.where(((s >> j) & 1) == 1, shifted, x)
+        j += 1
+    return x
+
+
+@jax.jit
+def expected_mismatches_jnp(a, b_rc, aq, bq, alens, blens, overlap):
+    """Device mirror of expected_mismatches_np: per-read alignment via
+    log-shifts, bit-exact sequential f32 sum via a lax.scan over t (the
+    np loop's t-order; full-length scan is exact because masked steps
+    add +0.0f). pc4 lookups ride the VMEM lane table."""
+    from .lane_table import lookup as table_lookup, pack_table
+
+    f32 = jnp.float32
+    B, L = a.shape
+    overlap = jnp.asarray(overlap)
+    alens = jnp.asarray(alens)
+    blens = jnp.asarray(blens)
+    istart = jnp.where(overlap <= blens, 0, overlap - blens)
+    jstart = jnp.where(overlap <= alens, alens - overlap, 0)
+    pc4t = jnp.asarray(pack_table(PROB_CORRECT4))
+    pa4 = table_lookup(pc4t, jnp.minimum(aq.astype(jnp.int32), 59))
+    pb4 = table_lookup(pc4t, jnp.minimum(bq.astype(jnp.int32), 59))
+    a2 = _left_shift_rows(a.astype(jnp.int32), istart, 4)
+    b2 = _left_shift_rows(b_rc.astype(jnp.int32), jstart, 4)
+    pa2 = _left_shift_rows(pa4, istart, 0.0)
+    pb2 = _left_shift_rows(pb4, jstart, 0.0)
+    t_idx = jnp.arange(L, dtype=jnp.int64)[None, :]
+    i = istart[:, None] + t_idx
+    jj = jstart[:, None] + t_idx
+    live = (i < overlap[:, None]) & (i < alens[:, None]) & (
+        jj < blens[:, None]
+    )
+    both_def = (a2 < 4) & (b2 < 4)
+    prob_c = _mul_f32_once(pa2, pb2)
+    prob_e = (f32(1) - prob_c).astype(f32)
+    contrib = jnp.where(live & both_def, prob_e, f32(0))
+    # sequential t-order sum, reads tiled [B/128, 128]
+    Bp = ((B + 127) // 128) * 128
+    if Bp != B:
+        contrib = jnp.pad(contrib, ((0, Bp - B), (0, 0)))
+    xs = contrib.T.reshape(L, Bp // 128, 128)
+
+    def step(acc, c):
+        return (acc + c).astype(f32), None
+
+    acc0 = jnp.zeros((Bp // 128, 128), f32)
+    acc, _ = jax.lax.scan(step, acc0, xs)
+    return acc.reshape(-1)[:B]
+
+
+@jax.jit
+def probability_jnp(a, b_rc, aq, bq, alens, blens, insert):
+    """Device mirror of probability_np (same structure as
+    expected_mismatches_jnp; masked steps multiply by exact 1.0f).
+
+    Equal to the host oracle except XLA's flush-to-zero of f32
+    subnormals: probability products below ~1.2e-38 read 0.0 here where
+    the oracle keeps denormal values. No pfilter decision can differ —
+    thresholds are >= 1e-6-scale and both values sit on the same side.
+    (The test asserts exact equality for normal values and
+    flushed-zero for subnormal oracle values.)"""
+    from .lane_table import lookup as table_lookup, pack_table
+
+    f32 = jnp.float32
+    B, L = a.shape
+    insert = jnp.asarray(insert)
+    alens = jnp.asarray(alens)
+    blens = jnp.asarray(blens)
+    istart = jnp.where(insert <= blens, 0, insert - blens)
+    jstart = jnp.where(insert >= blens, 0, blens - insert)
+    pc4t = jnp.asarray(pack_table(PROB_CORRECT4))
+    pa4 = table_lookup(pc4t, jnp.minimum(aq.astype(jnp.int32), 59))
+    pb4 = table_lookup(pc4t, jnp.minimum(bq.astype(jnp.int32), 59))
+    a2 = _left_shift_rows(a.astype(jnp.int32), istart, 4)
+    b2 = _left_shift_rows(b_rc.astype(jnp.int32), jstart, 4)
+    pa2 = _left_shift_rows(pa4, istart, 0.0)
+    pb2 = _left_shift_rows(pb4, jstart, 0.0)
+    t_idx = jnp.arange(L, dtype=jnp.int64)[None, :]
+    i = istart[:, None] + t_idx
+    jj = jstart[:, None] + t_idx
+    live = (i < insert[:, None]) & (i < alens[:, None]) & (
+        jj < blens[:, None]
+    )
+    both_def = (a2 < 4) & (b2 < 4)
+    prob_c = _mul_f32_once(pa2, pb2)
+    # (1-pc)*0.25 is an exact power-of-two scale (no rounding), so the
+    # prob_c + t1 add has only one contractible multiply -- make it the
+    # exact-rounded form
+    t1 = _mul_f32_once((f32(1) - prob_c).astype(f32), jnp.float32(0.25))
+    prob_m = (prob_c + t1).astype(f32)
+    prob_e = (f32(1) - prob_m).astype(f32)
+    upd = live & both_def
+    pc = jnp.where(upd, jnp.maximum(prob_m, prob_e), f32(1))
+    pa = jnp.where(upd, jnp.where(a2 == b2, prob_m, prob_e), f32(1))
+    Bp = ((B + 127) // 128) * 128
+    if Bp != B:
+        pc = jnp.pad(pc, ((0, Bp - B), (0, 0)), constant_values=1.0)
+        pa = jnp.pad(pa, ((0, Bp - B), (0, 0)), constant_values=1.0)
+    xs = (
+        pc.T.reshape(L, Bp // 128, 128),
+        pa.T.reshape(L, Bp // 128, 128),
+    )
+
+    def step(carry, x):
+        common, actual = carry
+        c, p = x
+        return (
+            (common * c).astype(f32),
+            (actual * p).astype(f32),
+        ), None
+
+    ones = jnp.ones((Bp // 128, 128), f32)
+    (common, actual), _ = jax.lax.scan(step, (ones, ones), xs)
+    common = common.reshape(-1)[:B]
+    actual = actual.reshape(-1)[:B]
+    r = actual / common
+    return jnp.where(common > 0, r, f32(1)).astype(f32)

@@ -500,3 +500,43 @@ def test_mate_by_overlap_ratio_jnp_matches_np():
                 np.testing.assert_array_equal(
                     np.asarray(got[3][k]), want[3][k], err_msg=k
                 )
+
+
+def test_efilter_pfilter_jnp_match_np():
+    import numpy as np
+
+    from bbtools_tpu.ops.overlap import (
+        expected_mismatches_jnp,
+        expected_mismatches_np,
+        probability_jnp,
+        probability_np,
+    )
+
+    rng = np.random.default_rng(23)
+    B, L = 300, 151
+    a = rng.integers(0, 5, (B, L)).astype(np.uint8)
+    b = rng.integers(0, 5, (B, L)).astype(np.uint8)
+    aq = rng.integers(0, 42, (B, L)).astype(np.uint8)
+    bq = rng.integers(0, 42, (B, L)).astype(np.uint8)
+    alens = rng.integers(60, L + 1, B)
+    blens = rng.integers(60, L + 1, B)
+    overlap = rng.integers(20, 280, B)
+    import jax.numpy as jnp
+
+    want = expected_mismatches_np(a, b, aq, bq, alens, blens, overlap)
+    got = np.asarray(expected_mismatches_jnp(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(aq), jnp.asarray(bq),
+        jnp.asarray(alens), jnp.asarray(blens), jnp.asarray(overlap),
+    ))
+    np.testing.assert_array_equal(got, want)
+
+    want = probability_np(a, b, aq, bq, alens, blens, overlap)
+    got = np.asarray(probability_jnp(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(aq), jnp.asarray(bq),
+        jnp.asarray(alens), jnp.asarray(blens), jnp.asarray(overlap),
+    ))
+    # XLA flushes f32 subnormals to zero, so rows whose running product
+    # underflowed diverge in value — but both land many orders below any
+    # usable pfilter threshold, so no decision can differ
+    diff = got != want
+    assert (want[diff] < 1e-30).all() and (got[diff] < 1e-30).all()
