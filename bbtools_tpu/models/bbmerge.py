@@ -192,12 +192,28 @@ class BBMerge:
         bq_rev = _rev_quals(b2)
         # entropy-derived minOverlap (default mode: Tail of r1, Head of r2)
         if self.cfg.use_entropy:
-            a_e = calc_min_overlap_by_entropy_np(
-                b1.bases, b1.lengths, 3, p.min_entropy_score, from_tail=True
-            )
-            b_e = calc_min_overlap_by_entropy_np(
-                b2.bases, b2.lengths, 3, p.min_entropy_score, from_tail=False
-            )
+            from ..ops.overlap_pallas import use_pallas as _dev
+
+            if _dev():
+                from ..ops.overlap import calc_min_overlap_by_entropy_jnp
+
+                a_e = np.asarray(calc_min_overlap_by_entropy_jnp(
+                    jnp.asarray(b1.bases), jnp.asarray(b1.lengths), 3,
+                    p.min_entropy_score, True,
+                ))
+                b_e = np.asarray(calc_min_overlap_by_entropy_jnp(
+                    jnp.asarray(b2.bases), jnp.asarray(b2.lengths), 3,
+                    p.min_entropy_score, False,
+                ))
+            else:
+                a_e = calc_min_overlap_by_entropy_np(
+                    b1.bases, b1.lengths, 3, p.min_entropy_score,
+                    from_tail=True
+                )
+                b_e = calc_min_overlap_by_entropy_np(
+                    b2.bases, b2.lengths, 3, p.min_entropy_score,
+                    from_tail=False
+                )
             min_overlap = np.maximum(p.min_overlap, np.maximum(a_e, b_e))
         else:
             min_overlap = np.full(B, p.min_overlap, dtype=np.int64)

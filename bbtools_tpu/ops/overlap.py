@@ -982,3 +982,59 @@ def probability_jnp(a, b_rc, aq, bq, alens, blens, insert):
     actual = actual.reshape(-1)[:B]
     r = actual / common
     return jnp.where(common > 0, r, f32(1)).astype(f32)
+
+
+@partial(jax.jit, static_argnames=("k", "minscore", "from_tail"))
+def calc_min_overlap_by_entropy_jnp(codes, lengths, k: int, minscore: int,
+                                    from_tail: bool):
+    """Device mirror of calc_min_overlap_by_entropy_np: lax.scan over
+    positions with a [B, 4^k] one-hot count carry (the np version
+    scatters into per-read count tables; 4^3=64 lanes of compare-sum
+    replace the row scatters). Integer state only — exact."""
+    B, L = codes.shape
+    space = 1 << (2 * k)
+    mask = space - 1
+    lengths = jnp.asarray(lengths).astype(jnp.int64)
+    rng_iota = jnp.arange(space, dtype=jnp.int64)[None, :]
+
+    def step(carry, i):
+        counts, kmer, ln, ones, twos, result, done = carry
+        pos = jnp.where(from_tail, lengths - 1 - i, i)
+        live = (i < lengths) & ~done
+        pp = jnp.clip(pos, 0, L - 1)
+        # compare-sum column extract (no gather)
+        col = jnp.sum(
+            jnp.where(
+                jnp.arange(L, dtype=jnp.int64)[None, :] == pp[:, None],
+                codes.astype(jnp.int64), 0,
+            ),
+            axis=1,
+        )
+        defined = col < 4
+        ln = jnp.where(live & defined, ln + 1, jnp.where(live, 0, ln))
+        kmer = jnp.where(
+            live & defined,
+            ((kmer << 2) | jnp.where(defined, col, 0)) & mask,
+            jnp.where(live, 0, kmer),
+        )
+        add = live & defined & (ln >= k)
+        oh = rng_iota == kmer[:, None]  # [B, space]
+        old = jnp.sum(jnp.where(oh, counts, 0), axis=1)
+        counts = counts + jnp.where(oh & add[:, None], 1, 0)
+        newc = old + 1
+        ones = jnp.where(add & (newc == 1), ones + 1, ones)
+        twos = jnp.where(add & (newc == 2), twos + 1, twos)
+        hit = add & (ones * 4 + twos >= minscore)
+        result = jnp.where(hit & ~done, i, result)
+        done = done | hit
+        return (counts, kmer, ln, ones, twos, result, done), None
+
+    z = jnp.zeros((B,), jnp.int64)
+    carry0 = (
+        jnp.zeros((B, space), jnp.int32), z, z, z, z,
+        lengths + 1, jnp.zeros((B,), bool),
+    )
+    (counts, kmer, ln, ones, twos, result, done), _ = jax.lax.scan(
+        step, carry0, jnp.arange(L, dtype=jnp.int64)
+    )
+    return result

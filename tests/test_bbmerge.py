@@ -540,3 +540,27 @@ def test_efilter_pfilter_jnp_match_np():
     # usable pfilter threshold, so no decision can differ
     diff = got != want
     assert (want[diff] < 1e-30).all() and (got[diff] < 1e-30).all()
+
+
+def test_entropy_min_overlap_jnp_matches_np():
+    import numpy as np
+
+    from bbtools_tpu.ops.overlap import (
+        calc_min_overlap_by_entropy_jnp,
+        calc_min_overlap_by_entropy_np,
+    )
+
+    rng = np.random.default_rng(29)
+    B, L = 200, 151
+    codes = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    codes[rng.random((B, L)) < 0.03] = 4
+    codes[:40, 20:] = codes[:40, 19:20]  # low-entropy tails
+    lens = rng.integers(10, L + 1, B).astype(np.int32)
+    import jax.numpy as jnp
+
+    for tail in (True, False):
+        want = calc_min_overlap_by_entropy_np(codes, lens, 3, 39, tail)
+        got = np.asarray(calc_min_overlap_by_entropy_jnp(
+            jnp.asarray(codes), jnp.asarray(lens), 3, 39, tail
+        ))
+        np.testing.assert_array_equal(got, want)
