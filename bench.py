@@ -323,11 +323,17 @@ def bench_kmercount():
 
 
 def bench_bbmerge():
-    """Config #4: paired-overlap detection, device insert scan."""
+    """Config #4: the PRODUCTION overlap pipeline — fused in-graph
+    right-justify + Pallas insert scan + mateByOverlapRatio selection
+    (prescan + main state machine as lane-tiled lax.scans)."""
     import jax
     import jax.numpy as jnp
 
-    from bbtools_tpu.ops.overlap import overlap_counts_jnp
+    from bbtools_tpu.ops.overlap import (
+        mate_by_overlap_ratio_jnp,
+        overlap_counts_jnp,
+        right_justify_jnp,
+    )
     from bbtools_tpu.ops.overlap_pallas import (
         overlap_counts_pallas,
         use_pallas,
@@ -337,25 +343,26 @@ def bench_bbmerge():
     B = 8192
     a, alens = make_reads(rng, batch=B)
     b, blens = make_reads(rng, batch=B)
-    n_inserts = 2 * READ_LEN - 2 * 12
+    n_inserts = 2 * READ_LEN - 2 * 24
     da, dbb = jnp.asarray(a), jnp.asarray(b)
     dal, dbl = jnp.asarray(alens), jnp.asarray(blens)
+    mo0 = jnp.asarray(np.full(B, 7))
+    mo = jnp.asarray(np.full(B, 24))
     pallas = use_pallas()
 
     @jax.jit
     def step_fn(da, dbb, dal, dbl):
         if pallas:
-            from bbtools_tpu.ops.overlap import right_justify_jnp
-
             db_rj = right_justify_jnp(dbb, dbl, READ_LEN)
             g, bad, ol = overlap_counts_pallas(
                 da, db_rj, dal, dbl, 24, n_inserts, pre_justified=True
             )
         else:
             g, bad, ol = overlap_counts_jnp(da, dbb, dal, dbl, 24, n_inserts)
-        ratio = bad * 100 - g
-        best = jnp.argmin(ratio, axis=1)
-        return best, jnp.take_along_axis(g, best[:, None], 1)
+        return mate_by_overlap_ratio_jnp(
+            g, bad, ol, dal, dbl, 24, mo0, mo, 24, 35,
+            0.09, 0.1, 5.5, 0.55,
+        )
 
     if _on_tpu():
         dt = step_time(
