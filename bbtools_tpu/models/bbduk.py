@@ -366,9 +366,14 @@ def _mm_eligible(cfg: BBDukConfig) -> bool:
     canonical queries (rcomp), no indel balls (edist), no query-side
     mutation (qhdist), and — when speed>0 — no short-kmer classes (the
     short-end scans apply no speed gate, so load-side sampling of shorts
-    cannot be reproduced scan-side)."""
+    cannot be reproduced scan-side). TPU only: the matmul needs the MXU
+    (a CPU backend grinds through ~2 TMAC/batch; its gathers are fast —
+    the bucket index is the right CPU fallback)."""
+    import jax
+
     return (
-        cfg.rcomp
+        jax.devices()[0].platform == "tpu"
+        and cfg.rcomp
         and cfg.k <= 31
         and cfg.edist == 0
         and (cfg.edist2 or 0) == 0

@@ -41,7 +41,8 @@ def _build() -> str | None:
     cc = os.environ.get("CC", "cc")
     try:
         subprocess.run(
-            [cc, "-O3", "-shared", "-fPIC", "-o", cache + ".tmp", *srcs],
+            [cc, "-O3", "-shared", "-fPIC", "-pthread", "-o",
+             cache + ".tmp", *srcs],
             check=True,
             capture_output=True,
         )
@@ -61,6 +62,7 @@ def get_lib():
             lib = ctypes.CDLL(path)
             lib.scan_newlines.restype = ctypes.c_long
             lib.fill_records.restype = ctypes.c_int
+            lib.fill_records_mt.restype = ctypes.c_int
             lib.radix_count.restype = ctypes.c_long
             lib.radix_count_w.restype = ctypes.c_long
             _LIB = lib
@@ -126,10 +128,11 @@ def fill_records_native(buf: np.ndarray, line_starts: np.ndarray,
     ls = np.ascontiguousarray(line_starts, dtype=np.int64)
     le = np.ascontiguousarray(line_ends, dtype=np.int64)
     bufc = np.ascontiguousarray(buf)
-    lib.fill_records(
+    lib.fill_records_mt(
         _ptr(bufc), _ptr(ls), _ptr(le),
         ctypes.c_long(nrec), ctypes.c_long(pad), ctypes.c_int(qual_offset),
         _ptr(bases), _ptr(quals), _ptr(ascii_b), _ptr(lengths),
+        ctypes.c_int(_nthreads()),
     )
     return bases, quals, ascii_b, lengths
 
@@ -144,5 +147,13 @@ def pack_2bit_native(bases: np.ndarray):
     packed = np.empty((n, pb), dtype=np.uint8)
     nmask = np.empty((n, nb), dtype=np.uint8)
     b = np.ascontiguousarray(bases)
-    lib.pack_2bit(_ptr(b), ctypes.c_long(n), ctypes.c_long(pad), _ptr(packed), _ptr(nmask))
+    lib.pack_2bit_mt(_ptr(b), ctypes.c_long(n), ctypes.c_long(pad),
+                     _ptr(packed), _ptr(nmask), ctypes.c_int(_nthreads()))
     return packed, nmask
+
+
+def _nthreads() -> int:
+    try:
+        return max(1, min(os.cpu_count() or 1, 16))
+    except Exception:
+        return 1

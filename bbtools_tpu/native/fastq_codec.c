@@ -103,3 +103,97 @@ void pack_2bit(const uint8_t *bases, long n, long pad,
         }
     }
 }
+
+/* ---- threaded drivers (reference runs its codec on worker threads;
+ * these shard record ranges over pthreads) ---- */
+
+#include <pthread.h>
+#include <unistd.h>
+
+typedef struct {
+    const uint8_t *buf;
+    const long *line_starts;
+    const long *line_ends;
+    long r0, r1, pad;
+    int qual_offset;
+    uint8_t *bases, *quals, *ascii;
+    int32_t *lengths;
+    int rc;
+} fill_job;
+
+static void *fill_worker(void *arg) {
+    fill_job *j = (fill_job *)arg;
+    j->rc = fill_records(
+        j->buf, j->line_starts + 4 * j->r0, j->line_ends + 4 * j->r0,
+        j->r1 - j->r0, j->pad, j->qual_offset,
+        j->bases + j->r0 * j->pad, j->quals + j->r0 * j->pad,
+        j->ascii + j->r0 * j->pad, j->lengths + j->r0);
+    return 0;
+}
+
+int fill_records_mt(const uint8_t *buf,
+                    const long *line_starts, const long *line_ends,
+                    long nrec, long pad, int qual_offset,
+                    uint8_t *bases, uint8_t *quals, uint8_t *ascii,
+                    int32_t *lengths, int nthreads) {
+    if (nthreads < 2 || nrec < 2048) {
+        return fill_records(buf, line_starts, line_ends, nrec, pad,
+                            qual_offset, bases, quals, ascii, lengths);
+    }
+    if (nthreads > 16) nthreads = 16;
+    pthread_t tids[16];
+    fill_job jobs[16];
+    long per = (nrec + nthreads - 1) / nthreads;
+    int nt = 0;
+    for (int t = 0; t < nthreads; t++) {
+        long r0 = t * per, r1 = r0 + per;
+        if (r0 >= nrec) break;
+        if (r1 > nrec) r1 = nrec;
+        jobs[t] = (fill_job){buf, line_starts, line_ends, r0, r1, pad,
+                             qual_offset, bases, quals, ascii, lengths, 0};
+        pthread_create(&tids[t], 0, fill_worker, &jobs[t]);
+        nt++;
+    }
+    int rc = 0;
+    for (int t = 0; t < nt; t++) {
+        pthread_join(tids[t], 0);
+        if (jobs[t].rc) rc = jobs[t].rc;
+    }
+    return rc;
+}
+
+typedef struct {
+    const uint8_t *bases;
+    long r0, r1, pad;
+    uint8_t *packed, *nmask;
+} pack_job;
+
+static void *pack_worker(void *arg) {
+    pack_job *j = (pack_job *)arg;
+    long pb = (j->pad + 3) / 4, nb = (j->pad + 7) / 8;
+    pack_2bit(j->bases + j->r0 * j->pad, j->r1 - j->r0, j->pad,
+              j->packed + j->r0 * pb, j->nmask + j->r0 * nb);
+    return 0;
+}
+
+void pack_2bit_mt(const uint8_t *bases, long n, long pad,
+                  uint8_t *packed, uint8_t *nmask, int nthreads) {
+    if (nthreads < 2 || n < 2048) {
+        pack_2bit(bases, n, pad, packed, nmask);
+        return;
+    }
+    if (nthreads > 16) nthreads = 16;
+    pthread_t tids[16];
+    pack_job jobs[16];
+    long per = (n + nthreads - 1) / nthreads;
+    int nt = 0;
+    for (int t = 0; t < nthreads; t++) {
+        long r0 = t * per, r1 = r0 + per;
+        if (r0 >= n) break;
+        if (r1 > n) r1 = n;
+        jobs[t] = (pack_job){bases, r0, r1, pad, packed, nmask};
+        pthread_create(&tids[t], 0, pack_worker, &jobs[t]);
+        nt++;
+    }
+    for (int t = 0; t < nt; t++) pthread_join(tids[t], 0);
+}

@@ -16,7 +16,18 @@ import numpy as np
 
 def pack_bases_np(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """codes uint8 [B, L] (0..3, >=4 undefined) ->
-    (packed uint8 [B, ceil(L/4)], nmask uint8 [B, ceil(L/8)])."""
+    (packed uint8 [B, ceil(L/4)], nmask uint8 [B, ceil(L/8)]).
+
+    Routed through the threaded native packer when available (the numpy
+    path measures ~150 Mbases/s — below the device scan rate)."""
+    try:
+        from ..native import pack_2bit_native
+
+        res = pack_2bit_native(codes)
+        if res is not None:
+            return res
+    except Exception:
+        pass
     B, L = codes.shape
     L4 = -(-L // 4) * 4
     L8 = -(-L // 8) * 8

@@ -361,15 +361,25 @@ def mm_lookup_jnp(keymat, prio, k: int, mink: int, Kp: int, Dp: int, query):
 def _mm_xla(keymat, prio, oh):
     # bf16 is exact here: dot terms are 0/1 * weights <= 127 and |s| is
     # bounded by k + CLASS_W + thr < 256 (integers below 2^8 are exact
-    # in bf16); accumulation is f32
-    s = jax.lax.dot_general(
-        oh.astype(jnp.bfloat16),
-        keymat.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    pr = jnp.where(s >= 0, prio, BIG32)
-    best = pr.min(axis=1)
+    # in bf16); accumulation is f32. Chunked over queries: the full
+    # [N, Dp] score matrix is tens of GB for a production scan batch
+    # (the Pallas path tiles it in VMEM; this fallback must too).
+    N = oh.shape[0]
+    CH = 8192
+    Np = ((N + CH - 1) // CH) * CH
+    ohp = jnp.pad(oh, ((0, Np - N), (0, 0))) if Np != N else oh
+    kb = keymat.astype(jnp.bfloat16)
+
+    def chunk(oh_c):
+        s = jax.lax.dot_general(
+            oh_c.astype(jnp.bfloat16), kb,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pr = jnp.where(s >= 0, prio, BIG32)
+        return pr.min(axis=1)
+
+    best = jax.lax.map(chunk, ohp.reshape(Np // CH, CH, -1)).reshape(-1)[:N]
     return jnp.where(best != BIG32, best & 0xFFFF, 0).astype(jnp.int32)
 
 

@@ -241,8 +241,17 @@ def test_bbduk_e2e_mxu_vs_bucket(tmp_path, mode, monkeypatch):
         if force_bucket:
             monkeypatch.setattr(bbduk_mod, "_mm_eligible", lambda cfg: False)
         else:
+            # production gate requires TPU (CPU matmuls are too slow);
+            # force-enable here to exercise the backend on the CPU CI
             monkeypatch.setattr(
-                bbduk_mod, "_mm_eligible", bbduk_mod._mm_eligible
+                bbduk_mod,
+                "_mm_eligible",
+                lambda cfg: (
+                    cfg.rcomp and cfg.k <= 31 and cfg.edist == 0
+                    and (cfg.edist2 or 0) == 0 and cfg.qhdist == 0
+                    and (cfg.hdist > 0 or (cfg.hdist2 or 0) > 0)
+                    and not (cfg.speed > 0 and cfg.use_short_kmers)
+                ),
             )
         duk = BBDuk(parse_args(args))
         if not force_bucket:
