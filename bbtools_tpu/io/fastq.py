@@ -279,13 +279,35 @@ class FastqWriter:
 def encode_fastq(
     batch: ReadBatch, keep: np.ndarray | None = None, qual_offset: int = 33
 ) -> bytes:
-    """Serialize (a subset of) a batch to FASTQ bytes."""
-    idxs = range(batch.n) if keep is None else np.flatnonzero(keep)
+    """Serialize (a subset of) a batch to FASTQ bytes (native C emitter
+    when available — the per-read python join measures ~55 Mbases/s)."""
     if batch.ascii_bases is not None:
         ascii_bases = batch.ascii_bases
     else:
         ascii_bases = CODE_TO_BASE[np.minimum(batch.bases, N_CODE)]
     q = batch.quals
+    try:
+        from ..native import emit_fastq_native
+    except Exception:
+        emit_fastq_native = None
+    if emit_fastq_native is not None and batch.n:
+        idblob = b"".join(batch.ids)
+        idoff = np.zeros(batch.n + 1, np.int64)
+        np.cumsum([len(x) for x in batch.ids], out=idoff[1:])
+        quals = (
+            q
+            if q is not None
+            else np.full(
+                ascii_bases.shape, ord("I") - qual_offset, np.uint8
+            )
+        )
+        res = emit_fastq_native(
+            idblob, idoff, ascii_bases, quals, batch.lengths, keep,
+            qual_offset,
+        )
+        if res is not None:
+            return res
+    idxs = range(batch.n) if keep is None else np.flatnonzero(keep)
     ascii_quals = (
         (q + qual_offset).astype(np.uint8) if q is not None else None
     )

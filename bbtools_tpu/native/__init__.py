@@ -63,6 +63,7 @@ def get_lib():
             lib.scan_newlines.restype = ctypes.c_long
             lib.fill_records.restype = ctypes.c_int
             lib.fill_records_mt.restype = ctypes.c_int
+            lib.emit_fastq.restype = ctypes.c_long
             lib.radix_count.restype = ctypes.c_long
             lib.radix_count_w.restype = ctypes.c_long
             _LIB = lib
@@ -150,6 +151,43 @@ def pack_2bit_native(bases: np.ndarray):
     lib.pack_2bit_mt(_ptr(b), ctypes.c_long(n), ctypes.c_long(pad),
                      _ptr(packed), _ptr(nmask), ctypes.c_int(_nthreads()))
     return packed, nmask
+
+
+def emit_fastq_native(idblob: bytes, idoff: np.ndarray, ascii_b: np.ndarray,
+                      quals: np.ndarray, lengths: np.ndarray,
+                      keep: np.ndarray | None, qual_offset: int):
+    """Serialize records to FASTQ bytes in C; None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, pad = ascii_b.shape
+    idoff = np.ascontiguousarray(idoff, dtype=np.int64)
+    lens = np.ascontiguousarray(lengths, dtype=np.int32)
+    if keep is None:
+        m = np.minimum(lens, pad).astype(np.int64)
+        idl = idoff[1:] - idoff[:-1]
+        nrec = n
+        keep_arr = None
+    else:
+        keep_arr = np.ascontiguousarray(keep.astype(np.uint8))
+        km = keep.astype(bool)
+        m = np.minimum(lens, pad).astype(np.int64) * km
+        idl = (idoff[1:] - idoff[:-1]) * km
+        nrec = int(np.count_nonzero(km))
+    cap = int((2 * m + idl).sum()) + 6 * nrec
+    out = np.empty(max(cap, 1), np.uint8)
+    blob = np.frombuffer(idblob, np.uint8) if len(idblob) else np.zeros(1, np.uint8)
+    w = lib.emit_fastq(
+        _ptr(np.ascontiguousarray(blob)), _ptr(idoff),
+        _ptr(np.ascontiguousarray(ascii_b)),
+        _ptr(np.ascontiguousarray(quals)), _ptr(lens),
+        ctypes.c_void_p(0) if keep_arr is None else _ptr(keep_arr),
+        ctypes.c_long(n), ctypes.c_long(pad), ctypes.c_int(qual_offset),
+        _ptr(out), ctypes.c_long(len(out)),
+    )
+    if w < 0:
+        return None
+    return out[:w].tobytes()
 
 
 def _nthreads() -> int:

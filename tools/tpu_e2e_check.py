@@ -1,0 +1,120 @@
+"""End-to-end BASELINE-config parity check: run each pipeline CLI on the
+current backend and write outputs under --outdir. Run once with
+JAX_PLATFORMS=cpu and once on the TPU, then diff the two trees —
+byte-identical outputs across backends is the cross-platform half of
+the bit-parity contract (the other half is the oracle suites).
+
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/tpu_e2e_check.py \
+      --outdir /tmp/e2e_tpu
+  JAX_PLATFORMS=cpu PYTHONPATH=... python tools/tpu_e2e_check.py \
+      --outdir /tmp/e2e_cpu
+  diff -r /tmp/e2e_cpu /tmp/e2e_tpu
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def gen_inputs(d):
+    rng = np.random.default_rng(11)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    genome = ACGT[rng.integers(0, 4, 100000)].tobytes()
+    with open(os.path.join(d, "ref.fa"), "wb") as fh:
+        fh.write(b">chr1\n" + genome + b"\n")
+    adapter = b"AGATCGGAAGAGCACACGTCTGAACTCCAGTCA"
+    # single reads with planted adapters (bbduk, kmercount)
+    with open(os.path.join(d, "reads.fq"), "wb") as fh:
+        for i in range(20000):
+            p = int(rng.integers(0, len(genome) - 160))
+            seq = bytearray(genome[p : p + 151])
+            for j in rng.integers(0, 151, 2):
+                seq[j] = b"ACGT"[int(rng.integers(0, 4))]
+            if i % 3 == 0:
+                q = int(rng.integers(60, 140))
+                ins = adapter[: 151 - q]
+                seq[q : q + len(ins)] = ins
+            fh.write(b"@r%d\n" % i + bytes(seq) + b"\n+\n" + b"F" * 151 + b"\n")
+    # overlapping pairs (bbmerge)
+    with open(os.path.join(d, "r1.fq"), "wb") as f1, open(
+        os.path.join(d, "r2.fq"), "wb"
+    ) as f2:
+        for i in range(8000):
+            p = int(rng.integers(0, len(genome) - 300))
+            ins = bytearray(genome[p : p + int(rng.integers(180, 280))])
+            r1 = bytes(ins[:151])
+            comp = bytes.maketrans(b"ACGT", b"TGCA")
+            r2 = bytes(ins[::-1]).translate(comp)[:151]
+            q1 = bytes([int(x) for x in rng.integers(58, 72, len(r1))])
+            q2 = bytes([int(x) for x in rng.integers(58, 72, len(r2))])
+            f1.write(b"@p%d /1\n" % i + r1 + b"\n+\n" + q1 + b"\n")
+            f2.write(b"@p%d /2\n" % i + r2 + b"\n+\n" + q2 + b"\n")
+    # mapping reads (bbmap, callvariants)
+    with open(os.path.join(d, "map.fq"), "wb") as fh:
+        for i in range(6000):
+            p = int(rng.integers(0, len(genome) - 160))
+            seq = bytearray(genome[p : p + 151])
+            for j in rng.integers(0, 151, 2):
+                seq[j] = b"ACGT"[int(rng.integers(0, 4))]
+            fh.write(b"@m%d\n" % i + bytes(seq) + b"\n+\n" + b"F" * 151 + b"\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outdir", required=True)
+    ap.add_argument("--indir", default=None,
+                    help="shared input dir (default: <outdir>/inputs)")
+    args = ap.parse_args()
+    out = args.outdir
+    os.makedirs(out, exist_ok=True)
+    ind = args.indir or os.path.join(out, "inputs")
+    if not os.path.exists(os.path.join(ind, "reads.fq")):
+        os.makedirs(ind, exist_ok=True)
+        gen_inputs(ind)
+
+    from bbtools_tpu.cli import main as cli
+
+    import jax
+
+    print("platform:", jax.devices()[0].platform, flush=True)
+
+    def run(tag, argv):
+        print(f"--- {tag}", flush=True)
+        cli(argv)
+
+    j = os.path.join
+    run("bbduk", [
+        "bbduk", f"in={j(ind,'reads.fq')}", f"out={j(out,'bbduk.fq')}",
+        "ref=adapters", "k=23", "mink=11", "hdist=1", "ktrim=r",
+        "minlen=40", f"stats={j(out,'bbduk_stats.txt')}", "ow=t",
+    ])
+    run("kmercountexact", [
+        "kmercountexact", f"in={j(ind,'reads.fq')}", "k=31",
+        f"khist={j(out,'khist.txt')}", f"peaks={j(out,'peaks.txt')}", "ow=t",
+    ])
+    run("bbmerge", [
+        "bbmerge", f"in1={j(ind,'r1.fq')}", f"in2={j(ind,'r2.fq')}",
+        f"out={j(out,'merged.fq')}", f"outu={j(out,'unmerged.fq')}",
+        f"ihist={j(out,'ihist.txt')}", "ow=t",
+    ])
+    run("bbmap", [
+        "bbmap", f"ref={j(ind,'ref.fa')}", f"in={j(ind,'map.fq')}",
+        f"out={j(out,'mapped.sam')}", "nodisk=t", "ow=t",
+    ])
+    run("callvariants", [
+        "callvariants", f"in={j(out,'mapped.sam')}",
+        f"ref={j(ind,'ref.fa')}", f"vcf={j(out,'vars.vcf')}", "ow=t",
+    ])
+    run("tadpole", [
+        "tadpole", f"in={j(ind,'map.fq')}", f"out={j(out,'contigs.fa')}",
+        "k=62", "ow=t",
+    ])
+    print("ALL CONFIGS DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
