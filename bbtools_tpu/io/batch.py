@@ -33,6 +33,65 @@ def bucket_length(max_len: int) -> int:
     return -(-max_len // 1024) * 1024
 
 
+class IdView:
+    """Lazy read-id sequence over one raw buffer: (blob, starts, ends)
+    instead of materialized per-read bytes objects (32k python slices
+    per batch dominated the reader). Behaves like a list of bytes for
+    the access patterns tools use (len/iter/int-index/slice); the
+    native FASTQ emitter consumes blob+offsets directly with no python
+    loop at all."""
+
+    __slots__ = ("blob", "starts", "ends", "_list")
+
+    def __init__(self, blob: bytes, starts: np.ndarray, ends: np.ndarray):
+        self.blob = blob
+        self.starts = starts
+        self.ends = ends
+        self._list: list[bytes] | None = None
+
+    def __len__(self) -> int:
+        if self._list is not None:
+            return len(self._list)
+        return len(self.starts)
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+    def __getitem__(self, i):
+        if self._list is not None:
+            return self._list[i]
+        if isinstance(i, slice):
+            return IdView(self.blob, self.starts[i], self.ends[i])
+        s = self.starts[i]
+        return self.blob[s : self.ends[i]]
+
+    def __setitem__(self, i, v):
+        # mutation (renaming tools): fall back to materialized list
+        if self._list is None:
+            self._list = self.tolist()
+        self._list[i] = v
+
+    def __iter__(self):
+        if self._list is not None:
+            return iter(self._list)
+        b = self.blob
+
+        def gen():
+            for s, e in zip(self.starts.tolist(), self.ends.tolist()):
+                yield b[s:e]
+
+        return gen()
+
+    def tolist(self) -> list[bytes]:
+        if self._list is not None:
+            return list(self._list)
+        return list(self)
+
+    @property
+    def materialized(self) -> list[bytes] | None:
+        return self._list
+
+
 @dataclass
 class ReadBatch:
     """A batch of reads as padded SoA arrays (host numpy; device-ready)."""

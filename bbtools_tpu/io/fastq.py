@@ -182,15 +182,23 @@ class FastqReader:
         native = _native_build(len_rows, L, self.qual_offset)
         if native is not None:
             bases, q, seqs, lengths = native
-            for buf, starts, ends, _ in len_rows:
-                # bytes-level slicing over python ints: ~4x the numpy
-                # scalar-index + tobytes loop (32k ids/batch)
-                blob = buf.tobytes()
-                h_start = starts[0::4].tolist()
-                h_end = ends[0::4].tolist()
-                ids.extend(
-                    [blob[a + 1 : b] for a, b in zip(h_start, h_end)]
+            if len(len_rows) == 1:
+                buf, starts, ends, _ = len_rows[0]
+                from .batch import IdView
+
+                ids = IdView(
+                    buf.tobytes(), starts[0::4] + 1, ends[0::4]
                 )
+            else:
+                for buf, starts, ends, _ in len_rows:
+                    # bytes-level slicing over python ints: ~4x the
+                    # numpy scalar-index + tobytes loop (32k ids/batch)
+                    blob = buf.tobytes()
+                    h_start = starts[0::4].tolist()
+                    h_end = ends[0::4].tolist()
+                    ids.extend(
+                        [blob[a + 1 : b] for a, b in zip(h_start, h_end)]
+                    )
             self.reads_in += len(lengths)
             self.bases_in += int(lengths.sum())
             return ReadBatch(
@@ -291,9 +299,17 @@ def encode_fastq(
     except Exception:
         emit_fastq_native = None
     if emit_fastq_native is not None and batch.n:
-        idblob = b"".join(batch.ids)
-        idoff = np.zeros(batch.n + 1, np.int64)
-        np.cumsum([len(x) for x in batch.ids], out=idoff[1:])
+        from .batch import IdView
+
+        if isinstance(batch.ids, IdView) and batch.ids.materialized is None:
+            idblob = batch.ids.blob
+            idstart = batch.ids.starts
+            idend = batch.ids.ends
+        else:
+            idblob = b"".join(batch.ids)
+            idoff = np.zeros(batch.n + 1, np.int64)
+            np.cumsum([len(x) for x in batch.ids], out=idoff[1:])
+            idstart, idend = idoff[:-1], idoff[1:]
         quals = (
             q
             if q is not None
@@ -302,8 +318,8 @@ def encode_fastq(
             )
         )
         res = emit_fastq_native(
-            idblob, idoff, ascii_bases, quals, batch.lengths, keep,
-            qual_offset,
+            idblob, idstart, idend, ascii_bases, quals, batch.lengths,
+            keep, qual_offset,
         )
         if res is not None:
             return res

@@ -153,7 +153,8 @@ def pack_2bit_native(bases: np.ndarray):
     return packed, nmask
 
 
-def emit_fastq_native(idblob: bytes, idoff: np.ndarray, ascii_b: np.ndarray,
+def emit_fastq_native(idblob: bytes, idstart: np.ndarray,
+                      idend: np.ndarray, ascii_b: np.ndarray,
                       quals: np.ndarray, lengths: np.ndarray,
                       keep: np.ndarray | None, qual_offset: int):
     """Serialize records to FASTQ bytes in C; None when unavailable."""
@@ -161,24 +162,25 @@ def emit_fastq_native(idblob: bytes, idoff: np.ndarray, ascii_b: np.ndarray,
     if lib is None:
         return None
     n, pad = ascii_b.shape
-    idoff = np.ascontiguousarray(idoff, dtype=np.int64)
+    ids_ = np.ascontiguousarray(idstart, dtype=np.int64)
+    ide_ = np.ascontiguousarray(idend, dtype=np.int64)
     lens = np.ascontiguousarray(lengths, dtype=np.int32)
     if keep is None:
         m = np.minimum(lens, pad).astype(np.int64)
-        idl = idoff[1:] - idoff[:-1]
+        idl = ide_ - ids_
         nrec = n
         keep_arr = None
     else:
         keep_arr = np.ascontiguousarray(keep.astype(np.uint8))
         km = keep.astype(bool)
         m = np.minimum(lens, pad).astype(np.int64) * km
-        idl = (idoff[1:] - idoff[:-1]) * km
+        idl = (ide_ - ids_) * km
         nrec = int(np.count_nonzero(km))
     cap = int((2 * m + idl).sum()) + 6 * nrec
     out = np.empty(max(cap, 1), np.uint8)
     blob = np.frombuffer(idblob, np.uint8) if len(idblob) else np.zeros(1, np.uint8)
     w = lib.emit_fastq(
-        _ptr(np.ascontiguousarray(blob)), _ptr(idoff),
+        _ptr(np.ascontiguousarray(blob)), _ptr(ids_), _ptr(ide_),
         _ptr(np.ascontiguousarray(ascii_b)),
         _ptr(np.ascontiguousarray(quals)), _ptr(lens),
         ctypes.c_void_p(0) if keep_arr is None else _ptr(keep_arr),

@@ -202,20 +202,21 @@ void pack_2bit_mt(const uint8_t *bases, long n, long pad,
  *   '@' id '\n' seq[0..len) '\n' '+' '\n' qual+qoff '\n'
  * idblob/idoff: concatenated id bytes with n+1 offsets.
  * Returns bytes written, or -1 if cap would overflow. */
-long emit_fastq(const uint8_t *idblob, const long *idoff,
+long emit_fastq(const uint8_t *idblob, const long *idstart,
+                const long *idend,
                 const uint8_t *ascii, const uint8_t *quals,
                 const int32_t *lengths, const uint8_t *keep,
                 long n, long pad, int qoff, uint8_t *out, long cap) {
     long w = 0;
     for (long r = 0; r < n; r++) {
         if (keep && !keep[r]) continue;
-        long idl = idoff[r + 1] - idoff[r];
+        long idl = idend[r] - idstart[r];
         long m = lengths[r];
         if (m > pad) m = pad;
         long need = 1 + idl + 1 + m + 3 + m + 1;
         if (w + need > cap) return -1;
         out[w++] = '@';
-        memcpy(out + w, idblob + idoff[r], (size_t)idl);
+        memcpy(out + w, idblob + idstart[r], (size_t)idl);
         w += idl;
         out[w++] = '\n';
         memcpy(out + w, ascii + r * pad, (size_t)m);
