@@ -51,7 +51,7 @@ from ..ops.msa import (
     msa_walk,
 )
 from ..ops.msa_pallas import msa_fill_tb_auto
-from ..ops.score_ungapped import score_no_indels
+from ..ops.score_ungapped import score_no_indels, score_no_indels_offsets
 from .bbmap_index import SeedIndex
 
 BIG = 1 << 30
@@ -266,12 +266,15 @@ class BBMap:
     def candidates_for_batch(self, bases: np.ndarray, lengths: np.ndarray):
         """Seed + cluster phase, fully vectorized across the batch.
 
-        Returns list per read of (diag_start, strand, votes) candidates.
+        Returns flat candidate arrays (read, diag_start, strand, votes,
+        spread, modal_diag), ordered read-major (then strand, then votes
+        descending) — no per-read Python lists anywhere.
         """
         cfg = self.cfg
         k = cfg.k
         B, L = bases.shape
-        fwd, rkm, runlen = rolling_kmers_np(bases, k)
+        kdtype = np.int32 if 2 * k <= 30 else np.int64
+        fwd, rkm, runlen = rolling_kmers_np(bases, k, dtype=kdtype)
         space_mask = (1 << (2 * k)) - 1
         lengths = lengths.astype(np.int64)
         # per-read offsets matrix [B, K]
@@ -298,12 +301,13 @@ class BBMap:
         flat_keys = keys.reshape(-1)
         flat_valid = vmask.reshape(-1)
         flat_off = np.broadcast_to(offs[None], (2, B, K)).reshape(-1)
+        empty = tuple(np.empty(0, np.int64) for _ in range(6))
         sel = np.flatnonzero(flat_valid)
         if len(sel) == 0:
-            return [[] for _ in range(B)]
+            return empty
         sites, owner = self.index.expand(flat_keys[sel])
         if len(sites) == 0:
-            return [[] for _ in range(B)]
+            return empty
         src = sel[owner]  # index into the (2, B, K) flattening
         strand = src // (B * K)
         read = (src // K) % B
@@ -348,15 +352,16 @@ class BBMap:
         cg = cgroup[corder]
         # rank within group: positions since the group start (cg is sorted)
         rank = np.arange(len(cg)) - np.searchsorted(cg, cg)
-        keep = rank < cfg.max_sites
-        out = [[] for _ in range(B)]
-        for ci in corder[keep]:
-            grp = int(cgroup[ci])
-            out[grp // 2].append(
-                (int(firsts[ci]), grp & 1, int(votes[ci]),
-                 int(spread[ci]), int(modal[ci]))
-            )
-        return out
+        sel2 = corder[rank < cfg.max_sites]
+        grp = cgroup[sel2]
+        return (
+            grp // 2,
+            firsts[sel2],
+            grp & 1,
+            votes[sel2].astype(np.int64),
+            spread[sel2],
+            modal[sel2],
+        )
 
     # ------------------------------------------------------------------
     def map_batch(self, batch) -> list[MapResult]:
@@ -367,7 +372,9 @@ class BBMap:
         lengths = batch.lengths.astype(np.int64)
         B, L = bases.shape
         self.reads_in += B
-        cand = self.candidates_for_batch(bases, lengths)
+        t_read, t_diag, t_strand, t_votes, t_spread, t_anchor = (
+            self.candidates_for_batch(bases, lengths)
+        )
         if self.bloom is not None:
             from ..ops.kmers import rolling_kmers_np as _rk
 
@@ -384,52 +391,34 @@ class BBMap:
                     keys31.reshape(-1)[flat_ok]
                 )
                 hits = (cnt.reshape(ok31.shape) > 0).sum(axis=1)
-            for b in np.flatnonzero(hits == 0):
-                if cand[b]:
-                    cand[b] = []
-                self.prescreened += 1
-        # flatten tasks
-        t_read = []
-        t_diag = []
-        t_strand = []
-        t_spread = []
-        t_anchor = []
-        t_votes = []
-        for b, cl in enumerate(cand):
-            for diag, strand, votes, spread, modal in cl:
-                t_read.append(b)
-                t_diag.append(diag)
-                t_strand.append(strand)
-                t_spread.append(spread)
-                t_anchor.append(modal)
-                t_votes.append(votes)
+            self.prescreened += int((hits == 0).sum())
+            tkeep = hits[t_read] != 0
+            t_read = t_read[tkeep]
+            t_diag = t_diag[tkeep]
+            t_strand = t_strand[tkeep]
+            t_votes = t_votes[tkeep]
+            t_spread = t_spread[tkeep]
+            t_anchor = t_anchor[tkeep]
         results = [MapResult() for _ in range(B)]
-        if not t_read:
+        if len(t_read) == 0:
             self.reads_unmapped += B
             return results
-        t_read = np.asarray(t_read)
-        t_diag = np.asarray(t_diag, dtype=np.int64)
-        t_strand = np.asarray(t_strand)
-        t_spread = np.asarray(t_spread, dtype=np.int64)
-        t_anchor = np.asarray(t_anchor, dtype=np.int64)
-        t_votes = np.asarray(t_votes, dtype=np.int64)
         T = len(t_read)
-        # task reads (rc for strand 1), vectorized gather
+        # task reads (rc for strand 1): precompute ONE rc row per input
+        # read ([B, L], not [T, L]), then row-gather per task
         task_lens0 = lengths[t_read]
-        pos = np.arange(L, dtype=np.int64)[None, :]
-        fwd_rows = bases[t_read]
-        rc_src = np.clip(task_lens0[:, None] - 1 - pos, 0, L - 1)
-        rc_vals = bases[t_read[:, None], rc_src]
-        rc_rows = np.where(
-            pos < task_lens0[:, None],
-            np.where(rc_vals < 4, 3 - rc_vals.astype(np.int16), 4),
-            4,
-        ).astype(np.uint8)
+        pos32 = np.arange(L, dtype=np.int32)[None, :]
+        ln32 = lengths.astype(np.int32)
+        rc_src = ln32[:, None] - 1 - pos32
+        np.clip(rc_src, 0, L - 1, out=rc_src)
+        rc_vals = np.take_along_axis(bases, rc_src, axis=1)
+        rc_all = np.where(rc_vals < 4, 3 - rc_vals, 4).astype(np.uint8)
+        rc_all[pos32 >= ln32[:, None]] = 4
         task_reads = np.where(
-            (t_strand == 0)[:, None], fwd_rows, rc_rows
-        ).astype(np.uint8)
-        task_reads[pos >= task_lens0[:, None]] = 4
-        task_lens = lengths[t_read]
+            (t_strand == 0)[:, None], bases[t_read], rc_all[t_read]
+        )
+        task_reads[pos32 >= task_lens0[:, None]] = 4
+        task_lens = task_lens0
         # ungapped scoring at the cluster's modal diagonal (the bigger
         # exact flank when the site has an indel)
         W = L + 2 * cfg.pad
@@ -509,17 +498,19 @@ class BBMap:
             dp_planes[c] = (
                 planes, np.asarray(bc), np.asarray(bst), slens, sel, srefs, Wc
             )
-        # pick best + second best per read
-        best = {}
-        second = {}
-        for i in range(T):
-            b = t_read[i]
-            s = dp_score[i]
-            if b not in best or s > best[b][0]:
-                second[b] = best.get(b, (-BIG, -1))
-                best[b] = (s, i)
-            elif s > second.get(b, (-BIG, -1))[0]:
-                second[b] = (s, i)
+        # pick best + second best per read: stable sort by (read, -score)
+        # keeps the sequential loop's lowest-task-index tie-break
+        worder = np.lexsort((-dp_score, t_read))
+        twr = t_read[worder]
+        wrank = np.arange(T) - np.searchsorted(twr, twr)
+        best = {
+            int(t_read[i]): (int(dp_score[i]), int(i))
+            for i in worder[wrank == 0]
+        }
+        second = {
+            int(t_read[i]): (int(dp_score[i]), int(i))
+            for i in worder[wrank == 1]
+        }
         # emit set: the primary winner per read, plus secondary sites when
         # skimmer semantics are on (secondary=t / ambig=all)
         emit: list[tuple[int, int, int, bool]] = []  # (b, i, score, primary)
@@ -546,16 +537,18 @@ class BBMap:
         gapped = [e for e in emit if dp_col[e[1]] >= 0]
         plain = [e for e in emit if dp_col[e[1]] < 0]
         site_out: dict[int, tuple[int, bytes]] = {}  # task -> (flat_start, match)
-        for b, i, s, _p in plain:
-            n = int(lengths[b])
-            rd = task_reads[i, :n]
-            rf = refwins[i, cfg.pad : cfg.pad + n]
-            eq = rd == rf
-            m = np.where(
-                eq & (rd < 4), ord("m"),
+        if plain:
+            p_task = np.asarray([e[1] for e in plain])
+            rd = task_reads[p_task]  # [P, L]
+            rf = refwins[p_task, cfg.pad : cfg.pad + L]
+            mm = np.where(
+                (rd == rf) & (rd < 4), ord("m"),
                 np.where((rd >= 4) | (rf >= 4), ord("N"), ord("S")),
             ).astype(np.uint8)
-            site_out[i] = (int(t_anchor[i]), bytes(m))
+            mbytes = mm.tobytes()
+            for j, (b, i, s, _p) in enumerate(plain):
+                n = int(lengths[b])
+                site_out[i] = (int(t_anchor[i]), mbytes[j * L : j * L + n])
         bycls: dict[int, list] = {}
         for e in gapped:
             bycls.setdefault(int(t_cls[e[1]]), []).append(e)
@@ -676,14 +669,35 @@ class BBMap:
                 for i in range(101):
                     fh.write(b"%d\t%d\n" % (i, self._idhist[i]))
 
+    def _padded_ref(self, W: int):
+        """Reference codes padded with >= W bytes of 4 (N) each side, so
+        every window that merely overhangs the genome reads its N fill
+        without any per-element bounds arithmetic. Grown lazily; the pad
+        doubles so repeated growth is amortized."""
+        pad = getattr(self, "_pad_n", 0)
+        if pad < W:
+            pad = max(W, 2 * pad, 4096)
+            codes = self.ref.codes
+            p = np.full(len(codes) + 2 * pad, 4, np.uint8)
+            p[pad : pad + len(codes)] = codes
+            self._padded = p
+            self._pad_n = pad
+        return self._padded, self._pad_n
+
     def _ref_windows(self, starts: np.ndarray, W: int) -> np.ndarray:
         """[T, W] ref-code windows at flat coords `starts`, OOB filled
-        with 4 (N)."""
-        ref_codes = self.ref.codes
-        G = len(ref_codes)
-        idx = starts[:, None] + np.arange(W, dtype=np.int64)[None, :]
-        wins = ref_codes[np.clip(idx, 0, G - 1)]
-        wins[(idx < 0) | (idx >= G)] = 4
+        with 4 (N). Row-gather from a sliding view of the padded
+        reference: no [T, W] int64 index matrix is ever materialized
+        (fresh multi-MB int64 allocations are pathologically slow under
+        gVisor first-touch)."""
+        padded, pad = self._padded_ref(W)
+        sw = np.lib.stride_tricks.sliding_window_view(padded, W)
+        s = starts.astype(np.int64) + pad
+        s_cl = np.clip(s, 0, len(padded) - W)
+        wins = sw[s_cl]  # fancy row index -> fresh writable [T, W] uint8
+        bad = s != s_cl  # start so far out even the pad can't cover it
+        if bad.any():
+            wins[bad] = 4
         return wins
 
     # ------------------------------------------------------------------
@@ -867,59 +881,48 @@ class BBMap:
             return
         G = len(self.ref.codes)
         Lb = bb.bases.shape[1]
-        STEP = 1
-        tasks_read = []
-        tasks_win = []
-        tasks_off = []
-        tasks_cand = []
         wlen = cfg.rescue_dist + Lb
-        for i in cands:
-            ln_b = int(bb.lengths[i])
-            anchor = ra[i].flat_start
-            if ra[i].strand == 0:
-                w0 = anchor
-            else:
-                w0 = anchor + int(ba.lengths[i]) - wlen
-            w0 = max(0, min(w0, G - 1))
-            w1 = min(G, w0 + wlen)
-            win = np.full(wlen, 4, dtype=np.uint8)
-            win[: w1 - w0] = self.ref.codes[w0:w1]
-            # mate orientation is opposite the anchor's
-            row = bb.bases[i, :ln_b]
-            mate = (
-                np.where(row < 4, 3 - row, 4)[::-1]
-                if ra[i].strand == 0
-                else row
-            )
-            mrow = np.full(Lb, 4, dtype=np.uint8)
-            mrow[:ln_b] = mate
-            n_off = max(1, (wlen - ln_b) // STEP)
-            for o in range(0, n_off, STEP):
-                tasks_read.append(mrow)
-                tasks_win.append(win)
-                tasks_off.append(o)
-                tasks_cand.append((i, w0, o))
-        if not tasks_read:
-            return
-        scores = np.asarray(
-            score_no_indels(
-                Lb,
-                jnp.asarray(np.array(tasks_read)),
-                jnp.asarray(
-                    np.array(
-                        [int(bb.lengths[c[0]]) for c in tasks_cand], np.int32
-                    )
-                ),
-                jnp.asarray(np.array(tasks_win)),
-                jnp.asarray(np.array(tasks_off, np.int32)),
-                jnp.asarray(np.full(len(tasks_read), wlen, np.int32)),
-            )
+        # one [C, NOFF] lane block scores every (candidate, offset) pair
+        # in a single fused scan — no per-offset task duplication
+        NOFF = max(1, wlen - 20)
+        ci = np.asarray(cands)
+        ln = bb.lengths[ci].astype(np.int64)
+        a_strand = np.array([ra[i].strand for i in cands], np.int64)
+        a_start = np.array([ra[i].flat_start for i in cands], np.int64)
+        a_len = ba.lengths[ci].astype(np.int64)
+        w0s = np.where(a_strand == 0, a_start, a_start + a_len - wlen)
+        w0s = np.clip(w0s, 0, G - 1)
+        # window width covers every slid read position; columns past wlen
+        # are never read at a valid offset (o < wlen - ln, i < ln)
+        wins = self._ref_windows(w0s, NOFF + Lb - 1)
+        # mate orientation is opposite the anchor's
+        rows = bb.bases[ci]  # [C, Lb]
+        pos = np.arange(Lb, dtype=np.int64)[None, :]
+        rc_src = np.clip(ln[:, None] - 1 - pos, 0, Lb - 1)
+        rc_vals = rows[np.arange(len(ci))[:, None], rc_src]
+        rc_rows = np.where(rc_vals < 4, 3 - rc_vals.astype(np.int16), 4)
+        mrows = np.where((a_strand == 0)[:, None], rc_rows, rows).astype(
+            np.uint8
         )
-        best: dict[int, tuple[int, int, int]] = {}
-        for t, (i, w0, o) in enumerate(tasks_cand):
-            sc = int(scores[t])
-            if i not in best or sc > best[i][0]:
-                best[i] = (sc, w0, o)
+        mrows[pos >= ln[:, None]] = 4
+        scores = np.asarray(
+            score_no_indels_offsets(
+                Lb,
+                NOFF,
+                jnp.asarray(mrows),
+                jnp.asarray(ln.astype(np.int32)),
+                jnp.asarray(wins),
+            )
+        ).astype(np.int64)
+        # offsets the sequential loop never evaluated stay out of the argmax
+        n_off = np.maximum(1, wlen - ln)
+        scores[np.arange(NOFF)[None, :] >= n_off[:, None]] = -BIG
+        best_o = np.argmax(scores, axis=1)
+        best_sc = scores[np.arange(len(ci)), best_o]
+        best = {
+            int(ci[j]): (int(best_sc[j]), int(w0s[j]), int(best_o[j]))
+            for j in range(len(ci))
+        }
         for i, (sc, w0, o) in best.items():
             ln_b = int(bb.lengths[i])
             # rescue threshold: half the normal ratio floor (the reference
@@ -935,14 +938,12 @@ class BBMap:
             refseg = self.ref.codes[w0 + o : w0 + o + ln_b]
             if len(refseg) < ln_b:
                 continue
-            m = bytearray()
-            for x, y in zip(mate, refseg):
-                if x >= 4 or y >= 4:
-                    m += b"N"
-                elif x == y:
-                    m += b"m"
-                else:
-                    m += b"S"
+            eq = mate == refseg
+            m = np.where(
+                (mate >= 4) | (refseg >= 4),
+                ord("N"),
+                np.where(eq, ord("m"), ord("S")),
+            ).astype(np.uint8).tobytes()
             r = rb[i]
             r.mapped = True
             r.flat_start = w0 + o

@@ -76,10 +76,10 @@ def rc_kmer_np(kmers: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
-def _code_planes_np(codes: np.ndarray):
+def _code_planes_np(codes: np.ndarray, dtype=np.int64):
     defined = codes < N_CODE
-    code0 = np.where(defined, codes, 0).astype(np.int64)
-    comp0 = np.where(defined, 3 - codes.astype(np.int64), 0)
+    code0 = np.where(defined, codes, 0).astype(dtype)
+    comp0 = np.where(defined, 3 - codes.astype(dtype), 0)
     return code0, comp0, defined
 
 
@@ -91,28 +91,36 @@ def _last_undef_np(defined: np.ndarray) -> np.ndarray:
     return np.maximum.accumulate(marked, axis=-1)
 
 
-def rolling_kmers_np(codes: np.ndarray, k: int):
+def rolling_kmers_np(codes: np.ndarray, k: int, dtype=np.int64):
     """Host oracle: per-position (fwd, rkm, runlen) for codes [..., L].
 
     fwd/rkm are the rolling register values the reference loop would hold
-    after consuming position i; runlen is its `len` counter.
-    """
+    after consuming position i; runlen is its `len` counter. Pass
+    dtype=np.int32 when 2*k <= 31 to halve memory traffic (the seed
+    phase's k=13 keys fit easily)."""
+    assert 2 * k <= 8 * np.dtype(dtype).itemsize - 2
     codes = np.atleast_2d(codes)
-    code0, comp0, defined = _code_planes_np(codes)
+    code0, comp0, defined = _code_planes_np(codes, dtype)
     L = codes.shape[-1]
     lastn = _last_undef_np(defined)
-    fwd = np.zeros(codes.shape, dtype=np.int64)
-    rkm = np.zeros(codes.shape, dtype=np.int64)
+    fwd = np.zeros(codes.shape, dtype=dtype)
+    rkm = np.zeros(codes.shape, dtype=dtype)
+    src = np.empty_like(code0)
+    tmp = np.empty_like(code0)
     idx = np.arange(L, dtype=np.int64)
     for j in range(k):
-        src = np.roll(code0, j, axis=-1)
+        # in-place shifted copy + OR: no fresh large allocations per step
         src[..., :j] = 0
-        fwd |= src << (2 * j)
-        csrc = np.roll(comp0, j, axis=-1)
-        csrc[..., :j] = 0
+        src[..., j:] = code0[..., : L - j]
+        np.left_shift(src, dtype(2 * j), out=tmp)
+        np.bitwise_or(fwd, tmp, out=fwd)
+        src[..., :j] = 0
+        src[..., j:] = comp0[..., : L - j]
         # contribution only if source position (i-j) is after the last N
         live = (idx - j) > lastn
-        rkm |= np.where(live, csrc, 0) << (2 * (k - 1 - j))
+        np.left_shift(src, dtype(2 * (k - 1 - j)), out=tmp)
+        tmp[~live] = 0
+        np.bitwise_or(rkm, tmp, out=rkm)
     runlen = (idx - lastn).astype(np.int32)
     return fwd, rkm, np.broadcast_to(runlen, codes.shape).copy()
 

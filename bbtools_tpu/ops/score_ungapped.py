@@ -110,6 +110,65 @@ def score_no_indels(R: int, reads, read_lens, refwins, ref_starts, ref_lens):
     return score
 
 
+@partial(jax.jit, static_argnames=("R", "NOFF"))
+def score_no_indels_offsets(R: int, NOFF: int, reads, read_lens, wins):
+    """Sliding-offset scoreNoIndels: score of reads[c] vs wins[c, o:o+R]
+    for every offset o in [0, NOFF), in one scan. Used by mate rescue
+    (AbstractMapThread.rescue scans every offset in the insert window) —
+    one [C, NOFF] lane block instead of C*NOFF duplicated tasks.
+
+    Windows must be 4-filled outside the reference so off-reference
+    columns take the POINTS_NOREF branch; requires wins.shape[1] >=
+    NOFF + R - 1. Returns int32 [C, NOFF].
+    """
+    i32 = jnp.int32
+    reads_i = reads.astype(i32)  # [C, R]
+    wins_i = wins.astype(i32)  # [C, >= NOFF+R-1]
+    C_ = wins_i.shape[0]
+    active_rows = read_lens[:, None]  # [C, 1]
+
+    def step(carry, xs):
+        score, mode, tim = carry  # [C, NOFF]
+        c, i = xs  # c: [C] read column, i scalar
+        c = c[:, None]
+        r = jax.lax.dynamic_slice_in_dim(wins_i, i, NOFF, axis=1)
+        active = i < active_rows
+        is_match = (c == r) & (c < 4)
+        is_nocall = ~is_match & (c >= 4)
+        is_noref = ~is_match & (c < 4) & (r >= 4)
+        is_sub = ~is_match & (c < 4) & (r < 4)
+        new_tim = jnp.where(
+            is_match,
+            jnp.where(mode == 0, tim + 1, 0),
+            jnp.where(is_sub, jnp.where(mode == 1, tim + 1, 0), tim),
+        )
+        sub_cost = _sub_array(new_tim + 1)
+        delta = jnp.where(
+            is_match,
+            jnp.where(mode == 0, C.POINTS_MATCH2, C.POINTS_MATCH),
+            jnp.where(
+                is_nocall,
+                C.POINTS_NOCALL,
+                jnp.where(is_noref, C.POINTS_NOREF, sub_cost),
+            ),
+        )
+        new_mode = jnp.where(is_match, 0, jnp.where(is_sub, 1, mode))
+        score = jnp.where(active, score + delta, score)
+        upd = active & (is_match | is_sub)
+        mode = jnp.where(upd, new_mode, mode)
+        tim = jnp.where(upd, new_tim, tim)
+        return (score, mode, tim), None
+
+    init = (
+        jnp.zeros((C_, NOFF), i32),
+        jnp.full((C_, NOFF), -1, i32),
+        jnp.zeros((C_, NOFF), i32),
+    )
+    xs = (reads_i.T, jnp.arange(R, dtype=i32))
+    (score, _, _), _ = jax.lax.scan(step, init, xs)
+    return score
+
+
 def _sub_array(i):
     return jnp.where(
         i > C.LIMIT_FOR_COST_3,
