@@ -1139,7 +1139,9 @@ class BBDuk:
             for name, _len, reads, _bases in rows:
                 fh.write(f"{name}\t{reads}\t{reads * rmult:.5f}%\n")
 
-    def print_stats(self, stream=sys.stderr):
+    def print_stats(self, stream=None):
+        if stream is None:
+            stream = sys.stderr
         st = self.stats
         t = getattr(self, "elapsed", 0.0) or 1e-9
         if self.cfg.json_out:

@@ -1118,7 +1118,9 @@ class BBMap:
                 )
         return b"".join(out)
 
-    def print_stats(self, stream=sys.stderr):
+    def print_stats(self, stream=None):
+        if stream is None:
+            stream = sys.stderr
         if self.rescued:
             print(f"rescued mates:       \t{self.rescued}", file=stream)
         t = getattr(self, "elapsed", 0) or 1e-9

@@ -578,7 +578,9 @@ class BBMerge:
             for i in np.flatnonzero(self.hist):
                 fh.write(f"{i}\t{int(self.hist[i])}\n")
 
-    def print_stats(self, stream=sys.stderr):
+    def print_stats(self, stream=None):
+        if stream is None:
+            stream = sys.stderr
         if self.merged_by_extension:
             print(
                 f"Merged by extension: \t{self.merged_by_extension}",

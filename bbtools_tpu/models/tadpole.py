@@ -791,7 +791,9 @@ class Tadpole:
         )
         return self
 
-    def print_stats(self, stream=sys.stderr):
+    def print_stats(self, stream=None):
+        if stream is None:
+            stream = sys.stderr
         if self.cfg.mode == "correct":
             print(f"Reads In:             \t{self.reads_in}", file=stream)
             return

@@ -99,12 +99,112 @@ def count_errors(counts: np.ndarray, quals, k: int) -> int:
     return possible
 
 
+class _SmallKOps:
+    """k <= 31 kmer primitives: state = (fwd:int, rc:int) rolling
+    registers (kmer/HashBuffer-style single-long canonical keys)."""
+
+    def __init__(self, table, k: int):
+        self.t = table
+        self.k = k
+        self.mask = (1 << (2 * k)) - 1
+        self.shift2 = 2 * (k - 1)
+
+    def read_states(self, codes: np.ndarray):
+        from ..ops.kmers import rolling_kmers_np
+
+        k = self.k
+        fwd, rkm, runlen = rolling_kmers_np(codes[None, :], k)
+        valid = runlen[0] >= k
+        keys = np.maximum(fwd[0], rkm[0])
+        counts = np.where(valid, self.t.count_of(keys), -1)
+        return counts[k - 1 :], (fwd[0][k - 1 :], rkm[0][k - 1 :])
+
+    def at(self, states, a: int):
+        return (int(states[0][a]), int(states[1][a]))
+
+    def from_int(self, kmer: int):
+        f = kmer & self.mask
+        return (f, int(rc_kmer_arr(np.array([f], dtype=np.int64), self.k)[0]))
+
+    def advance(self, st, x: int):
+        f, r = st
+        return (
+            ((f << 2) | x) & self.mask,
+            (r >> 2) | ((3 - x) << self.shift2),
+        )
+
+    def count(self, st) -> int:
+        f, r = st
+        return int(self.t.count_of(np.array([max(f, r)], dtype=np.int64))[0])
+
+    def right_counts(self, st) -> np.ndarray:
+        """Counts of the 4 right-neighbor kmers in one table lookup."""
+        f, r = st
+        nf = (f << 2) & self.mask
+        nr = r >> 2
+        cand_f = nf | np.arange(4, dtype=np.int64)
+        cand_r = nr | ((3 - np.arange(4, dtype=np.int64)) << self.shift2)
+        return self.t.count_of(np.maximum(cand_f, cand_r))
+
+
+class _WordKOps:
+    """k > 31 primitives over exact W-word registers (ukmer/Kmer.java
+    multi-long analog): state = {"w": [1,W], "rw": [1,W]} int64, reusing
+    WordKmerEngine's shift machinery and the sorted byte-key table."""
+
+    def __init__(self, table, k: int):
+        from .tadpole import WordKmerEngine
+
+        self.t = table
+        self.k = k
+        self.eng = WordKmerEngine(table, k)
+
+    def read_states(self, codes: np.ndarray):
+        from ..ops.kmers2 import (
+            canonical_words,
+            rolling_kmersw_np,
+            words_to_bytes,
+        )
+
+        k = self.k
+        words, rwords, runlen = rolling_kmersw_np(codes[None, :], k)
+        valid = runlen[0] >= k
+        keys = words_to_bytes(canonical_words(words[0], rwords[0]))
+        counts = np.where(valid, self.t.count_of(keys), -1)
+        return counts[k - 1 :], (words[0][k - 1 :], rwords[0][k - 1 :])
+
+    def at(self, states, a: int):
+        return {
+            "w": states[0][a : a + 1].copy(),
+            "rw": states[1][a : a + 1].copy(),
+        }
+
+    def from_int(self, kmer: int):
+        raise NotImplementedError("int kmers only exist for k<=31")
+
+    def advance(self, st, x: int):
+        st2 = {"w": st["w"].copy(), "rw": st["rw"].copy()}
+        self.eng.advance_right(st2, slice(None), np.int64(x))
+        return st2
+
+    def count(self, st) -> int:
+        return int(self.t.count_of(self.eng.key(st))[0])
+
+    def right_counts(self, st) -> np.ndarray:
+        keys = np.concatenate(
+            [self.eng.key(self.advance(st, x)) for x in range(4)]
+        )
+        return self.t.count_of(keys)
+
+
 class EccEngine:
     def __init__(self, table: SpectrumTable, k: int, cfg: EccConfig = None):
         self.table = table
         self.k = k
         self.cfg = cfg or EccConfig()
-        self.mask = (1 << (2 * k)) - 1
+        self.ops = (
+            _WordKOps(table, k) if k > 31 else _SmallKOps(table, k)
+        )
         self.stats = {
             "reads_corrected": 0,
             "errors_corrected_pincer": 0,
@@ -113,17 +213,11 @@ class EccEngine:
         }
 
     # ---- count planes ----
-    def read_counts(self, codes: np.ndarray) -> np.ndarray:
-        """counts[i] for kmer ending at position i+k-1; -1 for kmers
-        containing undefined bases (fillKmers semantics)."""
-        from ..ops.kmers import rolling_kmers_np
-
-        k = self.k
-        fwd, rkm, runlen = rolling_kmers_np(codes[None, :], k)
-        valid = runlen[0] >= k
-        keys = np.maximum(fwd[0], rkm[0])
-        counts = np.where(valid, self.table.count_of(keys), -1)
-        return counts[k - 1 :], fwd[0][k - 1 :]
+    def read_counts(self, codes: np.ndarray):
+        """counts[i] for kmer starting at position i (-1 for kmers with
+        undefined bases, fillKmers semantics), plus opaque per-position
+        kmer states usable via self.ops.at(states, i)."""
+        return self.ops.read_states(codes)
 
     def has_errors_fast(self, counts: np.ndarray) -> bool:
         k = self.k
@@ -148,19 +242,20 @@ class EccEngine:
         return False
 
     # ---- extendToRight2-style walk (:1363-1470) ----
-    def _extend_right(self, kmer: int, distance: int) -> tuple:
-        """Greedy extension; returns (bases_list, extension)."""
-        k, tab = self.k, self.table
+    def _extend_right(self, kmer_or_state, distance: int) -> tuple:
+        """Greedy extension; returns (bases_list, extension). Accepts a
+        plain int kmer (k<=31 callers) or an ops state."""
+        ops = self.ops
+        st = (
+            ops.from_int(int(kmer_or_state))
+            if isinstance(kmer_or_state, (int, np.integer))
+            else kmer_or_state
+        )
         out = []
-        cur = kmer & self.mask
-        key0 = max(cur, int(rc_kmer_arr(np.array([cur]), k)[0]))
-        if int(tab.count_of(np.array([key0]))[0]) < MIN_COUNT_SEED:
+        if ops.count(st) < MIN_COUNT_SEED:
             return out, 0
         for _ in range(distance):
-            nxt = (cur << 2) & self.mask
-            cand = np.array([nxt | x for x in range(4)], dtype=np.int64)
-            keys = np.maximum(cand, rc_kmer_arr(cand, k))
-            cnts = tab.count_of(keys)
+            cnts = ops.right_counts(st)
             order = np.argsort(-cnts, kind="stable")
             mx, second = int(cnts[order[0]]), int(cnts[order[1]])
             if mx < MIN_COUNT_EXTEND:
@@ -169,21 +264,18 @@ class EccEngine:
             if second > BRANCH_LOWER_CONST and second * BRANCH_MULT1 > mx:
                 break
             out.append(int(order[0]))
-            cur = int(cand[order[0]])
+            st = ops.advance(st, int(order[0]))
         return out, len(out)
 
-    def _similar_after_sub(self, kmer_a: int, new_code: int, a_count: int):
-        k = self.k
-        km = ((kmer_a << 2) | new_code) & self.mask
-        key = max(km, int(rc_kmer_arr(np.array([km]), k)[0]))
-        c = int(self.table.count_of(np.array([key]))[0])
+    def _similar_after_sub(self, state, new_code: int, a_count: int):
+        c = self.ops.count(self.ops.advance(state, new_code))
         return bool(is_similar(a_count, c))
 
     # ---- per-read correction ----
     def correct_read(self, codes: np.ndarray, quals) -> int:
         """Mutates codes in place; returns corrections applied."""
         cfg, k = self.cfg, self.k
-        counts, fwds = self.read_counts(codes)
+        counts, states = self.read_counts(codes)
         n = len(counts)
         if n < 2 or not self.has_errors_fast(counts):
             return 0
@@ -192,7 +284,7 @@ class EccEngine:
         corrected_p = corrected_t = 0
 
         if cfg.pincer:
-            corrected_p = self._pincer_pass(codes, quals, counts, fwds)
+            corrected_p = self._pincer_pass(codes, quals, counts, states)
         if cfg.tail:
             corrected_t = self._tail_pass(codes, quals)
             # reverse orientation (:1739-1743)
@@ -251,7 +343,7 @@ class EccEngine:
         )
         return total
 
-    def _pincer_pass(self, codes, quals, counts, fwds) -> int:
+    def _pincer_pass(self, codes, quals, counts, states) -> int:
         """errorCorrectPincer (:1918-1973): error between kmers a and d
         where d = a+k+1; the suspect base is at a+k."""
         cfg, k = self.cfg, self.k
@@ -275,8 +367,9 @@ class EccEngine:
         )
         for a in np.nonzero(det)[0]:
             loc = a + k
+            st_a = self.ops.at(states, a)
             ext_bases, ext = self._extend_right(
-                int(fwds[a]), cfg.error_extension_pincer
+                st_a, cfg.error_extension_pincer
             )
             if ext < cfg.error_extension_pincer:
                 continue
@@ -290,17 +383,17 @@ class EccEngine:
             repl = ext_bases[0]
             if repl == codes[loc]:
                 continue
-            if not self._similar_after_sub(int(fwds[a]), repl, int(counts[a])):
+            if not self._similar_after_sub(st_a, repl, int(counts[a])):
                 continue
             codes[loc] = repl
-            counts, fwds = self.read_counts(codes)
+            counts, states = self.read_counts(codes)
             corrected += 1
         return corrected
 
     def _tail_pass(self, codes, quals) -> int:
         """errorCorrectTail (:1975-2032) in the current orientation."""
         cfg, k = self.cfg, self.k
-        counts, fwds = self.read_counts(codes)
+        counts, states = self.read_counts(codes)
         n = len(counts)
         ee = cfg.error_extension_tail
         if len(codes) < k + 2 + ee + cfg.dead_zone:
@@ -328,7 +421,8 @@ class EccEngine:
             ):
                 loc = a + k
                 dist = min(ee, len(codes) - loc)
-                ext_bases, ext = self._extend_right(int(fwds[a]), dist)
+                st_a = self.ops.at(states, a)
+                ext_bases, ext = self._extend_right(st_a, dist)
                 if ext >= dist and ext > 0:
                     ok = all(
                         loc + i >= len(codes)
@@ -339,13 +433,11 @@ class EccEngine:
                     if (
                         ok
                         and repl != codes[loc]
-                        and self._similar_after_sub(
-                            int(fwds[a]), repl, aC
-                        )
+                        and self._similar_after_sub(st_a, repl, aC)
                     ):
                         codes[loc] = repl
                         corrected += 1
-                        counts, fwds = self.read_counts(codes)
+                        counts, states = self.read_counts(codes)
             a += 1
         return corrected
 
@@ -355,7 +447,7 @@ class EccEngine:
         of the preceding kmer when that consensus is unambiguous."""
         cfg, k = self.cfg, self.k
         ee = cfg.error_extension_reassemble
-        counts, fwds = self.read_counts(codes)
+        counts, states = self.read_counts(codes)
         n = len(counts)
         if len(codes) < k + 1 + cfg.dead_zone:
             return 0
@@ -377,11 +469,7 @@ class EccEngine:
                 else True
             )
             if aC >= 0 and is_error(aC, bC, qb) and sim_left and err_right:
-                kmer = int(fwds[ca])
-                nxt = (kmer << 2) & self.mask
-                cand = np.array([nxt | x for x in range(4)], dtype=np.int64)
-                keys = np.maximum(cand, rc_kmer_arr(cand, k))
-                cnts = self.table.count_of(keys)
+                cnts = self.ops.right_counts(self.ops.at(states, ca))
                 order = np.argsort(-cnts, kind="stable")
                 mx, second = int(cnts[order[0]]), int(cnts[order[1]])
                 obs = int(codes[b])
@@ -399,7 +487,7 @@ class EccEngine:
                 ):
                     codes[b] = int(order[0])
                     corrected += 1
-                    counts, fwds = self.read_counts(codes)
+                    counts, states = self.read_counts(codes)
             ca += 1
         return corrected
 
