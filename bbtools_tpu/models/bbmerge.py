@@ -103,6 +103,10 @@ class BBMergeConfig:
     nn: bool = False
     net_file: str | None = None
     net_cutoff: float | None = None  # default: the net's stored ##ctf
+    #: quality-weighted overlap scoring (BBMerge.java useQuality :3189,
+    #: default true): when quals exist, mateByOverlapRatioJava_WithQualities
+    #: is the production path (BBMergeOverlapper.java:122)
+    use_quality: bool = True
 
 
 def parse_args(argv: list[str]) -> BBMergeConfig:
@@ -127,6 +131,9 @@ def parse_args(argv: list[str]) -> BBMergeConfig:
     c.ziplevel = a.get_int("ziplevel", "zl", default=None)
     c.extend2 = a.get_int("extend2", "extendright2", "er2", default=0)
     c.ecct = a.get_bool("ecct", "ecctadpole", default=False)
+    c.use_quality = a.get_bool("usequality", default=True)
+    if a.get("ignorequality") is not None:
+        c.use_quality = not a.get_bool("ignorequality", default=False)
     c.extend_k = min(a.get_int("k", default=31), 31)
     c.nn = a.get_bool("nn", "makevector", default=False)
     c.net_file = a.get("net")
@@ -226,6 +233,13 @@ class BBMerge:
         from ..ops.overlap_pallas import use_pallas
 
         nn_stats = None
+        # quality-weighted scoring is the reference default whenever both
+        # reads carry quals (BBMergeOverlapper.java:122)
+        use_q = (
+            self.cfg.use_quality
+            and b1.quals is not None
+            and b2.quals is not None
+        )
         if use_pallas():
             # fused device pipeline: insert-scan kernel + mate selection
             # in one jit; only [B] winner arrays come back (the [B, D]
@@ -239,6 +253,8 @@ class BBMerge:
                 p.ratio_offset,
                 extra_mult=4.0 if self.net is not None else 1.2,
                 collect=self.net is not None,
+                aq=b1.quals if use_q else None,
+                bq_rev=bq_rev if use_q else None,
             )
             insert = np.asarray(res[0])
             bad_int = np.asarray(res[1])
@@ -252,19 +268,28 @@ class BBMerge:
                     b1.bases, b_rc, alens, blens, p.min_insert0, n_inserts
                 )
             )
+            good_f = bad_f = None
+            if use_q:
+                from ..ops.overlap import overlap_counts_quality_np
+
+                good_f, bad_f, _bi, _ol = overlap_counts_quality_np(
+                    b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
+                    p.min_insert0, n_inserts,
+                )
             if self.net is not None:
                 insert, bad_int, ambig, nn_stats = mate_by_overlap_ratio_np(
                     good, bad, olen, alens, blens, p.min_insert0,
                     mo0, mo, p.min_insert0, p.min_insert,
                     p.max_ratio, p.min_second_ratio, p.ratio_margin,
                     p.ratio_offset, extra_mult=4.0, collect=True,
+                    good_f=good_f, bad_f=bad_f,
                 )
             else:
                 insert, bad_int, ambig = mate_by_overlap_ratio_np(
                     good, bad, olen, alens, blens, p.min_insert0,
                     mo0, mo, p.min_insert0, p.min_insert,
                     p.max_ratio, p.min_second_ratio, p.ratio_margin,
-                    p.ratio_offset,
+                    p.ratio_offset, good_f=good_f, bad_f=bad_f,
                 )
         # efilter (BBMerge.findOverlap :1532-1536)
         from ..ops.overlap_pallas import use_pallas as _use_dev

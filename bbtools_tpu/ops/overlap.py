@@ -37,6 +37,17 @@ PROB_CORRECT4 = np.array(
 )
 
 
+#: BBMergeOverlapper.probCorrect3 (the quality-mode table, used by
+#: mateByOverlapRatioJava_WithQualities :173-174), copied verbatim
+PROB_CORRECT3 = np.array(
+    [0.000, 0.251, 0.369, 0.499, 0.602, 0.684, 0.749, 0.800, 0.842, 0.874,
+     0.900, 0.921, 0.937, 0.950, 0.960, 0.968, 0.975, 0.980, 0.984, 0.987,
+     0.990, 0.992, 0.994, 0.995, 0.996, 0.997, 0.997, 0.998, 0.998, 0.999,
+     0.999, 0.999, 0.999, 0.999] + [1.0] * 36,
+    dtype=np.float32,
+)
+
+
 def _incr_table(incr: float, n: int) -> np.ndarray:
     """t[c] = float32 result of adding `incr` c times sequentially."""
     t = np.zeros(n + 1, dtype=np.float32)
@@ -180,15 +191,149 @@ def overlap_counts(a, b_rc, alens, blens, min_insert0: int, n_inserts: int):
     return overlap_counts_jnp(a, b_rc, alens, blens, min_insert0, n_inserts)
 
 
+def overlap_counts_quality_np(
+    a, b_rc, aq, bq_rev, alens, blens, min_insert0: int, n_inserts: int
+):
+    """Per-insert quality-weighted overlap sums, host oracle.
+
+    Reference: mateByOverlapRatioJava_WithQualities inner loop
+    (jgi/BBMergeOverlapper.java:229-242): x = aprob[i]*bprob[j];
+    match -> good += x, mismatch -> bad += x (and badInt++), all in
+    float32, i ascending. N==N counts as a (zero-weight) match; N vs
+    base is a mismatch whose x carries the actual quals.
+
+    Returns (good f32 [B,D], bad f32 [B,D], bad_int i32 [B,D],
+    olen i32 [B,D]). Bit-exact f32: the i-ascending accumulation order
+    is preserved by looping over i and adding a masked (0.0) term per
+    step — adding +0.0f is an exact identity, so skipped positions
+    change nothing.
+    """
+    f32 = np.float32
+    a = np.asarray(a)
+    b_rc = np.asarray(b_rc)
+    alens = np.asarray(alens).astype(np.int64)
+    blens = np.asarray(blens).astype(np.int64)
+    B, L = a.shape
+    aprob = PROB_CORRECT3[np.clip(np.asarray(aq), 0, 69)]
+    bprob = PROB_CORRECT3[np.clip(np.asarray(bq_rev), 0, 69)]
+    b_rj = right_justify_np(b_rc, blens, L)
+    bprob_rj = right_justify_np(bprob, blens, L)
+    max_ins = min_insert0 + n_inserts - 1
+    P = max(max_ins - L, 0) + 1
+    R = max(L - min_insert0, 0) + 1
+    b_pad = np.pad(b_rj, ((0, 0), (P, R)), constant_values=9)
+    p_pad = np.pad(bprob_rj, ((0, 0), (P, R)))
+    ins = (min_insert0 + np.arange(n_inserts, dtype=np.int64))[None, :]
+    good = np.zeros((B, n_inserts), np.float32)
+    bad = np.zeros((B, n_inserts), np.float32)
+    bad_int = np.zeros((B, n_inserts), np.int32)
+    olen = np.zeros((B, n_inserts), np.int32)
+    rows = np.arange(B)[:, None]
+    for i in range(L):
+        # mate column for insert `ins` at read position i (see
+        # overlap_counts_jnp docstring): b_pad[P + L - ins + i]
+        cols = P + L - ins + i
+        cb = b_pad[rows, cols]  # [B, D]
+        pb = p_pad[rows, cols]
+        valid = (i < np.minimum(alens[:, None], ins)) & (
+            i >= np.maximum(ins - blens[:, None], 0)
+        )
+        ca = a[:, i : i + 1]
+        x = np.where(valid, aprob[:, i : i + 1] * pb, f32(0.0)).astype(
+            np.float32
+        )
+        eq = ca == cb
+        good = (good + np.where(eq, x, f32(0.0))).astype(np.float32)
+        bad = (bad + np.where(eq, f32(0.0), x)).astype(np.float32)
+        bad_int += (valid & ~eq).astype(np.int32)
+        olen += valid.astype(np.int32)
+    return good, bad, bad_int, olen
+
+
+def overlap_counts_quality_jnp(
+    a, b_rc, aq, bq_rev, alens, blens, min_insert0: int, n_inserts: int
+):
+    """Device mirror of overlap_counts_quality_np: lax.scan over read
+    positions with [B, D] f32 carries keeps the reference's i-ascending
+    float32 accumulation order; _mul_f32_once blocks FMA contraction of
+    the aprob*bprob product into the running sum."""
+    return _overlap_counts_quality(
+        jnp.asarray(np.asarray(a)), jnp.asarray(np.asarray(b_rc)),
+        jnp.asarray(np.asarray(aq)), jnp.asarray(np.asarray(bq_rev)),
+        jnp.asarray(np.asarray(alens)), jnp.asarray(np.asarray(blens)),
+        min_insert0, n_inserts,
+    )
+
+
+@partial(jax.jit, static_argnames=("m0", "ni"))
+def _overlap_counts_quality(a, b_rc, aq, bq_rev, alens, blens, m0, ni):
+    f32 = jnp.float32
+    B, L = a.shape
+    if True:
+        pc3 = jnp.asarray(PROB_CORRECT3)
+        aprob = pc3[jnp.clip(aq.astype(jnp.int32), 0, 69)]
+        bprob = pc3[jnp.clip(bq_rev.astype(jnp.int32), 0, 69)]
+        b_rj = right_justify_jnp(b_rc, blens, L)
+        bprob_rj = right_justify_jnp(bprob, blens, L)
+        max_ins = m0 + ni - 1
+        P = max(max_ins - L, 0) + 1
+        R = max(L - m0, 0) + 1
+        b_pad = jnp.pad(b_rj, ((0, 0), (P, R)), constant_values=9)
+        p_pad = jnp.pad(bprob_rj, ((0, 0), (P, R)))
+        ins = (m0 + jnp.arange(ni, dtype=jnp.int32))[None, :]
+        alens32 = alens.astype(jnp.int32)[:, None]
+        blens32 = blens.astype(jnp.int32)[:, None]
+        lo = jnp.maximum(ins - blens32, 0)
+        hi = jnp.minimum(alens32, ins)
+
+        def step(carry, i):
+            good, bad, bad_int, olen = carry
+            # columns P+L-ins+i for all inserts = one reversed slice
+            seg = jax.lax.dynamic_slice(
+                b_pad, (jnp.int32(0), (jnp.int32(P + L) - max_ins + i)),
+                (B, ni),
+            )[:, ::-1]
+            pseg = jax.lax.dynamic_slice(
+                p_pad, (jnp.int32(0), (jnp.int32(P + L) - max_ins + i)),
+                (B, ni),
+            )[:, ::-1]
+            valid = (i < hi) & (i >= lo)
+            pa = jax.lax.dynamic_slice(aprob, (jnp.int32(0), i), (B, 1))
+            ca = jax.lax.dynamic_slice(a, (jnp.int32(0), i), (B, 1))
+            x = jnp.where(valid, _mul_f32_once(pa, pseg), f32(0.0))
+            eq = ca.astype(jnp.int32) == seg.astype(jnp.int32)
+            good = good + jnp.where(eq, x, f32(0.0))
+            bad = bad + jnp.where(eq, f32(0.0), x)
+            bad_int = bad_int + (valid & ~eq).astype(jnp.int32)
+            olen = olen + valid.astype(jnp.int32)
+            return (good, bad, bad_int, olen), None
+
+        init = (
+            jnp.zeros((B, ni), f32), jnp.zeros((B, ni), f32),
+            jnp.zeros((B, ni), jnp.int32), jnp.zeros((B, ni), jnp.int32),
+        )
+        (good, bad, bad_int, olen), _ = jax.lax.scan(
+            step, init, jnp.arange(L, dtype=jnp.int32)
+        )
+        return good, bad, bad_int, olen
+
+
 def find_best_ratio_np(
     good_c, bad_c, olen, alens, blens, min_insert0: int,
     min_overlap0, min_overlap, min_insert: int, max_ratio: float,
     offset: float, g_incr: float = 0.95, b_incr: float = 0.95,
+    good_f=None, bad_f=None,
 ):
     """findBestRatio (non-quality) vectorized over reads.
 
     good_c/bad_c/olen: [B, D] int counts (column d -> insert min_insert0+d).
     min_overlap0/min_overlap may be per-read arrays. Returns float32 [B].
+
+    With good_f/bad_f given ([B, D] float32 quality-weighted sums from
+    overlap_counts_quality_np), this is findBestRatio_WithQualities
+    (jgi/BBMergeOverlapper.java:642-693): g/b come from the planes and
+    the bad==0 test is on the float32 sum (a mismatch pair with q=0
+    weight keeps bad at exactly 0.0f, as in the reference).
     """
     f32 = np.float32
     B, D = good_c.shape
@@ -208,13 +353,19 @@ def find_best_ratio_np(
         inrange = (insert <= largest) & ~returned
         if not inrange.any():
             continue
-        g = gt[good_c[:, d]]
-        b = bt[bad_c[:, d]]
+        if good_f is not None:
+            g = good_f[:, d]
+            b = bad_f[:, d]
+            bad_zero = bad_f[:, d] == np.float32(0.0)
+        else:
+            g = gt[good_c[:, d]]
+            b = bt[bad_c[:, d]]
+            bad_zero = bad_c[:, d] == 0
         ol = olen[:, d].astype(np.float32)
         badlimit = best * ol  # f32*f32, extraBadlimit=0
         ok = inrange & (b <= badlimit)
         # bad==0 && good in (minOverlap0, minOverlap) -> return 100
-        ret100 = ok & (bad_c[:, d] == 0) & (g > mo0) & (g < mo)
+        ret100 = ok & bad_zero & (g > mo0) & (g < mo)
         result[ret100] = f32(100.0)
         returned |= ret100
         ok &= ~ret100
@@ -235,8 +386,16 @@ def mate_by_overlap_ratio_np(
     max_ratio: float, min_second_ratio: float, margin: float,
     offset: float, g_incr: float = 0.95, b_incr: float = 0.95,
     extra_mult: float = 1.2, collect: bool = False,
+    good_f=None, bad_f=None,
 ):
     """mateByOverlapRatioJava (:368-505) vectorized over reads.
+
+    With good_f/bad_f given, this is mateByOverlapRatioJava_WithQualities
+    (:158-397): g/b are the float32 prob-weighted sums, bad_c holds the
+    integer mismatch count (badInt), and the zero-bad early return tests
+    the float sum. Everything else (badlimit, margins, best/second state
+    machine, early returns) is shared between the two reference methods
+    line for line.
 
     Returns (best_insert [B] i32 with -1 for no solution, best_bad_int [B],
     ambig [B] bool). min_overlap0/min_overlap may be per-read arrays.
@@ -259,6 +418,7 @@ def mate_by_overlap_ratio_np(
     x = find_best_ratio_np(
         good_c, bad_c, olen, alens, blens, min_insert0_col,
         mo0_eff, mo_eff, min_insert, max_ratio, offset, g_incr, b_incr,
+        good_f=good_f, bad_f=bad_f,
     )
     no_sol = x > f32(max_ratio)
     maxr = np.minimum(f32(max_ratio), x).astype(np.float32)
@@ -291,8 +451,14 @@ def mate_by_overlap_ratio_np(
         inrange = (insert <= largest) & ~returned
         if not inrange.any():
             continue
-        g = gt[good_c[:, d]]
-        b = bt[bad_c[:, d]]
+        if good_f is not None:
+            g = good_f[:, d]
+            b = bad_f[:, d]
+            bad_zero = bad_f[:, d] == f32(0.0)
+        else:
+            g = gt[good_c[:, d]]
+            b = bt[bad_c[:, d]]
+            bad_zero = bad_c[:, d] == 0
         ol = olen[:, d].astype(np.float32)
         badlimit = (
             extra_mult * (np.minimum(best_ratio, maxr) * f32(margin) * ol)
@@ -300,7 +466,7 @@ def mate_by_overlap_ratio_np(
         ).astype(np.float32)
         ok = inrange & (b <= badlimit)
         # ambiguous early return: bad==0, minOverlap0 < good < minOverlap
-        retA = ok & (bad_c[:, d] == 0) & (g > mo0_eff) & (g < mo_eff)
+        retA = ok & bad_zero & (g > mo0_eff) & (g < mo_eff)
         ret_ambig |= retA
         returned |= retA
         ok &= ~retA
@@ -554,12 +720,17 @@ def mate_by_overlap_ratio_jnp(
     max_ratio: float, min_second_ratio: float, margin: float,
     offset: float, g_incr: float = 0.95, b_incr: float = 0.95,
     extra_mult: float = 1.2, collect: bool = False,
+    good_f=None, bad_f=None,
 ):
     """Device mirror of mate_by_overlap_ratio_np: the per-insert host
     loop becomes a lax.scan over the (reversed) insert axis with [B]
     carries, and the bit-exact sequential-f32 increment tables resolve
     through the VMEM lane-table lookup (ops/lane_table.py) instead of
-    per-element gathers. Identical results (same f32 op order)."""
+    per-element gathers. Identical results (same f32 op order).
+
+    good_f/bad_f ([B, D] f32 planes from overlap_counts_quality_jnp)
+    switch it to mateByOverlapRatioJava_WithQualities, exactly as in the
+    np version."""
     import jax
 
     from .lane_table import lookup as table_lookup, pack_table
@@ -580,6 +751,9 @@ def mate_by_overlap_ratio_jnp(
         good_c = jnp.pad(good_c, ((0, pad), (0, 0)))
         bad_c = jnp.pad(bad_c, ((0, pad), (0, 0)))
         olen = jnp.pad(olen, ((0, pad), (0, 0)))
+        if good_f is not None:
+            good_f = jnp.pad(good_f, ((0, pad), (0, 0)))
+            bad_f = jnp.pad(bad_f, ((0, pad), (0, 0)))
     alens = padded(alens, 1)
     blens = padded(blens, 1)
     min_overlap0 = (
@@ -616,12 +790,19 @@ def mate_by_overlap_ratio_jnp(
     blens = r2(blens)
 
     # precompute f32 increments + transposed per-step rows (scan xs)
-    g_all = table_lookup(gt2, good_c).T.reshape(D, R2, 128)  # f32
-    b_all = table_lookup(bt2, bad_c).T.reshape(D, R2, 128)
+    if good_f is not None:
+        g_all = good_f.astype(f32).T.reshape(D, R2, 128)
+        b_all = bad_f.astype(f32).T.reshape(D, R2, 128)
+        bz_all = (bad_f == f32(0.0)).T.reshape(D, R2, 128)
+    else:
+        g_all = table_lookup(gt2, good_c).T.reshape(D, R2, 128)  # f32
+        b_all = table_lookup(bt2, bad_c).T.reshape(D, R2, 128)
+        bz_all = (bad_c == 0).T.reshape(D, R2, 128)
     ol_all = olen.T.astype(f32).reshape(D, R2, 128)
     bad_all = bad_c.T.reshape(D, R2, 128)
     ds = jnp.arange(D - 1, -1, -1, dtype=jnp.int32)
-    xs = (g_all[::-1], b_all[::-1], ol_all[::-1], bad_all[::-1], ds)
+    xs = (g_all[::-1], b_all[::-1], ol_all[::-1], bad_all[::-1],
+          bz_all[::-1], ds)
 
     offset_f = np.float32(offset)
     max_ratio_f = np.float32(max_ratio)
@@ -634,14 +815,14 @@ def mate_by_overlap_ratio_jnp(
 
     def pre_step(carry, x):
         best, returned, result = carry
-        g, b, ol, bad_d, d = x
+        g, b, ol, bad_d, bz, d = x
         insert = d.astype(jnp.int64) + min_insert0_col
         inrange = (
             (insert <= largest_pre) & (insert >= min_insert) & ~returned
         )
         badlimit = best * ol
         ok = inrange & (b <= badlimit)
-        ret100 = ok & (bad_d == 0) & (g > mo0_eff.astype(f32)) & (
+        ret100 = ok & bz & (g > mo0_eff.astype(f32)) & (
             g < mo_eff.astype(f32)
         )
         result = jnp.where(ret100, f32(100.0), result)
@@ -674,7 +855,7 @@ def mate_by_overlap_ratio_jnp(
         (best_insert, best_bad_int, best_ratio, second_ratio, ambig,
          returned, ret_ambig, best_overlap, best_bad_f, second_insert,
          second_overlap, second_bad_f, second_bad_int) = carry
-        g, b, ol, bad_d, d = x
+        g, b, ol, bad_d, bz, d = x
         insert = d.astype(jnp.int64) + min_insert0_col
         inrange = (
             (insert <= largest) & (insert >= min_insert0) & ~returned
@@ -685,7 +866,7 @@ def mate_by_overlap_ratio_jnp(
         badlimit = (_mul_f32_once(jnp.float32(extra_mult_f), t2)
                     + f32(1.0)).astype(f32)
         ok = inrange & (b <= badlimit)
-        retA = ok & (bad_d == 0) & (g > mo0_eff.astype(f32)) & (
+        retA = ok & bz & (g > mo0_eff.astype(f32)) & (
             g < mo_eff.astype(f32)
         )
         ret_ambig = ret_ambig | retA
@@ -789,15 +970,23 @@ def overlap_and_mate(a, b_rc, alens, blens, min_insert0_col: int,
                      n_inserts: int, min_overlap0, min_overlap,
                      min_insert0: int, min_insert: int, max_ratio: float,
                      min_second_ratio: float, margin: float, offset: float,
-                     extra_mult: float = 1.2, collect: bool = False):
+                     extra_mult: float = 1.2, collect: bool = False,
+                     aq=None, bq_rev=None):
     """Fused device pipeline: insert-scan kernel + mate selection in ONE
     jit — only [B]-sized winner arrays return to the host (the [B, D]
-    count matrices stay on device; pulling them cost ~27 MB/batch)."""
+    count matrices stay on device; pulling them cost ~27 MB/batch).
+
+    With aq/bq_rev given (phred arrays; bq reversed to match b_rc) the
+    quality-weighted mode runs (mateByOverlapRatioJava_WithQualities):
+    the int mismatch counts still come from the fast insert-scan kernel
+    (badInt), and the f32 prob-weighted good/bad planes come from the
+    sequential-order quality scan."""
     import jax
 
     from .overlap_pallas import overlap_counts_pallas, use_pallas
 
     pallas = use_pallas()
+    with_q = aq is not None
 
     @partial(
         jax.jit,
@@ -806,8 +995,8 @@ def overlap_and_mate(a, b_rc, alens, blens, min_insert0_col: int,
             "em", "col",
         ),
     )
-    def run(a, b_rc, alens, blens, mo0, mo, m0c, ni, mi0, mi, maxr, msr,
-            marg, off, em, col):
+    def run(a, b_rc, alens, blens, mo0, mo, aqv, bqv, m0c, ni, mi0, mi,
+            maxr, msr, marg, off, em, col):
         if pallas:
             b_rj = right_justify_jnp(b_rc, blens, a.shape[1])
             good, bad, ol = overlap_counts_pallas(
@@ -816,16 +1005,25 @@ def overlap_and_mate(a, b_rc, alens, blens, min_insert0_col: int,
         else:
             good, bad, ol = overlap_counts_jnp(a, b_rc, alens, blens,
                                                m0c, ni)
+        good_f = bad_f = None
+        if with_q:
+            good_f, bad_f, _bad_int, _ol = _overlap_counts_quality(
+                a, b_rc, aqv, bqv, alens, blens, m0c, ni
+            )
         return mate_by_overlap_ratio_jnp(
             good, bad, ol, alens, blens, m0c, mo0, mo, mi0, mi,
             maxr, msr, marg, off, extra_mult=em, collect=col,
+            good_f=good_f, bad_f=bad_f,
         )
 
+    zq = np.zeros((1, 1), np.uint8)
     return run(
         jnp.asarray(np.asarray(a)), jnp.asarray(np.asarray(b_rc)),
         jnp.asarray(np.asarray(alens)), jnp.asarray(np.asarray(blens)),
         jnp.asarray(np.asarray(min_overlap0)),
         jnp.asarray(np.asarray(min_overlap)),
+        jnp.asarray(np.asarray(aq if with_q else zq)),
+        jnp.asarray(np.asarray(bq_rev if with_q else zq)),
         min_insert0_col, n_inserts, min_insert0, min_insert,
         float(max_ratio), float(min_second_ratio), float(margin),
         float(offset), float(extra_mult), bool(collect),

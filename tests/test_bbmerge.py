@@ -564,3 +564,287 @@ def test_entropy_min_overlap_jnp_matches_np():
             jnp.asarray(codes), jnp.asarray(lens), 3, 39, tail
         ))
         np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted overlap mode (mateByOverlapRatioJava_WithQualities)
+# ---------------------------------------------------------------------------
+
+from bbtools_tpu.ops.overlap import (  # noqa: E402
+    PROB_CORRECT3,
+    overlap_counts_quality_np,
+)
+
+
+def oracle_quality_counts(a, b, aq, bq, insert):
+    """Transliteration of the quality inner loop
+    (BBMergeOverlapper.java:229-242): x=aprob[i]*bprob[j]; match->good+=x,
+    mismatch->bad+=x, badInt++; all float32, i ascending."""
+    alen, blen = len(a), len(b)
+    istart = 0 if insert <= blen else insert - blen
+    jstart = 0 if insert >= blen else blen - insert
+    olen = min(alen - istart, blen - jstart, insert)
+    good = f32(0.0)
+    bad = f32(0.0)
+    bad_int = 0
+    for t in range(olen):
+        i, j = istart + t, jstart + t
+        x = f32(PROB_CORRECT3[min(int(aq[i]), 69)]
+                * PROB_CORRECT3[min(int(bq[j]), 69)])
+        if a[i] == b[j]:
+            good = f32(good + x)
+        else:
+            bad = f32(bad + x)
+            bad_int += 1
+    return good, bad, bad_int, olen
+
+
+def oracle_quality_ratio_mode(a, b, aq, bq, mo0, mo, min_insert0,
+                              min_insert, max_ratio, min_second, margin,
+                              offset):
+    """Per-read transliteration of findBestRatio_WithQualities (:642-693)
+    + mateByOverlapRatioJava_WithQualities (:158-397)."""
+    alen, blen = len(a), len(b)
+    min_len = min(alen, blen)
+    mo_eff = max(4, mo0, mo)
+    mo0_eff = sorted((4, mo0, mo_eff))[1]
+    # prescan
+    best = f32(f32(max_ratio) + f32(0.0001))
+    halfmax = f32(f32(max_ratio) * f32(0.5))
+    x = None
+    for insert in range(alen + blen - mo_eff, min_insert - 1, -1):
+        good, bad, bad_c, olen = oracle_quality_counts(a, b, aq, bq, insert)
+        badlimit = f32(best * olen)
+        if bad <= badlimit:
+            if bad == f32(0.0) and good > mo0_eff and good < mo_eff:
+                x = f32(100.0)
+                break
+            ratio = f32(f32(bad + f32(offset)) / olen)
+            if ratio < best:
+                best = ratio
+                if good >= mo_eff and ratio < halfmax:
+                    x = best
+                    break
+    if x is None:
+        x = best
+    if x > f32(max_ratio):
+        return -1, min_len, False
+    maxr = min(f32(max_ratio), x)
+    margin2 = f32(f32(f32(margin) + f32(offset)) / min_len)
+    best_insert, best_bad_int = -1, -1
+    best_ratio = f32(1)
+    second_ratio = f32(1)
+    ambig = False
+    for insert in range(alen + blen - mo0_eff, min_insert0 - 1, -1):
+        good, bad, bad_c, olen = oracle_quality_counts(a, b, aq, bq, insert)
+        badlimit = f32(
+            f32(1.2) * f32(f32(f32(min(best_ratio, maxr)) * f32(margin)) * olen)
+            + f32(1.0)
+        )
+        if bad <= badlimit:
+            if bad == f32(0.0) and good > mo0_eff and good < mo_eff:
+                return -1, best_bad_int, False
+            ratio = f32(f32(bad + f32(offset)) / olen)
+            if ratio < f32(best_ratio * f32(margin)):
+                ambig = bool(
+                    f32(ratio * f32(margin)) >= best_ratio or good < mo_eff
+                )
+                if ratio < best_ratio:
+                    second_ratio = best_ratio
+                    best_insert = insert
+                    best_bad_int = bad_c
+                    best_ratio = ratio
+                elif ratio < second_ratio:
+                    second_ratio = ratio
+                if (ambig and best_ratio < margin2) or second_ratio < f32(
+                    min_second
+                ):
+                    return -1, best_bad_int, False
+    if second_ratio < f32(min_second):
+        ambig = True
+    if not ambig and best_ratio > maxr:
+        best_insert = -1
+    return (
+        -1 if best_insert < 0 else best_insert,
+        best_bad_int,
+        ambig and best_insert > -1,
+    )
+
+
+def _quality_pair_batch(B, alen, blen):
+    a = np.zeros((B, alen), np.uint8)
+    b_rc = np.zeros((B, blen), np.uint8)
+    for i in range(B):
+        true_insert = int(rng.integers(50, 130))
+        r1, r2 = make_pair(true_insert, alen, blen, err=0.01 * (i % 4))
+        a[i] = r1
+        b_rc[i] = (3 - r2[::-1]).astype(np.uint8)
+    # quality-varied: mix of high, low, and zero quals
+    aq = rng.integers(0, 42, (B, alen)).astype(np.uint8)
+    bq = rng.integers(0, 42, (B, blen)).astype(np.uint8)
+    aq[:4] = 2  # near-zero-information rows
+    return a, b_rc, aq, bq
+
+
+def test_quality_counts_vs_oracle():
+    B, alen, blen = 12, 60, 60
+    a, b_rc, aq, bq = _quality_pair_batch(B, alen, blen)
+    alens = np.full(B, alen, np.int64)
+    blens = np.full(B, blen, np.int64)
+    min_insert0 = 10
+    D = alen + blen - min_insert0 + 1
+    good, bad, bad_int, olen = overlap_counts_quality_np(
+        a, b_rc, aq, bq, alens, blens, min_insert0, D
+    )
+    for i in range(B):
+        for d in range(0, D, 5):
+            insert = min_insert0 + d
+            g, bd, bi, ol = oracle_quality_counts(
+                a[i], b_rc[i], aq[i], bq[i], insert
+            )
+            assert good[i, d] == g, (i, insert)  # bit-exact f32
+            assert bad[i, d] == bd, (i, insert)
+            assert bad_int[i, d] == bi and olen[i, d] == ol
+
+
+def test_quality_ratio_mode_vs_oracle():
+    B, alen, blen = 48, 70, 70
+    a, b_rc, aq, bq = _quality_pair_batch(B, alen, blen)
+    alens = np.full(B, alen, np.int64)
+    blens = np.full(B, blen, np.int64)
+    p = dict(mo0=5, mo=8, min_insert0=12, min_insert=15, max_ratio=0.09,
+             min_second=0.1, margin=5.5, offset=0.55)
+    D = alen + blen - p["min_insert0"] + 1
+    good_c, bad_c, olen = (
+        np.asarray(x)
+        for x in overlap_counts_jnp(
+            jnp.asarray(a), jnp.asarray(b_rc), jnp.asarray(alens),
+            jnp.asarray(blens), p["min_insert0"], D,
+        )
+    )
+    good_f, bad_f, _bi, _ol = overlap_counts_quality_np(
+        a, b_rc, aq, bq, alens, blens, p["min_insert0"], D
+    )
+    ins_v, bad_v, amb_v = mate_by_overlap_ratio_np(
+        good_c, bad_c, olen, alens, blens, p["min_insert0"],
+        p["mo0"], p["mo"], p["min_insert0"], p["min_insert"],
+        p["max_ratio"], p["min_second"], p["margin"], p["offset"],
+        good_f=good_f, bad_f=bad_f,
+    )
+    n_diff = 0
+    ins_nq, _, _ = mate_by_overlap_ratio_np(
+        good_c, bad_c, olen, alens, blens, p["min_insert0"],
+        p["mo0"], p["mo"], p["min_insert0"], p["min_insert"],
+        p["max_ratio"], p["min_second"], p["margin"], p["offset"],
+    )
+    for i in range(B):
+        oi, ob, oa = oracle_quality_ratio_mode(
+            a[i], b_rc[i], aq[i], bq[i], p["mo0"], p["mo"],
+            p["min_insert0"], p["min_insert"], p["max_ratio"],
+            p["min_second"], p["margin"], p["offset"],
+        )
+        assert ins_v[i] == oi, f"read {i}: {ins_v[i]} vs {oi}"
+        assert amb_v[i] == oa, f"read {i} ambig"
+        if ins_v[i] != ins_nq[i]:
+            n_diff += 1
+    # quality weighting must actually change decisions on this data
+    assert n_diff > 0
+
+
+def test_quality_mate_jnp_matches_np():
+    from bbtools_tpu.ops.overlap import (
+        mate_by_overlap_ratio_jnp,
+        overlap_counts_quality_jnp,
+    )
+
+    B, alen, blen = 32, 64, 64
+    a, b_rc, aq, bq = _quality_pair_batch(B, alen, blen)
+    alens = np.full(B, alen, np.int64)
+    blens = np.full(B, blen, np.int64)
+    p = dict(mo0=5, mo=8, min_insert0=12, min_insert=15, max_ratio=0.09,
+             min_second=0.1, margin=5.5, offset=0.55)
+    D = alen + blen - p["min_insert0"] + 1
+    good_c, bad_c, olen = (
+        np.asarray(x)
+        for x in overlap_counts_jnp(
+            jnp.asarray(a), jnp.asarray(b_rc), jnp.asarray(alens),
+            jnp.asarray(blens), p["min_insert0"], D,
+        )
+    )
+    gf_np, bf_np, bi_np, ol_np = overlap_counts_quality_np(
+        a, b_rc, aq, bq, alens, blens, p["min_insert0"], D
+    )
+    gf_j, bf_j, bi_j, ol_j = (
+        np.asarray(x)
+        for x in overlap_counts_quality_jnp(
+            a, b_rc, aq, bq, alens, blens, p["min_insert0"], D
+        )
+    )
+    assert (gf_np == gf_j).all() and (bf_np == bf_j).all()
+    assert (bi_np == bi_j).all() and (ol_np == ol_j).all()
+    args = (
+        alens, blens, p["min_insert0"], p["mo0"], p["mo"],
+        p["min_insert0"], p["min_insert"], p["max_ratio"],
+        p["min_second"], p["margin"], p["offset"],
+    )
+    ins_np, bad_np_, amb_np = mate_by_overlap_ratio_np(
+        good_c, bad_c, olen, *args, good_f=gf_np, bad_f=bf_np
+    )
+    ins_j, bad_j, amb_j = (
+        np.asarray(x)
+        for x in mate_by_overlap_ratio_jnp(
+            jnp.asarray(good_c), jnp.asarray(bad_c), jnp.asarray(olen),
+            *args, good_f=jnp.asarray(gf_np), bad_f=jnp.asarray(bf_np),
+        )
+    )
+    assert (ins_np == ins_j).all()
+    assert (bad_np_ == bad_j).all()
+    assert (amb_np == amb_j).all()
+
+
+def test_bbmerge_quality_mode_end_to_end(tmp_path):
+    """usequality=t (default) vs ignorequality: same files, different
+    merge decisions on quality-varied data; ihist reflects it."""
+    from bbtools_tpu.models.bbmerge import BBMerge, parse_args
+
+    B = 300
+    alen = blen = 70
+    CODE = "ACGT"
+    r1p = tmp_path / "r1.fq"
+    r2p = tmp_path / "r2.fq"
+    rng2 = np.random.default_rng(5)
+    with open(r1p, "w") as f1, open(r2p, "w") as f2:
+        for i in range(B):
+            insert = int(rng2.integers(60, 120))
+            mol = rng2.integers(0, 4, max(insert, alen, blen))
+            r1 = mol[:alen].copy()
+            r2f = mol[max(0, insert - blen):insert]
+            if len(r2f) < blen:
+                r2f = np.concatenate(
+                    [rng2.integers(0, 4, blen - len(r2f)), r2f]
+                )
+            r2 = (3 - r2f[::-1])
+            q1 = rng2.integers(2, 41, alen)
+            q2 = rng2.integers(2, 41, blen)
+            # sprinkle errors at LOW-q positions: quality weighting should
+            # forgive them, the unweighted mode counts them fully
+            for r, q in ((r1, q1), (r2, q2)):
+                low = np.flatnonzero(q <= 8)[:6]
+                r[low] = (r[low] + 1) % 4
+            s1 = "".join(CODE[c] for c in r1)
+            s2 = "".join(CODE[c] for c in r2)
+            f1.write(f"@p{i} /1\n{s1}\n+\n"
+                     + "".join(chr(33 + int(q)) for q in q1) + "\n")
+            f2.write(f"@p{i} /2\n{s2}\n+\n"
+                     + "".join(chr(33 + int(q)) for q in q2) + "\n")
+
+    outq = tmp_path / "mq.fq"
+    outn = tmp_path / "mn.fq"
+    BBMerge(parse_args([f"in={r1p}", f"in2={r2p}", f"out={outq}"])).run()
+    BBMerge(parse_args(
+        [f"in={r1p}", f"in2={r2p}", f"out={outn}", "ignorequality=t"]
+    )).run()
+    nq = sum(1 for line in open(outq) if line.startswith("@"))
+    nn_ = sum(1 for line in open(outn) if line.startswith("@"))
+    # quality mode merges MORE pairs here (low-q errors forgiven)
+    assert nq > nn_, (nq, nn_)
