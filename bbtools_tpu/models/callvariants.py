@@ -121,6 +121,10 @@ class Var:
     idSum: int = 0
     idMax: int = 0
     coverage: int = -1
+    #: forced-variant mode (var2/CallVariants.java invcf= :275): vars
+    #: loaded from an input VCF always pass filtering (VarMap.java:140
+    #: pass = v.forced() || passesFilter) and skip the nearby gate
+    forced: bool = False
 
     def key(self):
         return (self.scafnum, self.start, self.stop, self.allele, self.type)
@@ -764,6 +768,68 @@ def choose_net(platform: int, ploidy: int) -> str:
     return os.path.join(here, name)
 
 
+def parse_vcf_var(chrom_idx: int, pos: int, ref_al: bytes, alt_al: bytes,
+                  info: bytes = b"") -> Var:
+    """One VCF row -> Var, inverting write_vcf's encoding (and the
+    reference's Var(VCFLine) constructor, var2/Var.java:219-258): a
+    shared leading base marks an indel; TYP= in INFO overrides when
+    present (round-trips our own output exactly)."""
+    typ = None
+    for fld in info.split(b";"):
+        if fld.startswith(b"TYP="):
+            name = fld[4:].decode()
+            typ = {n: i for i, n in enumerate(TYPE_NAMES)}.get(name)
+    if len(ref_al) == len(alt_al) == 1:
+        t = SUB if typ is None else typ
+        return Var(chrom_idx, pos - 1, pos, alt_al, t, forced=True)
+    if len(alt_al) > len(ref_al) and len(ref_al) == 1:
+        return Var(chrom_idx, pos, pos, alt_al[1:],
+                   INS if typ is None else typ, forced=True)
+    if len(ref_al) > len(alt_al) and len(alt_al) == 1:
+        return Var(chrom_idx, pos, pos + len(ref_al) - 1, b"",
+                   DEL if typ is None else typ, forced=True)
+    # complex rows: treat as substitution block over the ref span
+    return Var(chrom_idx, pos - 1, pos - 1 + len(ref_al), alt_al,
+               SUB if typ is None else typ, forced=True)
+
+
+def load_forced_vcf(paths: str, cv: "CallVariants") -> int:
+    """AnalyzeVars.loadForcedVCF (var2/AnalyzeVars.java:287-305): load
+    VCF rows as evidence-cleared forced Vars into the varmap BEFORE SAM
+    processing, so observed evidence merges into them and they always
+    emit. Comma-separated multi-file input as in the reference."""
+    from ..io.readwrite import open_input
+
+    n = 0
+    for path in paths.split(","):
+        path = path.strip()
+        if not path:
+            continue
+        with open_input(path) as fh:
+            for line in fh:
+                if line.startswith(b"#"):
+                    continue
+                f = line.rstrip(b"\n").split(b"\t")
+                if len(f) < 5:
+                    continue
+                idx = cv.name_to_idx.get(f[0])
+                if idx is None:
+                    idx = cv.name_to_idx.get(f[0].decode())
+                if idx is None:
+                    continue
+                for alt in f[4].split(b","):
+                    v = parse_vcf_var(
+                        idx, int(f[1]), f[3].upper(), alt.upper(),
+                        f[7] if len(f) > 7 else b"",
+                    )
+                    if v.key() not in cv.varmap:
+                        cv.varmap[v.key()] = v
+                    else:
+                        cv.varmap[v.key()].forced = True
+                    n += 1
+    return n
+
+
 class CallVariants:
     def __init__(self, ref: Reference, vfilter: VarFilter | None = None,
                  ploidy: int = 1, nn: bool = False,
@@ -1038,6 +1104,8 @@ class CallVariants:
                         self.total_mapq_avg, self.read_length_avg,
                         self.ploidy, self.ref,
                     )
+                # forced vars always pass (VarMap.java:140)
+                passes = passes or v.forced
                 scaf_codes = self.ref.scaffold_codes(v.scafnum)
                 name = self.ref.names[v.scafnum].split()[0]
                 indel = v.type in (INS, DEL)
@@ -1110,6 +1178,7 @@ def main(argv=None):
         (a.get("platform") or "illumina").lower(), 0
     )
     multi = a.get_bool("multisample", "multi", default=False)
+    invcf = a.get("invcf", "vcfin", "forced")
     sams = [p.strip() for p in (sam or "").split(",") if p.strip()]
     if multi and len(sams) > 1:
         # pooled instance drives the union + INFO; per-sample instances
@@ -1118,6 +1187,9 @@ def main(argv=None):
 
         cv = CallVariants(ref, f, ploidy=ploidy, nn=nn, net_file=net_file,
                           platform=platform)
+        if invcf:
+            n_forced = load_forced_vcf(invcf, cv)
+            print(f"Forced variants:     \t{n_forced}", file=sys.stderr)
         per = []
         for p in sams:
             cvs = CallVariants(ref, f, ploidy=ploidy)
@@ -1129,6 +1201,9 @@ def main(argv=None):
     else:
         cv = CallVariants(ref, f, ploidy=ploidy, nn=nn, net_file=net_file,
                           platform=platform, call_junctions=junctions)
+        if invcf:
+            n_forced = load_forced_vcf(invcf, cv)
+            print(f"Forced variants:     \t{n_forced}", file=sys.stderr)
         for p in sams:
             cv.add_sam(p, realign=realign)
         cv.finish()

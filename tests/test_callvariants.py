@@ -336,3 +336,95 @@ def test_junction_variants(tmp_path):
         f"vcf={tmp_path}/p.vcf", "minscore=0",
     ])
     assert b"JUNCT" not in (tmp_path / "p.vcf").read_bytes()
+
+
+def test_invcf_forced_variants(tmp_path):
+    """Round-trip: call -> a low-evidence var FAILs the filter -> feeding
+    the VCF back via invcf= forces it to PASS with merged evidence
+    (var2/CallVariants.java:275,481,577; AnalyzeVars.loadForcedVCF)."""
+    from bbtools_tpu.models.callvariants import (
+        load_forced_vcf,
+        main as cv_main,
+        parse_vcf_var,
+    )
+
+    genome = random_genome(20_000, n_scaffolds=1, seed=31)
+    write_fasta(str(tmp_path / "ref.fa"), genome)
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    codes = ref.scaffold_codes(0)
+
+    # reads: good coverage everywhere; ONE read carries a lone SNP at a
+    # fixed position (allele fraction ~= 1/cov -> fails min_allele_fraction)
+    snp_pos = 5000
+    recs = []
+    for i in range(1200):
+        start = int(rng.integers(0, len(codes) - 100))
+        r = codes[start : start + 100].copy()
+        if i == 0:
+            start = snp_pos - 50
+            r = codes[start : start + 100].copy()
+            r[50] = (r[50] + 1) % 4
+        recs.append((
+            b"r%d_scaf0_pos%d_strand0_insert0" % (i, start),
+            CODE_TO_BASE[np.minimum(r, 4)].tobytes(),
+            bytes([33 + 37]) * 100,
+        ))
+    write_reads(str(tmp_path / "reads.fq"), recs)
+    idx = SeedIndex.build(ref, k=13)
+    BBMap(BBMapConfig(
+        in1=str(tmp_path / "reads.fq"), out=str(tmp_path / "m.sam"),
+        batch_reads=512,
+    ), index=idx).run()
+
+    # pass 1: normal call -> the lone SNP must FAIL
+    cv1 = CallVariants(ref, VarFilter(), ploidy=1)
+    cv1.add_sam(str(tmp_path / "m.sam")).finish()
+    cv1.write_vcf(str(tmp_path / "pass1.vcf"))
+    row = None
+    for line in open(tmp_path / "pass1.vcf"):
+        if line.startswith("#"):
+            continue
+        f = line.split("\t")
+        if int(f[1]) - 1 == snp_pos and "TYP=SUB" in f[7]:
+            row = f
+    assert row is not None, "lone SNP not observed at all"
+    assert row[6] == "FAIL", f"expected FAIL, got {row[6]}"
+
+    # forced VCF containing just that row
+    with open(tmp_path / "force.vcf", "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        fh.write("\t".join(row[:8]) + "\n")
+
+    # pass 2: invcf= forces it through with evidence fields populated
+    cv2 = cv_main([
+        f"in={tmp_path}/m.sam", f"ref={tmp_path}/ref.fa",
+        f"vcf={tmp_path}/pass2.vcf", f"invcf={tmp_path}/force.vcf",
+    ])
+    forced_keys = [k for k, v in cv2.varmap.items() if v.forced]
+    assert len(forced_keys) == 1
+    out_row = None
+    for line in open(tmp_path / "pass2.vcf"):
+        if line.startswith("#"):
+            continue
+        f = line.split("\t")
+        if int(f[1]) - 1 == snp_pos and "TYP=SUB" in f[7]:
+            out_row = f
+    assert out_row is not None
+    assert out_row[6] == "PASS"
+    # merged evidence: the single supporting read shows up as AD=1
+    assert "AD=1;" in out_row[7]
+    # VCF row parse round-trip sanity for the three types
+    assert parse_vcf_var(0, 11, b"A", b"C").key()[1:3] == (10, 11)
+    v_ins = parse_vcf_var(0, 11, b"A", b"ACC")
+    assert v_ins.type == 1 and v_ins.allele == b"CC" and v_ins.start == 11
+    v_del = parse_vcf_var(0, 11, b"ACC", b"A")
+    assert v_del.type == 2 and v_del.reflen() == 2 and v_del.start == 11
+
+    # load_forced_vcf on a varmap that already has the key keeps evidence
+    cv3 = CallVariants(ref, VarFilter(), ploidy=1)
+    cv3.add_sam(str(tmp_path / "m.sam")).finish()
+    n = load_forced_vcf(str(tmp_path / "force.vcf"), cv3)
+    assert n == 1
+    v = [x for x in cv3.varmap.values() if x.forced][0]
+    assert v.allele_count() == 1  # pre-existing evidence preserved
