@@ -755,6 +755,72 @@ def _lazy(module: str, fn: str, args, *extra):
     return getattr(m, fn)(args, *extra)
 
 
+#: flag names that name INPUT files (never treated as outputs below)
+_INPUT_KEYS = frozenset({
+    "in", "in1", "in2", "ref", "extra", "sam", "invcf", "vcfin", "vcf0",
+    "input", "literal", "adapters", "barcodes", "names", "tree", "table",
+    "gi", "accession", "config", "net", "netfile", "model", "sketch_in",
+})
+
+#: output values that never collide (stream/sink sentinels)
+_SINK_VALUES = frozenset({"stdout", "stderr", "null", "/dev/null", "-"})
+
+
+def guard_output_files(argv: list[str]):
+    """Universal output-collision pre-check, applied to EVERY tool before
+    dispatch — the reference calls shared/Tools.testOutputFiles in every
+    tool's setup (e.g. bbduk/BBDukS.java:185); centralizing it here gives
+    all 315 launchers the contract at once. Checks: duplicate output
+    paths, outputs shadowing inputs, and existing files unless
+    overwrite=t (ow). Tools with richer local checks still run them."""
+    import os
+
+    pairs = []
+    for tok in argv:
+        if "=" not in tok:
+            continue
+        k, v = tok.split("=", 1)
+        pairs.append((k.strip().lower().lstrip("-"), v.strip()))
+    overwrite = True
+    for k, v in pairs:
+        if k in ("overwrite", "ow"):
+            overwrite = v.lower() in ("t", "true", "1", "yes", "y", "")
+    ins = set()
+    outs = []
+    for k, v in pairs:
+        if not v or v.lower() in _SINK_VALUES or v.lower().startswith(
+            "stdout."
+        ):
+            continue
+        # boolean-valued out* flags (e.g. enable toggles) are not paths
+        if v.lower() in ("t", "f", "true", "false"):
+            continue
+        if k in _INPUT_KEYS:
+            for p in v.split(","):
+                if p:
+                    ins.add(os.path.abspath(p))
+        elif k.startswith("out"):
+            # demux-style patterned outputs (out=%.fq) expand per key and
+            # cannot collide statically
+            if "%" in v or "#" in v:
+                continue
+            for p in v.split(","):
+                if p:
+                    outs.append(p)
+    seen = {}
+    for p in outs:
+        ap = os.path.abspath(p)
+        if ap in seen:
+            raise ValueError(f"Duplicate output file: {p}")
+        seen[ap] = p
+        if ap in ins:
+            raise ValueError(f"Output file {p} is also an input")
+        if os.path.exists(p) and not overwrite:
+            raise ValueError(
+                f"Output file {p} exists; use overwrite=t (ow) to replace"
+            )
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help", "help"):
@@ -768,6 +834,7 @@ def main(argv=None):
         print(f"Unknown tool: {tool}", file=sys.stderr)
         print("tools:", ", ".join(sorted(set(TOOLS))), file=sys.stderr)
         return 2
+    guard_output_files(argv[1:])
     fn(argv[1:])
     return 0
 

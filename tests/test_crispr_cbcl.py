@@ -118,3 +118,36 @@ def test_all_reference_launchers_covered():
                  for p in glob.glob("/root/reference/*.sh"))
     missing = [r for r in ref if r.lower() not in ours]
     assert not missing, f"unregistered launchers: {missing}"
+
+
+def test_output_guard_universal(tmp_path):
+    """The output-collision contract (shared/Tools.testOutputFiles,
+    applied in every reference tool's setup) holds for EVERY registered
+    launcher via the central CLI guard: duplicate outputs and
+    output==input are refused before the tool runs."""
+    import pytest
+
+    from bbtools_tpu.cli import TOOLS, guard_output_files, main as cli_main
+
+    inp = tmp_path / "in.fq"
+    inp.write_text("@r\nACGT\n+\nFFFF\n")
+    # guard itself: all three contract violations
+    with pytest.raises(ValueError, match="[Dd]uplicate"):
+        guard_output_files([f"in={inp}", "out=x.fq", "out2=x.fq"])
+    with pytest.raises(ValueError, match="also an input"):
+        guard_output_files([f"in={inp}", f"out={inp}"])
+    exists = tmp_path / "e.fq"
+    exists.write_text("")
+    with pytest.raises(ValueError, match="exists"):
+        guard_output_files([f"in={inp}", f"out={exists}", "ow=f"])
+    # non-paths and sinks never trip it
+    guard_output_files(["out=stdout.fq", "outm=t", "out2=null"])
+    # per-launcher: the guard runs before ANY tool body (parametrized
+    # over the full table; tool bodies never execute on the bad args)
+    bad = [f"in={inp}", f"out={inp}"]
+    checked = 0
+    for name in sorted(set(TOOLS)):
+        with pytest.raises(ValueError, match="also an input"):
+            cli_main([name] + bad)
+        checked += 1
+    assert checked >= 315
