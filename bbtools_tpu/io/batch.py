@@ -41,10 +41,14 @@ class IdView:
     native FASTQ emitter consumes blob+offsets directly with no python
     loop at all."""
 
-    __slots__ = ("blob", "starts", "ends", "_list")
+    __slots__ = ("blob", "starts", "ends", "_list", "_raw")
 
-    def __init__(self, blob: bytes, starts: np.ndarray, ends: np.ndarray):
+    def __init__(self, blob, starts: np.ndarray, ends: np.ndarray):
+        # blob may be bytes OR a uint8 ndarray (zero-copy from the
+        # reader's chunk buffer: bytes-ifying a 32 MB chunk per batch
+        # was 60% of reader time); ndarray slices convert per id.
         self.blob = blob
+        self._raw = not isinstance(blob, (bytes, bytearray))
         self.starts = starts
         self.ends = ends
         self._list: list[bytes] | None = None
@@ -63,7 +67,8 @@ class IdView:
         if isinstance(i, slice):
             return IdView(self.blob, self.starts[i], self.ends[i])
         s = self.starts[i]
-        return self.blob[s : self.ends[i]]
+        out = self.blob[s : self.ends[i]]
+        return out.tobytes() if self._raw else out
 
     def __setitem__(self, i, v):
         # mutation (renaming tools): fall back to materialized list
@@ -75,9 +80,20 @@ class IdView:
         if self._list is not None:
             return iter(self._list)
         b = self.blob
+        if self._raw and len(self.starts):
+            # one bytes copy of just the id region (ids are contiguous
+            # header spans; seq/qual bytes between them come along but
+            # one memcpy beats 32k per-slice conversions)
+            lo = int(self.starts[0])
+            b = self.blob[lo : int(self.ends[-1])].tobytes()
+            starts = (self.starts - lo).tolist()
+            ends = (self.ends - lo).tolist()
+        else:
+            starts = self.starts.tolist()
+            ends = self.ends.tolist()
 
         def gen():
-            for s, e in zip(self.starts.tolist(), self.ends.tolist()):
+            for s, e in zip(starts, ends):
                 yield b[s:e]
 
         return gen()

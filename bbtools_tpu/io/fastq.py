@@ -44,7 +44,16 @@ def detect_quality_offset(sample_quals: np.ndarray) -> int:
 
 
 def _split_lines(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Return (starts, ends) of lines in a uint8 buffer ending with \\n."""
+    """Return (starts, ends) of lines in a uint8 buffer ending with \\n.
+    Native MT memchr scan when available; numpy single-pass fallback."""
+    try:
+        from ..native import scan_lines_native
+    except Exception:
+        scan_lines_native = None
+    if scan_lines_native is not None and len(buf) >= (1 << 16):
+        res = scan_lines_native(buf)
+        if res is not None:
+            return res
     ends = np.flatnonzero(buf == 10)
     starts = np.empty_like(ends)
     if len(ends):
@@ -85,32 +94,66 @@ class FastqReader:
         self.reads_in = 0
         self.bases_in = 0
 
+    def _chunks(self, fh):
+        """Prefetch thread: file/gzip reads overlap the main thread's
+        parse/fill work (the GIL is released inside read() and inside the
+        native ctypes calls — the reference runs its codec on worker
+        threads for the same reason, fileIO/ByteFile2)."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def feed():
+            try:
+                while True:
+                    data = fh.read(CHUNK_BYTES)
+                    if not data:
+                        q.put(None)
+                        return
+                    q.put(data)
+            except BaseException as e:  # surface errors in the consumer
+                q.put(e)
+
+        t = threading.Thread(target=feed, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def __iter__(self) -> Iterator[ReadBatch]:
         fh = open_input(self.path)
-        leftover = b""
+        leftover: np.ndarray | None = None
         ordinal = 0
         numeric_id = 0
         pending: list[tuple[np.ndarray, ...]] = []  # parsed record arrays
         pend_count = 0
         try:
-            while True:
-                chunk = fh.read(CHUNK_BYTES)
-                if not chunk:
-                    break
-                data = leftover + chunk
-                buf = np.frombuffer(data, dtype=np.uint8)
+            for chunk in self._chunks(fh):
+                new = np.frombuffer(chunk, dtype=np.uint8)
+                if leftover is not None and len(leftover):
+                    buf = np.concatenate([leftover, new])
+                else:
+                    buf = new
+                leftover = None
                 starts, ends = _split_lines(buf)
                 nrec = len(starts) // 4
                 if nrec == 0:
-                    leftover = data
+                    leftover = buf
                     continue
-                cut = int(starts[nrec * 4 - 1] + (ends[nrec * 4 - 1] - starts[nrec * 4 - 1]) + 1)
-                # find true end of last full record (account for \r stripping)
-                raw_ends = np.flatnonzero(buf == 10)
-                cut = int(raw_ends[nrec * 4 - 1]) + 1
-                leftover = data[cut:]
+                # raw end of the last full record: the adjusted end points
+                # before a stripped \r, so the newline sits 1 (or 2) bytes
+                # later — no second newline scan needed
+                e = int(ends[nrec * 4 - 1])
+                cut = e + (2 if e < len(buf) and buf[e] == 13 else 1)
+                leftover = buf[cut:]
+                # view, not copy: the chunk array stays alive via base
                 pending.append(
-                    (buf[:cut].copy(), starts[: nrec * 4], ends[: nrec * 4])
+                    (buf[:cut], starts[: nrec * 4], ends[: nrec * 4])
                 )
                 pend_count += nrec
                 while pend_count >= self.batch_reads:
@@ -120,10 +163,11 @@ class FastqReader:
                     numeric_id += batch.n
                     ordinal += 1
                     yield batch
-            if leftover.strip():
-                if not leftover.endswith(b"\n"):
-                    leftover += b"\n"
-                buf = np.frombuffer(leftover, dtype=np.uint8)
+            tail = leftover.tobytes() if leftover is not None else b""
+            if tail.strip():
+                if not tail.endswith(b"\n"):
+                    tail += b"\n"
+                buf = np.frombuffer(tail, dtype=np.uint8)
                 starts, ends = _split_lines(buf)
                 nrec = len(starts) // 4
                 if nrec:
@@ -186,18 +230,23 @@ class FastqReader:
                 buf, starts, ends, _ = len_rows[0]
                 from .batch import IdView
 
-                ids = IdView(
-                    buf.tobytes(), starts[0::4] + 1, ends[0::4]
-                )
+                # zero-copy: IdView holds the chunk ndarray itself —
+                # bytes-ifying the 32 MB chunk per batch was ~60% of
+                # total reader time (profiled)
+                ids = IdView(buf, starts[0::4] + 1, ends[0::4])
             else:
                 for buf, starts, ends, _ in len_rows:
-                    # bytes-level slicing over python ints: ~4x the
-                    # numpy scalar-index + tobytes loop (32k ids/batch)
-                    blob = buf.tobytes()
-                    h_start = starts[0::4].tolist()
-                    h_end = ends[0::4].tolist()
+                    h_start = starts[0::4]
+                    h_end = ends[0::4]
+                    if len(h_start) == 0:
+                        continue
+                    # copy only this part's span, not the whole chunk
+                    lo = int(h_start[0])
+                    blob = buf[lo : int(h_end[-1])].tobytes()
+                    hs = (h_start - lo).tolist()
+                    he = (h_end - lo).tolist()
                     ids.extend(
-                        [blob[a + 1 : b] for a, b in zip(h_start, h_end)]
+                        [blob[a + 1 : b] for a, b in zip(hs, he)]
                     )
             self.reads_in += len(lengths)
             self.bases_in += int(lengths.sum())

@@ -33,6 +33,7 @@ from ..ops.entropy import EntropyModel
 from ..ops.kmer_index import BucketKmerIndex, build_ref_keys
 from ..ops.lane_index import LaneKmerIndex
 from ..ops.mm_match import MMKmerIndex
+from ..ops.sort_join import SortJoinIndex
 from ..ops.kmers import mid_mask_len_default, middle_mask
 from ..ops.trim import apply_trim, optimal_trim_jnp
 
@@ -383,6 +384,18 @@ def _mm_eligible(cfg: BBDukConfig) -> bool:
     )
 
 
+def _join_eligible(cfg: BBDukConfig, n_keys: int) -> bool:
+    """Sorted-join backend gate: large expanded panels on TPU (the sort
+    unit is the fast primitive there; on CPU the bucket/np paths win),
+    no query-side mutation (qhdist multiplies the query stream)."""
+    import jax
+
+    return (
+        jax.devices()[0].platform == "tpu"
+        and SortJoinIndex.supports(n_keys, cfg.qhdist)
+    )
+
+
 def build_index(cfg: BBDukConfig):
     scaffolds, names = load_reference(cfg)
     keys, ids = build_ref_keys(
@@ -403,10 +416,15 @@ def build_index(cfg: BBDukConfig):
         # references keep the bucketed HBM table
         if LaneKmerIndex.supports(len(keys)):
             index = LaneKmerIndex.build(keys, ids)
+        if index is None and _join_eligible(cfg, len(keys)):
+            # large panels: sorted-join backend — sort-unit streaming
+            # instead of random access (ops/sort_join.py; ~3.5x the MXU
+            # matcher on adapters.fa, tools/exp_sort_join.py)
+            index = SortJoinIndex.build(keys, ids)
         if index is None and _mm_eligible(cfg):
-            # hdist-expanded panels that outgrow VMEM: the MXU matcher
-            # stores RAW keys (no x~70 hdist expansion) and resolves the
-            # hamming ball inside a one-hot matmul (ops/mm_match.py)
+            # expansion-heavy panels past the join cap (hdist>=2): the
+            # MXU matcher stores RAW keys (no x~70 hdist expansion) and
+            # resolves the hamming ball inside a one-hot matmul
             from ..ops.mm_match import MMKmerIndex
 
             index = MMKmerIndex.build(
@@ -460,6 +478,11 @@ class BBDuk:
                 mxu=(
                     self.index.static_params()
                     if isinstance(self.index, MMKmerIndex)
+                    else None
+                ),
+                join=(
+                    self.index.static_params()
+                    if isinstance(self.index, SortJoinIndex)
                     else None
                 ),
             )

@@ -94,7 +94,8 @@ def read_reference_sketch(path: str):
                         key, val = kv.split(b":", 1)
                         header[key.decode()] = val.decode()
                 continue
-            cur += _a48_value(line.strip())
+            tok = line.strip().split(b"\t")[0]  # optional count column
+            cur += _a48_value(tok)
             hashes.append(cur)
     return np.sort(np.array(hashes, dtype=np.uint64)), header
 
@@ -122,6 +123,121 @@ def load_blacklist(spec: str) -> np.ndarray:
         return hashes
     hashes, _k = read_sketch(path)
     return np.sort(hashes)
+
+
+def sketch_sequences_v2(seq_iter, size: int = 10000, k: int = 32,
+                        k2: int = 24,
+                        blacklist: np.ndarray | None = None):
+    """Reference-compatible sketching (SketchObject hashToValue2 + the
+    seeded XOR code tables, ops/sketch_hash.py): returns (keys uint64
+    ascending = Long.MAX_VALUE - hashcode, stats dict). Sketches built
+    here carry the same keys as Java-built ones, so .sketch files and
+    servers interoperate."""
+    from ..ops.sketch_hash import (
+        LONG_MAX,
+        hashes_for_codes,
+        sketch_keys_from_hashes,
+    )
+
+    parts = []
+    gs = 0
+    gk = 0
+    gq = 0
+    bc = np.zeros(4, np.int64)
+    for codes in seq_iter:
+        gq += 1
+        gs += len(codes)
+        bc += np.bincount(np.minimum(codes, 4), minlength=5)[:4]
+        h = hashes_for_codes(codes, k, k2)
+        gk += len(h)
+        if len(h):
+            parts.append(h)
+    hashes = (
+        np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    )
+    keys = sketch_keys_from_hashes(hashes, size)
+    if blacklist is not None and len(blacklist) and len(keys):
+        pos = np.minimum(
+            np.searchsorted(blacklist, keys), len(blacklist) - 1
+        )
+        keys = keys[blacklist[pos] != keys]
+    stats = {
+        "GS": gs, "GK": gk, "GQ": gq,
+        "BC": bc.tolist(),
+        "GE": (
+            int(np.ceil(float(LONG_MAX) * 2 * len(keys)
+                        / max(int(keys[-1]), 1)))
+            if len(keys) else 0
+        ),
+    }
+    return keys, stats
+
+
+def sketch_file_v2(path: str, size: int = 10000, k: int = 32, k2: int = 24,
+                   blacklist: np.ndarray | None = None):
+    ff = test_input(path)
+    if ff.format is Format.FASTA:
+        return sketch_sequences_v2(
+            (encode(rec.seq) for rec in iter_fasta(path)), size, k, k2,
+            blacklist,
+        )
+
+    def reads():
+        for b in FastqReader(path):
+            for i in range(b.n):
+                yield b.bases[i, : b.lengths[i]]
+
+    return sketch_sequences_v2(reads(), size, k, k2, blacklist)
+
+
+def _append_a48(value: int, out: bytearray):
+    """Sketch.appendA48 (sketch/Sketch.java:982-999)."""
+    if value == 0:
+        out.append(ord("0"))
+        return
+    tmp = []
+    while value != 0:
+        tmp.append(value & 0x3F)
+        value >>= 6
+    for b in reversed(tmp):
+        out.append(b + 48)
+
+
+def write_sketch_v2(path: str, keys: np.ndarray, stats: dict,
+                    name: str | None = None, fname: str | None = None,
+                    k: int = 32, k2: int = 24, taxid: int = -1):
+    """Reference .sketch format: `#SZ:` header + A48-coded deltas of the
+    ascending key list (Sketch.toHeader/toBytes, sketch/Sketch.java:
+    835-928; CODING=A48, deltaOut=true, HASH_VERSION=2)."""
+    out = bytearray()
+    out += b"#SZ:%d\tCD:AD\tK:%d" % (len(keys), k)
+    if k2:
+        out += b",%d" % k2
+    out += b"\tH:2"
+    if stats.get("GS"):
+        out += b"\tGS:%d" % stats["GS"]
+    if stats.get("GK"):
+        out += b"\tGK:%d" % stats["GK"]
+    if stats.get("GE"):
+        out += b"\tGE:%d" % stats["GE"]
+    if stats.get("GQ"):
+        out += b"\tGQ:%d" % stats["GQ"]
+    if stats.get("BC") is not None:
+        out += b"\tBC:%d,%d,%d,%d" % tuple(stats["BC"])
+    if taxid >= 0:
+        out += b"\tID:%d" % taxid
+    if fname:
+        out += b"\tFN:%s" % fname.encode()
+    if name:
+        out += b"\tNM:%s" % name.encode()
+    out += b"\n"
+    prev = 0
+    for key in keys.tolist():
+        _append_a48(key - prev, out)
+        out += b"\n"
+        prev = key
+    with open_output(path) as fh:
+        fh.write(bytes(out))
 
 
 def compare_sketches(a: np.ndarray, b: np.ndarray, k: int = 31):
@@ -154,18 +270,44 @@ def read_sketch(path: str):
     return hashes, k
 
 
+def _load_or_sketch(path: str, k: int, k2: int, size: int, blacklist,
+                    hv: int):
+    """Sequence file -> fresh sketch; .sketch file -> parsed keys (both
+    reference A48 and legacy TSV codings)."""
+    if path.endswith(".sketch"):
+        with open_input(path) as fh:
+            head = fh.readline()
+        if b"CD:A" in head:
+            keys, _hdr = read_reference_sketch(path)
+            return keys
+        h, _k = read_sketch(path)
+        return np.sort(h)
+    if hv >= 2:
+        keys, _stats = sketch_file_v2(path, size, k, k2, blacklist)
+        return keys
+    return sketch_file(path, k, size, blacklist)
+
+
 def main(argv=None):
     a = tokenize(argv if argv is not None else sys.argv[1:])
     ins = a.get_list("in") or ([a.get("in1")] if a.get("in1") else [])
     ref = a.get("ref")
     out = a.get("out")
-    k = a.get_int("k", default=31)
+    hv = a.get_int("hashversion", "hv", default=2)
+    k_raw = a.get("k", default="32,24" if hv >= 2 else "31")
+    parts = [int(x) for x in str(k_raw).split(",")]
+    k = max(parts)
+    k2 = min(parts) if len(parts) > 1 and min(parts) != k else (
+        24 if hv >= 2 and k == 32 else 0
+    )
     size = a.get_int("size", default=10000)
     bl_spec = a.get("blacklist", "bl")
     blacklist = load_blacklist(bl_spec) if bl_spec else None
-    sketches = [(p, sketch_file(p, k, size, blacklist)) for p in ins]
+    sketches = [
+        (p, _load_or_sketch(p, k, k2, size, blacklist, hv)) for p in ins
+    ]
     if ref:
-        rs = sketch_file(ref, k, size, blacklist)
+        rs = _load_or_sketch(ref, k, k2, size, blacklist, hv)
         print("Query\tRef\tWKID\tANI\tMatches\tSize")
         for p, s in sketches:
             j, ani, m, n = compare_sketches(s, rs, k)
@@ -177,7 +319,12 @@ def main(argv=None):
                 j, ani, m, n = compare_sketches(sketches[i][1], sketches[j2][1], k)
                 print(f"{sketches[i][0]}\t{sketches[j2][0]}\t{j*100:.2f}%\t{ani*100:.2f}%\t{m}\t{n}")
     if out and sketches:
-        write_sketch(out, sketches[0][1], sketches[0][0], k)
+        if hv >= 2 and not ins[0].endswith(".sketch"):
+            keys, stats = sketch_file_v2(ins[0], size, k, k2, blacklist)
+            write_sketch_v2(out, keys, stats, name=ins[0], fname=ins[0],
+                            k=k, k2=k2)
+        else:
+            write_sketch(out, sketches[0][1], sketches[0][0], k)
     return sketches
 
 

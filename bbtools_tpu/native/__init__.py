@@ -61,6 +61,8 @@ def get_lib():
         if path:
             lib = ctypes.CDLL(path)
             lib.scan_newlines.restype = ctypes.c_long
+            lib.scan_lines_mt.restype = ctypes.c_long
+            lib.count_newlines_mt.restype = ctypes.c_long
             lib.fill_records.restype = ctypes.c_int
             lib.fill_records_mt.restype = ctypes.c_int
             lib.emit_fastq.restype = ctypes.c_long
@@ -68,6 +70,25 @@ def get_lib():
             lib.radix_count_w.restype = ctypes.c_long
             _LIB = lib
     return _LIB
+
+
+def scan_lines_native(buf: np.ndarray):
+    """MT memchr line scan: (starts, ends) int64 arrays with \\r
+    stripping — the numpy flatnonzero path runs ~2.3 GB/s single-pass;
+    this is memchr across up to 16 threads. None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(buf)
+    buf = np.ascontiguousarray(buf)
+    nt = ctypes.c_int(_nthreads())
+    cap = int(lib.count_newlines_mt(_ptr(buf), ctypes.c_long(n), nt))
+    starts = np.empty(max(cap, 1), np.int64)
+    ends = np.empty(max(cap, 1), np.int64)
+    cnt = lib.scan_lines_mt(
+        _ptr(buf), ctypes.c_long(n), _ptr(starts), _ptr(ends), nt
+    )
+    return starts[:cnt], ends[:cnt]
 
 
 def radix_count_native(keys: np.ndarray):
@@ -178,7 +199,13 @@ def emit_fastq_native(idblob: bytes, idstart: np.ndarray,
         nrec = int(np.count_nonzero(km))
     cap = int((2 * m + idl).sum()) + 6 * nrec
     out = np.empty(max(cap, 1), np.uint8)
-    blob = np.frombuffer(idblob, np.uint8) if len(idblob) else np.zeros(1, np.uint8)
+    if isinstance(idblob, np.ndarray):
+        blob = idblob if len(idblob) else np.zeros(1, np.uint8)
+    else:
+        blob = (
+            np.frombuffer(idblob, np.uint8)
+            if len(idblob) else np.zeros(1, np.uint8)
+        )
     w = lib.emit_fastq(
         _ptr(np.ascontiguousarray(blob)), _ptr(ids_), _ptr(ide_),
         _ptr(np.ascontiguousarray(ascii_b)),

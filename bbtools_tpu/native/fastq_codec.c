@@ -110,6 +110,140 @@ void pack_2bit(const uint8_t *bases, long n, long pad,
 #include <pthread.h>
 #include <unistd.h>
 
+/* MT newline scan (fileIO/ByteFile2's MT line reader role): pass 1
+ * memchr-counts newlines per chunk, pass 2 fills (start, end) line
+ * spans with \r stripping. Returns the number of lines found. */
+typedef struct {
+    const uint8_t *buf;
+    long lo, hi;     /* byte range */
+    long count;      /* pass-1 result */
+    long base;       /* pass-2: output slot of this chunk's first line */
+    long *starts, *ends;
+} scan_job;
+
+static void *scan_count_worker(void *arg) {
+    scan_job *j = (scan_job *)arg;
+    const uint8_t *p = j->buf + j->lo, *end = j->buf + j->hi;
+    long c = 0;
+    while (p < end) {
+        const uint8_t *q = memchr(p, '\n', (size_t)(end - p));
+        if (!q) break;
+        c++;
+        p = q + 1;
+    }
+    j->count = c;
+    return 0;
+}
+
+static void *scan_fill_worker(void *arg) {
+    scan_job *j = (scan_job *)arg;
+    const uint8_t *buf = j->buf;
+    const uint8_t *p = buf + j->lo, *end = buf + j->hi;
+    long w = j->base;
+    long line_start = j->lo; /* overwritten below from prev newline */
+    while (p < end) {
+        const uint8_t *q = memchr(p, '\n', (size_t)(end - p));
+        if (!q) break;
+        long nl = (long)(q - buf);
+        long e = nl;
+        if (e > line_start && buf[e - 1] == '\r') e--;
+        j->starts[w] = line_start;
+        j->ends[w] = e;
+        w++;
+        line_start = nl + 1;
+        p = q + 1;
+    }
+    return 0;
+}
+
+long count_newlines_mt(const uint8_t *buf, long n, int nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (n < (1 << 20)) nthreads = 1;
+    scan_job jobs[16];
+    pthread_t tids[16];
+    long per = (n + nthreads - 1) / nthreads;
+    int nt = 0;
+    for (int t = 0; t < nthreads; t++) {
+        long lo = t * per, hi = lo + per;
+        if (lo >= n) break;
+        if (hi > n) hi = n;
+        jobs[t] = (scan_job){buf, lo, hi, 0, 0, 0, 0};
+        nt++;
+    }
+    if (nt == 1) {
+        scan_count_worker(&jobs[0]);
+        return jobs[0].count;
+    }
+    for (int t = 0; t < nt; t++)
+        pthread_create(&tids[t], 0, scan_count_worker, &jobs[t]);
+    long total = 0;
+    for (int t = 0; t < nt; t++) {
+        pthread_join(tids[t], 0);
+        total += jobs[t].count;
+    }
+    return total;
+}
+
+long scan_lines_mt(const uint8_t *buf, long n, long *starts, long *ends,
+                   int nthreads) {
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    if (n < (1 << 20)) nthreads = 1;
+    scan_job jobs[16];
+    pthread_t tids[16];
+    long per = (n + nthreads - 1) / nthreads;
+    int nt = 0;
+    for (int t = 0; t < nthreads; t++) {
+        long lo = t * per, hi = lo + per;
+        if (lo >= n) break;
+        if (hi > n) hi = n;
+        jobs[t] = (scan_job){buf, lo, hi, 0, 0, starts, ends};
+        nt++;
+    }
+    if (nt == 1) {
+        scan_count_worker(&jobs[0]);
+        jobs[0].base = 0;
+        /* line_start of chunk 0 is 0 (set in fill via j->lo) */
+        scan_fill_worker(&jobs[0]);
+        return jobs[0].count;
+    }
+    for (int t = 0; t < nt; t++)
+        pthread_create(&tids[t], 0, scan_count_worker, &jobs[t]);
+    for (int t = 0; t < nt; t++) pthread_join(tids[t], 0);
+    long total = 0;
+    for (int t = 0; t < nt; t++) {
+        jobs[t].base = total;
+        total += jobs[t].count;
+    }
+    /* pass 2: each chunk needs the true start of its first line = one
+     * past the previous chunk's last newline; chunk t's lines begin
+     * after the newline that ended chunk t-1's last counted line. The
+     * fill worker derives starts from its own newline walk, except the
+     * FIRST line of each chunk, whose start lies in the previous chunk.
+     * Fix up by walking backward from each chunk boundary. */
+    for (int t = 0; t < nt; t++)
+        pthread_create(&tids[t], 0, scan_fill_worker, &jobs[t]);
+    for (int t = 0; t < nt; t++) pthread_join(tids[t], 0);
+    /* repair first-line starts of chunks 1..nt-1 */
+    for (int t = 1; t < nt; t++) {
+        if (jobs[t].count == 0) continue;
+        long slot = jobs[t].base;
+        long s = jobs[t].lo;        /* chunk begin */
+        long prev = s - 1;          /* last byte of previous chunk */
+        /* previous newline is before s iff buf[s-1]=='\n'; otherwise the
+         * line started inside the previous chunk: scan back to its \n */
+        while (prev >= 0 && buf[prev] != '\n') prev--;
+        long ls = prev + 1;
+        long e = ends[slot];
+        starts[slot] = ls;
+        /* re-check \r for a \r\n straddling the chunk boundary (the
+         * worker skipped the strip when the newline was its first byte) */
+        if (e > ls && buf[e - 1] == '\r') ends[slot] = e - 1;
+    }
+    return total;
+}
+
 typedef struct {
     const uint8_t *buf;
     const long *line_starts;

@@ -52,12 +52,20 @@ class KScanConfig:
     #: holds (keymat, prio) and lookups run the MXU one-hot matmul
     #: matcher (raw keys, in-kernel hdist) instead of gathers
     mxu: tuple | None = None
+    #: SortJoinIndex static params (n,); when set, `table` holds
+    #: (sorted_keys, pay) and lookups run the sort+cummax join
+    #: (ops/sort_join.py) — the large-panel TPU backend
+    join: tuple | None = None
 
     def resolved_minlen2(self) -> int:
         return self.minlen2 if self.minlen2 > 0 else self.k
 
 
 def _lookup(cfg: KScanConfig, table, keys):
+    if cfg.join is not None:
+        from .sort_join import join_lookup_jnp
+
+        return join_lookup_jnp(*table, keys)
     if cfg.mxu is not None:
         return mm_lookup_jnp(*table, *cfg.mxu, keys)
     if cfg.lane is not None:

@@ -131,8 +131,8 @@ def bench_transfer():
 
 def _bbduk_device_for_panel(scaffolds):
     """Build the production device step for a reference panel, mirroring
-    models/bbduk.build_index backend selection (lane -> MXU matmul ->
-    packed bucket); returns (step_fn, index_name, n_keys)."""
+    models/bbduk.build_index backend selection (lane -> sorted join ->
+    MXU matmul -> packed bucket); returns (step_fn, index_name, n_keys)."""
     import jax
     import jax.numpy as jnp
 
@@ -141,6 +141,7 @@ def _bbduk_device_for_panel(scaffolds):
     from bbtools_tpu.ops.kmer_index import BucketKmerIndex, build_ref_keys
     from bbtools_tpu.ops.lane_index import LaneKmerIndex
     from bbtools_tpu.ops.mm_match import MMKmerIndex
+    from bbtools_tpu.ops.sort_join import SortJoinIndex
 
     k = 23
     keys, ids = build_ref_keys(scaffolds, k, mink=11, hdist=1)
@@ -151,6 +152,9 @@ def _bbduk_device_for_panel(scaffolds):
     )
     if idx is not None:
         cfg = KScanConfig(k=k, mink=11, lane=idx.static_params())
+    elif _on_tpu() and SortJoinIndex.supports(len(keys)):
+        idx = SortJoinIndex.build(keys, ids)
+        cfg = KScanConfig(k=k, mink=11, join=idx.static_params())
     else:
         idx = MMKmerIndex.build(scaffolds, k, mink=11, hdist=1)
         if idx is not None:
