@@ -24,7 +24,7 @@ from ..core.dna import kmer_to_text
 from ..core.parser import tokenize
 from ..io.stream import read_batches
 from ..io.readwrite import open_output
-from ..ops.kmer_count import KmerSpectrum, count_batch
+from ..ops.kmer_count import DeviceSpectrum, KmerSpectrum, count_batch
 
 
 def run(argv: list[str]):
@@ -48,7 +48,18 @@ def run(argv: list[str]):
         if k > MAX_K:
             raise ValueError(f"k={k} exceeds max supported k={MAX_K}")
     t0 = time.time()
-    spec = WordSpectrum(k) if big else KmerSpectrum(k)
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if big:
+        spec = WordSpectrum(k)
+    elif on_tpu:
+        # device-resident accumulation: the spectrum never crosses the
+        # host link per batch (one scalar does); khist finalizes on
+        # device, dump pulls the spectrum exactly once
+        spec = DeviceSpectrum(k)
+    else:
+        spec = KmerSpectrum(k)
     reads = bases = 0
     for path in [p for p in (in1, in2) if p]:
         reader = read_batches(path, batch_reads=batch_reads)
@@ -58,6 +69,8 @@ def run(argv: list[str]):
                     b.bases, b.lengths.astype(_np.int64), k
                 )
                 spec.add_batch(keys, c)
+            elif on_tpu:
+                spec.add_batch(b.bases, b.lengths)
             else:
                 v, c = count_batch(b.bases, b.lengths, k)
                 spec.add_batch(v, c)
@@ -87,7 +100,11 @@ def run(argv: list[str]):
                             text += kmer_to_text(int(row[w]), WORD_BASES)
                         fh.write(b">%d\n%s\n" % (cnt, text.encode()))
             else:
-                for key, cnt in zip(spec.keys, spec.counts):
+                if isinstance(spec, DeviceSpectrum):
+                    dk, dc = spec.spectrum()
+                else:
+                    dk, dc = spec.keys, spec.counts
+                for key, cnt in zip(dk, dc):
                     if cnt >= min_count_dump:
                         fh.write(
                             b">%d\n%s\n"

@@ -16,6 +16,8 @@ tables use the PLAIN canonical kmer, no length-tag bit
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,6 +94,143 @@ def count_batch(bases, lengths, k: int):
     )
     keys = keys[keys != PAD]
     return np.unique(keys, return_counts=True)
+
+
+@partial(jax.jit, static_argnames=())
+def _merge_spectra(spec_keys, spec_counts, batch_keys):
+    """Merge a device spectrum ([C] PAD-padded sorted keys + counts) with
+    a raw batch key stream ([M], PAD-padded): sort-reduce the batch, then
+    one combined 2-op sort + run-sum via the cumsum-carry partition (the
+    scatter-free pattern of sort_reduce, extended to SUM counts instead
+    of counting members). Returns ([C+M] keys, counts, n_runs) —
+    caller slices back to capacity."""
+    bv, bc, _ = sort_reduce(batch_keys)
+    all_k = jnp.concatenate([spec_keys, bv])
+    all_c = jnp.concatenate([spec_counts, bc])
+    s, c = jax.lax.sort((all_k, all_c), num_keys=1)
+    n = s.shape[0]
+    boundary = jnp.concatenate(
+        [jnp.ones(1, bool), s[1:] != s[:-1]]
+    ) & (s != PAD)
+    n_runs = boundary.sum()
+    total = c.sum()
+    excl = jnp.cumsum(c) - c  # count-sum before this row
+    iota = jnp.arange(n, dtype=jnp.int32)
+    nb = (~boundary).astype(jnp.int32)
+    _, values, ex = jax.lax.sort(
+        (nb, s, excl), num_keys=1, is_stable=True
+    )
+    nxt = jnp.concatenate([ex[1:], jnp.zeros(1, jnp.int64)])
+    counts = jnp.where(iota < n_runs - 1, nxt - ex, total - ex)
+    live = iota < n_runs
+    return (
+        jnp.where(live, values, PAD),
+        jnp.where(live, counts, 0),
+        n_runs,
+    )
+
+
+class DeviceSpectrum:
+    """Device-resident exact spectrum: the merged (keys, counts) arrays
+    live on the TPU across batches and only ONE scalar (the unique
+    count) crosses the link per batch. This removes the per-batch
+    spectrum readback cliff (measured 128x: 11.3k reads/s with per-batch
+    pulls vs 1.45M device-only — BENCH_r02 extras); the full spectrum
+    transfers once, at the end, via spectrum(). Capacity doubles on
+    overflow (one recompile per power of two, ScheduleMaker's resize
+    schedule role, kmer/ScheduleMaker.java:16)."""
+
+    def __init__(self, k: int, cap: int = 1 << 21):
+        self.k = k
+        self.cap = cap
+        self.keys = jnp.full(cap, PAD, jnp.int64)
+        self.counts = jnp.zeros(cap, jnp.int64)
+        self.n = 0
+
+    def _grow(self):
+        pad = self.cap
+        self.cap *= 2
+        self.keys = jnp.concatenate(
+            [self.keys, jnp.full(pad, PAD, jnp.int64)]
+        )
+        self.counts = jnp.concatenate(
+            [self.counts, jnp.zeros(pad, jnp.int64)]
+        )
+
+    def add_batch(self, bases, lengths):
+        """bases [B, L] uint8 (host or device), lengths [B]."""
+        keys = batch_kmers_jnp(
+            jnp.asarray(np.asarray(bases)),
+            jnp.asarray(np.asarray(lengths)), self.k,
+        )
+        while True:
+            nk, nc, n_runs = _merge_spectra(self.keys, self.counts, keys)
+            n = int(n_runs)  # the only per-batch host pull
+            if n <= self.cap:
+                self.keys = nk[: self.cap]
+                self.counts = nc[: self.cap]
+                self.n = n
+                return
+            self._grow()
+
+    def flush(self):  # KmerSpectrum-compatible no-op
+        return
+
+    def spectrum(self):
+        """One final readback: (sorted int64 keys [n], counts [n])."""
+        if getattr(self, "_host", None) is None:
+            self._host = (
+                np.asarray(self.keys[: self.n]),
+                np.asarray(self.counts[: self.n]),
+            )
+        return self._host
+
+    @property
+    def host_keys(self):
+        return self.spectrum()[0]
+
+    @property
+    def host_counts(self):
+        return self.spectrum()[1]
+
+    @property
+    def n_unique(self):
+        return self.n
+
+    def histogram(self, hist_max: int) -> np.ndarray:
+        """On-device histogram finalization: only [hist_max+1] int64
+        returns to the host (khist= never pays the spectrum transfer)."""
+
+        @partial(jax.jit, static_argnames=("hm",))
+        def hist(counts, n, hm):
+            live = jnp.arange(counts.shape[0]) < n
+            cl = jnp.clip(counts, 0, hm)
+            # compare-sum bincount in [hm+1, chunk] tiles (scatter-free)
+            bins = jnp.arange(hm + 1, dtype=jnp.int64)[:, None]
+            CH = 1 << 16
+            C = counts.shape[0]
+            pad = (-C) % CH
+            clp = jnp.pad(cl, (0, pad))
+            lvp = jnp.pad(live, (0, pad))
+
+            def step(acc, x):
+                cc, ll = x
+                acc = acc + jnp.sum(
+                    (cc[None, :] == bins) & ll[None, :], axis=1,
+                    dtype=jnp.int64,
+                )
+                return acc, None
+
+            acc, _ = jax.lax.scan(
+                step,
+                jnp.zeros(hm + 1, jnp.int64),
+                (clp.reshape(-1, CH), lvp.reshape(-1, CH)),
+            )
+            return acc
+
+        h = np.asarray(hist(self.counts, self.n, hist_max)).copy()
+        h[0] = 0
+        return h
 
 
 class KmerSpectrum:

@@ -100,19 +100,38 @@ CHUNK = 1 << 20
 
 
 def _join_chunk(sorted_keys, pay, q):
-    """One join pass: q int64 [nq] (may contain -1 pad rows)."""
+    """One join pass: q int64 [nq] (may contain -1 pad rows).
+
+    Post-sort propagation is ONE cummax: equal keys form a segment whose
+    FIRST row is the index row when the key is present (ties order index
+    rows first, and index keys are unique), so packing
+    (row << 17 | is_idx << 16 | id) at segment starts gives a value that
+    is monotone in row position — cummax carries the latest segment
+    start, whose is_idx bit decides the hit and whose low bits carry the
+    id. The scan is the non-sort bottleneck (lax.cummax measured
+    ~2.7 ms/M int64), so halving it matters."""
     nq = q.shape[0]
     keys = jnp.concatenate([sorted_keys, q])
     qpay = QBIT | jnp.arange(nq, dtype=jnp.int64)
     pays = jnp.concatenate([pay, qpay])
     # index rows sort before query rows on key ties (pay < QBIT <= qpay)
     sk, sp = jax.lax.sort((keys, pays), num_keys=2)
+    n = sk.shape[0]
     is_idx = sp < QBIT
-    neg1 = jnp.int64(-1)
-    c_key = jax.lax.cummax(jnp.where(is_idx, sk, neg1))
-    c_pay = jax.lax.cummax(jnp.where(is_idx, sp, neg1))
-    hit = (~is_idx) & (c_key == sk)
-    out_id = jnp.where(hit, c_pay & jnp.int64(0xFFFF), 0).astype(jnp.int32)
+    row = jnp.arange(n, dtype=jnp.int64)
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, bool), sk[1:] != sk[:-1]]
+    )
+    v = jnp.where(
+        seg_start,
+        (row << 17)
+        | (is_idx.astype(jnp.int64) << 16)
+        | (sp & jnp.int64(0xFFFF)),
+        jnp.int64(-1),
+    )
+    c = _cummax_i64(v)
+    hit = (~is_idx) & (((c >> 16) & 1) == 1)
+    out_id = jnp.where(hit, c & jnp.int64(0xFFFF), 0).astype(jnp.int32)
     # un-sort to query order; index rows sink to the tail
     pos_key = jnp.where(
         is_idx,
@@ -121,6 +140,16 @@ def _join_chunk(sorted_keys, pay, q):
     )
     _, ids = jax.lax.sort((pos_key, out_id), num_keys=1)
     return ids[:nq]
+
+
+def _cummax_i64(v):
+    """Inclusive int64 cummax: Pallas single-pass kernel on TPU (XLA's
+    lax.cummax runs ~2.7 ms/M there), lax.cummax elsewhere."""
+    if jax.devices()[0].platform == "tpu":
+        from .scan_pallas import cummax_i64_pallas
+
+        return cummax_i64_pallas(v)
+    return jax.lax.cummax(v)
 
 
 def join_lookup_jnp(sorted_keys, pay, query):

@@ -380,6 +380,103 @@ def bench_bbmerge():
     }
 
 
+def bench_host_ingest():
+    """Host FASTQ parse rate on a warm uncompressed file (the reference's
+    500 Mbases/s per-stream ceiling is the bar): raw bytes -> padded SoA
+    batches via the native MT codec + prefetch thread."""
+    import os
+    import tempfile
+
+    from bbtools_tpu.io.fastq import FastqReader
+
+    rng = _rng()
+    path = os.path.join(tempfile.gettempdir(), "bench_ingest.fq")
+    if not os.path.exists(path) or os.path.getsize(path) < 200e6:
+        ACGT = np.frombuffer(b"ACGT", np.uint8)
+        with open(path, "wb") as f:
+            parts = []
+            for i in range(800_000):
+                seq = ACGT[rng.integers(0, 4, READ_LEN)].tobytes()
+                parts.append(
+                    b"@SRR1234.%d %d length=%d\n%s\n+\n%s\n"
+                    % (i, i, READ_LEN, seq, b"F" * READ_LEN)
+                )
+                if len(parts) >= 20000:
+                    f.write(b"".join(parts))
+                    parts = []
+            f.write(b"".join(parts))
+    with open(path, "rb") as f:  # warm page cache
+        while f.read(1 << 24):
+            pass
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bases = 0
+        for b in FastqReader(path, batch_reads=8192):
+            bases += int(b.lengths.sum())
+        dt = time.perf_counter() - t0
+        best = max(best, bases / dt)
+    return {"bases_per_sec": best}
+
+
+def bench_bbmap_e2e(tmpdir):
+    """Config #3 end-to-end: index an E. coli-scale genome, map reads
+    through the production pipeline (seed -> cluster -> ungapped -> DP ->
+    winner -> match string), wall-clock over the whole batch loop.
+    Tracked against the 32-thread Java mapping figure (JAVA_MAP_32T_BPS).
+    On this harness each batch pays multiple tunnel dispatch RTTs, so the
+    device share is reported separately via the MSA row."""
+    import os
+
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.bbmap import BBMap, BBMapConfig
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+    from bbtools_tpu.utils.synth import random_genome, write_reads
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+
+    rng = _rng()
+    genome = random_genome(2_000_000, n_scaffolds=4, seed=11)
+    ref_fa = os.path.join(tmpdir, "ref.fa")
+    write_fasta(ref_fa, genome)
+    ref = load_reference(ref_fa)
+    t0 = time.perf_counter()
+    idx = SeedIndex.build(ref, k=13)
+    t_index = time.perf_counter() - t0
+    n = 20000
+    recs = []
+    total_bases = 0
+    for i in range(n):
+        scaf = int(rng.integers(0, len(ref.lengths)))
+        codes = ref.scaffold_codes(scaf)
+        start = int(rng.integers(0, len(codes) - READ_LEN))
+        r = codes[start : start + READ_LEN].copy()
+        if i & 1:
+            r = (3 - r[::-1]).astype(np.uint8)
+        e = rng.random(READ_LEN) < 0.01
+        r[e] = (r[e] + rng.integers(1, 4, int(e.sum()))) % 4
+        recs.append((
+            b"r%d" % i, CODE_TO_BASE[np.minimum(r, 4)].tobytes(),
+            b"F" * READ_LEN,
+        ))
+        total_bases += READ_LEN
+    reads_fq = os.path.join(tmpdir, "reads.fq")
+    write_reads(reads_fq, recs)
+    out_sam = os.path.join(tmpdir, "out.sam")
+    cfg = BBMapConfig(in1=reads_fq, out=out_sam, batch_reads=4096)
+    BBMap(cfg, index=idx).run()  # warm: compiles all window classes
+    os.remove(out_sam)
+    t0 = time.perf_counter()
+    tool = BBMap(cfg, index=idx).run()
+    dt = time.perf_counter() - t0
+    return {
+        "reads_per_sec": n / dt,
+        "bases_per_sec": total_bases / dt,
+        "mapped_fraction": tool.reads_mapped / max(tool.reads_in, 1),
+        "index_build_sec": round(t_index, 2),
+        "vs_java_map_32t": round((total_bases / dt) / JAVA_MAP_32T_BPS, 4),
+    }
+
+
 def bench_bbmap_msa():
     """Config #3 hot loop: banded-window MSA fill with traceback planes
     (the per-site scoring kernel behind bbmap -> SAM), Pallas on TPU."""
@@ -488,6 +585,20 @@ def main():
             }
     except Exception as e:
         extras["bbduk_end_to_end"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            extras["bbmap_end_to_end"] = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in bench_bbmap_e2e(td).items()
+            }
+    except Exception as e:
+        extras["bbmap_end_to_end"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    try:
+        extras["host_ingest"] = {
+            k: round(v, 1) for k, v in bench_host_ingest().items()
+        }
+    except Exception as e:
+        extras["host_ingest"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     dev = extras.get("bbduk_device", {})
     bps = dev.get("bases_per_sec", 0.0)
