@@ -151,6 +151,11 @@ class BBDukConfig:
     batch_reads: int = 16384
     ordered: bool = True
     ziplevel: int | None = None
+    #: multi-chip mode: shard the k-mer table over `tp_shards` devices
+    #: (kmer%WAYS over ICI) with reads data-parallel over the rest;
+    #: 0 = auto (all devices on tp when >1 device and the panel is
+    #: bucket-backed), 1 = off
+    tp_shards: int = 1
 
     # resolved at setup
     mid_mask_len: int = 0
@@ -207,6 +212,7 @@ def parse_args(argv: list[str]) -> BBDukConfig:
     a.get(*h("showtimes", "xtime", "profile"))  # handled by main()
     c.speed = a.get_int(*h("speed"), default=0)
     c.qskip = a.get_int(*h("qskip"), default=1)
+    c.tp_shards = a.get_int(*h("tpshards", "shards", "ways"), default=1)
     c.in1 = a.get(*h("in", "in1"))
     c.in2 = a.get(*h("in2"))
     c.out1 = a.get(*h("out", "out1", "outu", "outu1"))
@@ -396,7 +402,7 @@ def _join_eligible(cfg: BBDukConfig, n_keys: int) -> bool:
     )
 
 
-def build_index(cfg: BBDukConfig):
+def build_index(cfg: BBDukConfig, return_keys: bool = False):
     scaffolds, names = load_reference(cfg)
     keys, ids = build_ref_keys(
         scaffolds,
@@ -439,6 +445,8 @@ def build_index(cfg: BBDukConfig):
         if index is None:
             index = BucketKmerIndex.build(keys, ids, pack=True)
     lengths = [len(s) for s in scaffolds]
+    if return_keys:
+        return index, names, lengths, keys, ids
     return index, names, lengths
 
 
@@ -446,7 +454,10 @@ class BBDuk:
     def __init__(self, cfg: BBDukConfig):
         self.cfg = cfg
         self.stats = BBDukStats()
-        self.index, self.scaffold_names, self.scaffold_lengths = build_index(cfg)
+        (self.index, self.scaffold_names, self.scaffold_lengths,
+         self._ref_keys, self._ref_ids) = build_index(cfg, return_keys=True)
+        self._mesh = None
+        self._sharded_scans: dict = {}
         self.stats.scaffold_reads = np.zeros(len(self.scaffold_names) + 1, np.int64)
         self.stats.scaffold_bases = np.zeros(len(self.scaffold_names) + 1, np.int64)
         self.entropy = (
@@ -497,6 +508,72 @@ class BBDuk:
             self.recalibrator = Recalibrator(
                 cfg.recal_path, passes=cfg.recal_passes
             )
+        if cfg.tp_shards > 1 and self.index is not None:
+            self.enable_mesh(n_tp=cfg.tp_shards)
+
+    # ------------------------------------------------------------------
+    def enable_mesh(self, mesh=None, n_tp: int | None = None):
+        """Multi-chip mode (tpshards=N): shard the k-mer table over the
+        tp mesh axis (kmer%WAYS, kmer/KmerTableSet.java:273-285) with
+        reads data-parallel over dp; every scan combines shard lookups
+        with a psum. Outputs are byte-identical to single-device runs
+        (tests/test_sort_join.py CLI equality test)."""
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded_index import ShardedKmerIndex
+
+        if mesh is None:
+            nd = len(jax.devices())
+            n_tp = n_tp or nd
+            if n_tp > nd or nd % n_tp:
+                raise ValueError(
+                    f"tpshards={n_tp} does not divide {nd} devices"
+                )
+            mesh = make_mesh(n_dp=nd // n_tp, n_tp=n_tp)
+        self._mesh = mesh
+        self._sidx = ShardedKmerIndex.build(
+            self._ref_keys, self._ref_ids, mesh.shape["tp"]
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("tp", None, None))
+        self._tbl_keys = jax.device_put(self._sidx.keys, sh)
+        self._tbl_ids = jax.device_put(self._sidx.ids, sh)
+        self._sharded_scans = {}
+
+    def _sharded_scan_all(self, b, short_left: bool, short_right: bool):
+        import jax.numpy as jnp
+
+        from ..parallel.sharded_index import make_sharded_kscan
+
+        fn = self._sharded_scans.get((short_left, short_right))
+        if fn is None:
+            fn = make_sharded_kscan(
+                self._mesh, self.scan_cfg, self._sidx,
+                short_left, short_right,
+            )
+            self._sharded_scans[(short_left, short_right)] = fn
+        n_dp = self._mesh.shape["dp"]
+        B = b.bases.shape[0]
+        pad = (-B) % n_dp
+        bases = b.bases
+        lengths = b.lengths
+        if pad:
+            bases = np.concatenate(
+                [bases, np.full((pad, bases.shape[1]), 4, bases.dtype)]
+            )
+            lengths = np.concatenate(
+                [lengths, np.zeros(pad, lengths.dtype)]
+            )
+        out, sl, sr = fn(
+            self._tbl_keys, self._tbl_ids,
+            jnp.asarray(bases), jnp.asarray(lengths),
+        )
+        host = {k: np.asarray(v)[:B] for k, v in out.items()}
+        sl = tuple(np.asarray(x)[:B] for x in sl) if sl is not None else None
+        sr = tuple(np.asarray(x)[:B] for x in sr) if sr is not None else None
+        return host, sl, sr
 
     # ------------------------------------------------------------------
     def process_pair(self, b1, b2):
@@ -795,6 +872,8 @@ class BBDuk:
         """Run the full-k device scan for batch b. Returns host dict."""
         import jax.numpy as jnp
 
+        if self._mesh is not None:
+            return self._sharded_scan_all(b, False, False)[0]
         out = kscan_full(
             self.scan_cfg,
             self.table_dev,
@@ -809,6 +888,8 @@ class BBDuk:
 
         from ..ops.bbduk_scan import kscan_combined
 
+        if self._mesh is not None:
+            return self._sharded_scan_all(b, short_left, short_right)
         out, sl, sr = kscan_combined(
             self.scan_cfg,
             self.table_dev,

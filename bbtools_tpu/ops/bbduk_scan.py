@@ -56,6 +56,11 @@ class KScanConfig:
     #: (sorted_keys, pay) and lookups run the sort+cummax join
     #: (ops/sort_join.py) — the large-panel TPU backend
     join: tuple | None = None
+    #: >1 when running under shard_map with the bucket table sharded by
+    #: key % tp_shards over the 'tp' mesh axis: each device looks up its
+    #: own shard and a psum combines (exactly one shard can hit) — the
+    #: kmer%WAYS layout of kmer/KmerTableSet.java:273-285 over ICI
+    tp_shards: int = 0
 
     def resolved_minlen2(self) -> int:
         return self.minlen2 if self.minlen2 > 0 else self.k
@@ -71,6 +76,13 @@ def _lookup(cfg: KScanConfig, table, keys):
     if cfg.lane is not None:
         return LaneKmerIndex.lookup_jnp(*table, *cfg.lane, keys)
     keys_tbl, ids_tbl = table
+    if cfg.tp_shards > 1:
+        # sharded bucket table (inside shard_map): probe the local shard
+        # for keys it owns; the psum IS the select — misses contribute 0
+        # and exactly one shard can hit a given key
+        part = BucketKmerIndex.lookup_jnp(keys_tbl, ids_tbl, cfg.nb, keys)
+        mine = (keys % cfg.tp_shards) == jax.lax.axis_index("tp")
+        return jax.lax.psum(jnp.where(mine, part, 0), "tp")
     if cfg.packed:
         return BucketKmerIndex.lookup_packed_jnp(keys_tbl, cfg.nb, keys)
     return BucketKmerIndex.lookup_jnp(keys_tbl, ids_tbl, cfg.nb, keys)

@@ -23,7 +23,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 1 << 15  # int64 block = 256 KB of VMEM as two int32 planes
+ROWS = 8  # sublane dimension of a block (TPU tiling requirement)
+COLS = 1 << 12  # lanes per row; block = 8x4096 int32 x2 planes = 256 KB
+BLOCK = ROWS * COLS
 _MIN32 = np.int32(-(2**31))
 
 
@@ -32,34 +34,68 @@ def _pair_max(ah, al, bh, bl):
     return jnp.where(take_b, bh, ah), jnp.where(take_b, bl, al)
 
 
+def _shift_axis1(x, s, fill):
+    return jnp.concatenate(
+        [jnp.full((x.shape[0], s), fill, x.dtype), x[:, :-s]], axis=1
+    )
+
+
+def _shift_axis0(x, s, fill):
+    return jnp.concatenate(
+        [jnp.full((s, x.shape[1]), fill, x.dtype), x[:-s, :]], axis=0
+    )
+
+
 def _cummax_kernel(hi_ref, lo_ref, oh_ref, ol_ref, carry):
+    """Block = [ROWS, COLS]; the flat element order is row-major, so:
+    per-row log-shift scans, then an exclusive prefix over the 8 row
+    maxes (log-shift along the sublane axis), then the cross-block
+    carry (grid steps run sequentially on TPU)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
-        carry[0, :] = jnp.full((carry.shape[1],), _MIN32, jnp.int32)
-        carry[1, :] = jnp.full((carry.shape[1],), _MIN32, jnp.int32)
+        # carry rows 0..ROWS-1 = hi, ROWS..2*ROWS-1 = lo; kept as [8,1]
+        # slabs so every broadcast below is single-axis (Mosaic has no
+        # combined sublane+lane broadcast)
+        carry[:, :] = jnp.full(carry.shape, _MIN32, jnp.int32)
 
-    h = hi_ref[:, :]  # [1, BLOCK]
+    h = hi_ref[:, :]  # [ROWS, COLS]
     lo = lo_ref[:, :]
-    # within-block inclusive scan: log-shift pair-max
     s = 1
-    while s < h.shape[1]:
-        hs = jnp.concatenate(
-            [jnp.full((1, s), _MIN32, jnp.int32), h[:, :-s]], axis=1
+    while s < COLS:
+        h, lo = _pair_max(
+            h, lo, _shift_axis1(h, s, _MIN32), _shift_axis1(lo, s, _MIN32)
         )
-        ls = jnp.concatenate(
-            [jnp.full((1, s), _MIN32, jnp.int32), lo[:, :-s]], axis=1
-        )
-        h, lo = _pair_max(h, lo, hs, ls)
         s *= 2
-    ch = carry[0:1, 0:1]
-    cl = carry[1:2, 0:1]
+    # row maxes broadcast to full width (narrow [8,1] vectors don't
+    # lower; full-width ops do), then inclusive prefix over rows via
+    # sublane log-shifts, exclusive via one more shift
+    rmh = jnp.broadcast_to(h[:, COLS - 1 : COLS], (ROWS, COLS))
+    rml = jnp.broadcast_to(lo[:, COLS - 1 : COLS], (ROWS, COLS))
+    ph, pl_ = rmh, rml
+    s = 1
+    while s < ROWS:
+        ph, pl_ = _pair_max(
+            ph, pl_, _shift_axis0(ph, s, _MIN32), _shift_axis0(pl_, s, _MIN32)
+        )
+        s *= 2
+    exh = _shift_axis0(ph, 1, _MIN32)
+    exl = _shift_axis0(pl_, 1, _MIN32)
+    h, lo = _pair_max(h, lo, exh, exl)
+    ch = carry[0:ROWS, 0:1]  # [ROWS, 1] -> lane-only broadcast below
+    cl = carry[ROWS : 2 * ROWS, 0:1]
     h, lo = _pair_max(h, lo, ch, cl)
     oh_ref[:, :] = h
     ol_ref[:, :] = lo
-    carry[0, 0] = h[0, h.shape[1] - 1]
-    carry[1, 0] = lo[0, lo.shape[1] - 1]
+    # block max = last row's inclusive prefix, already carry-free; fold
+    # in the old carry and replicate down the sublanes ([ROWS,1] slab)
+    nh, nl = _pair_max(
+        ph[ROWS - 1 :, COLS - 1 :], pl_[ROWS - 1 :, COLS - 1 :],
+        ch[0:1, :], cl[0:1, :],
+    )
+    carry[0:ROWS, 0:1] = jnp.broadcast_to(nh, (ROWS, 1))
+    carry[ROWS : 2 * ROWS, 0:1] = jnp.broadcast_to(nl, (ROWS, 1))
 
 
 @jax.jit
@@ -73,32 +109,32 @@ def cummax_i64_pallas(v):
         v = jnp.concatenate(
             [v, jnp.full(pad, np.int64(-(2**63)), jnp.int64)]
         )
-    hi = (v >> 32).astype(jnp.int32).reshape(R, BLOCK)
+    hi = (v >> 32).astype(jnp.int32).reshape(R * ROWS, COLS)
     # biased low half: unsigned order -> signed int32 order
     lo = (
         (v & jnp.int64(0xFFFFFFFF)).astype(jnp.uint32)
         ^ jnp.uint32(1 << 31)
-    ).astype(jnp.int32).reshape(R, BLOCK)
+    ).astype(jnp.int32).reshape(R * ROWS, COLS)
     oh, ol = pl.pallas_call(
         _cummax_kernel,
         grid=(R,),
         in_specs=[
-            pl.BlockSpec((1, BLOCK), lambda i: (i, i - i),
+            pl.BlockSpec((ROWS, COLS), lambda i: (i, i - i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK), lambda i: (i, i - i),
+            pl.BlockSpec((ROWS, COLS), lambda i: (i, i - i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, BLOCK), lambda i: (i, i - i),
+            pl.BlockSpec((ROWS, COLS), lambda i: (i, i - i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK), lambda i: (i, i - i),
+            pl.BlockSpec((ROWS, COLS), lambda i: (i, i - i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((R, BLOCK), jnp.int32),
-            jax.ShapeDtypeStruct((R, BLOCK), jnp.int32),
+            jax.ShapeDtypeStruct((R * ROWS, COLS), jnp.int32),
+            jax.ShapeDtypeStruct((R * ROWS, COLS), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((2, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2 * ROWS, 128), jnp.int32)],
     )(hi, lo)
     lo_u = (ol.reshape(-1).astype(jnp.uint32) ^ jnp.uint32(1 << 31))
     out = (

@@ -193,3 +193,47 @@ def test_sharded_mm_lookup_matches_host():
     got = np.asarray(step(km, pr, jnp.asarray(q)))
     want = mm.lookup_np(q)
     np.testing.assert_array_equal(got, want)
+
+
+def test_bbduk_cli_sharded_equals_single(tmp_path):
+    """TOOL-level multi-chip: full BBDuk CLI with the k-mer table sharded
+    over 8 virtual devices (tpshards=8 -> kmer%WAYS routing + psum inside
+    the production kscan) produces byte-identical FASTQ and stats to the
+    single-device run. This is the production wiring of
+    sharded_index.make_sharded_kscan, not a kernel-level check."""
+    from bbtools_tpu.cli import main as cli_main
+
+    rng2 = np.random.default_rng(17)
+    scafs = [rng2.integers(0, 4, 40).astype(np.uint8) for _ in range(40)]
+    ref_p = tmp_path / "panel.fa"
+    with open(ref_p, "w") as fh:
+        for i, s in enumerate(scafs):
+            fh.write(f">a{i}\n" + "".join("ACGT"[c] for c in s) + "\n")
+    in_p = tmp_path / "in.fq"
+    with open(in_p, "w") as fh:
+        for i in range(700):
+            r = rng2.integers(0, 4, 151).astype(np.uint8)
+            if i % 3 == 0:
+                s = scafs[i % len(scafs)]
+                p = int(rng2.integers(20, 100))
+                r[p : p + len(s)] = s
+            fh.write(f"@r{i}\n" + "".join("ACGT"[c] for c in r)
+                     + f"\n+\n{'F' * 151}\n")
+
+    def run(tag, extra):
+        out = tmp_path / f"{tag}.fq"
+        stats = tmp_path / f"{tag}.stats"
+        cli_main([
+            "bbduk", f"in={in_p}", f"out={out}", f"ref={ref_p}",
+            "k=23", "mink=11", "hdist=1", "ktrim=r", f"stats={stats}",
+            "batchreads=300",  # multiple batches incl. a ragged last one
+        ] + extra)
+        return out.read_bytes(), stats.read_text()
+
+    fq1, st1 = run("single", [])
+    fq8, st8 = run("sharded", ["tpshards=8"])
+    assert fq1 == fq8
+    assert st1 == st8
+    # mixed mesh too: 4-way table shards x 2-way read parallelism
+    fq4, st4 = run("mixed", ["tpshards=4"])
+    assert fq1 == fq4 and st1 == st4
