@@ -98,6 +98,14 @@ class BBMapConfig:
     #: per-scaffold hit table (BBMap scafstats= flag,
     #: align2/BBSplitter scafstats/refstats machinery)
     scafstats: str | None = None
+    #: inline coverage outputs, emitted by the mapper itself
+    #: (align2/AbstractMapper.printOutput -> CoveragePileup; covstats=/
+    #: basecov=/covhist=/bincov= flags) — no separate pileup pass needed
+    covstats: str | None = None
+    basecov: str | None = None
+    covhist: str | None = None
+    bincov: str | None = None
+    binsize: int = 1000
     #: fastq split outputs (BBMap outu=/outm= flags): unmapped reads /
     #: mapped reads as fastq; pairs stay together (a pair counts as
     #: mapped when EITHER mate maps — AbstractMapThread pair semantics
@@ -167,6 +175,11 @@ def parse_args(argv, preset: str | None = None):
     c.mhist = a.get("mhist")
     c.idhist = a.get("idhist")
     c.scafstats = a.get("scafstats")
+    c.covstats = a.get("covstats")
+    c.basecov = a.get("basecov")
+    c.covhist = a.get("covhist")
+    c.bincov = a.get("bincov")
+    c.binsize = a.get_int("binsize", default=1000)
     from ..core.parser import test_output_files
 
     test_output_files(
@@ -802,6 +815,10 @@ class BBMap:
                 self._scafstats_add(batch, results)
                 if it2 is not None:
                     self._scafstats_add(batch2, results2)
+            if self._want_coverage():
+                self._coverage_add(results)
+                if results2 is not None:
+                    self._coverage_add(results2)
             if writer:
                 writer.add_batch(batch.ordinal, payload)
         if writer:
@@ -813,8 +830,91 @@ class BBMap:
             self._write_hists()
         if cfg.scafstats:
             self._write_scafstats()
+        if self._want_coverage():
+            self._write_coverage()
         self.elapsed = time.time() - t0
         return self
+
+    # ---- inline coverage (AbstractMapper.printOutput pileup role) ----
+    def _want_coverage(self) -> bool:
+        c = self.cfg
+        return bool(c.covstats or c.basecov or c.covhist or c.bincov)
+
+    def _cov_init(self):
+        # the Reference flat space may carry separators between
+        # scaffolds; use its own starts for exact bounds
+        starts = np.asarray(self.ref.starts, dtype=np.int64)
+        lens = np.asarray(self.ref.lengths, dtype=np.int64)
+        self._cov_lo = starts
+        self._cov_hi = starts + lens
+        self._cov_diff = np.zeros(int(self._cov_hi[-1]) + 1, np.int64)
+        self._cov_plus = np.zeros(len(lens), np.int64)
+        self._cov_minus = np.zeros(len(lens), np.int64)
+
+    def _coverage_add(self, results):
+        """Accumulate coverage intervals as a flat diff array: one +1/-1
+        pair per mapped primary site; cumsum at the end materializes
+        per-base depth with no per-base work in the batch loop."""
+        if getattr(self, "_cov_diff", None) is None:
+            self._cov_init()
+        starts = []
+        spans = []
+        strands = []
+        for r in results:
+            if not r.mapped:
+                continue
+            m = r.match
+            span = (
+                m.count(b"m") + m.count(b"S") + m.count(b"N")
+                + m.count(b"D")
+            )
+            starts.append(max(r.flat_start, 0))
+            spans.append(span)
+            strands.append(r.strand)
+        if not starts:
+            return
+        st = np.asarray(starts, np.int64)
+        sp = np.asarray(spans, np.int64)
+        scaf = self.ref.scaffold_of(st)
+        # clamp to the scaffold: columns outside [0, reflen) soft-clip in
+        # the emitted CIGAR (io/sam.match_to_cigar14), so coverage from
+        # the mapper's own SAM starts/ends at the scaffold bounds
+        end = np.minimum(st + sp, self._cov_hi[scaf])
+        st = np.maximum(st, self._cov_lo[scaf])
+        end = np.maximum(end, st)
+        np.add.at(self._cov_diff, st, 1)
+        np.add.at(self._cov_diff, end, -1)
+        strands = np.asarray(strands)
+        np.add.at(self._cov_plus, scaf[strands == 0], 1)
+        np.add.at(self._cov_minus, scaf[strands == 1], 1)
+
+    def _write_coverage(self):
+        from .pileup import (
+            write_basecov,
+            write_bincov,
+            write_covhist,
+            write_covstats,
+        )
+
+        cfg = self.cfg
+        if getattr(self, "_cov_diff", None) is None:
+            self._cov_init()
+        flat = np.cumsum(self._cov_diff[:-1]).astype(np.int32)
+        cov = [
+            flat[int(self._cov_lo[i]) : int(self._cov_hi[i])]
+            for i in range(len(self.ref.lengths))
+        ]
+        if cfg.covstats:
+            write_covstats(
+                cfg.covstats, self.ref, cov, self._cov_plus,
+                self._cov_minus,
+            )
+        if cfg.basecov:
+            write_basecov(cfg.basecov, self.ref, cov)
+        if cfg.covhist:
+            write_covhist(cfg.covhist, cov)
+        if cfg.bincov:
+            write_bincov(cfg.bincov, self.ref, cov, cfg.binsize)
 
     def _scafstats_add(self, batch, results):
         """Per-scaffold hit accumulation (scafstats= flag; the

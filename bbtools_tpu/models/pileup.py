@@ -41,6 +41,76 @@ def bases_under_window(cov: np.ndarray, avg: float, window: int) -> int:
     return int((np.cumsum(covered[:-1]) > 0).sum())
 
 
+def write_covstats(out, ref, cov, plus_reads, minus_reads,
+                   covwindow: int = 0, covwindowavg: float = 5.0):
+    """covstats= table (jgi/CovStatsLine format), shared by the
+    standalone pileup tool and BBMap's inline coverage outputs
+    (align2/AbstractMapper printOutput -> CoveragePileup)."""
+    with open_output(out) as fh:
+        hdr = (
+            b"#ID\tAvg_fold\tLength\tRef_GC\tCovered_percent\t"
+            b"Covered_bases\tPlus_reads\tMinus_reads"
+        )
+        if covwindow > 0:
+            hdr += b"\tUnder_%.0f/%d" % (covwindowavg, covwindow)
+        fh.write(hdr + b"\n")
+        for i, name in enumerate(ref.names):
+            c = cov[i]
+            codes = ref.scaffold_codes(i)
+            gc = float(((codes == 1) | (codes == 2)).sum()) / max(
+                len(codes), 1
+            )
+            covered = int((c > 0).sum())
+            avg = float(c.sum()) / max(len(c), 1)
+            row = b"%s\t%.4f\t%d\t%.4f\t%.4f\t%d\t%d\t%d" % (
+                name.split()[0], avg, len(c), gc,
+                100.0 * covered / max(len(c), 1), covered,
+                plus_reads[i], minus_reads[i],
+            )
+            if covwindow > 0:
+                row += b"\t%d" % bases_under_window(
+                    c, covwindowavg, covwindow
+                )
+            fh.write(row + b"\n")
+
+
+def write_basecov(path, ref, cov):
+    with open_output(path) as fh:
+        fh.write(b"#RefName\tPos\tCoverage\n")
+        for i, name in enumerate(ref.names):
+            nm = name.split()[0]
+            for p, c in enumerate(cov[i]):
+                fh.write(b"%s\t%d\t%d\n" % (nm, p, c))
+
+
+def write_bincov(path, ref, cov, binsize: int = 1000):
+    with open_output(path) as fh:
+        fh.write(b"#RefName\tCov\tPos\tRunningPos\n")
+        running = 0
+        for i, name in enumerate(ref.names):
+            c = cov[i]
+            nm = name.split()[0]
+            for p0 in range(0, len(c), binsize):
+                seg = c[p0 : p0 + binsize]
+                fh.write(
+                    b"%s\t%.2f\t%d\t%d\n"
+                    % (nm, float(seg.mean()), p0, running + p0)
+                )
+            running += len(c)
+
+
+def write_covhist(path, cov, hist_max: int = 100000):
+    """covhist= (#Coverage\\tnumBases rows, CoveragePileup histogram)."""
+    h = np.zeros(hist_max + 1, dtype=np.int64)
+    for c in cov:
+        np.add.at(h, np.minimum(c, hist_max), 1)
+    with open_output(path) as fh:
+        fh.write(b"#Coverage\tnumBases\n")
+        top = int(np.flatnonzero(h)[-1]) if h.any() else 0
+        for depth in range(0, top + 1):
+            fh.write(b"%d\t%d\n" % (depth, h[depth]))
+
+
 def main(argv=None):
     a = tokenize(argv if argv is not None else sys.argv[1:])
     sam = a.get("in", "in1")
@@ -48,6 +118,7 @@ def main(argv=None):
     out = a.get("out", "covstats", "stats")
     basecov = a.get("basecov")
     bincov = a.get("bincov")
+    covhist = a.get("covhist", "hist")
     binsize = a.get_int("binsize", default=1000)
     # low-coverage sliding window (CoveragePileup.java LOW_COV_WINDOW /
     # LOW_COV_DEPTH, covwindow=/covwindowavg= flags :249-256): adds an
@@ -83,30 +154,8 @@ def main(argv=None):
         else:
             plus_reads[i] += 1
     if out:
-        with open_output(out) as fh:
-            hdr = (
-                b"#ID\tAvg_fold\tLength\tRef_GC\tCovered_percent\t"
-                b"Covered_bases\tPlus_reads\tMinus_reads"
-            )
-            if covwindow > 0:
-                hdr += b"\tUnder_%.0f/%d" % (covwindowavg, covwindow)
-            fh.write(hdr + b"\n")
-            for i, name in enumerate(ref.names):
-                c = cov[i]
-                codes = ref.scaffold_codes(i)
-                gc = float(((codes == 1) | (codes == 2)).sum()) / max(len(codes), 1)
-                covered = int((c > 0).sum())
-                avg = float(c.sum()) / max(len(c), 1)
-                row = b"%s\t%.4f\t%d\t%.4f\t%.4f\t%d\t%d\t%d" % (
-                    name.split()[0], avg, len(c), gc,
-                    100.0 * covered / max(len(c), 1), covered,
-                    plus_reads[i], minus_reads[i],
-                )
-                if covwindow > 0:
-                    row += b"\t%d" % bases_under_window(
-                        c, covwindowavg, covwindow
-                    )
-                fh.write(row + b"\n")
+        write_covstats(out, ref, cov, plus_reads, minus_reads,
+                       covwindow, covwindowavg)
     if rangecov:
         # per scaffold: "#name" then "start-end\tavgDepth" rows for each
         # maximal run with coverage >= mindepthcovered (0-based inclusive)
@@ -130,24 +179,11 @@ def main(argv=None):
                         b"%d-%d\t%.2f\n" % (s, e - 1, float(seg.mean()))
                     )
     if basecov:
-        with open_output(basecov) as fh:
-            fh.write(b"#RefName\tPos\tCoverage\n")
-            for i, name in enumerate(ref.names):
-                for p, c in enumerate(cov[i]):
-                    fh.write(b"%s\t%d\t%d\n" % (name.split()[0], p, c))
+        write_basecov(basecov, ref, cov)
     if bincov:
-        with open_output(bincov) as fh:
-            fh.write(b"#RefName\tCov\tPos\tRunningPos\n")
-            running = 0
-            for i, name in enumerate(ref.names):
-                c = cov[i]
-                for p0 in range(0, len(c), binsize):
-                    seg = c[p0 : p0 + binsize]
-                    fh.write(
-                        b"%s\t%.2f\t%d\t%d\n"
-                        % (name.split()[0], float(seg.mean()), p0, running + p0)
-                    )
-                running += len(c)
+        write_bincov(bincov, ref, cov, binsize)
+    if covhist:
+        write_covhist(covhist, cov)
     print(f"Reads:               \t{reads}", file=sys.stderr)
     total_cov = sum(int(c.sum()) for c in cov)
     total_len = sum(len(c) for c in cov)

@@ -275,3 +275,54 @@ def test_mhist_idhist(genome, tmp_path):
               for r in idh[1:]}
     assert sum(counts.values()) == 60
     assert sum(c for i, c in counts.items() if i >= 90) >= 55
+
+
+def test_bbmap_inline_coverage_matches_pileup(tmp_path):
+    """covstats=/basecov=/covhist= emitted by the mapper itself
+    (align2/AbstractMapper.printOutput -> CoveragePileup) must equal a
+    separate pileup pass over the mapper's own SAM."""
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models import pileup
+    from bbtools_tpu.models.bbmap import BBMap, BBMapConfig, parse_args
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+    from bbtools_tpu.utils.synth import random_genome, write_reads
+
+    rng = np.random.default_rng(3)
+    genome = random_genome(40_000, n_scaffolds=3, seed=8)
+    write_fasta(str(tmp_path / "ref.fa"), genome)
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    recs = []
+    for i in range(600):
+        s = int(rng.integers(0, 3))
+        codes = ref.scaffold_codes(s)
+        p = int(rng.integers(0, len(codes) - 100))
+        r = codes[p : p + 100].copy()
+        if i & 1:
+            r = (3 - r[::-1]).astype(np.uint8)
+        recs.append((b"r%d" % i, CODE_TO_BASE[np.minimum(r, 4)].tobytes(),
+                     b"F" * 100))
+    write_reads(str(tmp_path / "reads.fq"), recs)
+    idx = SeedIndex.build(ref, k=13)
+    cfg = parse_args([
+        f"in={tmp_path}/reads.fq", f"out={tmp_path}/m.sam",
+        f"ref={tmp_path}/ref.fa",
+        f"covstats={tmp_path}/inline.covstats",
+        f"basecov={tmp_path}/inline.basecov",
+        f"covhist={tmp_path}/inline.covhist",
+        f"bincov={tmp_path}/inline.bincov",
+        "batchreads=256",
+    ])
+    BBMap(cfg, index=idx).run()
+    pileup.main([
+        f"in={tmp_path}/m.sam", f"ref={tmp_path}/ref.fa",
+        f"out={tmp_path}/sep.covstats", f"basecov={tmp_path}/sep.basecov",
+        f"covhist={tmp_path}/sep.covhist", f"bincov={tmp_path}/sep.bincov",
+    ])
+    for name in ("covstats", "basecov", "covhist", "bincov"):
+        a = (tmp_path / f"inline.{name}").read_bytes()
+        b = (tmp_path / f"sep.{name}").read_bytes()
+        assert a == b, name
+    assert b"Avg_fold" in (tmp_path / "inline.covstats").read_bytes()
