@@ -174,15 +174,215 @@ class TaxTree:
         return self.id_of(token)
 
 
-def load_accession_map(path: str) -> dict:
+class AccessionIndex:
+    """Scale-grade accession -> taxid (tax/AccessionToTaxid.java role).
+
+    NCBI accession2taxid files run to hundreds of millions of rows; a
+    python dict costs ~100 bytes/entry and dies at scale. Here standard
+    accessions (<=12 chars of [A-Z0-9_.], version stripped) pack
+    injectively into int64 (base-37 per char, 37^12 < 2^63 — the same
+    numeric-encoding idea as AccessionToTaxid's char packing), stored as
+    ONE sorted int64 array + int32 taxids: 12 bytes/entry, binary-search
+    lookups. Parsing is fully vectorized per chunk (numpy field
+    extraction, no per-line python); odd accessions fall into a small
+    dict sidecar.
+    """
+
+    #: A-Z -> 1..26, 0-9 -> 27..36, '_' -> 0 is reserved pad... chars
+    #: map 1..37 with 0 = empty so shorter accessions never collide
+    _CODE = None
+
+    def __init__(self):
+        self.keys = np.zeros(0, np.int64)
+        self.taxids = np.zeros(0, np.int32)
+        self.extra: dict = {}
+
+    @classmethod
+    def _codes(cls):
+        if cls._CODE is None:
+            c = np.zeros(256, np.int8)
+            for i in range(26):
+                c[ord("A") + i] = 1 + i
+                c[ord("a") + i] = 1 + i
+            for i in range(10):
+                c[ord("0") + i] = 27 + i
+            c[ord("_")] = 37
+            cls._CODE = c
+        return cls._CODE
+
+    MAXLEN = 12
+
+    @classmethod
+    def encode_np(cls, mat: np.ndarray, lens: np.ndarray):
+        """[N, MAXLEN] right-padded byte matrix -> (keys, ok). ok=False
+        where a char is outside the alphabet or the name is too long."""
+        c = cls._codes()[mat]
+        jj = np.arange(mat.shape[1])[None, :]
+        inlen = jj < lens[:, None]
+        ok = (lens <= cls.MAXLEN) & (lens > 0)
+        ok &= ~((c == 0) & inlen).any(axis=1)
+        # fixed positional dot: keys = sum c_j * 38^(MAXLEN-1-j) over j<len
+        pows = 38 ** np.arange(cls.MAXLEN - 1, -1, -1, dtype=np.int64)
+        cz = np.where(inlen, c, 0).astype(np.int64)
+        keys = (cz * pows[None, :]).sum(axis=1)
+        return keys, ok
+
+    @classmethod
+    def encode_one(cls, acc: bytes) -> int:
+        acc = acc.split(b".")[0].upper()
+        if not (0 < len(acc) <= cls.MAXLEN):
+            return -1
+        c = cls._codes()
+        key = 0
+        for j in range(cls.MAXLEN):
+            v = int(c[acc[j]]) if j < len(acc) else 0
+            if j < len(acc) and v == 0:
+                return -1
+            key = key * 38 + v
+        return key
+
+    @classmethod
+    def build(cls, path: str, chunk_bytes: int = 32 << 20):
+        from ..io.readwrite import open_input
+
+        self = cls()
+        key_parts: list[np.ndarray] = []
+        tid_parts: list[np.ndarray] = []
+        leftover = b""
+        with open_input(path) as fh:
+            while True:
+                data = fh.read(chunk_bytes)
+                if not data:
+                    data = b""
+                buf = leftover + data
+                if not buf:
+                    break
+                cut = buf.rfind(b"\n") + 1 if data else len(buf)
+                if cut <= 0:
+                    leftover = buf
+                    continue
+                leftover = buf[cut:] if data else b""
+                self._parse_chunk(buf[:cut], key_parts, tid_parts)
+                if not data:
+                    break
+        if key_parts:
+            keys = np.concatenate(key_parts)
+            tids = np.concatenate(tid_parts)
+            order = np.argsort(keys, kind="stable")
+            self.keys = keys[order]
+            self.taxids = tids[order]
+        return self
+
+    def _parse_chunk(self, blob: bytes, key_parts, tid_parts):
+        """Vectorized NCBI accession2taxid / 2-column TSV parsing: field
+        boundaries from one newline/tab scan, accession bytes gathered
+        into a fixed-width matrix, taxid digits accumulated in numpy."""
+        buf = np.frombuffer(blob, np.uint8)
+        nl = np.flatnonzero(buf == 10)
+        if not len(nl):
+            return
+        starts = np.concatenate([[0], nl[:-1] + 1]).astype(np.int64)
+        ends = nl.astype(np.int64)
+        # field 0 = accession (to first tab or '.'), taxid column = field
+        # 2 for 4/3-column NCBI format, field 1 for plain 2-column TSV
+        istab = buf == 9
+        tabs = np.flatnonzero(istab).astype(np.int64)
+        t1 = np.searchsorted(tabs, starts)  # first tab at/after start
+        tab_count = np.searchsorted(tabs, ends) - t1
+        # accession span
+        W = self.MAXLEN + 1
+        idx = starts[:, None] + np.arange(W)[None, :]
+        np.clip(idx, 0, len(buf) - 1, out=idx)
+        rows = buf[idx]
+        stop = (rows == 9) | (rows == ord(".")) | (rows == 10)
+        first_stop = np.where(
+            stop.any(axis=1), stop.argmax(axis=1), W
+        ).astype(np.int64)
+        acc_len = np.minimum(first_stop, ends - starts)
+        up = rows.copy()
+        lower = (up >= ord("a")) & (up <= ord("z"))
+        up[lower] -= 32
+        keys, ok = self.encode_np(up[:, : self.MAXLEN], acc_len)
+        # taxid column offset: after (2 tabs) for NCBI 3/4-col, (1 tab)
+        # for 2-col rows; header rows ("accession...") parse to taxid 0
+        ncbi = np.asarray(tab_count) >= 2
+        tab1 = tabs[np.minimum(t1, max(len(tabs) - 1, 0))] if len(tabs) else ends
+        tab2 = (
+            tabs[np.minimum(t1 + 1, max(len(tabs) - 1, 0))]
+            if len(tabs)
+            else ends
+        )
+        tid_start = np.where(ncbi, tab2, tab1) + 1
+        tid_start = np.minimum(tid_start, ends)
+        # accumulate digits until a non-digit
+        D = 10
+        didx = tid_start[:, None] + np.arange(D)[None, :]
+        np.clip(didx, 0, len(buf) - 1, out=didx)
+        drows = buf[didx]
+        isdig = (drows >= ord("0")) & (drows <= ord("9"))
+        isdig &= didx < ends[:, None]
+        # digit-run length without a cumulative pass: first non-digit
+        nondig = ~isdig
+        runlen = np.where(nondig.any(axis=1), nondig.argmax(axis=1), D)
+        # right-aligned positional dot: tids = sum d_j * 10^(run-1-j)
+        pow10 = 10 ** np.arange(D, dtype=np.int64)
+        exp = runlen[:, None] - 1 - np.arange(D)[None, :]
+        mult = np.where(exp >= 0, pow10[np.maximum(exp, 0)], 0)
+        digits = (drows.astype(np.int64) - ord("0")) * isdig
+        tids = (digits * mult).sum(axis=1)
+        good = ok & (tids > 0)
+        key_parts.append(keys[good])
+        tid_parts.append(tids[good].astype(np.int32))
+        # sidecar for rows the packing can't represent
+        bad = np.flatnonzero(~ok & (tids > 0))
+        for i in bad[:100000]:
+            acc = blob[starts[i] : starts[i] + int(ends[i] - starts[i])]
+            acc = acc.split(b"\t")[0].split(b".")[0]
+            self.extra[acc.decode("latin1").upper()] = int(tids[i])
+
+    # dict-compatible surface (taxid_of_header uses .get)
+    def get(self, acc, default=0):
+        if isinstance(acc, bytes):
+            acc_b = acc
+        else:
+            acc_b = str(acc).encode()
+        key = self.encode_one(acc_b)
+        if key >= 0 and len(self.keys):
+            pos = np.searchsorted(self.keys, key)
+            if pos < len(self.keys) and self.keys[pos] == key:
+                return int(self.taxids[pos])
+        return self.extra.get(acc_b.split(b".")[0].decode("latin1").upper(),
+                              default)
+
+    def __contains__(self, acc):
+        return self.get(acc, 0) != 0
+
+    def __len__(self):
+        return len(self.keys) + len(self.extra)
+
+
+def load_accession_map(path: str, big_threshold: int = 64 << 20):
     """Accession -> taxid (AccessionToTaxid's role). Accepts BOTH the
     simple `accession<TAB>taxid` table and NCBI's accession2taxid format
     (`accession  accession.version  taxid  gi`, header line included,
     tax/AccessionToTaxid.java parsing); versioned accessions index both
     with and without the .version suffix, and the gi column (when
-    present) registers `gi|<n>` keys — the gitable role."""
+    present) registers `gi|<n>` keys — the gitable role.
+
+    Files past `big_threshold` bytes load as an AccessionIndex (packed
+    int64 keys, 12 bytes/entry, vectorized parse) instead of a python
+    dict (~100 bytes/entry) — the NCBI-scale path. The two expose the
+    same .get/.__contains__ surface; gi| rows are dict-path only."""
+    import os
+
     from ..io.readwrite import open_input
 
+    try:
+        big = os.path.getsize(path) > big_threshold
+    except OSError:
+        big = False
+    if big:
+        return AccessionIndex.build(path)
     out = {}
     with open_input(path) as fh:
         for line in fh.read().splitlines():

@@ -274,3 +274,44 @@ def test_splitbytaxa_and_fuse_and_gi2taxid(tiny_tree, tmp_path):
     ])
     assert (n, known) == (1, 1)
     assert (d / "renamed.fa").read_bytes().startswith(b">tid|562|")
+
+
+def test_accession_index_ncbi_scale(tmp_path):
+    """tax/AccessionToTaxid.java role at scale: packed-int64 index with
+    vectorized parsing handles NCBI-format files (4-col, header, versions,
+    lowercase, odd accessions into the sidecar), 12 bytes/entry."""
+    import numpy as np
+
+    from bbtools_tpu.models.taxonomy import (
+        AccessionIndex,
+        load_accession_map,
+        taxid_of_header,
+    )
+
+    path = tmp_path / "acc2taxid"
+    n = 300_000
+    with open(path, "w") as f:
+        f.write("accession\taccession.version\ttaxid\tgi\n")
+        rows = [
+            f"NZ_{i:07d}\tNZ_{i:07d}.1\t{i + 1}\t{i}\n" for i in range(n)
+        ]
+        f.write("".join(rows))
+        f.write("THIS_ONE_IS_FAR_TOO_LONG_TO_PACK\tX.1\t777\t0\n")
+        f.write("plain2col\t4242\n")
+    idx = AccessionIndex.build(str(path))
+    assert len(idx) >= n
+    assert idx.get(b"NZ_0000000") == 1
+    assert idx.get(b"NZ_0123456.1") == 123457  # version stripped
+    assert idx.get(b"nz_0299999") == 300000  # case-folded
+    assert idx.get(b"NOPE") == 0 and b"NOPE" not in idx
+    assert idx.get(b"THIS_ONE_IS_FAR_TOO_LONG_TO_PACK") == 777  # sidecar
+    assert idx.get(b"PLAIN2COL") == 4242  # 2-column rows
+    # memory contract: packed arrays, not python objects
+    assert idx.keys.nbytes + idx.taxids.nbytes <= 13 * (n + 2)
+    # header resolution through the shared surface
+    assert taxid_of_header(b"NZ_0000005.1 some description", idx) == 6
+    # big files route to AccessionIndex automatically
+    big = load_accession_map(str(path), big_threshold=1000)
+    assert isinstance(big, AccessionIndex)
+    small = load_accession_map(str(path))
+    assert small.get("NZ_0000000") == 1  # dict path unchanged
