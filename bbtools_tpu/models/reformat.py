@@ -26,7 +26,8 @@ from ..io.fileformat import Format, test_input, test_output
 from ..ops.trim import apply_trim, optimal_trim_jnp
 
 
-def _read_batches(path: str, qfake: int, batch_reads: int):
+def _read_batches(path: str, qfake: int, batch_reads: int,
+                  qual_offset=None):
     if test_input(path).format is Format.FASTA:
         from ..io.fasta import iter_fasta
 
@@ -45,7 +46,8 @@ def _read_batches(path: str, qfake: int, batch_reads: int):
             b.quals = np.where(b.bases < 4, qfake, 0).astype(np.uint8)
             yield b
     else:
-        yield from FastqReader(path, batch_reads=batch_reads)
+        yield from FastqReader(path, batch_reads=batch_reads,
+                               qual_offset=qual_offset)
 
 
 def _count_reads(path: str) -> int:
@@ -99,6 +101,26 @@ def main(argv=None):
     fixjunk = a.get_bool("fixjunk", "dotdashxton", default=False)
     quantize = a.get("quantize")
     seed = a.get_int("sampleseed", default=-1)
+    # round-3 flag-matrix additions (jgi/ReformatReads.java surface)
+    ftr = a.get_int("forcetrimright", "ftr", default=-1)
+    qin = a.get_int("qin", default=None)
+    qout = a.get_int("qout", default=33)
+    mingc = a.get_float("mingc", default=0.0)
+    maxgc = a.get_float("maxgc", default=1.0)
+    fastawrap = a.get_int("fastawrap", default=70)
+    t2u = a.get_bool("t2u", default=False)
+    u2t = a.get_bool("u2t", default=False)
+    iupacton = a.get_bool("iupacton", "itn", default=False)
+    chastity = a.get_bool("chastityfilter", "ch", default=False)
+    trd = a.get_bool("trimreaddescription", "trd", default=False)
+    invert = a.get_bool("invertfilters", "invert", default=False)
+    skipreads = a.get_int("skipreads", default=0)
+    mbq = a.get_int("minbasequality", "mbq", default=0)
+    lhist = a.get("lhist")
+    qhist = a.get("qhist")
+    gchist = a.get("gchist")
+    aqhist = a.get("aqhist")
+    bhist = a.get("bhist")
     from ..core.parser import test_output_files
 
     test_output_files(
@@ -125,17 +147,25 @@ def main(argv=None):
     writer = writer2 = None
     fa_records = []
     if out1 and not fasta_out:
-        writer = FastqWriter(out1)
+        writer = FastqWriter(out1, qual_offset=qout)
         if out2:
-            writer2 = FastqWriter(out2)
+            writer2 = FastqWriter(out2, qual_offset=qout)
     reads_out = bases_out = 0
     reads_in = bases_in = 0
     emitted = 0
     seen_names: dict[bytes, int] = {}
     import jax.numpy as jnp
 
-    reader2 = iter(_read_batches(in2, qfake, 16384)) if in2 else None
-    for b in _read_batches(in1, qfake, 16384):
+    reader2 = (
+        iter(_read_batches(in2, qfake, 16384, qin)) if in2 else None
+    )
+    rstats = None
+    if lhist or qhist or gchist or aqhist or bhist:
+        from ..utils.readstats import ReadStats
+
+        rstats = ReadStats()
+    skipped = 0
+    for b in _read_batches(in1, qfake, 16384, qin):
         b2 = next(reader2) if reader2 is not None else None
         reads_in += b.n + (b2.n if b2 is not None else 0)
         bases_in += int(b.lengths.sum()) + (
@@ -143,14 +173,33 @@ def main(argv=None):
         )
         pair = [b] if b2 is None else [b, b2]
         keep = np.ones(b.n, dtype=bool)
+        if skipped < skipreads:
+            take = min(b.n, skipreads - skipped)
+            keep[:take] = False
+            skipped += take
         if samplerate < 1.0:
             keep &= rng.random(b.n) < samplerate
+        if chastity:
+            # Illumina chastity: header ' ...:Y:...' fails
+            for bb in pair:
+                fail = np.array(
+                    [b":Y:" in bb.ids[i] for i in range(bb.n)], bool
+                )
+                keep &= ~fail
+        if trd:
+            for bb in pair:
+                for i in range(bb.n):
+                    bb.ids[i] = bb.ids[i].split()[0]
+        filt = np.ones(b.n, dtype=bool)
         for bi, bb in enumerate(pair):
-            if ftl or ftr2 or ftm:
+            if ftl or ftr2 or ftm or ftr >= 0:
                 ln = bb.lengths.astype(np.int64)
                 right = np.maximum(ln % ftm if ftm else 0, ftr2)
+                if ftr >= 0:
+                    # keep positions [ftl, ftr]: trim len-1-ftr from right
+                    right = np.maximum(right, ln - 1 - ftr)
                 pair[bi] = bb = apply_trim(
-                    bb, np.full(bb.n, ftl), np.minimum(right, ln)
+                    bb, np.full(bb.n, ftl), np.minimum(np.maximum(right, 0), ln)
                 )
             if qtrim in ("rl", "r", "l", "t", "true") and bb.quals is not None:
                 avg = float(np.float32(phred_to_prob_error(trimq)))
@@ -170,21 +219,38 @@ def main(argv=None):
                 right = np.where(over, np.maximum(1, bb.lengths - 1), right)
                 left = np.where(over, 0, left)
                 pair[bi] = bb = apply_trim(bb, left, right)
-            keep &= (bb.lengths >= minlength) & (bb.lengths <= maxlength)
+            filt &= (bb.lengths >= minlength) & (bb.lengths <= maxlength)
+            if mingc > 0.0 or maxgc < 1.0:
+                inwin = (
+                    np.arange(bb.bases.shape[1])[None, :]
+                    < bb.lengths[:, None]
+                )
+                gccnt = (((bb.bases == 1) | (bb.bases == 2)) & inwin).sum(
+                    axis=1
+                )
+                gc = gccnt / np.maximum(bb.lengths, 1)
+                filt &= (gc >= mingc) & (gc <= maxgc)
+            if mbq > 0 and bb.quals is not None:
+                inwin = (
+                    np.arange(bb.bases.shape[1])[None, :]
+                    < bb.lengths[:, None]
+                )
+                minq = np.where(inwin, bb.quals, 127).min(axis=1)
+                filt &= minq >= mbq
             if maq > 0 and bb.quals is not None:
                 qs = np.where(
                     np.arange(bb.bases.shape[1])[None, :]
                     < bb.lengths[:, None],
                     bb.quals, 0,
                 ).sum(axis=1)
-                keep &= qs >= maq * np.maximum(bb.lengths, 1)
+                filt &= qs >= maq * np.maximum(bb.lengths, 1)
             if maxns >= 0:
                 ncount = (
                     (bb.bases >= 4)
                     & (np.arange(bb.bases.shape[1])[None, :]
                        < bb.lengths[:, None])
                 ).sum(axis=1)
-                keep &= ncount <= maxns
+                filt &= ncount <= maxns
             if tossjunk and bb.ascii_bases is not None:
                 valid = np.isin(
                     bb.ascii_bases, np.frombuffer(b"ACGTNacgtn", np.uint8)
@@ -192,7 +258,8 @@ def main(argv=None):
                     np.arange(bb.bases.shape[1])[None, :]
                     >= bb.lengths[:, None]
                 )
-                keep &= valid.all(axis=1)
+                filt &= valid.all(axis=1)
+        keep &= ~filt if invert else filt
         b, b2 = pair[0], (pair[1] if len(pair) > 1 else None)
         if reads_limit > 0:
             room = reads_limit - emitted
@@ -219,7 +286,7 @@ def main(argv=None):
                     lo, hi,
                 ).astype(np.uint8)
                 bb.ascii_bases = bb.ascii_bases  # quals changed only
-            if fixjunk and bb.ascii_bases is not None:
+            if (fixjunk or iupacton) and bb.ascii_bases is not None:
                 bad = ~np.isin(
                     bb.ascii_bases, np.frombuffer(b"ACGTNacgtn", np.uint8)
                 )
@@ -230,6 +297,13 @@ def main(argv=None):
                     bb.ascii_bases <= ord("z")
                 )
                 bb.ascii_bases[low] -= 32
+            if (t2u or u2t) and bb.ascii_bases is not None:
+                src, dst = (b"TtUu", b"UuTt") if t2u else (b"UuTt", b"TtUu")
+                tbl = bytes.maketrans(src, dst)
+                flat = bb.ascii_bases.tobytes().translate(tbl)
+                bb.ascii_bases = np.frombuffer(flat, np.uint8).reshape(
+                    bb.ascii_bases.shape
+                ).copy()
             if remap_tbl is not None and bb.ascii_bases is not None:
                 flat = bb.ascii_bases.tobytes().translate(remap_tbl)
                 bb.ascii_bases = np.frombuffer(
@@ -248,6 +322,13 @@ def main(argv=None):
                 if addslash and not nm.endswith((b"/1", b"/2")):
                     nm = nm + (b" /1" if pairnum == 0 else b" /2")
                 bb.ids[i] = nm
+        if rstats is not None:
+            from ..models.bbduk import _subset
+
+            rows_k = keep
+            rstats.add_batch(_subset(b, rows_k), 0)
+            if b2 is not None:
+                rstats.add_batch(_subset(b2, rows_k), 1)
         emitted += int(keep.sum())
         reads_out += int(keep.sum()) * (2 if b2 is not None else 1)
         bases_out += int(b.lengths[keep].sum()) + (
@@ -281,7 +362,19 @@ def main(argv=None):
     if writer2:
         writer2.close()
     if fasta_out:
-        write_fasta(out1, fa_records)
+        write_fasta(out1, fa_records, wrap=fastawrap)
+    if rstats is not None:
+        paired = in2 is not None
+        if qhist:
+            rstats.write_qhist(qhist, paired)
+        if lhist:
+            rstats.write_lhist(lhist)
+        if gchist:
+            rstats.write_gchist(gchist)
+        if aqhist:
+            rstats.write_aqhist(aqhist, paired)
+        if bhist:
+            rstats.write_bhist(bhist)
     dt = time.time() - t0
     print(f"Input:               \t{reads_in} reads \t{bases_in} bases", file=sys.stderr)
     print(f"Output:              \t{reads_out} reads ({100.0*reads_out/max(reads_in,1):.2f}%) \t{bases_out} bases ({100.0*bases_out/max(bases_in,1):.2f}%)", file=sys.stderr)

@@ -47,9 +47,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-QBIT = jnp.int64(1) << 62  # marks query rows in the sort payload
-
-
 @dataclass
 class SortJoinIndex:
     """Sorted unique keys + first-wins ids, joined against query batches."""
@@ -77,7 +74,14 @@ class SortJoinIndex:
         return SortJoinIndex(keys=keys, pay=pay, n=len(keys))
 
     def device_arrays(self):
-        return jnp.asarray(self.keys), jnp.asarray(self.pay)
+        # device payload is int32 (just the id): the sort moves 12 bytes
+        # per row instead of 16 — measured 2x on the TPU sort unit; row
+        # order in the scan supplies the monotonicity the int64 payload
+        # used to carry
+        return (
+            jnp.asarray(self.keys),
+            jnp.asarray((self.pay & 0xFFFF).astype(np.int32)),
+        )
 
     def static_params(self):
         return (self.n,)
@@ -99,25 +103,29 @@ class SortJoinIndex:
 CHUNK = 1 << 20
 
 
-def _join_chunk(sorted_keys, pay, q):
+QBIT32 = jnp.int32(1) << 30  # marks query rows in the int32 payload
+
+
+def _join_chunk(sorted_keys, ids32, q):
     """One join pass: q int64 [nq] (may contain -1 pad rows).
 
-    Post-sort propagation is ONE cummax: equal keys form a segment whose
-    FIRST row is the index row when the key is present (ties order index
-    rows first, and index keys are unique), so packing
-    (row << 17 | is_idx << 16 | id) at segment starts gives a value that
-    is monotone in row position — cummax carries the latest segment
-    start, whose is_idx bit decides the hit and whose low bits carry the
-    id. The scan is the non-sort bottleneck (lax.cummax measured
-    ~2.7 ms/M int64), so halving it matters."""
+    Sort payload is int32 — index rows carry just the id (16 bits),
+    query rows carry (1<<30)|position (nq <= CHUNK < 2^30) — so the sort
+    moves (8+4)-byte rows. Post-sort propagation is ONE cummax: equal
+    keys form a segment whose FIRST row is the index row when the key is
+    present (ties order index rows first — id < QBIT32 <= query pay —
+    and index keys are unique), so packing
+    (row << 17 | is_idx << 16 | id) at segment starts gives a value
+    monotone in row position; the Pallas scan kernel carries it in one
+    HBM pass (ops/scan_pallas.py, 0.17 ms at 5.2M vs lax.cummax's 17)."""
     nq = q.shape[0]
     keys = jnp.concatenate([sorted_keys, q])
-    qpay = QBIT | jnp.arange(nq, dtype=jnp.int64)
-    pays = jnp.concatenate([pay, qpay])
-    # index rows sort before query rows on key ties (pay < QBIT <= qpay)
+    qpay = QBIT32 | jnp.arange(nq, dtype=jnp.int32)
+    pays = jnp.concatenate([ids32, qpay])
+    # index rows sort before query rows on key ties (id < QBIT32 <= qpay)
     sk, sp = jax.lax.sort((keys, pays), num_keys=2)
     n = sk.shape[0]
-    is_idx = sp < QBIT
+    is_idx = sp < QBIT32
     row = jnp.arange(n, dtype=jnp.int64)
     seg_start = jnp.concatenate(
         [jnp.ones(1, bool), sk[1:] != sk[:-1]]
@@ -126,18 +134,14 @@ def _join_chunk(sorted_keys, pay, q):
         seg_start,
         (row << 17)
         | (is_idx.astype(jnp.int64) << 16)
-        | (sp & jnp.int64(0xFFFF)),
+        | (sp.astype(jnp.int64) & jnp.int64(0xFFFF)),
         jnp.int64(-1),
     )
     c = _cummax_i64(v)
     hit = (~is_idx) & (((c >> 16) & 1) == 1)
     out_id = jnp.where(hit, c & jnp.int64(0xFFFF), 0).astype(jnp.int32)
     # un-sort to query order; index rows sink to the tail
-    pos_key = jnp.where(
-        is_idx,
-        jnp.int32(0x7FFFFFFF),
-        (sp & jnp.int64(0x7FFFFFFF)).astype(jnp.int32),
-    )
+    pos_key = jnp.where(is_idx, jnp.int32(0x7FFFFFFF), sp & ~QBIT32)
     _, ids = jax.lax.sort((pos_key, out_id), num_keys=1)
     return ids[:nq]
 

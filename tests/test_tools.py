@@ -1142,3 +1142,93 @@ def test_phase_timer_and_profile_flag(tmp_path, capsys):
     ])
     err = capsys.readouterr().err
     assert "Processing:" in err and "Total Time:" in err
+
+
+def test_reformat_flag_matrix(tmp_path):
+    """Round-3 depth: the ~20 most-used ReformatReads flags behave
+    (jgi/ReformatReads.java surface)."""
+    import numpy as np
+
+    from bbtools_tpu.models.reformat import main as reformat
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "in.fq"
+    with open(src, "w") as f:
+        for i in range(100):
+            gc_hi = i % 2
+            base_pool = "GC" if gc_hi else "AT"
+            seq = "".join(
+                base_pool[int(x)] for x in rng.integers(0, 2, 60)
+            )
+            q = "".join(chr(33 + 20 + (i % 3)) for _ in range(60))
+            chast = "1:Y:0" if i % 10 == 0 else "1:N:0"
+            f.write(f"@r{i} {chast} extra\n{seq}\n+\n{q}\n")
+
+    def run(out, extra):
+        return reformat([f"in={src}", f"out={out}"] + extra)
+
+    # ftr: keep positions [0, 39] -> 40bp reads
+    out = tmp_path / "ftr.fq"
+    run(out, ["ftr=39"])
+    assert all(len(l) == 40 for l in out.read_text().splitlines()[1::4])
+    # mingc/maxgc split the two pools
+    out = tmp_path / "gc.fq"
+    ro, _ = run(out, ["mingc=0.9"])
+    assert ro == 50
+    # invert flips it
+    out = tmp_path / "inv.fq"
+    ro, _ = run(out, ["mingc=0.9", "invert=t"])
+    assert ro == 50
+    assert b"AT" in out.read_bytes() or b"TA" in out.read_bytes()
+    # chastityfilter drops the :Y: headers
+    out = tmp_path / "ch.fq"
+    ro, _ = run(out, ["ch=t"])
+    assert ro == 90
+    # trimreaddescription
+    out = tmp_path / "trd.fq"
+    run(out, ["trd=t"])
+    assert out.read_text().splitlines()[0] == "@r0"
+    # skipreads
+    out = tmp_path / "skip.fq"
+    ro, _ = run(out, ["skipreads=95"])
+    assert ro == 5
+    # qin/qout offset conversion: phred+33 -> phred+64
+    out = tmp_path / "q64.fq"
+    run(out, ["qout=64"])
+    qline = out.read_text().splitlines()[3]
+    assert qline[0] == chr(64 + 20)
+    back = tmp_path / "q33.fq"
+    reformat([f"in={out}", f"out={back}", "qin=64", "qout=33"])
+    assert back.read_text().splitlines()[3] == chr(33 + 20) * 60
+    # t2u / u2t round trip
+    out = tmp_path / "u.fq"
+    run(out, ["t2u=t"])
+    assert "T" not in "".join(out.read_text().splitlines()[1::4])
+    back = tmp_path / "t.fq"
+    reformat([f"in={out}", f"out={back}", "u2t=t"])
+    assert "U" not in "".join(back.read_text().splitlines()[1::4])
+    # mbq: all quals are 20..22 -> mbq=22 keeps only the i%3==2 third
+    out = tmp_path / "mbq.fq"
+    ro, _ = run(out, ["mbq=22"])
+    assert ro == 33
+    # fasta out with fastawrap
+    out = tmp_path / "o.fa"
+    run(out, ["fastawrap=25"])
+    lines = out.read_text().splitlines()
+    assert len(lines[1]) == 25
+    # histograms
+    run(tmp_path / "h.fq", [
+        f"lhist={tmp_path}/l.txt", f"qhist={tmp_path}/q.txt",
+        f"gchist={tmp_path}/g.txt", f"aqhist={tmp_path}/aq.txt",
+        f"bhist={tmp_path}/b.txt",
+    ])
+    assert (tmp_path / "l.txt").read_text().startswith("#")
+    assert "60" in (tmp_path / "l.txt").read_text()
+    for nm in ("q.txt", "g.txt", "aq.txt", "b.txt"):
+        assert (tmp_path / nm).stat().st_size > 0
+    # iupacton
+    src2 = tmp_path / "iupac.fq"
+    src2.write_text("@x\nACGRYSWB\n+\nFFFFFFFF\n")
+    out = tmp_path / "iu.fq"
+    reformat([f"in={src2}", f"out={out}", "iupacton=t"])
+    assert out.read_text().splitlines()[1] == "ACGNNNNN"
