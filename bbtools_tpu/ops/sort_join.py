@@ -139,11 +139,14 @@ def _join_chunk(sorted_keys, ids32, q):
     )
     c = _cummax_i64(v)
     hit = (~is_idx) & (((c >> 16) & 1) == 1)
-    out_id = jnp.where(hit, c & jnp.int64(0xFFFF), 0).astype(jnp.int32)
-    # un-sort to query order; index rows sink to the tail
-    pos_key = jnp.where(is_idx, jnp.int32(0x7FFFFFFF), sp & ~QBIT32)
-    _, ids = jax.lax.sort((pos_key, out_id), num_keys=1)
-    return ids[:nq]
+    out_id = jnp.where(hit, c & jnp.int64(0xFFFF), jnp.int64(0))
+    # un-sort to query order as ONE single-operand int64 sort:
+    # (pos << 16 | id); index rows sink to the tail via a huge pos
+    pos_key = jnp.where(
+        is_idx, jnp.int32(0x7FFFFFFF), sp & ~QBIT32
+    ).astype(jnp.int64)
+    packed = jnp.sort((pos_key << 16) | out_id)
+    return (packed[:nq] & jnp.int64(0xFFFF)).astype(jnp.int32)
 
 
 def _cummax_i64(v):

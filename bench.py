@@ -442,7 +442,7 @@ def bench_bbmap_e2e(tmpdir):
     t0 = time.perf_counter()
     idx = SeedIndex.build(ref, k=13)
     t_index = time.perf_counter() - t0
-    n = 20000
+    n = 8192
     recs = []
     total_bases = 0
     for i in range(n):
