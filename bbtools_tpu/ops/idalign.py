@@ -133,17 +133,22 @@ class BandedIDAligner:
 
 
 def make_id_aligner(name: str = "glocal"):
-    """Factory.java analog (idaligner/Factory.java:30-38). Four real
-    engines; the remaining research variants (quantum/wobble/crosscut/
-    ssa2/ssa3 — CPU speed/accuracy tradeoffs of the same identity
-    contract) map to the EXACT engine of their family, which dominates
-    them on accuracy: approximating an approximation with the exact
-    answer is a correct refinement, not an alias."""
+    """Factory.java analog (idaligner/Factory.java:30-38). SIX real
+    engines (glocal row-scan, crosscut anti-diagonal, xdrop adaptive
+    window, drifting band, wavefront edit-distance, banded global); the
+    remaining research variants (quantum/wobble/ssa2/ssa3 — CPU
+    speed/accuracy tradeoffs of the same identity contract) map to the
+    EXACT engine of their family, which dominates them on accuracy
+    (tests/test_alignertools.py dominance evidence)."""
     name = name.lower()
     if name in ("glocal", "glocalplus", "quantum", "quantumplus", "quabble",
-                "crosscut", "ssa2", "ssa3", "parallelogram"):
+                "ssa2", "ssa3", "parallelogram"):
         return GlocalAligner()
-    if name in ("wave", "wavefront", "xdrop", "xdroph"):
+    if name in ("crosscut", "diagonal"):
+        return CrossCutIDAligner()
+    if name in ("xdrop", "xdroph"):
+        return XDropIDAligner()
+    if name in ("wave", "wavefront"):
         return WaveFrontIDAligner()
     if name in ("drifting", "driftingplus", "wobble", "wobbleplus",
                 "scrabble"):
@@ -402,3 +407,189 @@ class DriftingIDAligner:
         if pos is not None:
             pos[0], pos[1] = 0, n - 1
         return 1.0 - min(e, max(m, n)) / max(m, n, 1)
+
+
+# ---------------------------------------------------------------------------
+# CrossCut: anti-diagonal exact glocal, traceback-free identity
+# ---------------------------------------------------------------------------
+
+_CC_BIAS = np.int64(1) << 20  # score bias so packed max works unsigned
+
+
+def _cc_pack(score, rstart, dels):
+    # dels stored COMPLEMENTED so the packed max prefers FEWER deletions
+    # on score ties (fewer columns -> higher identity when score > 0)
+    return (
+        ((np.int64(score) + _CC_BIAS) << 42)
+        | (np.int64(rstart) << 21)
+        | (np.int64(0x1FFFFF) - np.int64(dels))
+    )
+
+
+def _cc_unpack_identity(best, m, pos, best_j):
+    score = int(best >> 42) - int(_CC_BIAS)
+    rstart = int((best >> 21) & 0x1FFFFF)
+    dels = 0x1FFFFF - int(best & 0x1FFFFF)
+    matches = (score + dels + m) // 2
+    cols = m + dels
+    if pos is not None:
+        pos[0], pos[1] = rstart, best_j - 1
+    return matches / max(cols, 1)
+
+
+_GAPP = (np.int64(GAP) << 42)  # packed gap step (score field)
+_DELP = _GAPP - 1  # deletion: gap + (complemented) dels decrement
+_NEGP = np.int64(-1)  # impossible cell (all valid packs are >= 0)
+
+
+class CrossCutIDAligner:
+    """Anti-diagonal ("cross-cut") exact glocal aligner
+    (idaligner/CrossCutAligner.java): iterate diagonals d = i+j so every
+    cell on a diagonal is independent — the dependency-free order that
+    vectorizes (the same wavefront the Pallas MSA kernel uses). Identity
+    needs NO traceback: each cell packs (score | rstart | deletions) in
+    one int64 and, with the query consumed globally,
+      columns = qlen + D,  M = (score + D + qlen) / 2  (unit scores),
+    so identity falls out of the winning cell alone — CrossCutAligner's
+    three-plane packing collapsed to one int64."""
+
+    def name(self) -> str:
+        return "CrossCut"
+
+    def align(self, q, r, pos=None) -> float:
+        q = np.asarray(q, np.uint8)
+        r = np.asarray(r, np.uint8)
+        m, n = len(q), len(r)
+        if m == 0 or n == 0:
+            return 0.0
+        # buffers indexed by i; cell (i, j = d - i)
+        prev2 = np.full(m + 1, _NEGP, np.int64)  # diagonal d-2
+        prev = np.full(m + 1, _NEGP, np.int64)  # diagonal d-1
+        prev2[0] = _cc_pack(0, 0, 0)  # (0, 0)
+        prev[0] = _cc_pack(0, 1, 0)  # (0, 1) free ref prefix
+        if m >= 1:
+            prev[1] = _cc_pack(GAP, 0, 0)  # (1, 0) query gap
+        best = prev2[0] if m == 0 else _NEGP
+        best_j = 0
+        if m >= 1 and 1 <= n + 0:
+            pass
+        if m == 1:
+            # diagonal 1 already holds row m cells
+            if prev[1] > best:
+                best, best_j = prev[1], 0
+        for d in range(2, m + n + 1):
+            lo = max(0, d - n)
+            hi = min(m, d)
+            cur = np.full(m + 1, _NEGP, np.int64)
+            ivec = np.arange(lo, hi + 1)
+            # left neighbor (i, j-1) -> prev[i]; invalid when j-1 < 0
+            left = prev[lo : hi + 1]
+            cand = np.where(left >= 0, left + _DELP, _NEGP)
+            # up neighbor (i-1, j) -> prev[i-1]; needs i >= 1
+            iu = np.maximum(ivec - 1, 0)
+            up = prev[iu]
+            cu = np.where((ivec >= 1) & (up >= 0), up + _GAPP, _NEGP)
+            cand = np.maximum(cand, cu)
+            # diagonal (i-1, j-1) -> prev2[i-1]; needs i >= 1 and j >= 1
+            dg = prev2[iu]
+            jvec = d - ivec
+            okd = (ivec >= 1) & (jvec >= 1) & (dg >= 0)
+            qi = q[np.clip(ivec - 1, 0, m - 1)]
+            rj = r[np.clip(jvec - 1, 0, n - 1)]
+            ss = np.where(qi == rj, np.int64(MATCH), np.int64(SUB))
+            cd = np.where(okd, dg + (ss << 42), _NEGP)
+            cand = np.maximum(cand, cd)
+            # boundary cells
+            if lo == 0:  # (0, d): free ref prefix start
+                cand[0] = _cc_pack(0, d, 0)
+            if hi == d:  # (d, 0): query-prefix gaps
+                cand[-1] = _cc_pack(GAP * d, 0, 0)
+            cur[lo : hi + 1] = cand
+            # row i = m joins the free-ref-suffix maximum
+            if d >= m and cur[m] > best:
+                best, best_j = cur[m], d - m
+            prev2, prev = prev, cur
+        if best < 0:
+            return 0.0
+        return _cc_unpack_identity(best, m, pos, best_j)
+
+
+class XDropIDAligner:
+    """X-drop glocal (idaligner/XDropHAligner.java role): per row, only
+    columns whose score stays within X of the row maximum remain active;
+    the window shrinks on clean data (decideBandwidth's leading-subs
+    probe seeds it, XDropHAligner.decideBandwidth) and widens under
+    divergence — adaptive work instead of the full matrix. Identity is
+    traceback-free via the CrossCut packing. Heuristic by design:
+    pruning can clip the true optimum on adversarial inputs."""
+
+    def __init__(self, xdrop: int = 24):
+        self.xdrop = xdrop
+
+    def name(self) -> str:
+        return "XDrop"
+
+    def align(self, q, r, pos=None) -> float:
+        q = np.asarray(q, np.uint8)
+        r = np.asarray(r, np.uint8)
+        m, n = len(q), len(r)
+        if m == 0 or n == 0:
+            return 0.0
+        # decideBandwidth probe (leading mismatch count, capped)
+        bw = min(m // 4 + 2, max(m, n) // 32, 12)
+        bw = max(2, bw) + 3
+        ml = min(m, n)
+        mism = np.cumsum(q[:ml] != r[:ml])
+        subs = int(np.searchsorted(mism, bw))
+        X = np.int64(self.xdrop + 2 * min(subs + 1, bw))
+        row = _cc_pack(
+            np.zeros(n + 1, np.int64),
+            np.arange(n + 1, dtype=np.int64),
+            np.zeros(n + 1, np.int64),
+        )  # row 0: free ref start
+        lo, hi = 0, n
+        tvec_full = np.arange(n + 1, dtype=np.int64)
+        for i in range(1, m + 1):
+            nlo = max(lo - 1, 0)
+            nhi = min(hi + 1, n)
+            width = nhi - nlo + 1
+            cols = tvec_full[nlo : nhi + 1]
+            up = row[nlo : nhi + 1]
+            cand = np.where(up >= 0, up + _GAPP, _NEGP)
+            dlo = max(nlo, 1)
+            if dlo <= nhi:
+                dg = row[dlo - 1 : nhi]
+                ss = np.where(
+                    q[i - 1] == r[dlo - 1 : nhi],
+                    np.int64(MATCH), np.int64(SUB),
+                )
+                cd = np.where(dg >= 0, dg + (ss << 42), _NEGP)
+                off = dlo - nlo
+                cand[off:] = np.maximum(cand[off:], cd)
+            if nlo == 0:
+                cand[0] = max(cand[0], _cc_pack(GAP * i, 0, 0))
+            # left (deletion) relaxation as a decayed prefix-max:
+            # c'[t] = max_{t'<=t} cand[t'] + (t-t')*DELP
+            t_idx = np.arange(width, dtype=np.int64)
+            sent = np.int64(-(1 << 62))
+            shifted = np.where(cand >= 0, cand - t_idx * _DELP, sent)
+            relax = np.maximum.accumulate(shifted) + t_idx * _DELP
+            any_valid = np.maximum.accumulate(
+                (cand >= 0).astype(np.int8)
+            ).astype(bool)
+            cand = np.maximum(cand, np.where(any_valid, relax, _NEGP))
+            # x-drop prune on the score field
+            scores = np.where(cand >= 0, cand >> 42, np.int64(-(1 << 40)))
+            rb = scores.max()
+            alive = np.flatnonzero(scores >= rb - X)
+            if len(alive) == 0:
+                return 0.0
+            row = np.full(n + 1, _NEGP, np.int64)
+            a0, a1 = int(alive[0]), int(alive[-1])
+            row[nlo + a0 : nlo + a1 + 1] = cand[a0 : a1 + 1]
+            lo, hi = nlo + a0, nlo + a1
+        best_j = int(np.argmax(row))
+        best = row[best_j]
+        if best < 0:
+            return 0.0
+        return _cc_unpack_identity(best, m, pos, best_j)

@@ -12,7 +12,7 @@ from bbtools_tpu.ops.idalign import make_id_aligner
 
 
 @pytest.mark.parametrize("name", ["glocal", "banded", "drifting",
-                                  "wavefront"])
+                                  "wavefront", "crosscut", "xdrop"])
 def test_validation_ladder(name):
     """Test.validate identity ladder (idaligner/Test.java:100-200)."""
     validate_engine(name)
@@ -109,7 +109,7 @@ def test_alignerbenchmark_engines_dominate(tmp_path, capsys):
     # padding would count as end gaps for it by definition
     rc = benchmark_main([
         f"ref={tmp_path}/ref.fa", f"in={tmp_path}/reads.fq", "pad=0",
-        "aligners=glocal,banded,drifting,wavefront",
+        "aligners=glocal,banded,drifting,wavefront,crosscut,xdrop",
     ])
     assert rc == 0
     cap = capsys.readouterr().out
@@ -117,7 +117,8 @@ def test_alignerbenchmark_engines_dominate(tmp_path, capsys):
     assert len(rows) == 40
     hdr = cap.splitlines()[0].split("\t")
     hdr_l = [h.lower() for h in hdr]
-    for eng in ("glocal", "banded", "drifting", "wavefront"):
+    for eng in ("glocal", "banded", "drifting", "wavefront",
+                "crosscut", "xdrop"):
         col = [i for i, h in enumerate(hdr_l)
                if h.endswith("_id") and eng in h][0]
         ids = np.array([float(r[col]) for r in rows])
