@@ -137,6 +137,83 @@ def bin_contigs(contigs: list[Contig],
     return [b for b in bins if b]
 
 
+def purify_pass(bins: list[list["Contig"]],
+                tetra_limit: float = TETRA_DIF_LIMIT,
+                depth_limit: float = DEPTH_RATIO_LIMIT,
+                stringency: float = 0.75):
+    """Binner.purify (bin/Binner.java:715-765): eject contigs that no
+    longer belong to their cluster under a TIGHTER gate computed against
+    the leave-one-out bin profile; ejected contigs form residue
+    singletons that the residue pass re-places."""
+    out: list[list[Contig]] = []
+    residue: list[list[Contig]] = []
+    for members in bins:
+        if len(members) < 3:
+            out.append(members)
+            continue
+        W = np.array([len(c.seq) for c in members], np.float64)
+        Pm = np.stack([c.profile for c in members])
+        Dm = np.array([c.depth for c in members])
+        wsum = W.sum()
+        psum = (Pm * W[:, None]).sum(axis=0)
+        dsum = (Dm * W).sum()
+        keep = []
+        for idx, c in enumerate(members):
+            w0 = wsum - W[idx]
+            loo_p = (psum - Pm[idx] * W[idx]) / max(w0, 1e-9)
+            loo_d = (dsum - Dm[idx] * W[idx]) / max(w0, 1e-9)
+            dif = float(np.abs(loo_p - c.profile).sum())
+            ratio = max(loo_d, c.depth) / max(min(loo_d, c.depth), 1e-9)
+            if (
+                dif > tetra_limit * stringency
+                or ratio > 1 + (depth_limit - 1) / max(stringency, 1e-9)
+            ):
+                residue.append([c])
+            else:
+                keep.append(c)
+        out.append(keep if keep else members)
+    return [b for b in out if b], residue
+
+
+def residue_pass(bins: list[list["Contig"]],
+                 residue: list[list["Contig"]],
+                 tetra_limit: float = TETRA_DIF_LIMIT,
+                 depth_limit: float = DEPTH_RATIO_LIMIT,
+                 stringency: float = 1.5):
+    """Binner.processResidue role: re-place ejected/leftover contigs
+    into the best surviving bin under a LOOSER gate (residueStringency);
+    anything still unplaced stays a singleton bin."""
+    if not residue:
+        return bins
+    prof = []
+    dep = []
+    for members in bins:
+        W = np.array([len(c.seq) for c in members], np.float64)
+        Pm = np.stack([c.profile for c in members])
+        Dm = np.array([c.depth for c in members])
+        w = W.sum()
+        prof.append((Pm * W[:, None]).sum(axis=0) / max(w, 1e-9))
+        dep.append(float((Dm * W).sum() / max(w, 1e-9)))
+    P = np.stack(prof) if prof else np.zeros((0, 136))
+    D = np.array(dep)
+    leftover = []
+    for group in residue:
+        for c in group:
+            if len(P):
+                dif = np.abs(P - c.profile).sum(axis=1)
+                ratio = np.maximum(D, c.depth) / np.maximum(
+                    np.minimum(D, c.depth), 1e-9
+                )
+                ok = (dif < tetra_limit * stringency) & (
+                    ratio <= 1 + (depth_limit - 1) * stringency
+                )
+                if ok.any():
+                    bins[int(np.argmin(np.where(ok, dif, np.inf)))].append(c)
+                    continue
+            leftover.append([c])
+    return bins + leftover
+
+
 def sketch_refine(bins: list[list["Contig"]], depth_limit: float,
                   min_ani: float = 0.96, sketch_size: int = 2000):
     """Sketch-based bin merging (BinSketcher/Oracle role): bottom-k
@@ -225,6 +302,14 @@ def main(argv=None):
             Contig(rec.name, rec.seq, tetramer_profile(codes), float(d))
         )
     bins = bin_contigs(contigs, tetra_limit, depth_limit)
+    if a.get_bool("purify", default=True) and bins:
+        ps = a.get_float("purifystringency", default=0.75)
+        rs = a.get_float("residuestringency", default=1.5)
+        bins, residue = purify_pass(bins, tetra_limit, depth_limit, ps)
+        if residue:
+            print(f"Purify ejected {len(residue)} contigs.",
+                  file=sys.stderr)
+            bins = residue_pass(bins, residue, tetra_limit, depth_limit, rs)
     if a.get_bool("sketch", "refine", default=True):
         before = len(bins)
         bins = sketch_refine(

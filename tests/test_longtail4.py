@@ -308,3 +308,50 @@ def test_icecream_kzt(tmp_path):
     # the clean subread of ZMW 7 goes bad too (whole-ZMW discard)
     assert good == [b"@m1/9/0_1600"]
     assert sorted(bad) == [b"@m1/7/0_1600", b"@m1/7/1700_3300"]
+
+
+def test_quickbin_purify_and_residue(tmp_path):
+    """Binner purify/residue semantics (bin/Binner.java:715,642): a
+    contaminant contig planted into a bin gets ejected by the tighter
+    leave-one-out gate and re-placed (or isolated) by the residue pass."""
+    import numpy as np
+
+    from bbtools_tpu.models.quickbin import (
+        Contig,
+        purify_pass,
+        residue_pass,
+        tetramer_profile,
+    )
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+
+    rng = np.random.default_rng(12)
+
+    def genome_contigs(seed, n, depth):
+        g = np.random.default_rng(seed)
+        # biased composition so tetramer profiles separate
+        probs = g.dirichlet(np.ones(4) * 0.7)
+        out = []
+        for i in range(n):
+            codes = g.choice(4, 4000, p=probs).astype(np.uint8)
+            seq = CODE_TO_BASE[codes].tobytes()
+            out.append(Contig(b"c%d_%d" % (seed, i), seq,
+                              tetramer_profile(codes), depth))
+        return out
+
+    bin_a = genome_contigs(1, 8, 10.0)
+    bin_b = genome_contigs(2, 8, 40.0)
+    # plant one B contig into A's bin
+    planted = bin_b.pop()
+    bins = [bin_a + [planted], bin_b]
+    cleaned, residue = purify_pass(bins, stringency=0.9)
+    ejected = [c for grp in residue for c in grp]
+    assert planted in ejected, "contaminant not ejected"
+    assert all(planted not in b for b in cleaned)
+    # residue pass re-places it into the matching bin (b)
+    final = residue_pass(cleaned, residue)
+    homes = [i for i, b in enumerate(final) if planted in b]
+    assert len(homes) == 1
+    home = final[homes[0]]
+    assert any(c.name.startswith(b"c2_") for c in home if c is not planted), (
+        "re-placed into the wrong bin"
+    )
