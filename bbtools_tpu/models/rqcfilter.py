@@ -46,6 +46,15 @@ def main(argv=None):
     do_artifacts = a.get_bool("filterk", "artifacts", default=True)
     remove_ref = a.get("removeref")  # host-removal reference (mapping)
     keep_int = a.get_bool("keepintermediates", "ki", default=False)
+    # optional reference stages (RQCFilter2.java flag surface)
+    do_dedupe = a.get_bool("clumpify", "dedupe", "opticaldupes",
+                           default=False)
+    entropy = a.get_float("entropy", default=-1.0)
+    do_chastity = a.get_bool("chastityfilter", "ch", default=False)
+    do_ribo = a.get_bool("removeribo", "ribo", default=False)
+    ribodb = a.get("ribodb")  # default: bundled rRNA consensus seqs
+    do_poly = a.get_int("polyfilter", "polytrim", default=0)
+    do_khist = a.get_bool("khist", "dokhist", default=False)
     os.makedirs(outdir, exist_ok=True)
     stem = os.path.basename(in1)
     for ext in (".gz", ".fastq", ".fq", ".fasta", ".fa"):
@@ -72,6 +81,29 @@ def main(argv=None):
         files.append(outp)
 
     suffix = ""
+    if do_chastity:
+        # Illumina chastity fail removal (RQCFilter2 chastityfilter)
+        from .reformat import main as reformat_main
+
+        outp = os.path.join(outdir, f"{stem}.ch.fastq.gz")
+        reformat_main([f"in={cur}", f"out={outp}", "ch=t", "overwrite=t"])
+        r, b = _count_fq(outp)
+        stats_rows.append(("chastity", r, b))
+        cur = outp
+        files.append(outp)
+    if do_dedupe:
+        # optical/exact duplicate removal (RQCFilter2 clumpify stage)
+        from .clumpify import main as clumpify_main
+
+        outp = os.path.join(outdir, f"{stem}.dd.fastq.gz")
+        clumpify_main([f"in={cur}", f"out={outp}", "dedupe=t",
+                       "overwrite=t"])
+        r, b = _count_fq(outp)
+        stats_rows.append(("dedupe", r, b))
+        if cur != in1 and not keep_int:
+            os.remove(cur)
+        cur = outp
+        files.append(outp)
     if do_adapters:
         suffix += "a"
         stage(
@@ -101,6 +133,49 @@ def main(argv=None):
             "filter",
             [f"ref={','.join(refs)}", "k=31", "hdist=1",
              f"minlen={minlen}"],
+            f"{stem}.{suffix}.fastq.gz",
+        )
+    if entropy >= 0:
+        # low-complexity removal (RQCFilter2 entropy= -> BBDuk)
+        suffix += "d"  # "dusted" in the reference's suffix chain
+        stage(
+            "entropy",
+            [f"entropy={entropy}", f"minlen={minlen}"],
+            f"{stem}.{suffix}.fastq.gz",
+        )
+    if do_poly > 0:
+        # poly-G/poly-C tail trimming (RQCFilter2 polyfilter role):
+        # ktrim against literal homopolymer 31-mers
+        suffix += "g"
+        stage(
+            "polyfilter",
+            ["literal=" + ",".join(["G" * 31, "C" * 31]),
+             "k=31", "ktrim=r", "mink=29", f"minlen={minlen}"],
+            f"{stem}.{suffix}.fastq.gz",
+        )
+    if do_ribo:
+        # rRNA removal vs ribo kmers (RQCFilter2 removeribo -> riboKmers;
+        # default db = the bundled SSU/LSU consensus sequences)
+        import bbtools_tpu
+
+        if not ribodb:
+            res = os.path.join(
+                os.path.dirname(bbtools_tpu.__file__), "resources"
+            )
+            ribodb = ",".join(
+                os.path.join(res, f)
+                for f in (
+                    "16S_consensus_sequence.fa",
+                    "18S_consensus_sequence.fa",
+                    "23S_consensus_sequence.fa",
+                    "5S_consensus_sequence.fa",
+                )
+                if os.path.exists(os.path.join(res, f))
+            )
+        suffix += "r"
+        stage(
+            "ribo",
+            [f"ref={ribodb}", "k=31", "hdist=1", f"minlen={minlen}"],
             f"{stem}.{suffix}.fastq.gz",
         )
     if remove_ref:
@@ -139,6 +214,15 @@ def main(argv=None):
             os.remove(cur)
         cur = outp
         files.append(outp)
+
+    if do_khist:
+        # k-mer depth histogram of the surviving reads (RQCFilter2
+        # khist= stage -> KmerCountExact)
+        from .kmercountexact import run as kce_run
+
+        kh = os.path.join(outdir, f"{stem}.khist.txt")
+        kce_run([f"in={cur}", f"khist={kh}", "k=31"])
+        files.append(kh)
 
     # final artifacts: file list + survivorship stats
     with open(os.path.join(outdir, "file-list.txt"), "w") as fh:

@@ -315,6 +315,21 @@ def bench_kmercount():
     t0 = time.perf_counter()
     with_transfer()
     dt_all = time.perf_counter() - t0
+
+    # the PRODUCTION khist path since round 3: DeviceSpectrum keeps the
+    # spectrum on device (one scalar crosses the link per batch) and
+    # finalizes the histogram there — the readback-cliff mitigation
+    from bbtools_tpu.ops.kmer_count import DeviceSpectrum
+
+    spec = DeviceSpectrum(31, cap=1 << 22)
+    spec.add_batch(bases, lengths)  # warm: compiles the merge graph
+    t0 = time.perf_counter()
+    n_acc = 4
+    for i in range(n_acc):
+        spec.add_batch(np.roll(bases, i + 1, axis=0), lengths)
+    h = spec.histogram(1000)
+    assert h.sum() > 0
+    dt_acc = (time.perf_counter() - t0) / n_acc
     return {
         "reads_per_sec": reads / dt_dev,
         "bases_per_sec": reads * READ_LEN / dt_dev,
@@ -322,6 +337,10 @@ def bench_kmercount():
         "with_spectrum_readback": {
             "reads_per_sec": reads / dt_all,
             "kmers_per_sec": reads * (READ_LEN - 30) / dt_all,
+        },
+        "device_spectrum_khist": {
+            "reads_per_sec": reads / dt_acc,
+            "kmers_per_sec": reads * (READ_LEN - 30) / dt_acc,
         },
     }
 

@@ -645,3 +645,43 @@ def test_rename_and_kmercountmulti(tmp_path):
     est = dict(rows)
     # ~30*(100-k+1) distinct random kmers, HLL ~2% error
     assert 2200 <= est[15] <= 3000 and 1700 <= est[31] <= 2600, est
+
+
+def test_rqcfilter_optional_stages(tmp_path):
+    """RQCFilter2's optional stage surface: dedupe (clumpify), entropy
+    (dusting), polyfilter, removeribo (bundled rRNA db), khist
+    (jgi/RQCFilter2.java stage chain)."""
+    import numpy as np
+
+    from bbtools_tpu.models.rqcfilter import main as rqc
+
+    rng = np.random.default_rng(8)
+    src = tmp_path / "in.fq"
+    CODE = "ACGT"
+    with open(src, "w") as f:
+        reads = []
+        for i in range(60):
+            seq = "".join(CODE[c] for c in rng.integers(0, 4, 100))
+            reads.append(seq)
+        # exact duplicates for dedupe
+        reads += reads[:10]
+        # low-entropy + poly-G reads
+        reads.append("AT" * 50)
+        reads.append("".join(CODE[c] for c in rng.integers(0, 4, 60))
+                     + "G" * 40)
+        for i, seq in enumerate(reads):
+            f.write(f"@r{i} 1:N:0\n{seq}\n+\n{'F' * len(seq)}\n")
+    outdir = tmp_path / "out"
+    stats, final = rqc([
+        f"in={src}", f"path={outdir}", "dedupe=t", "entropy=0.3",
+        "polyfilter=1", "khist=t", "ch=t", "minlength=30",
+    ])
+    tags = [t for t, _, _ in stats]
+    for want in ("dedupe", "entropy", "polyfilter"):
+        assert want in tags, tags
+    d = dict((t, r) for t, r, _ in stats)
+    assert d["dedupe"] == 62  # 10 duplicates removed
+    assert d["entropy"] <= d["dedupe"] - 1  # AT-repeat read dropped
+    assert (outdir / "filterstats.txt").exists()
+    import glob
+    assert glob.glob(str(outdir / "*.khist.txt")), "khist output missing"
