@@ -92,6 +92,12 @@ class BBMapConfig:
     #: bloom prescreen (bbmap.sh bloomfilter flag): reads sharing NO
     #: k=31 kmer with the reference skip seeding entirely
     bloom_prescreen: bool = False
+    #: run seed expansion + clustering on device (ops/seed_cluster.py;
+    #: output-identical to the host path). Default OFF on this dev
+    #: harness: the extra dispatch costs a ~25 ms tunnel RTT per batch,
+    #: which swamps the saved host work; on a real TPU host it wins
+    #: (host numpy was ~0.14 s per 4096 reads)
+    device_seed: bool = False
     sam_version: str = "1.4"  # sam=1.3 emits M cigars
     mhist: str | None = None  # per-position match/sub/del/ins rates
     idhist: str | None = None  # identity histogram
@@ -171,6 +177,7 @@ def parse_args(argv, preset: str | None = None):
     c.fastareadlen = a.get_int("fastareadlen", default=c.fastareadlen)
     c.batch_reads = a.get_int("batchreads", default=c.batch_reads)
     c.bloom_prescreen = a.get_bool("bloomfilter", "bloom", default=False)
+    c.device_seed = a.get_bool("devseed", "deviceseed", default=False)
     c.sam_version = a.get("sam", "samversion", default="1.4") or "1.4"
     c.mhist = a.get("mhist")
     c.idhist = a.get("idhist")
@@ -276,13 +283,10 @@ class BBMap:
         n_keys = max(2, min(n_slots, int(length * self.cfg.key_density / k)))
         return np.unique(np.linspace(0, n_slots - 1, n_keys).astype(np.int64))
 
-    def candidates_for_batch(self, bases: np.ndarray, lengths: np.ndarray):
-        """Seed + cluster phase, fully vectorized across the batch.
-
-        Returns flat candidate arrays (read, diag_start, strand, votes,
-        spread, modal_diag), ordered read-major (then strand, then votes
-        descending) — no per-read Python lists anywhere.
-        """
+    def _seed_slots(self, bases: np.ndarray, lengths: np.ndarray):
+        """Per-read seed keys/masks/offsets ([2, B, K] planes) — the
+        KeyRing.makeOffsets analog shared by the host and device
+        cluster phases."""
         cfg = self.cfg
         k = cfg.k
         B, L = bases.shape
@@ -311,6 +315,73 @@ class BBMap:
         vmask[0] = valid_off & (runlen[rows, kidx0] >= k)
         keys[1] = rkm[rows, kidx1] & space_mask
         vmask[1] = valid_off & (runlen[rows, kidx1] >= k)
+        return keys, vmask, offs, K
+
+    def _device_seed_tables(self):
+        """CSR planes on device (int32), cached; None off-TPU or when
+        sites exceed int32."""
+        import jax
+
+        if getattr(self, "_dev_csr", None) is not None:
+            return self._dev_csr if self._dev_csr != () else None
+        self._dev_csr = ()
+        if not self.cfg.device_seed:
+            return None
+        if jax.devices()[0].platform != "tpu":
+            return None
+        idx = self.index
+        if idx.starts[-1] >= (1 << 31):
+            return None
+        import jax.numpy as jnp
+
+        self._dev_csr = (
+            jnp.asarray(idx.starts.astype(np.int32)),
+            jnp.asarray(idx.sites.astype(np.int32)),
+        )
+        return self._dev_csr
+
+    def candidates_for_batch(self, bases: np.ndarray, lengths: np.ndarray):
+        """Seed + cluster phase, fully vectorized across the batch.
+
+        Returns flat candidate arrays (read, diag_start, strand, votes,
+        spread, modal_diag), ordered read-major (then strand, then votes
+        descending) — no per-read Python lists anywhere. On TPU the
+        expansion + clustering runs on device (ops/seed_cluster.py,
+        identical outputs); the host numpy path remains the CPU backend
+        and the overflow fallback.
+        """
+        cfg = self.cfg
+        B, L = bases.shape
+        lengths = lengths.astype(np.int64)
+        keys, vmask, offs, K = self._seed_slots(bases, lengths)
+        bridge = min(cfg.max_indel, cfg.window_extras[-1] - 2 * cfg.pad)
+        csr = self._device_seed_tables()
+        if csr is not None:
+            import jax.numpy as jnp
+
+            from ..ops.seed_cluster import seed_candidates_jnp
+
+            t_cap = 1 << max(18, (4 * B * K).bit_length())
+            c_cap = 2 * B * cfg.max_sites
+            res = seed_candidates_jnp(
+                jnp.asarray(keys[0].astype(np.int32)),
+                jnp.asarray(keys[1].astype(np.int32)),
+                jnp.asarray(vmask[0]), jnp.asarray(vmask[1]),
+                jnp.asarray(offs),
+                csr[0], csr[1], B, K, t_cap, c_cap,
+                cfg.max_sites, int(bridge),
+            )
+            ok = bool(res[7])
+            if ok:
+                n = int(res[6])
+                return (
+                    np.asarray(res[0])[:n].astype(np.int64),
+                    np.asarray(res[1])[:n],
+                    np.asarray(res[2])[:n].astype(np.int64),
+                    np.asarray(res[3])[:n],
+                    np.asarray(res[4])[:n],
+                    np.asarray(res[5])[:n],
+                )
         flat_keys = keys.reshape(-1)
         flat_valid = vmask.reshape(-1)
         flat_off = np.broadcast_to(offs[None], (2, B, K)).reshape(-1)

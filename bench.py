@@ -487,13 +487,32 @@ def bench_bbmap_e2e(tmpdir):
     t0 = time.perf_counter()
     tool = BBMap(cfg, index=idx).run()
     dt = time.perf_counter() - t0
-    return {
+    out = {
         "reads_per_sec": n / dt,
         "bases_per_sec": total_bases / dt,
         "mapped_fraction": tool.reads_mapped / max(tool.reads_in, 1),
         "index_build_sec": round(t_index, 2),
         "vs_java_map_32t": round((total_bases / dt) / JAVA_MAP_32T_BPS, 4),
     }
+    # devseed variant: seed expansion + clustering on device
+    # (ops/seed_cluster.py). On this tunneled harness the extra dispatch
+    # RTT dominates; the row tracks it honestly either way.
+    try:
+        os.remove(out_sam)
+        cfg2 = BBMapConfig(in1=reads_fq, out=out_sam, batch_reads=4096,
+                           device_seed=True)
+        BBMap(cfg2, index=idx).run()  # warm
+        os.remove(out_sam)
+        t0 = time.perf_counter()
+        t2 = BBMap(cfg2, index=idx).run()
+        dt2 = time.perf_counter() - t0
+        out["device_seed"] = {
+            "reads_per_sec": n / dt2,
+            "mapped_fraction": t2.reads_mapped / max(t2.reads_in, 1),
+        }
+    except Exception as e:
+        out["device_seed"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return out
 
 
 def bench_bbmap_msa():
