@@ -86,11 +86,15 @@ class FastqReader:
         batch_reads: int = DEFAULT_BATCH_READS,
         qual_offset: int | None = None,
         pad_to: int | None = None,
+        with_ascii: bool = True,
     ):
         self.path = path
         self.batch_reads = batch_reads
         self.qual_offset = qual_offset
         self.pad_to = pad_to
+        #: with_ascii=False skips the raw-byte plane (compute-only
+        #: tools that never re-emit reads save a third of fill writes)
+        self.with_ascii = with_ascii
         self.reads_in = 0
         self.bases_in = 0
 
@@ -223,7 +227,8 @@ class FastqReader:
             )
             mask = np.arange(L)[None, :] < lengths0[:nsamp, None]
             self.qual_offset = detect_quality_offset(samp[mask])
-        native = _native_build(len_rows, L, self.qual_offset)
+        native = _native_build(len_rows, L, self.qual_offset,
+                               self.with_ascii)
         if native is not None:
             bases, q, seqs, lengths = native
             if len(len_rows) == 1:
@@ -389,7 +394,7 @@ def encode_fastq(
     return b"".join(parts)
 
 
-def _native_build(len_rows, L, qual_offset):
+def _native_build(len_rows, L, qual_offset, with_ascii=True):
     """Gather all parts with the native codec; None if unavailable."""
     try:
         from ..native import fill_records_native
@@ -397,7 +402,8 @@ def _native_build(len_rows, L, qual_offset):
         return None
     outs = []
     for buf, starts, ends, lengths in len_rows:
-        res = fill_records_native(buf, starts, ends, L, qual_offset)
+        res = fill_records_native(buf, starts, ends, L, qual_offset,
+                                  with_ascii=with_ascii)
         if res is None:
             return None
         outs.append(res)
@@ -406,7 +412,10 @@ def _native_build(len_rows, L, qual_offset):
     else:
         b = np.concatenate([o[0] for o in outs])
         q = np.concatenate([o[1] for o in outs])
-        a = np.concatenate([o[2] for o in outs])
+        a = (
+            np.concatenate([o[2] for o in outs])
+            if outs[0][2] is not None else None
+        )
         ln = np.concatenate([o[3] for o in outs])
     return b, q, a, ln
 

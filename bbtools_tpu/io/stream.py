@@ -52,9 +52,12 @@ class FastaBatchReader:
             yield b
 
 
-def read_batches(path: str, batch_reads: int = DEFAULT_BATCH_READS):
-    """Return a format-appropriate batch reader (with .reads_in/.bases_in)."""
+def read_batches(path: str, batch_reads: int = DEFAULT_BATCH_READS,
+                 with_ascii: bool = True):
+    """Return a format-appropriate batch reader (with .reads_in/.bases_in).
+    with_ascii=False skips the raw-byte plane for compute-only consumers
+    (FASTQ path only; FASTA batches are built from codes anyway)."""
     ff = test_input(path)
     if ff.format is Format.FASTA:
         return FastaBatchReader(path, batch_reads)
-    return FastqReader(path, batch_reads=batch_reads)
+    return FastqReader(path, batch_reads=batch_reads, with_ascii=with_ascii)

@@ -62,7 +62,9 @@ def run(argv: list[str]):
         spec = KmerSpectrum(k)
     reads = bases = 0
     for path in [p for p in (in1, in2) if p]:
-        reader = read_batches(path, batch_reads=batch_reads)
+        # compute-only: the raw-byte plane is never re-emitted here
+        reader = read_batches(path, batch_reads=batch_reads,
+                              with_ascii=False)
         for b in reader:
             if big:
                 keys, c = count_batchw_exact(

@@ -63,11 +63,11 @@ int fill_records(const uint8_t *buf,
         lengths[r] = (int32_t)len;
         uint8_t *brow = bases + r * pad;
         uint8_t *qrow = quals + r * pad;
-        uint8_t *arow = ascii + r * pad;
+        uint8_t *arow = ascii ? ascii + r * pad : 0;
         long i = 0;
         for (; i < len; i++) {
             uint8_t c = buf[ss + i];
-            arow[i] = c;
+            if (arow) arow[i] = c;
             brow[i] = lut[c];
             int q = (int)buf[qs + i] - qual_offset;
             if (q < 0) q = 0;
@@ -77,7 +77,7 @@ int fill_records(const uint8_t *buf,
         for (; i < pad; i++) {
             brow[i] = 4;
             qrow[i] = 0;
-            arow[i] = 'N';
+            if (arow) arow[i] = 'N';
         }
     }
     return rc;
@@ -261,7 +261,7 @@ static void *fill_worker(void *arg) {
         j->buf, j->line_starts + 4 * j->r0, j->line_ends + 4 * j->r0,
         j->r1 - j->r0, j->pad, j->qual_offset,
         j->bases + j->r0 * j->pad, j->quals + j->r0 * j->pad,
-        j->ascii + j->r0 * j->pad, j->lengths + j->r0);
+        j->ascii ? j->ascii + j->r0 * j->pad : 0, j->lengths + j->r0);
     return 0;
 }
 

@@ -435,7 +435,16 @@ def bench_host_ingest():
             bases += int(b.lengths.sum())
         dt = time.perf_counter() - t0
         best = max(best, bases / dt)
-    return {"bases_per_sec": best}
+    # compute-only readers (kmer counting etc.) skip the raw-byte plane
+    best2 = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bases = 0
+        for b in FastqReader(path, batch_reads=8192, with_ascii=False):
+            bases += int(b.lengths.sum())
+        dt = time.perf_counter() - t0
+        best2 = max(best2, bases / dt)
+    return {"bases_per_sec": best, "compute_only_bases_per_sec": best2}
 
 
 def bench_bbmap_e2e(tmpdir):
