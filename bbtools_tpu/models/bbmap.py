@@ -120,6 +120,11 @@ class BBMapConfig:
     outu2: str | None = None
     outm1: str | None = None
     outm2: str | None = None
+    #: scaffold blacklist (align2/Blacklist.java): reads whose primary
+    #: site lands on a listed scaffold are dropped from out=/outm= and
+    #: routed to outb= instead (comma list of name files or fastas)
+    blacklist: str | None = None
+    outb1: str | None = None
 
 
 def pacbio_preset(c: "BBMapConfig"):
@@ -178,6 +183,8 @@ def parse_args(argv, preset: str | None = None):
     c.batch_reads = a.get_int("batchreads", default=c.batch_reads)
     c.bloom_prescreen = a.get_bool("bloomfilter", "bloom", default=False)
     c.device_seed = a.get_bool("devseed", "deviceseed", default=False)
+    c.blacklist = a.get("blacklist")
+    c.outb1 = a.get("outb", "outb1", "outblacklist", "outblacklist1")
     c.sam_version = a.get("sam", "samversion", default="1.4") or "1.4"
     c.mhist = a.get("mhist")
     c.idhist = a.get("idhist")
@@ -204,6 +211,9 @@ def max_quality(length) -> np.ndarray:
 @dataclass
 class MapResult:
     mapped: bool = False
+    #: primary site on a blacklisted scaffold (align2/Blacklist): the
+    #: read is removed from SAM/outm and routed to outb=
+    blacklisted: bool = False
     flat_start: int = 0  # 0-based flat ref coordinate of alignment start
     strand: int = 0
     score: int = 0
@@ -244,6 +254,27 @@ class BBMap:
         self._mhist = np.zeros((4, 1024), np.int64)  # m, S, D, I by pos
         self._idhist = np.zeros(101, np.int64)
         self._scaf_counts = None  # [nscaf, 4]: reads_u, reads_a, bases_u, bases_a
+        # scaffold blacklist (align2/Blacklist.addToBlacklist): names from
+        # plain lists or fasta headers, matched on the first token
+        self._blacklist_scafs: set | None = None
+        if cfg.blacklist:
+            names = set()
+            from ..io.readwrite import open_input
+
+            for path in cfg.blacklist.split(","):
+                with open_input(path.strip()) as fh:
+                    for line in fh.read().splitlines():
+                        line = line.strip()
+                        if not line:
+                            continue
+                        if line.startswith(b">"):
+                            names.add(line[1:].split()[0])
+                        else:
+                            names.add(line.split()[0])
+            self._blacklist_scafs = {
+                i for i, n in enumerate(self.ref.names)
+                if n.split()[0] in names
+            }
 
     def _load_or_build_index(self) -> SeedIndex:
         """Build the seed index, caching it under `path=` like the
@@ -851,6 +882,7 @@ class BBMap:
         wm1 = open_output(cfg.outm1) if cfg.outm1 else None
         wm2 = open_output(cfg.outm2) if cfg.outm2 else None
         it2 = iter(reader2) if reader2 else None
+        wb1 = open_output(cfg.outb1) if cfg.outb1 else None
         for batch in reader:
             results = self.map_batch(batch)
             batch2 = results2 = None
@@ -860,6 +892,23 @@ class BBMap:
                 if cfg.rescue_mates:
                     self.rescue(batch, results, batch2, results2)
                     self.rescue(batch2, results2, batch, results)
+            blk = np.zeros(len(results), bool)
+            if self._blacklist_scafs is not None:
+                blk = self._mark_blacklisted(results)
+                if results2 is not None:
+                    blk |= self._mark_blacklisted(results2)
+                    # a blacklisted mate blacklists the pair (pairs
+                    # route together, AbstractMapThread semantics)
+                    for i in np.flatnonzero(blk):
+                        results[i].blacklisted = True
+                        results2[i].blacklisted = True
+                if wb1 is not None and blk.any():
+                    from ..io.fastq import encode_fastq
+
+                    wb1.write(encode_fastq(batch, blk))
+                    if batch2 is not None:
+                        wb1.write(encode_fastq(batch2, blk))
+            if it2 is not None:
                 payload = self.to_sam_paired(batch, results, batch2, results2)
             else:
                 payload = self.to_sam(batch, results) if writer else b""
@@ -873,13 +922,14 @@ class BBMap:
                     mapped |= np.array(
                         [bool(r.mapped) for r in results2], dtype=bool
                     )
+                mapped &= ~blk  # blacklisted pairs leave both streams
                 if wu1 is not None:
-                    wu1.write(encode_fastq(batch, ~mapped))
+                    wu1.write(encode_fastq(batch, ~mapped & ~blk))
                 if wm1 is not None:
                     wm1.write(encode_fastq(batch, mapped))
                 if batch2 is not None:
                     if wu2 is not None:
-                        wu2.write(encode_fastq(batch2, ~mapped))
+                        wu2.write(encode_fastq(batch2, ~mapped & ~blk))
                     if wm2 is not None:
                         wm2.write(encode_fastq(batch2, mapped))
             if cfg.scafstats:
@@ -894,6 +944,8 @@ class BBMap:
                 writer.add_batch(batch.ordinal, payload)
         if writer:
             writer.close()
+        if wb1 is not None:
+            wb1.close()
         for w in (wu1, wu2, wm1, wm2):
             if w is not None:
                 w.close()
@@ -905,6 +957,22 @@ class BBMap:
             self._write_coverage()
         self.elapsed = time.time() - t0
         return self
+
+    def _mark_blacklisted(self, results) -> np.ndarray:
+        """Flag primary sites on blacklisted scaffolds; returns mask."""
+        blk = np.zeros(len(results), bool)
+        starts = [
+            max(r.flat_start, 0) for r in results if r.mapped
+        ]
+        if not starts:
+            return blk
+        rows = [i for i, r in enumerate(results) if r.mapped]
+        scafs = self.ref.scaffold_of(np.asarray(starts, np.int64))
+        for i, sc in zip(rows, scafs):
+            if int(sc) in self._blacklist_scafs:
+                results[i].blacklisted = True
+                blk[i] = True
+        return blk
 
     # ---- inline coverage (AbstractMapper.printOutput pileup role) ----
     def _want_coverage(self) -> bool:
@@ -1133,6 +1201,8 @@ class BBMap:
         out = []
         ref = self.ref
         for b in range(len(r1s)):
+            if r1s[b].blacklisted or r2s[b].blacklisted:
+                continue  # removeBlacklisted: no SAM records for the pair
             recs = []
             for pairnum, (batch, r, mate) in enumerate(
                 ((b1, r1s[b], r2s[b]), (b2, r2s[b], r1s[b]))
@@ -1220,6 +1290,8 @@ class BBMap:
         out = []
         ref = self.ref
         for b, r in enumerate(results):
+            if r.blacklisted:
+                continue  # removeBlacklisted: no SAM record at all
             n = int(batch.lengths[b])
             name = batch.ids[b].split()[0]
             if not r.mapped:

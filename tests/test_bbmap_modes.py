@@ -387,3 +387,52 @@ def test_device_seed_cluster_equals_host(tmp_path):
     assert n == len(host[0]), (n, len(host[0]))
     for nm, h, dv in zip(names, host, dev):
         assert (h.astype(np.int64) == dv.astype(np.int64)).all(), nm
+
+
+def test_bbmap_blacklist_routing(tmp_path):
+    """align2/Blacklist: reads whose primary site lands on a blacklisted
+    scaffold get NO SAM record and route to outb= instead."""
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.bbmap import BBMap, parse_args
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+    from bbtools_tpu.utils.synth import random_genome, write_reads
+
+    rng = np.random.default_rng(2)
+    genome = random_genome(40_000, n_scaffolds=2, seed=5)
+    write_fasta(str(tmp_path / "ref.fa"), genome)
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    recs = []
+    origins = []
+    for i in range(200):
+        s = i % 2
+        codes = ref.scaffold_codes(s)
+        p = int(rng.integers(0, len(codes) - 100))
+        r = codes[p : p + 100]
+        recs.append((b"r%d" % i, CODE_TO_BASE[np.minimum(r, 4)].tobytes(),
+                     b"F" * 100))
+        origins.append(s)
+    write_reads(str(tmp_path / "reads.fq"), recs)
+    blfile = tmp_path / "bl.txt"
+    blfile.write_text(ref.names[1].split()[0].decode() + "\n")
+    idx = SeedIndex.build(ref, k=13)
+    cfg = parse_args([
+        f"in={tmp_path}/reads.fq", f"out={tmp_path}/m.sam",
+        f"blacklist={blfile}", f"outb={tmp_path}/black.fq",
+        f"outm={tmp_path}/mapped.fq", "batchreads=64",
+    ])
+    BBMap(cfg, index=idx).run()
+    sam = (tmp_path / "m.sam").read_bytes()
+    blk_names = {b"r%d" % i for i, s in enumerate(origins) if s == 1}
+    for nm in list(blk_names)[:10]:
+        assert (nm + b"\t") not in sam, nm  # no SAM record
+    kept = {l.split(b"\t")[0] for l in sam.splitlines()
+            if not l.startswith(b"@")}
+    assert len(kept) == 100  # scaffold-0 reads all present
+    black = (tmp_path / "black.fq").read_bytes()
+    n_black = black.count(b"@r")
+    assert n_black == 100
+    mapped = (tmp_path / "mapped.fq").read_bytes()
+    assert not any((b"@" + nm + b"\n") in mapped for nm in blk_names)
