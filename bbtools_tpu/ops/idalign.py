@@ -133,25 +133,29 @@ class BandedIDAligner:
 
 
 def make_id_aligner(name: str = "glocal"):
-    """Factory.java analog (idaligner/Factory.java:30-38). SIX real
-    engines (glocal row-scan, crosscut anti-diagonal, xdrop adaptive
-    window, drifting band, wavefront edit-distance, banded global); the
-    remaining research variants (quantum/wobble/ssa2/ssa3 — CPU
-    speed/accuracy tradeoffs of the same identity contract) map to the
-    EXACT engine of their family, which dominates them on accuracy
+    """Factory.java analog (idaligner/Factory.java:30-38). EIGHT real
+    engines with distinct cost models: glocal row-scan (exact), crosscut
+    anti-diagonal (exact, traceback-free), quantum sparse active-set
+    with teleporting deletions, wobble dynamic-width band, xdrop
+    score-threshold window, drifting fixed-width band, wavefront
+    edit-distance (WFA), banded global. Remaining research aliases
+    (ssa2/ssa3/quabble/scrabble — same identity contract, CPU
+    constant-factor variants) map to the engine of their family
     (tests/test_alignertools.py dominance evidence)."""
     name = name.lower()
-    if name in ("glocal", "glocalplus", "quantum", "quantumplus", "quabble",
-                "ssa2", "ssa3", "parallelogram"):
+    if name in ("glocal", "glocalplus", "ssa2", "ssa3", "parallelogram"):
         return GlocalAligner()
+    if name in ("quantum", "quantumplus", "quabble"):
+        return QuantumIDAligner()
+    if name in ("wobble", "wobbleplus", "scrabble"):
+        return WobbleIDAligner()
     if name in ("crosscut", "diagonal"):
         return CrossCutIDAligner()
     if name in ("xdrop", "xdroph"):
         return XDropIDAligner()
     if name in ("wave", "wavefront"):
         return WaveFrontIDAligner()
-    if name in ("drifting", "driftingplus", "wobble", "wobbleplus",
-                "scrabble"):
+    if name in ("drifting", "driftingplus"):
         return DriftingIDAligner()
     if name in ("banded", "bandedplus"):
         return BandedIDAligner()
@@ -590,6 +594,227 @@ class XDropIDAligner:
             lo, hi = nlo + a0, nlo + a1
         best_j = int(np.argmax(row))
         best = row[best_j]
+        if best < 0:
+            return 0.0
+        return _cc_unpack_identity(best, m, pos, best_j)
+
+
+class QuantumIDAligner:
+    """Sparse active-set glocal aligner (idaligner/QuantumAligner.java
+    role: "sparse matrix traversal with quantum teleportation" — jumps
+    between high-scoring regions across unexplored gaps, traceback-free
+    bit-packed cells, adaptive bandwidth). The TPU-repo re-design keeps
+    the three defining ideas and drops the Java pointer machinery:
+
+      - ACTIVE SET: each row evaluates only a sorted set of live
+        columns; cells outside it do not exist (QuantumAligner's
+        activeList/nextList "rapids").
+      - TELEPORTATION: the deletion recurrence is a DECAYED PREFIX-MAX
+        over the active columns at their true coordinates — a chain of
+        deletions across an unexplored gap costs GAP*(distance) without
+        materializing the gap's cells, which is exactly the "bridge
+        across long deletions" the reference builds explicitly
+        (QuantumAligner.java BUILD_BRIDGES / insPad).
+      - SCORE-WIDTH PRUNE + BRIDGE EXTEND: columns whose score falls
+        more than scoreWidth below the row best die; the frontier
+        extends right a few columns per row (more on mismatch rows —
+        the reference's bridgeTime race).
+
+    Identity needs no traceback: cells pack (score | rstart | dels) in
+    one int64 (the CrossCut packing; QuantumAligner packs position and
+    deletion count in the low bits the same way)."""
+
+    BRIDGE_PERIOD = 16
+
+    def name(self) -> str:
+        return "Quantum"
+
+    def align(self, q, r, pos=None) -> float:
+        q = np.asarray(q, np.uint8)
+        r = np.asarray(r, np.uint8)
+        if pos is None and len(q) > len(r):  # reference swap rule
+            q, r = r, q
+        m, n = len(q), len(r)
+        if m == 0 or n == 0:
+            return 0.0
+        # adaptive bandwidth (QuantumAligner.decideBandwidth shape:
+        # narrow for clean data, floor for tiny inputs)
+        mx = max(m, n)
+        bw = min(m // 4 + 2, max(mx // 32, 2),
+                 int(np.log2(mx + 256)) + 2)
+        bw = max(2, bw) + 3
+        ml = min(m, n)
+        lead_mm = int(np.cumsum(q[:ml] != r[:ml]).searchsorted(bw))
+        bw += min(bw, max(0, 8 - lead_mm // 4))
+        score_width = np.int64(2 * bw + 2)
+        top_width = min(m, 2 * bw)
+        # row 0: every column is a free glocal start -> all active
+        act = np.arange(n + 1, dtype=np.int64)
+        prev = _cc_pack(np.zeros(n + 1, np.int64), act,
+                        np.zeros(n + 1, np.int64))
+        best, best_j = (_NEGP, 0)
+        best_col = 0  # maxPos: previous row's best-scoring column
+        for i in range(1, m + 1):
+            # frontier extension (bridge race): when the best path's next
+            # base MISmatches (q[i-1] != ref[maxPos], the reference's
+            # nextMatch test) a deletion may have started — build a
+            # contiguous bridge AHEAD OF THE BEST CELL so the teleporting
+            # deletion chain has somewhere to land the same row it is
+            # priced (QuantumAligner.java BUILD_BRIDGES, made
+            # best-anchored instead of frontier-anchored)
+            last = int(act[-1])
+            nm = q[i - 1] == r[min(n - 1, best_col)]
+            if not nm and best_col < n:
+                span = np.arange(best_col + 1,
+                                 min(best_col + max(35, 8 * bw), n) + 1,
+                                 dtype=np.int64)
+                merged = np.union1d(act, span)
+                if len(merged) > len(act):
+                    pv = np.full(len(merged), _NEGP, np.int64)
+                    pv[np.searchsorted(merged, act)] = prev
+                    act, prev = merged, pv
+                    last = int(act[-1])
+            if last < n:  # frontier drift (rightExtend)
+                grow = np.arange(last + 1, min(last + 2, n) + 1,
+                                 dtype=np.int64)
+                act = np.concatenate([act, grow])
+                prev = np.concatenate(
+                    [prev, np.full(len(grow), _NEGP, np.int64)])
+            # always keep column 0 (query-prefix gaps) alive
+            if act[0] != 0:
+                act = np.concatenate([[np.int64(0)], act])
+                prev = np.concatenate([[_NEGP], prev])
+            # diagonal/up neighbors live at the SAME active slots when
+            # the previous column (j-1) is active; map via searchsorted
+            jm1 = act - 1
+            slot = np.searchsorted(act, jm1)
+            slot_ok = (jm1 >= 0) & (slot < len(act)) & (act[np.minimum(
+                slot, len(act) - 1)] == jm1)
+            pv_dg = np.where(slot_ok, prev[np.minimum(slot, len(act) - 1)],
+                             _NEGP)
+            ss = np.where(q[i - 1] == r[np.clip(act - 1, 0, n - 1)],
+                          np.int64(MATCH), np.int64(SUB))
+            cand = np.where((pv_dg >= 0) & (act >= 1),
+                            pv_dg + (ss << 42), _NEGP)
+            up = np.where(prev >= 0, prev + _GAPP, _NEGP)  # insertion
+            cand = np.maximum(cand, up)
+            cand[0] = max(cand[0], _cc_pack(GAP * i, 0, 0))
+            # teleporting deletion chain: decayed prefix-max at true
+            # column coordinates (distance-priced jumps over dead gaps)
+            sent = np.int64(-(1 << 62))
+            shifted = np.where(cand >= 0, cand - act * _DELP, sent)
+            relax = np.maximum.accumulate(shifted) + act * _DELP
+            ok = np.maximum.accumulate((cand >= 0).astype(np.int8)) > 0
+            cand = np.maximum(cand, np.where(ok, relax, _NEGP))
+            # prune on the score plane (looser near the top band, like
+            # scoreWidth0 + MATCH*(topWidth - i))
+            scr = np.where(cand >= 0, cand >> 42, np.int64(-(1 << 40)))
+            width = score_width + np.int64(MATCH) * max(0, top_width - i)
+            keep = scr >= scr.max() - width
+            # EXTEND_MATCH (QuantumAligner.java `live`): cells sitting on
+            # a base match survive below the score window — this is what
+            # lets a freshly-bridged landing cell climb back after paying
+            # a long-deletion toll instead of dying to the prune
+            match_live = (act >= 1) & (ss == np.int64(MATCH)) & (cand >= 0)
+            keep |= match_live
+            keep[0] = True
+            best_col = int(act[int(np.argmax(scr))])
+            if i == m:
+                t = int(np.argmax(cand))
+                best, best_j = cand[t], int(act[t])
+                break
+            # a surviving match cell must also ACTIVATE its diagonal
+            # successor (the reference's `live` adds j+1 to nextList) or
+            # the climbing chain is computed once and never extended
+            kept_act = act[keep]
+            succ = act[match_live] + 1
+            succ = succ[succ <= n]
+            new_act = np.union1d(kept_act, succ)
+            pv = np.full(len(new_act), _NEGP, np.int64)
+            pv[np.searchsorted(new_act, kept_act)] = cand[keep]
+            act, prev = new_act, pv
+        if best < 0:
+            return 0.0
+        return _cc_unpack_identity(best, m, pos, best_j)
+
+
+class WobbleIDAligner:
+    """Dynamic-bandwidth drifting band (idaligner/WobbleAligner.java:
+    "band starts wide and narrows to allow glocal alignments; band
+    dynamically widens and narrows in response to sequence identity;
+    center drifts toward highest score"). Distinct cost model from
+    Drifting (fixed width) and XDrop (score-threshold set): Wobble's
+    work per row is a contiguous band whose WIDTH is the control
+    variable — it decays geometrically on clean rows and doubles when
+    the row optimum presses the band edge. Identity is traceback-free
+    via the packed-cell scheme."""
+
+    def __init__(self, min_width: int = 9, max_width: int = 513):
+        self.min_width = min_width
+        self.max_width = max_width
+
+    def name(self) -> str:
+        return "Wobble"
+
+    def align(self, q, r, pos=None) -> float:
+        q = np.asarray(q, np.uint8)
+        r = np.asarray(r, np.uint8)
+        m, n = len(q), len(r)
+        if m == 0 or n == 0:
+            return 0.0
+        # start wide (glocal entry: whole row 0 is free), then narrow
+        lo, hi = 0, n
+        row = _cc_pack(np.zeros(n + 1, np.int64),
+                       np.arange(n + 1, dtype=np.int64),
+                       np.zeros(n + 1, np.int64))
+        width = hi - lo + 1
+        center = 0
+        sent = np.int64(-(1 << 62))
+        best, best_j = _NEGP, 0
+        prev_rb = 0
+        for i in range(1, m + 1):
+            # band placement: follow last row's best, advance one diagonal
+            nlo = max(0, min(center + 1 - width // 2, n - width + 1))
+            nhi = min(n, nlo + width - 1)
+            nlo = max(0, nhi - width + 1)
+            cols = np.arange(nlo, nhi + 1, dtype=np.int64)
+            w = len(cols)
+            # neighbors from the previous dense-band row
+            def at(j):
+                v = np.full(w, _NEGP, np.int64)
+                sel = (j >= lo) & (j <= hi)
+                v[sel] = row[j[sel] - lo]
+                return v
+            pv_dg = at(cols - 1)
+            ss = np.where(q[i - 1] == r[np.clip(cols - 1, 0, n - 1)],
+                          np.int64(MATCH), np.int64(SUB))
+            cand = np.where((pv_dg >= 0) & (cols >= 1),
+                            pv_dg + (ss << 42), _NEGP)
+            up = at(cols)
+            cand = np.maximum(cand,
+                              np.where(up >= 0, up + _GAPP, _NEGP))
+            if nlo == 0:
+                cand[0] = max(cand[0], _cc_pack(GAP * i, 0, 0))
+            shifted = np.where(cand >= 0, cand - cols * _DELP, sent)
+            relax = np.maximum.accumulate(shifted) + cols * _DELP
+            ok = np.maximum.accumulate((cand >= 0).astype(np.int8)) > 0
+            cand = np.maximum(cand, np.where(ok, relax, _NEGP))
+            # wobble: widen when the optimum presses an edge OR the row
+            # best stops climbing (identity dropped — a gap or divergent
+            # region needs more band); narrow geometrically on clean rows
+            scr_t = np.where(cand >= 0, cand >> 42, np.int64(-(1 << 40)))
+            t = int(np.argmax(scr_t))
+            center = int(cols[t])
+            rb = int(scr_t[t])
+            stalled = rb < prev_rb + MATCH
+            prev_rb = rb
+            if t <= 1 or t >= w - 2 or stalled:
+                width = min(self.max_width, width * 2, n + 1)
+            else:
+                width = max(self.min_width, width - max(1, width // 8))
+            row, lo, hi = cand, nlo, nhi
+            if i == m:
+                best, best_j = cand[t], center
         if best < 0:
             return 0.0
         return _cc_unpack_identity(best, m, pos, best_j)

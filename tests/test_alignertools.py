@@ -109,7 +109,8 @@ def test_alignerbenchmark_engines_dominate(tmp_path, capsys):
     # padding would count as end gaps for it by definition
     rc = benchmark_main([
         f"ref={tmp_path}/ref.fa", f"in={tmp_path}/reads.fq", "pad=0",
-        "aligners=glocal,banded,drifting,wavefront,crosscut,xdrop",
+        "aligners=glocal,banded,drifting,wavefront,crosscut,xdrop,"
+        "quantum,wobble",
     ])
     assert rc == 0
     cap = capsys.readouterr().out
@@ -118,7 +119,7 @@ def test_alignerbenchmark_engines_dominate(tmp_path, capsys):
     hdr = cap.splitlines()[0].split("\t")
     hdr_l = [h.lower() for h in hdr]
     for eng in ("glocal", "banded", "drifting", "wavefront",
-                "crosscut", "xdrop"):
+                "crosscut", "xdrop", "quantum", "wobble"):
         col = [i for i, h in enumerate(hdr_l)
                if h.endswith("_id") and eng in h][0]
         ids = np.array([float(r[col]) for r in rows])

@@ -188,4 +188,56 @@ def test_wavefront_and_drifting_aligners():
     assert DriftingIDAligner().align(r, q) > 0.9
     assert make_id_aligner("wavefront").name() == "WaveFront"
     assert make_id_aligner("drifting").name() == "Drifting"
-    assert make_id_aligner("quantum").name() == "Glocal"
+    assert make_id_aligner("quantum").name() == "Quantum"
+    assert make_id_aligner("wobble").name() == "Wobble"
+    assert make_id_aligner("ssa2").name() == "Glocal"
+
+
+def test_quantum_and_wobble_aligners():
+    """Quantum (sparse active set + teleporting deletions) and Wobble
+    (dynamic-width band) match the exact glocal identity on mutation
+    ladders and recover LONG deletions that fixed bands cannot."""
+    import numpy as np
+
+    from bbtools_tpu.ops.idalign import (
+        GlocalAligner,
+        QuantumIDAligner,
+        WobbleIDAligner,
+    )
+
+    rng = np.random.default_rng(7)
+    q = rng.integers(0, 4, 150).astype(np.uint8)
+    ex = GlocalAligner()
+    qa = QuantumIDAligner()
+    wa = WobbleIDAligner()
+    # Test.validate pins (idaligner/Test.java): gapped beats double-sub
+    aa = np.array([0, 0], np.uint8)
+    aga = np.array([0, 2, 0], np.uint8)
+    assert abs(qa.align(aa, aga) - 2 / 3) < 1e-9
+    assert abs(wa.align(aa, aga) - 2 / 3) < 1e-9
+    for trial in range(10):
+        r = q.copy()
+        for _ in range(int(rng.integers(0, 10))):
+            p = int(rng.integers(0, len(r)))
+            op = rng.integers(0, 3)
+            if op == 0:
+                r[p] ^= 1
+            elif op == 1 and len(r) > 20:
+                r = np.delete(r, p)
+            else:
+                r = np.insert(r, p, rng.integers(0, 4))
+        want = ex.align(q, r)
+        assert abs(qa.align(q, r) - want) < 0.02, trial
+        assert abs(wa.align(q, r) - want) < 0.02, trial
+    # teleportation: a 100bp deletion mid-read (optimal under unit
+    # costs: -100 for the bridge vs ~-180 for staying contiguous).
+    # Quantum explores only a narrow active set yet prices the jump;
+    # Drifting's fixed 21-wide band cannot represent it.
+    ref2 = rng.integers(0, 4, 400).astype(np.uint8)
+    q2 = np.concatenate([ref2[:120], ref2[220:340]])
+    want2 = ex.align(q2, ref2)
+    assert want2 > 0.68  # 240 matches / 340 columns
+    idq = qa.align(q2, ref2)
+    assert abs(idq - want2) < 0.02, (idq, want2)
+    # wobble widens into the gap and recovers within a few rows
+    assert abs(wa.align(q2, ref2) - want2) < 0.05
