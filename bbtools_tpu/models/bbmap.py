@@ -125,6 +125,9 @@ class BBMapConfig:
     #: routed to outb= instead (comma list of name files or fastas)
     blacklist: str | None = None
     outb1: str | None = None
+    #: deletions at least this long print as N (intron) CIGAR ops
+    #: (SamLine INTRON_LIMIT, bbmap.sh intronlen= — RNAseq output mode)
+    intronlen: int = 999999999
 
 
 def pacbio_preset(c: "BBMapConfig"):
@@ -185,6 +188,7 @@ def parse_args(argv, preset: str | None = None):
     c.device_seed = a.get_bool("devseed", "deviceseed", default=False)
     c.blacklist = a.get("blacklist")
     c.outb1 = a.get("outb", "outb1", "outblacklist", "outblacklist1")
+    c.intronlen = a.get_int("intronlen", default=c.intronlen)
     c.sam_version = a.get("sam", "samversion", default="1.4") or "1.4"
     c.mhist = a.get("mhist")
     c.idhist = a.get("idhist")
@@ -719,6 +723,16 @@ class BBMap:
                 near |= abs(fs - fs2) < 10 and int(t_strand[i]) == st2
             if not near:
                 r.sites.append((fs, int(t_strand[i]), s, m))
+        # giant-deletion stitch (GapTools/makeGappedSiteScore role):
+        # same-strand cluster pairs farther apart than any DP window can
+        # bridge become ONE two-anchor gapped site when that site outscores
+        # the best windowed alignment
+        bridge = min(cfg.max_indel, cfg.window_extras[-1] - 2 * cfg.pad)
+        if cfg.max_indel > bridge and T > 0:
+            self._stitch_gapped(
+                t_read, t_strand, t_anchor, t_votes, task_reads,
+                lengths, bridge, results, best,
+            )
         for b in range(B):
             r = results[b]
             if r.mapped:
@@ -728,6 +742,124 @@ class BBMap:
             else:
                 self.reads_unmapped += 1
         return results
+
+    def _stitch_gapped(self, t_read, t_strand, t_anchor, t_votes,
+                       task_reads, lengths, bridge, results, best):
+        """Two-anchor gapped sites for deletions in (bridge, maxindel].
+
+        The reference spans giant deletions by building a gap-compressed
+        reference buffer and running its single DP arena across it
+        (align2/GapTools.java, BBIndex makeGappedSiteScore,
+        MultiStateAligner gref/GAPC machinery). The TPU design keeps DP
+        windows static and instead aligns the read on BOTH anchor
+        diagonals at once, then picks the optimal junction split s:
+        left of s scores on diagonal A, right of s on diagonal B, plus
+        the calc_del_score gap penalty — one vectorized pass, no
+        compressed buffer. Deletion length is exact (d2 - d1), emitted
+        as a D (or N, intronlen=) run in the match/CIGAR."""
+        cfg = self.cfg
+        # group tasks by (read, strand); enumerate in-range anchor pairs
+        pairs = []  # (votes_sum, i_task, j_task)
+        bykey: dict[tuple, list] = {}
+        for t in range(len(t_read)):
+            bykey.setdefault(
+                (int(t_read[t]), int(t_strand[t])), []
+            ).append(t)
+        for (b, _s), ts in bykey.items():
+            n = int(lengths[b])
+            # a perfect windowed site cannot be beaten by a gapped one
+            bscore = best.get(b, (-(1 << 40), -1))[0]
+            if bscore >= int(max_quality(n)) + MC.POINTS_DEL:
+                continue
+            if len(ts) < 2:
+                continue
+            ts = sorted(ts, key=lambda t: int(t_anchor[t]))
+            cand = None
+            for x in range(len(ts) - 1):
+                for y in range(x + 1, len(ts)):
+                    gap = int(t_anchor[ts[y]]) - int(t_anchor[ts[x]])
+                    if gap <= bridge or gap > cfg.max_indel:
+                        continue
+                    v = int(t_votes[ts[x]]) + int(t_votes[ts[y]])
+                    if cand is None or v > cand[0]:
+                        cand = (v, ts[x], ts[y])
+            if cand is not None:
+                pairs.append(cand)
+        if not pairs:
+            return
+        P = len(pairs)
+        L = task_reads.shape[1]
+        ii = np.asarray([p[1] for p in pairs])
+        jj = np.asarray([p[2] for p in pairs])
+        d1 = t_anchor[ii].astype(np.int64)
+        d2 = t_anchor[jj].astype(np.int64)
+        rd = task_reads[ii]  # [P, L]
+        refA = self._ref_windows(d1, L)
+        refB = self._ref_windows(d2, L)
+        ns = lengths[t_read[ii]].astype(np.int64)
+        valid = np.arange(L)[None, :] < ns[:, None]
+        mA = (rd == refA) & (rd < 4) & valid
+        mB = (rd == refB) & (rd < 4) & valid
+        # junction split: argmax_s matches(A[:s]) + matches(B[s:])
+        cumA = np.cumsum(mA, axis=1)
+        cumB = np.cumsum(mB, axis=1)
+        zer = np.zeros((P, 1), np.int64)
+        pA = np.concatenate([zer, cumA], axis=1)  # matches in [0, s)
+        pB = np.concatenate([zer, cumB], axis=1)
+        tot = cumB[:, -1][:, None]
+        split_score = pA + (tot - pB)  # [P, L+1] over s = 0..L
+        svec = np.arange(L + 1)[None, :]
+        k = cfg.k
+        ok_s = (svec >= k) & (svec <= np.maximum(ns[:, None] - k, k))
+        split_score = np.where(ok_s, split_score, -1)
+        s_star = np.argmax(split_score, axis=1)
+        from ..ops.gaps import MINGAP, fix_gaps
+
+        for p in range(P):
+            b = int(t_read[ii[p]])
+            n = int(ns[p])
+            s = int(s_star[p])
+            if split_score[p, s] < 0:
+                continue
+            gap = int(d2[p] - d1[p])
+            # both anchors must sit on one scaffold (no chimeric stitch)
+            sc = self.ref.scaffold_of(
+                np.asarray([d1[p], d2[p] + n - 1], np.int64)
+            )
+            if sc[0] != sc[1]:
+                continue
+            ga = fix_gaps(
+                int(d1[p]), int(d2[p]) + n - 1,
+                [int(d1[p]), int(d1[p]) + s - 1,
+                 int(d2[p]) + s, int(d2[p]) + n - 1],
+                MINGAP,
+            )
+            if ga is None:  # junction degenerate after normalization
+                continue
+            left = np.where(
+                mA[p, :s], ord("m"),
+                np.where((rd[p, :s] >= 4) | (refA[p, :s] >= 4),
+                         ord("N"), ord("S")),
+            ).astype(np.uint8)
+            right = np.where(
+                mB[p, s:n], ord("m"),
+                np.where((rd[p, s:n] >= 4) | (refB[p, s:n] >= 4),
+                         ord("N"), ord("S")),
+            ).astype(np.uint8)
+            match = (left.tobytes() + b"D" * gap + right.tobytes())
+            score = score_match_bytes(match)
+            r = results[b]
+            old = r.score if r.mapped else -(1 << 40)
+            if score <= old or score < min_score_for(n, cfg.min_ratio):
+                continue
+            r.mapped = True
+            r.blacklisted = False
+            r.score = int(score)
+            r.strand = int(t_strand[ii[p]])
+            r.flat_start = int(d1[p])
+            r.match = match
+            cz = clearzone_for(int(score), int(max_quality(n)))
+            r.ambig = old >= score - cz
 
     def _tally_match(self, match: bytes):
         """mhist/idhist accumulation (align2 MHIST/IDHIST roles): read-
@@ -1219,6 +1351,8 @@ class BBMap:
                     scaf_start = int(ref.starts[scaf])
                     rstart0 = r.flat_start - scaf_start
                     cigar = match_to_cigar14(r.match, rstart0, int(ref.lengths[scaf]))
+                    if self.cfg.intronlen < (1 << 30):
+                        cigar = dels_to_introns(cigar, self.cfg.intronlen)
                     if self.cfg.sam_version.startswith("1.3"):
                         from ..io.sam import cigar14_to_13
 
@@ -1313,6 +1447,8 @@ class BBMap:
             scaf_len = int(ref.lengths[scaf])
             rstart0 = r.flat_start - scaf_start
             cigar = match_to_cigar14(r.match, rstart0, scaf_len)
+            if self.cfg.intronlen < (1 << 30):
+                cigar = dels_to_introns(cigar, self.cfg.intronlen)
             if self.cfg.sam_version.startswith("1.3"):
                 from ..io.sam import cigar14_to_13
 
@@ -1374,6 +1510,50 @@ class BBMap:
             f"Reads/sec:           \t{self.reads_in / t:.2f}",
             file=stream,
         )
+
+
+def score_match_bytes(match: bytes) -> int:
+    """Score a long-form match string with the MSA point model
+    (Read.calcQuality / MultiStateAligner11ts score semantics): match
+    streaks POINTS_MATCH then POINTS_MATCH2, sub/ins streaks through
+    their tiered arrays, deletion runs through calc_del_score. Used to
+    put stitched gapped sites on the same scale as MSA dp_score."""
+    import itertools
+
+    score = 0
+    for ch, grp in itertools.groupby(match):
+        n = sum(1 for _ in grp)
+        if ch in (ord("m"), ord("s")):
+            score += MC.POINTS_MATCH + (n - 1) * MC.POINTS_MATCH2
+        elif ch in (ord("S"), ord("V")):
+            score += int(MC.POINTS_SUB_ARRAY_C[min(n, 603)])
+        elif ch in (ord("I"), ord("X"), ord("Y")):
+            score += int(MC.calc_ins_score(n))
+        elif ch == ord("D"):
+            score += int(MC.calc_del_score(n))
+        elif ch in (ord("N"), ord("B"), ord("R")):
+            score += n * MC.POINTS_NOCALL
+        elif ch == ord("C"):
+            pass  # soft-clipped
+    return score
+
+
+def dels_to_introns(cigar: str, intronlen: int) -> str:
+    """D ops at least intronlen long print as N (SamLine's
+    INTRON_LIMIT / bbmap.sh intronlen= RNAseq convention)."""
+    if "D" not in cigar:
+        return cigar
+    out = []
+    num = ""
+    for ch in cigar:
+        if ch.isdigit():
+            num += ch
+        else:
+            if ch == "D" and int(num) >= intronlen:
+                ch = "N"
+            out.append(num + ch)
+            num = ""
+    return "".join(out)
 
 
 def _reflen(match: bytes) -> int:

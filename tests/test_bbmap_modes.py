@@ -436,3 +436,91 @@ def test_bbmap_blacklist_routing(tmp_path):
     assert n_black == 100
     mapped = (tmp_path / "mapped.fq").read_bytes()
     assert not any((b"@" + nm + b"\n") in mapped for nm in blk_names)
+
+
+def test_bbmap_giant_deletion_stitch(tmp_path):
+    """GapTools role (align2/GapTools.java, BBIndex makeGappedSiteScore):
+    reads spanning a deletion far larger than any DP window map as ONE
+    two-anchor gapped site with an exact-length D run; intronlen=
+    rewrites the run as N in the CIGAR."""
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.bbmap import BBMap, parse_args
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+    from bbtools_tpu.utils.synth import random_genome, write_reads
+
+    rng = np.random.default_rng(11)
+    genome = random_genome(60_000, n_scaffolds=1, seed=21)
+    write_fasta(str(tmp_path / "ref.fa"), genome)
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    codes = ref.scaffold_codes(0)
+    G = 8000  # deletion length: >> window bridge (~2k), <= maxindel
+    recs = []
+    for i in range(12):
+        p = int(rng.integers(1000, 40_000))
+        r = np.concatenate([codes[p : p + 75], codes[p + 75 + G : p + 150 + G]])
+        recs.append((b"gd%d_%d" % (i, p),
+                     CODE_TO_BASE[np.minimum(r, 4)].tobytes(), b"F" * 150))
+    # plus plain reads: the stitch must not fire on them
+    for i in range(12):
+        p = int(rng.integers(1000, 40_000))
+        r = codes[p : p + 150]
+        recs.append((b"pl%d_%d" % (i, p),
+                     CODE_TO_BASE[np.minimum(r, 4)].tobytes(), b"F" * 150))
+    write_reads(str(tmp_path / "reads.fq"), recs)
+    idx = SeedIndex.build(ref, k=13)
+    cfg = parse_args([
+        f"in={tmp_path}/reads.fq", f"out={tmp_path}/m.sam",
+        "maxindel=16000",
+    ])
+    BBMap(cfg, index=idx).run()
+    sam = [l.split(b"\t") for l in (tmp_path / "m.sam").read_bytes().splitlines()
+           if l and not l.startswith(b"@")]
+    rows = {r[0]: r for r in sam}
+    n_gap = 0
+    for name, row in rows.items():
+        cig = row[5].decode()
+        if name.startswith(b"gd"):
+            if f"{G}D" in cig:
+                n_gap += 1
+                # position = planted start
+                p = int(name.decode().split("_")[1])
+                assert int(row[3]) == p + 1, (name, row[3])
+        else:
+            assert "D" not in cig or "8000D" not in cig
+    assert n_gap >= 10, n_gap  # nearly all giant-del reads stitched
+    # intronlen: the same run prints as N
+    cfg2 = parse_args([
+        f"in={tmp_path}/reads.fq", f"out={tmp_path}/n.sam",
+        "maxindel=16000", "intronlen=1000",
+    ])
+    BBMap(cfg2, index=idx).run()
+    nsam = (tmp_path / "n.sam").read_bytes()
+    assert b"%dN" % G in nsam
+    assert b"%dD" % G not in nsam
+
+
+def test_gaptools_utils():
+    """GapTools.java behavioral pins: fix_gaps normalization/merging,
+    compressed length math."""
+    from bbtools_tpu.ops.gaps import (
+        GAPLEN, MINGAP, calc_gap_len, calc_gref_len, fix_gaps,
+        gaps_to_string,
+    )
+
+    # basic normalization: bounds pinned, monotonic
+    g = fix_gaps(100, 9000, [150, 500, 4000, 8000], MINGAP)
+    assert g == [100, 500, 4000, 9000]
+    # blocks closer than min_gap merge away -> ungapped -> None
+    assert fix_gaps(100, 9000, [100, 5000, 5050, 9000], MINGAP) is None
+    # out-of-range gap array
+    assert fix_gaps(100, 200, [5000, 6000, 7000, 8000], MINGAP) is None
+    assert gaps_to_string([1, 2, 3]) == "1~2~3"
+    # compression math: short gaps literal, long gaps ~ GAPLEN:1
+    assert calc_gap_len(0, MINGAP - 1) == MINGAP - 1
+    big = calc_gap_len(0, 128 * 100 + 128)
+    assert big < 128 * 100
+    span = calc_gref_len(0, 20_000, [0, 1000, 15_000, 20_000])
+    assert span < 20_001 - 10_000  # 14k gap compressed by ~128x
