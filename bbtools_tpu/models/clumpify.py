@@ -128,13 +128,49 @@ def _sort_and_write(records, fh, dedupe: bool, optical: bool = False,
     return dupes
 
 
+def _sort_and_write_paired(records, fh1, fh2, dedupe: bool,
+                           optical: bool = False,
+                           dupedist: int = 40) -> int:
+    """Paired clump order: PAIRS sort by read-1's pivot and a duplicate
+    requires BOTH mates to match the previous pair (Clumpify's paired
+    mode, clump/Clump.java pair semantics)."""
+    records.sort(key=lambda r: (r[0], -r[1], r[3], r[6]))
+    dupes = 0
+    prev = (None, None)
+    run = []
+    for piv, pos, n1, s1, q1, n2, s2, q2 in records:
+        if dedupe and (s1, s2) == prev:
+            if not optical:
+                dupes += 2
+                continue
+            c = _coords(n1)
+            near = c is not None and any(
+                kk is not None and kk[0] == c[0] and kk[1] == c[1]
+                and (kk[2] - c[2]) ** 2 + (kk[3] - c[3]) ** 2
+                <= dupedist * dupedist
+                for kk in run
+            )
+            if near:
+                dupes += 2
+                continue
+        else:
+            run = []
+        fh1.write(b"@%s\n%s\n+\n%s\n" % (n1, s1, q1))
+        fh2.write(b"@%s\n%s\n+\n%s\n" % (n2, s2, q2))
+        prev = (s1, s2)
+        run.append(_coords(n1))
+    return dupes
+
+
 def main(argv=None):
     import os
     import tempfile
 
     a = tokenize(argv if argv is not None else sys.argv[1:])
     in1 = a.get("in", "in1")
+    in2 = a.get("in2")
     out1 = a.get("out", "out1")
+    out2 = a.get("out2")
     k = a.get_int("k", default=31)
     dedupe = a.get_bool("dedupe", default=False)
     optical = a.get_bool("optical", "opticalonly", default=False)
@@ -144,7 +180,25 @@ def main(argv=None):
     dupes = 0
     n = 0
     reader = FastqReader(in1)
-    if groups <= 1:
+    if in2:
+        # paired: pairs travel together, keyed on read 1's pivot
+        records = []
+        it2 = iter(FastqReader(in2))
+        for b in reader:
+            b2 = next(it2)
+            piv, pos = pivot_kmers(b.bases, b.lengths.astype(np.int64), k)
+            for i in range(b.n):
+                records.append(
+                    (int(piv[i]), int(pos[i]), b.ids[i], b.sequence(i),
+                     b.quality_string(i), b2.ids[i], b2.sequence(i),
+                     b2.quality_string(i))
+                )
+        n = 2 * len(records)
+        with open_output(out1) as f1, open_output(out2) as f2:
+            dupes = _sort_and_write_paired(
+                records, f1, f2, dedupe, optical, dupedist
+            )
+    elif groups <= 1:
         records = []  # (pivot, pos, name, seq, qual)
         for b in reader:
             piv, pos = pivot_kmers(b.bases, b.lengths.astype(np.int64), k)

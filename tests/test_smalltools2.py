@@ -685,3 +685,141 @@ def test_rqcfilter_optional_stages(tmp_path):
     assert (outdir / "filterstats.txt").exists()
     import glob
     assert glob.glob(str(outdir / "*.khist.txt")), "khist output missing"
+
+
+def test_rqcfilter_paired_pipeline(tmp_path):
+    """Paired-input RQCFilter (RQCFilter2.java paired path): twin files
+    thread every stage, pairs are removed together, the final output is
+    also interleaved, and reproduce.sh records each stage command."""
+    import gzip
+    import os
+
+    rng = np.random.default_rng(5)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    from bbtools_tpu.io.fasta import iter_fasta
+
+    phix = next(
+        iter_fasta("/root/repo/bbtools_tpu/resources/phix2.fa.gz")
+    ).seq
+    r1s, r2s = [], []
+    for i in range(240):
+        L = 120
+        s1 = ACGT[rng.integers(0, 4, L)].copy()
+        s2 = ACGT[rng.integers(0, 4, L)].copy()
+        if i % 10 == 0:  # phiX contamination in read 2 ONLY: the pair
+            p = int(rng.integers(0, len(phix) - L))  # must still go
+            s2 = np.frombuffer(phix[p : p + L], np.uint8)
+        q = np.full(L, 33 + 35, np.uint8)
+        r1s.append(b"@p%d /1\n%s\n+\n%s\n" % (i, s1.tobytes(), q.tobytes()))
+        r2s.append(b"@p%d /2\n%s\n+\n%s\n" % (i, s2.tobytes(), q.tobytes()))
+    with gzip.open(tmp_path / "r1.fq.gz", "wb") as f:
+        f.write(b"".join(r1s))
+    with gzip.open(tmp_path / "r2.fq.gz", "wb") as f:
+        f.write(b"".join(r2s))
+    from bbtools_tpu.models.rqcfilter import main as rqc_main
+
+    stats, final = rqc_main([
+        f"in={tmp_path}/r1.fq.gz", f"in2={tmp_path}/r2.fq.gz",
+        f"path={tmp_path}/out", "trimq=10",
+    ])
+    assert stats[0][1] == 480  # both mates counted
+    # ~24 phiX pairs removed TOGETHER -> survivors divisible by 2
+    last = stats[-1]
+    assert last[1] % 2 == 0
+    assert 400 <= last[1] <= 456
+    # final interleaved file exists and pairs alternate
+    assert os.path.exists(final)
+    from bbtools_tpu.io.fastq import FastqReader
+
+    ids = []
+    for b in FastqReader(final):
+        ids.extend(list(b.ids))
+    assert len(ids) == last[1]
+    for j in range(0, len(ids), 2):
+        assert ids[j].split()[0] == ids[j + 1].split()[0]
+    rep = (tmp_path / "out" / "reproduce.sh").read_text()
+    assert "bbduk.sh" in rep and "in2=" in rep
+
+
+def test_clumpify_paired_dedupe(tmp_path):
+    """Paired clumpify: duplicate PAIRS (both mates equal) collapse;
+    half-matching pairs survive; out/out2 stay in sync."""
+    rng = np.random.default_rng(8)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    uniq = [
+        (ACGT[rng.integers(0, 4, 100)].tobytes(),
+         ACGT[rng.integers(0, 4, 100)].tobytes())
+        for _ in range(50)
+    ]
+    r1s, r2s = [], []
+    n = 0
+    for i, (s1, s2) in enumerate(uniq):
+        copies = 3 if i % 5 == 0 else 1
+        for c in range(copies):
+            # half-match decoy: same r1, different r2 -> NOT a duplicate
+            t2 = s2 if c < 2 else ACGT[rng.integers(0, 4, 100)].tobytes()
+            r1s.append(b"@d%d_%d\n%s\n+\n%s\n" % (i, c, s1, b"F" * 100))
+            r2s.append(b"@d%d_%d\n%s\n+\n%s\n" % (i, c, t2, b"F" * 100))
+            n += 1
+    (tmp_path / "r1.fq").write_bytes(b"".join(r1s))
+    (tmp_path / "r2.fq").write_bytes(b"".join(r2s))
+    from bbtools_tpu.models.clumpify import main as clump_main
+
+    total, dupes = clump_main([
+        f"in={tmp_path}/r1.fq", f"in2={tmp_path}/r2.fq",
+        f"out={tmp_path}/o1.fq", f"out2={tmp_path}/o2.fq", "dedupe=t",
+    ])
+    assert total == 2 * n
+    assert dupes == 2 * 10  # one true duplicate pair per 5th uniq
+    o1 = (tmp_path / "o1.fq").read_bytes().splitlines()
+    o2 = (tmp_path / "o2.fq").read_bytes().splitlines()
+    assert len(o1) == len(o2)
+    names1 = [l for l in o1[0::4]]
+    names2 = [l for l in o2[0::4]]
+    assert names1 == names2  # pairing preserved through the clump sort
+
+
+def test_rqcfilter_optional_stages_paired(tmp_path):
+    """spikein= counting/removal, merge=t ihist, khist=t on the paired
+    path (RQCFilter2 doSpikein/doMerge/doKhist)."""
+    import gzip
+    import os
+
+    rng = np.random.default_rng(15)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    spike = ACGT[rng.integers(0, 4, 400)].tobytes()
+    (tmp_path / "spike.fa").write_bytes(b">spikein1\n" + spike + b"\n")
+    # overlapping pairs (insert 150 < 2*120) so bbmerge produces an ihist
+    genome = rng.integers(0, 4, 5000).astype(np.uint8)
+    r1s, r2s = [], []
+    for i in range(120):
+        if i % 6 == 0:  # spike-in pair
+            p = int(rng.integers(0, 400 - 120))
+            s1 = spike[p : p + 120]
+            s2 = s1  # trivially matching mate; removal keys on kmers
+        else:
+            p = int(rng.integers(0, 5000 - 150))
+            frag = genome[p : p + 150]
+            s1 = ACGT[frag[:120]].tobytes()
+            rc = (3 - frag[::-1])[:120]
+            s2 = ACGT[rc].tobytes()
+        q = b"F" * 120
+        r1s.append(b"@s%d /1\n%s\n+\n%s\n" % (i, s1, q))
+        r2s.append(b"@s%d /2\n%s\n+\n%s\n" % (i, s2, q))
+    with gzip.open(tmp_path / "r1.fq.gz", "wb") as f:
+        f.write(b"".join(r1s))
+    with gzip.open(tmp_path / "r2.fq.gz", "wb") as f:
+        f.write(b"".join(r2s))
+    from bbtools_tpu.models.rqcfilter import main as rqc_main
+
+    stats, final = rqc_main([
+        f"in={tmp_path}/r1.fq.gz", f"in2={tmp_path}/r2.fq.gz",
+        f"path={tmp_path}/out", f"spikein={tmp_path}/spike.fa",
+        "merge=t", "khist=t", "phix=f", "filterk=f", "ktrim=f",
+    ])
+    tags = [t for t, _, _ in stats]
+    assert "spikein" in tags
+    spikerow = stats[tags.index("spikein")]
+    assert spikerow[1] == 240 - 2 * 20  # 20 spike pairs removed
+    assert os.path.exists(tmp_path / "out" / "r1.ihist_merge.txt")
+    assert os.path.exists(tmp_path / "out" / "r1.khist.txt")
