@@ -46,8 +46,21 @@ class Contig:
     name: bytes
     seq: bytes
     profile: np.ndarray
-    depth: float
+    #: per-sample mean coverage vector (multi-sample depth is QuickBin's
+    #: discriminating signal: bin/DataLoader.java loads one depth column
+    #: per sam/cov input and Bin similarity compares each sample)
+    depth: np.ndarray
     bin_id: int = -1
+
+
+def _max_ratio(A: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Worst per-sample depth ratio between bin depth rows A [n, S] and
+    one contig's depth vector d [S] (Bin.java per-sample ratio gate)."""
+    A2 = np.atleast_2d(A)
+    d = np.atleast_1d(d)
+    hi = np.maximum(A2, d[None, :])
+    lo = np.maximum(np.minimum(A2, d[None, :]), 1e-9)
+    return (hi / lo).max(axis=1)
 
 
 def load_depths(path: str) -> dict:
@@ -74,10 +87,13 @@ def bin_contigs(contigs: list[Contig],
     contigs = sorted(contigs, key=lambda c: -len(c.seq))
     if not contigs:
         return []
+    for c in contigs:
+        c.depth = np.atleast_1d(np.asarray(c.depth, np.float64))
     nprof = len(contigs[0].profile)
+    ns = len(contigs[0].depth)
     cap = len(contigs)
     P = np.zeros((cap, nprof), np.float64)
-    D = np.zeros(cap)
+    D = np.zeros((cap, ns), np.float64)
     S = np.zeros(cap)
     nb = 0
 
@@ -85,9 +101,7 @@ def bin_contigs(contigs: list[Contig],
         if nb == 0:
             return -1
         dif = np.abs(P[:nb] - c.profile).sum(axis=1)
-        ratio = np.maximum(D[:nb], c.depth) / np.maximum(
-            np.minimum(D[:nb], c.depth), 1e-9
-        )
+        ratio = _max_ratio(D[:nb], c.depth)
         ok = (dif < tetra_limit) & (ratio <= depth_limit)
         if exclude >= 0:
             ok[exclude] = False
@@ -130,7 +144,7 @@ def bin_contigs(contigs: list[Contig],
             S[c.bin_id] += w
         nz = S[:nb] > 0
         P[:nb][nz] /= S[:nb][nz, None]
-        D[:nb][nz] /= S[:nb][nz]
+        D[:nb][nz] /= S[:nb][nz, None]
     bins: list[list[Contig]] = [[] for _ in range(nb)]
     for c in contigs:
         bins[c.bin_id].append(c)
@@ -153,17 +167,17 @@ def purify_pass(bins: list[list["Contig"]],
             continue
         W = np.array([len(c.seq) for c in members], np.float64)
         Pm = np.stack([c.profile for c in members])
-        Dm = np.array([c.depth for c in members])
+        Dm = np.stack([np.atleast_1d(c.depth) for c in members])
         wsum = W.sum()
         psum = (Pm * W[:, None]).sum(axis=0)
-        dsum = (Dm * W).sum()
+        dsum = (Dm * W[:, None]).sum(axis=0)
         keep = []
         for idx, c in enumerate(members):
             w0 = wsum - W[idx]
             loo_p = (psum - Pm[idx] * W[idx]) / max(w0, 1e-9)
             loo_d = (dsum - Dm[idx] * W[idx]) / max(w0, 1e-9)
             dif = float(np.abs(loo_p - c.profile).sum())
-            ratio = max(loo_d, c.depth) / max(min(loo_d, c.depth), 1e-9)
+            ratio = float(_max_ratio(loo_d[None, :], c.depth)[0])
             if (
                 dif > tetra_limit * stringency
                 or ratio > 1 + (depth_limit - 1) / max(stringency, 1e-9)
@@ -190,20 +204,18 @@ def residue_pass(bins: list[list["Contig"]],
     for members in bins:
         W = np.array([len(c.seq) for c in members], np.float64)
         Pm = np.stack([c.profile for c in members])
-        Dm = np.array([c.depth for c in members])
+        Dm = np.stack([np.atleast_1d(c.depth) for c in members])
         w = W.sum()
         prof.append((Pm * W[:, None]).sum(axis=0) / max(w, 1e-9))
-        dep.append(float((Dm * W).sum() / max(w, 1e-9)))
+        dep.append((Dm * W[:, None]).sum(axis=0) / max(w, 1e-9))
     P = np.stack(prof) if prof else np.zeros((0, 136))
-    D = np.array(dep)
+    D = np.stack(dep) if dep else np.zeros((0, 1))
     leftover = []
     for group in residue:
         for c in group:
             if len(P):
                 dif = np.abs(P - c.profile).sum(axis=1)
-                ratio = np.maximum(D, c.depth) / np.maximum(
-                    np.minimum(D, c.depth), 1e-9
-                )
+                ratio = _max_ratio(D, c.depth)
                 ok = (dif < tetra_limit * stringency) & (
                     ratio <= 1 + (depth_limit - 1) * stringency
                 )
@@ -238,7 +250,8 @@ def sketch_refine(bins: list[list["Contig"]], depth_limit: float,
         )
         w = sum(len(c.seq) for c in b)
         depths.append(
-            sum(c.depth * len(c.seq) for c in b) / max(w, 1)
+            sum(np.atleast_1d(c.depth) * len(c.seq) for c in b)
+            / max(w, 1)
         )
     parent = list(range(len(bins)))
 
@@ -250,9 +263,7 @@ def sketch_refine(bins: list[list["Contig"]], depth_limit: float,
 
     for i in range(len(bins)):
         for j in range(i + 1, len(bins)):
-            ratio = max(depths[i], depths[j]) / max(
-                min(depths[i], depths[j]), 1e-9
-            )
+            ratio = float(_max_ratio(depths[i][None, :], depths[j])[0])
             if ratio > depth_limit:
                 continue
             _, ani, matches, n = compare_sketches(sketches[i], sketches[j])
@@ -262,6 +273,92 @@ def sketch_refine(bins: list[list["Contig"]], depth_limit: float,
     for i, b in enumerate(bins):
         merged.setdefault(find(i), []).extend(b)
     return list(merged.values())
+
+
+def crystal_split(members: list["Contig"],
+                  tetra_limit: float = TETRA_DIF_LIMIT,
+                  depth_limit: float = DEPTH_RATIO_LIMIT,
+                  seed: int = 12345,
+                  max_iter: int = 50,
+                  min_improvement: float = 0.1):
+    """CrystalChamber refiner (bin/CrystalChamber.java, Binner.recluster
+    reclusterClusters=t): dissolve a bin and recrystallize it as k=2 via
+    k-means on (tetramer profile, log depth). Centroid init is
+    farthest-first from the largest contig (the reference's medoid
+    convention); a split is accepted only when (a) the mean intra-bin
+    distance improves by >= min_improvement and (b) the two halves would
+    NOT immediately merge back under the standard dual gate
+    (shouldMergeBack self-consistency check). Returns (half1, half2) or
+    None."""
+    if len(members) < 4:
+        return None
+    rng = np.random.default_rng(seed)
+    feats = np.stack([
+        np.concatenate([c.profile,
+                        0.25 * np.log1p(np.atleast_1d(c.depth))])
+        for c in members
+    ])
+    W = np.array([len(c.seq) for c in members], np.float64)
+    # farthest-first init: largest contig, then the member maximizing
+    # distance to it (k-means++ shape, deterministic apart from ties)
+    c0 = int(np.argmax(W))
+    d0 = np.abs(feats - feats[c0]).sum(axis=1)
+    c1 = int(np.argmax(d0))
+    if c1 == c0:
+        return None
+    cents = feats[[c0, c1]].copy()
+    assign = np.zeros(len(members), np.int64)
+    for _ in range(max_iter):
+        d = np.abs(feats[:, None, :] - cents[None, :, :]).sum(axis=2)
+        new = d.argmin(axis=1)
+        if (new == assign).all() and _ > 0:
+            break
+        assign = new
+        for k in (0, 1):
+            sel = assign == k
+            if not sel.any():
+                return None
+            w = W[sel]
+            cents[k] = (feats[sel] * w[:, None]).sum(axis=0) / w.sum()
+    if (assign == 0).all() or (assign == 1).all():
+        return None
+    base = np.abs(feats - (feats * W[:, None]).sum(axis=0)
+                  / W.sum()).sum(axis=1).mean()
+    split = np.abs(feats - cents[assign]).sum(axis=1).mean()
+    if base <= 0 or (base - split) / base < min_improvement:
+        return None
+    halves = ([m for m, a in zip(members, assign) if a == 0],
+              [m for m, a in zip(members, assign) if a == 1])
+    # shouldMergeBack: compare the two halves under the standard gate
+    hp, hd = [], []
+    for h in halves:
+        w = np.array([len(c.seq) for c in h], np.float64)
+        hp.append((np.stack([c.profile for c in h]) * w[:, None])
+                  .sum(axis=0) / w.sum())
+        hd.append((np.stack([np.atleast_1d(c.depth) for c in h])
+                   * w[:, None]).sum(axis=0) / w.sum())
+    dif = float(np.abs(hp[0] - hp[1]).sum())
+    ratio = float(_max_ratio(hd[0][None, :], hd[1])[0])
+    if dif < tetra_limit and ratio <= depth_limit:
+        return None  # the Oracle would just merge them back
+    return halves
+
+
+def recluster_pass(bins: list[list["Contig"]],
+                   tetra_limit: float = TETRA_DIF_LIMIT,
+                   depth_limit: float = DEPTH_RATIO_LIMIT):
+    """Binner.recluster: run the CrystalChamber refiner over every bin,
+    replacing accepted splits (one level, like the reference)."""
+    out = []
+    nsplit = 0
+    for members in bins:
+        halves = crystal_split(members, tetra_limit, depth_limit)
+        if halves is None:
+            out.append(members)
+        else:
+            out.extend(halves)
+            nsplit += 1
+    return out, nsplit
 
 
 def main(argv=None):
@@ -274,20 +371,24 @@ def main(argv=None):
     tetra_limit = a.get_float("tetradif", default=TETRA_DIF_LIMIT)
     depth_limit = a.get_float("depthratio", default=DEPTH_RATIO_LIMIT)
 
-    depths = {}
+    # one depth SAMPLE per cov/sam input (comma lists): multi-sample
+    # depth vectors are the reference's main discriminating signal
+    samples: list[dict] = []
     if cov:
-        depths = load_depths(cov)
+        for path in cov.split(","):
+            samples.append(load_depths(path.strip()))
     elif sam:
-        # derive depth from alignments via the pileup machinery
         from ..io.sam_read import iter_sam, parse_cigar
 
-        span: dict[bytes, int] = {}
-        for rec in iter_sam(sam):
-            if not rec.mapped or rec.secondary:
-                continue
-            n = sum(x for x, op in parse_cigar(rec.cigar) if op in "M=XDN")
-            span[rec.rname] = span.get(rec.rname, 0) + n
-        depths = span  # normalized by length below
+        for path in sam.split(","):
+            span: dict[bytes, int] = {}
+            for rec in iter_sam(path.strip()):
+                if not rec.mapped or rec.secondary:
+                    continue
+                n = sum(x for x, op in parse_cigar(rec.cigar)
+                        if op in "M=XDN")
+                span[rec.rname] = span.get(rec.rname, 0) + n
+            samples.append(span)  # normalized by length below
 
     contigs = []
     for rec in iter_fasta(in1):
@@ -295,11 +396,15 @@ def main(argv=None):
             continue
         codes = BASE_TO_CODE[np.frombuffer(rec.seq, np.uint8)]
         key = rec.name.split()[0]
-        d = depths.get(key, 1.0)
-        if sam and not cov:
-            d = d / max(len(rec.seq), 1)
+        if samples:
+            d = np.array([s.get(key, 0.0) for s in samples], np.float64)
+            if sam and not cov:
+                d = d / max(len(rec.seq), 1)
+            d = np.maximum(d, 1e-3)
+        else:
+            d = np.ones(1)
         contigs.append(
-            Contig(rec.name, rec.seq, tetramer_profile(codes), float(d))
+            Contig(rec.name, rec.seq, tetramer_profile(codes), d)
         )
     bins = bin_contigs(contigs, tetra_limit, depth_limit)
     if a.get_bool("purify", default=True) and bins:
@@ -310,6 +415,10 @@ def main(argv=None):
             print(f"Purify ejected {len(residue)} contigs.",
                   file=sys.stderr)
             bins = residue_pass(bins, residue, tetra_limit, depth_limit, rs)
+    if a.get_bool("recluster", "reclusterclusters", default=False):
+        bins, nsplit = recluster_pass(bins, tetra_limit, depth_limit)
+        if nsplit:
+            print(f"Recluster split {nsplit} bins.", file=sys.stderr)
     if a.get_bool("sketch", "refine", default=True):
         before = len(bins)
         bins = sketch_refine(
@@ -333,7 +442,8 @@ def main(argv=None):
         size = sum(len(c.seq) for c in members)
         print(
             f"bin_{bi}\t{len(members)} contigs\t{size} bp"
-            f"\tdepth {np.mean([c.depth for c in members]):.1f}",
+            f"\tdepth "
+            f"{np.mean([np.mean(c.depth) for c in members]):.1f}",
             file=sys.stderr,
         )
     return bins

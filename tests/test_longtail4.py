@@ -355,3 +355,74 @@ def test_quickbin_purify_and_residue(tmp_path):
     assert any(c.name.startswith(b"c2_") for c in home if c is not planted), (
         "re-placed into the wrong bin"
     )
+
+
+def test_quickbin_multisample_depth():
+    """Multi-sample depth vectors (bin/DataLoader one column per input):
+    same-composition contigs with ANTI-CORRELATED per-sample depths must
+    land in different bins even though their MEAN depths are equal."""
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models.quickbin import (
+        Contig,
+        bin_contigs,
+        tetramer_profile,
+    )
+
+    g = np.random.default_rng(4)
+    probs = g.dirichlet(np.ones(4) * 0.7)
+    mk = []
+    for i in range(12):
+        codes = g.choice(4, 4000, p=probs).astype(np.uint8)
+        seq = CODE_TO_BASE[codes].tobytes()
+        # organisms A and B: same composition bias, mean depth 25 in
+        # both, but sample profiles (40, 10) vs (10, 40)
+        d = np.array([40.0, 10.0]) if i % 2 == 0 else np.array([10.0, 40.0])
+        mk.append(Contig(b"m%d" % i, seq, tetramer_profile(codes), d))
+    bins = bin_contigs(mk, tetra_limit=0.35, depth_limit=1.6,
+                       refine_passes=0)
+    assert len(bins) == 2
+    for b in bins:
+        firsts = {float(c.depth[0]) for c in b}
+        assert firsts in ({40.0}, {10.0})
+    # scalar mean depth would have merged them: one bin with vector
+    # depths replaced by their means
+    flat = [Contig(c.name, c.seq, c.profile, float(np.mean(c.depth)))
+            for c in mk]
+    bins_flat = bin_contigs(flat, tetra_limit=0.35, depth_limit=1.6,
+                            refine_passes=0)
+    assert len(bins_flat) == 1
+
+
+def test_quickbin_crystal_chamber():
+    """CrystalChamber recluster (bin/CrystalChamber.java): a bin holding
+    two organisms splits; a pure bin survives the shouldMergeBack
+    guard."""
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.models.quickbin import (
+        Contig,
+        crystal_split,
+        tetramer_profile,
+    )
+
+    g = np.random.default_rng(6)
+
+    def org(seed, n, depth):
+        gg = np.random.default_rng(seed)
+        probs = gg.dirichlet(np.ones(4) * 0.5)
+        out = []
+        for i in range(n):
+            codes = gg.choice(4, 5000, p=probs).astype(np.uint8)
+            out.append(Contig(b"o%d_%d" % (seed, i),
+                              CODE_TO_BASE[codes].tobytes(),
+                              tetramer_profile(codes),
+                              np.array([depth])))
+        return out
+
+    mixed = org(3, 6, 10.0) + org(8, 6, 80.0)
+    halves = crystal_split(mixed, tetra_limit=0.18, depth_limit=1.6)
+    assert halves is not None
+    names = [{c.name[:2] for c in h} for h in halves]
+    assert names[0] != names[1]
+    assert all(len(s) == 1 for s in names), names  # clean separation
+    pure = org(3, 10, 10.0)
+    assert crystal_split(pure, tetra_limit=0.18, depth_limit=1.6) is None
