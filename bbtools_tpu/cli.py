@@ -530,6 +530,10 @@ TOOLS = {
     "kmerposition": lambda a: _lazy("misctools", "kmerposition", a),
     "mergebarcodes": lambda a: _lazy("misctools", "mergebarcodes", a),
     "removesmartbell": lambda a: _lazy("misctools", "removesmartbell", a),
+    "mergefastacontigs": lambda a: _lazy(
+        "misctools", "mergefastacontigs", a),
+    "partitionfastafile": lambda a: _lazy(
+        "misctools", "partitionfastafile", a),
     "filtersubs": lambda a: _lazy("misctools", "filtersubs", a),
     "kmercoverage": lambda a: _lazy("misctools", "kmercoverage", a),
     "bbrealign": lambda a: _lazy("bbrealign", "main", a),

@@ -545,3 +545,99 @@ def mergeotus(argv=None):
             )
     print(f"Merged to {len(merged)} OTUs.", file=sys.stderr)
     return merged
+
+
+def mergefastacontigs(argv=None):
+    """Merge contigs into synthetic N-padded chromosomes
+    (pacbio/MergeFastaContigs.java): contigs shorter than minlen are
+    dropped, survivors concatenate with npad Ns between them, a new
+    chromosome starts when the running length would exceed maxlen, and
+    a .info index records each contig's (chrom, start, stop) so
+    coordinates can be mapped back."""
+    import sys
+
+    from ..core.parser import tokenize
+    from ..io.fasta import iter_fasta
+    from ..io.readwrite import open_output
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out1 = a.get("out", "out1")
+    info = a.get("info", default=(out1 or "merged") + ".info")
+    npad = a.get_int("npad", default=300)
+    maxlen = a.get_int("maxlen", "maxchrom", default=200_000_000)
+    minlen = a.get_int("minlen", "mincontig", default=1)
+    pad = b"N" * npad
+    chrom = 1
+    loc = 0
+    nc = 0
+    with open_output(out1) as fo, open_output(info) as fi:
+        fi.write(b"#contig\tchrom\tstart\tstop\n")
+        fo.write(b">chr%d\n" % chrom)
+        for rec in iter_fasta(in1):
+            if len(rec.seq) < minlen:
+                continue
+            if loc and loc + npad + len(rec.seq) > maxlen:
+                fo.write(b"\n>chr%d\n" % (chrom + 1))
+                chrom += 1
+                loc = 0
+            if loc:
+                fo.write(pad)
+                loc += npad
+            fo.write(rec.seq)
+            fi.write(b"%s\t%d\t%d\t%d\n" % (
+                rec.name.split()[0], chrom, loc, loc + len(rec.seq)))
+            loc += len(rec.seq)
+            nc += 1
+        fo.write(b"\n")
+    print(f"Contigs merged:      \t{nc}", file=sys.stderr)
+    print(f"Chromosomes:         \t{chrom}", file=sys.stderr)
+    return nc, chrom
+
+
+def partitionfastafile(argv=None):
+    """Split a FASTA into `ways` parts of roughly equal bases at contig
+    boundaries (pacbio/PartitionFastaFile.java role; out pattern uses
+    '%' or '#' for the part number)."""
+    import sys
+
+    from ..core.parser import tokenize
+    from ..io.fasta import iter_fasta
+    from ..io.readwrite import open_output
+
+    a = tokenize(argv if argv is not None else sys.argv[1:])
+    in1 = a.get("in", "in1")
+    out_pat = a.get("out", default="part_%.fa")
+    ways = a.get_int("ways", "parts", default=2)
+    recs = list(iter_fasta(in1))
+    total = sum(len(r.seq) for r in recs)
+    part = 0
+    written = 0
+    fh = None
+    counts = []
+
+    def openpart(p):
+        name = out_pat.replace("%", str(p)).replace("#", str(p))
+        return open_output(name)
+
+    for rec in recs:
+        # midpoint rule: a contig goes to the next part when more than
+        # half of it lies past this part's equal-bases boundary
+        while (
+            part < ways - 1
+            and written + len(rec.seq) / 2 > total * (part + 1) / ways
+        ):
+            if fh is not None:
+                fh.close()
+                fh = None
+            part += 1
+        if fh is None:
+            fh = openpart(part)
+            counts.append(0)
+        fh.write(b">%s\n%s\n" % (rec.name, rec.seq))
+        written += len(rec.seq)
+        counts[-1] += len(rec.seq)
+    if fh is not None:
+        fh.close()
+    print(f"Parts written:       \t{len(counts)}", file=sys.stderr)
+    return counts

@@ -104,3 +104,46 @@ def test_removehuman_preset(human_like):
 def test_removehuman_requires_ref():
     with pytest.raises(ValueError):
         main(["removehuman", "in=x.fq", "outu=y.fq"])
+
+
+def test_mergefastacontigs_and_partition(tmp_path):
+    """pacbio/MergeFastaContigs + PartitionFastaFile: N-padded pseudo-
+    chromosomes with a coordinate index; partition splits at contig
+    boundaries into ~equal base parts."""
+    import numpy as np
+
+    from bbtools_tpu.cli import main as cli_main
+
+    rng = np.random.default_rng(3)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    seqs = [ACGT[rng.integers(0, 4, n)].tobytes()
+            for n in (500, 800, 40, 1200, 700)]
+    with open(tmp_path / "in.fa", "wb") as f:
+        for i, s in enumerate(seqs):
+            f.write(b">c%d\n%s\n" % (i, s))
+    cli_main(["mergefastacontigs", f"in={tmp_path}/in.fa",
+              f"out={tmp_path}/m.fa", f"info={tmp_path}/m.info",
+              "npad=100", "minlen=100", "maxlen=2000"])
+    from bbtools_tpu.io.fasta import iter_fasta
+
+    chroms = {r.name: r.seq for r in iter_fasta(str(tmp_path / "m.fa"))}
+    assert len(chroms) >= 2  # maxlen forces a split
+    # index maps back to the original bytes
+    merged = {}
+    for line in (tmp_path / "m.info").read_bytes().splitlines()[1:]:
+        name, ch, a, b = line.split(b"\t")
+        merged[name] = chroms[b"chr" + ch][int(a):int(b)]
+    assert merged[b"c0"] == seqs[0]
+    assert merged[b"c3"] == seqs[3]
+    assert b"c2" not in merged  # dropped by minlen
+    # npad separation present
+    assert b"N" * 100 in b"".join(chroms.values())
+
+    cli_main(["partitionfastafile", f"in={tmp_path}/in.fa",
+              f"out={tmp_path}/p_%.fa", "ways=2"])
+    outs = sorted(tmp_path.glob("p_*.fa"))
+    assert len(outs) == 2
+    names = []
+    for o in outs:
+        names.extend(r.name for r in iter_fasta(str(o)))
+    assert names == [b"c0", b"c1", b"c2", b"c3", b"c4"]
