@@ -47,11 +47,21 @@ def run(argv: list[str]):
 
         if k > MAX_K:
             raise ValueError(f"k={k} exceeds max supported k={MAX_K}")
+    shards = a.get_int("shards", "tpshards", default=0)
     t0 = time.time()
     import jax
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    if big:
+    if shards > 1 and not big:
+        # hash-sharded multi-chip spectrum: kmer % shards ownership over
+        # a dp mesh (kmer/KmerTableSet.java:273-285), one all_to_all per
+        # batch, histogram psum-merged in-graph
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded_spectrum import ShardedSpectrum
+
+        mesh = make_mesh(n_dp=shards, devices=jax.devices()[:shards])
+        spec = ShardedSpectrum(mesh, k)
+    elif big:
         spec = WordSpectrum(k)
     elif on_tpu:
         # device-resident accumulation: the spectrum never crosses the
@@ -71,7 +81,7 @@ def run(argv: list[str]):
                     b.bases, b.lengths.astype(_np.int64), k
                 )
                 spec.add_batch(keys, c)
-            elif on_tpu:
+            elif shards > 1 or on_tpu:
                 spec.add_batch(b.bases, b.lengths)
             else:
                 v, c = count_batch(b.bases, b.lengths, k)
@@ -102,7 +112,7 @@ def run(argv: list[str]):
                             text += kmer_to_text(int(row[w]), WORD_BASES)
                         fh.write(b">%d\n%s\n" % (cnt, text.encode()))
             else:
-                if isinstance(spec, DeviceSpectrum):
+                if hasattr(spec, "spectrum"):
                     dk, dc = spec.spectrum()
                 else:
                     dk, dc = spec.keys, spec.counts

@@ -237,3 +237,54 @@ def test_bbduk_cli_sharded_equals_single(tmp_path):
     # mixed mesh too: 4-way table shards x 2-way read parallelism
     fq4, st4 = run("mixed", ["tpshards=4"])
     assert fq1 == fq4 and st1 == st4
+
+
+def test_sharded_spectrum_matches_single_device():
+    """Hash-sharded spectrum (kmer % n ownership over dp,
+    KmerTableSet.java:273-285): multi-batch accumulation, histogram,
+    and final spectrum all equal the single-device KmerSpectrum."""
+    from bbtools_tpu.parallel.sharded_spectrum import ShardedSpectrum
+
+    k = 31
+    mesh = make_mesh(n_dp=8)
+    ss = ShardedSpectrum(mesh, k, cap=1 << 12)
+    ks = KmerSpectrum(k)
+    g = np.random.default_rng(77)
+    for bi in range(3):
+        B, L = 48 + 8 * bi, 120
+        bases = g.integers(0, 4, (B, L)).astype(np.uint8)
+        # duplicated rows so counts exceed 1 across batches
+        bases[::4] = bases[0]
+        lengths = np.full(B, L, np.int32)
+        lengths[5] = 50
+        ss.add_batch(bases, lengths)
+        v, c = count_batch_np(bases, lengths, k)
+        ks.add_batch(v, c)
+    ks.flush()
+    sk, sc = ss.spectrum()
+    assert (sk == ks.keys).all()
+    assert (sc == ks.counts).all()
+    h1 = ss.histogram(1000)
+    h2 = ks.histogram(1000)
+    assert (h1 == h2).all()
+    assert ss.n_unique == ks.n_unique
+
+
+def test_kmercountexact_cli_sharded_equals_single(tmp_path):
+    """CLI-level: kmercountexact shards=8 produces byte-identical khist
+    and dump to the single-device run."""
+    from bbtools_tpu.cli import main as cli_main
+
+    g = np.random.default_rng(13)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    with open(tmp_path / "r.fq", "wb") as f:
+        base = ACGT[g.integers(0, 4, 150)].tobytes()
+        for i in range(400):
+            seq = base if i % 3 == 0 else ACGT[g.integers(0, 4, 150)].tobytes()
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, b"F" * 150))
+    cli_main(["kmercountexact", f"in={tmp_path}/r.fq", "k=31",
+              f"khist={tmp_path}/h1.txt", f"dump={tmp_path}/d1.fa"])
+    cli_main(["kmercountexact", f"in={tmp_path}/r.fq", "k=31", "shards=8",
+              f"khist={tmp_path}/h8.txt", f"dump={tmp_path}/d8.fa"])
+    assert (tmp_path / "h1.txt").read_bytes() == (tmp_path / "h8.txt").read_bytes()
+    assert (tmp_path / "d1.fa").read_bytes() == (tmp_path / "d8.fa").read_bytes()
