@@ -159,9 +159,10 @@ class DeviceSpectrum:
 
     def add_batch(self, bases, lengths):
         """bases [B, L] uint8 (host or device), lengths [B]."""
+        # jnp.asarray keeps device arrays resident (a np.asarray round
+        # trip here pulled already-staged batches back through the host)
         keys = batch_kmers_jnp(
-            jnp.asarray(np.asarray(bases)),
-            jnp.asarray(np.asarray(lengths)), self.k,
+            jnp.asarray(bases), jnp.asarray(lengths), self.k,
         )
         while True:
             nk, nc, n_runs = _merge_spectra(self.keys, self.counts, keys)
