@@ -130,6 +130,18 @@ def _merge_spectra(spec_keys, spec_counts, batch_keys):
     )
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _accumulate_batch(bases, lengths, spec_keys, spec_counts, k):
+    """Fused per-batch spectrum accumulate: extract + merge + slice back
+    to the carry capacity, one dispatch. n_runs may exceed the capacity
+    (the caller grows and retries; the sliced arrays are then invalid
+    and discarded)."""
+    keys = batch_kmers_jnp(bases, lengths, k)
+    nk, nc, n_runs = _merge_spectra(spec_keys, spec_counts, keys)
+    cap = spec_keys.shape[0]
+    return nk[:cap], nc[:cap], n_runs
+
+
 class DeviceSpectrum:
     """Device-resident exact spectrum: the merged (keys, counts) arrays
     live on the TPU across batches and only ONE scalar (the unique
@@ -140,45 +152,84 @@ class DeviceSpectrum:
     overflow (one recompile per power of two, ScheduleMaker's resize
     schedule role, kmer/ScheduleMaker.java:16)."""
 
-    def __init__(self, k: int, cap: int = 1 << 21):
+    def __init__(self, k: int, cap: int = 1 << 21, sync_every: int = 8):
         self.k = k
         self.cap = cap
         self.keys = jnp.full(cap, PAD, jnp.int64)
         self.counts = jnp.zeros(cap, jnp.int64)
         self.n = 0
+        #: overflow-sync cadence: the per-batch n_runs scalars stay on
+        #: device for up to sync_every batches so dispatches pipeline
+        #: (each forced pull costs a full link round trip on remote
+        #: harnesses); a checkpointed carry + kept batch refs make a
+        #: LATE overflow exactly replayable after growth
+        self.sync_every = max(1, sync_every)
+        self._pending: list = []  # per-batch n_runs device scalars
+        self._replay: list = []  # (bases, lengths) since the checkpoint
+        self._ckpt = (self.keys, self.counts)
 
-    def _grow(self):
-        pad = self.cap
-        self.cap *= 2
-        self.keys = jnp.concatenate(
-            [self.keys, jnp.full(pad, PAD, jnp.int64)]
-        )
-        self.counts = jnp.concatenate(
-            [self.counts, jnp.zeros(pad, jnp.int64)]
-        )
+    def _grow(self, need: int | None = None):
+        while True:
+            # cap is ALWAYS derived from the live array (a checkpoint
+            # restore may have rolled the arrays back below self.cap)
+            pad = int(self.keys.shape[0])
+            self.cap = 2 * pad
+            self.keys = jnp.concatenate(
+                [self.keys, jnp.full(pad, PAD, jnp.int64)]
+            )
+            self.counts = jnp.concatenate(
+                [self.counts, jnp.zeros(pad, jnp.int64)]
+            )
+            if need is None or self.cap >= need:
+                return
 
     def add_batch(self, bases, lengths):
         """bases [B, L] uint8 (host or device), lengths [B]."""
-        # jnp.asarray keeps device arrays resident (a np.asarray round
-        # trip here pulled already-staged batches back through the host)
-        keys = batch_kmers_jnp(
-            jnp.asarray(bases), jnp.asarray(lengths), self.k,
+        # ONE fused dispatch per batch (extract + sort-reduce + merge +
+        # slice-to-cap); the overflow check syncs only every
+        # sync_every batches, so the link round trip amortizes and the
+        # device pipeline stays full. jnp.asarray keeps device arrays
+        # resident.
+        bases = jnp.asarray(bases)
+        lengths = jnp.asarray(lengths)
+        nk, nc, n_runs = _accumulate_batch(
+            bases, lengths, self.keys, self.counts, self.k,
         )
-        while True:
-            nk, nc, n_runs = _merge_spectra(self.keys, self.counts, keys)
-            n = int(n_runs)  # the only per-batch host pull
-            if n <= self.cap:
-                self.keys = nk[: self.cap]
-                self.counts = nc[: self.cap]
-                self.n = n
-                return
-            self._grow()
+        self.keys, self.counts = nk, nc
+        self._pending.append(n_runs)
+        self._replay.append((bases, lengths))
+        if len(self._pending) >= self.sync_every:
+            self._sync()
 
-    def flush(self):  # KmerSpectrum-compatible no-op
-        return
+    def _sync(self):
+        if not self._pending:
+            return
+        ns = [int(x) for x in self._pending]  # pipelined forced pulls
+        if max(ns) <= self.cap:
+            self.n = ns[-1]
+            self._ckpt = (self.keys, self.counts)
+            self._pending.clear()
+            self._replay.clear()
+            return
+        # late overflow: restore the checkpointed carry (immutable jax
+        # arrays — holding the refs IS the checkpoint), grow past the
+        # largest observed run count, and replay the kept batches
+        self.keys, self.counts = self._ckpt
+        self.cap = int(self.keys.shape[0])
+        replay = self._replay
+        self._pending = []
+        self._replay = []
+        self._grow(need=max(ns))
+        for b, ln in replay:
+            self.add_batch(b, ln)
+        self._sync()
+
+    def flush(self):
+        self._sync()
 
     def spectrum(self):
         """One final readback: (sorted int64 keys [n], counts [n])."""
+        self._sync()
         if getattr(self, "_host", None) is None:
             self._host = (
                 np.asarray(self.keys[: self.n]),
@@ -196,11 +247,13 @@ class DeviceSpectrum:
 
     @property
     def n_unique(self):
+        self._sync()
         return self.n
 
     def histogram(self, hist_max: int) -> np.ndarray:
         """On-device histogram finalization: only [hist_max+1] int64
         returns to the host (khist= never pays the spectrum transfer)."""
+        self._sync()
 
         @partial(jax.jit, static_argnames=("hm",))
         def hist(counts, n, hm):

@@ -321,31 +321,41 @@ def bench_kmercount():
     # finalizes the histogram there — the readback-cliff mitigation
     from bbtools_tpu.ops.kmer_count import DeviceSpectrum
 
-    # khist rate on a REALISTIC spectrum: reads drawn from a 1 Mbp
-    # genome, so uniques plateau at ~1M and the capacity never grows
-    # mid-measurement (random reads add ~2M fresh uniques per batch,
-    # which times the resize recompile instead of the steady state).
-    # Batches are pre-staged on device: a real host uploads at PCIe
-    # rate; this harness's ~6 MB/s tunnel would otherwise swamp the row
-    # (the `transfer` extras row reports that separately).
+    # khist (DeviceSpectrum accumulate) rate on a REALISTIC spectrum:
+    # reads drawn from a 1 Mbp genome, so uniques plateau at ~1M and
+    # the capacity never grows mid-measurement. Measured with the same
+    # in-graph slope as every other device row: chained accumulates in
+    # one fori_loop (this harness's per-dispatch wall has a ~0.5 s
+    # floor that buried the real per-batch cost 10x; BASELINE.md
+    # "Timing methodology").
+    from bbtools_tpu.ops.kmer_count import (
+        PAD,
+        _merge_spectra,
+        batch_kmers_jnp,
+    )
+
     genome = rng.integers(0, 4, 1_000_000).astype(np.uint8)
     starts = rng.integers(0, len(genome) - READ_LEN, reads)
     gbases = genome[
         starts[:, None] + np.arange(READ_LEN)[None, :]
     ]
-    spec = DeviceSpectrum(31, cap=1 << 21)
-    spec.add_batch(gbases, lengths)  # warm: compiles + fills the table
-    staged = [jnp.asarray(np.roll(gbases, i + 1, axis=0))
-              for i in range(4)]
-    for s in staged:
-        s.block_until_ready()
-    t0 = time.perf_counter()
-    n_acc = 4
-    for i in range(n_acc):
-        spec.add_batch(staged[i], dl)
-    h = spec.histogram(1000)
-    assert h.sum() > 0
-    dt_acc = (time.perf_counter() - t0) / n_acc
+    cap = 1 << 21
+    dgb = jnp.asarray(gbases)
+    spec_k0 = jnp.full(cap, PAD, jnp.int64)
+    spec_c0 = jnp.zeros(cap, jnp.int64)
+    kk = batch_kmers_jnp(dgb, dl, 31)
+    spec_k0, spec_c0, _ = _merge_spectra(spec_k0, spec_c0, kk)
+    spec_k0, spec_c0 = spec_k0[:cap], spec_c0[:cap]  # warm table
+
+    def khist_step(i):
+        # steady state: merge one rolled batch into the warm 1M-unique
+        # table (the carry's SIZE is what prices the merge; threading it
+        # through the chain would only change capacity, which is fixed)
+        keys = batch_kmers_jnp(jnp.roll(dgb, i + 1, axis=0), dl, 31)
+        nk, nc, nr = _merge_spectra(spec_k0, spec_c0, keys)
+        return nr
+
+    dt_acc = step_time(khist_step)
     return {
         "reads_per_sec": reads / dt_dev,
         "bases_per_sec": reads * READ_LEN / dt_dev,

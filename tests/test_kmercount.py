@@ -234,3 +234,33 @@ def test_native_radix_count_matches_numpy():
     wc = np.diff(np.append(starts, len(rs)))
     np.testing.assert_array_equal(vals, rs[starts])
     np.testing.assert_array_equal(counts, wc)
+
+
+def test_device_spectrum_matches_host_spectrum():
+    """DeviceSpectrum (device-resident fused accumulate, incl. a
+    capacity-growth retry) equals the host KmerSpectrum exactly."""
+    import numpy as np
+
+    from bbtools_tpu.ops.kmer_count import (
+        DeviceSpectrum,
+        KmerSpectrum,
+        count_batch_np,
+    )
+
+    g = np.random.default_rng(3)
+    ds = DeviceSpectrum(31, cap=1 << 10)  # tiny: forces growth mid-run
+    ks = KmerSpectrum(31)
+    for bi in range(3):
+        bases = g.integers(0, 4, (64, 120)).astype(np.uint8)
+        bases[::3] = bases[0]
+        lengths = np.full(64, 120, np.int32)
+        lengths[7] = 40
+        ds.add_batch(bases, lengths)
+        v, c = count_batch_np(bases, lengths, 31)
+        ks.add_batch(v, c)
+    ks.flush()
+    dk, dc = ds.spectrum()
+    assert (dk == ks.keys).all()
+    assert (dc == ks.counts).all()
+    assert (ds.histogram(100) == ks.histogram(100)).all()
+    assert ds.cap > 1 << 10  # growth actually happened
