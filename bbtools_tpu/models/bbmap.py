@@ -72,7 +72,10 @@ class BBMapConfig:
     max_indel: int = 16000  # diagonal clustering window (BBMap.java maxindel)
     max_sites: int = 8  # candidate clusters per read/strand
     key_density: float = 1.9  # keys per (len-k+1)/... (KeyRing density)
-    ambig: str = "best"  # best/toss/all
+    ambig: str = "best"  # best/toss/random/all
+    #: local alignment output (bbmap.sh local=t): clip alignment ends
+    #: that lower the score to soft-clips (Read.toLocalAlignment role)
+    local: bool = False
     batch_reads: int = 4096
     pad: int = 12  # DP window slack each side
     max_hits_per_key: int = 2000
@@ -181,6 +184,7 @@ def parse_args(argv, preset: str | None = None):
     c.max_indel = a.get_int("maxindel", default=c.max_indel)
     c.max_sites = a.get_int("maxsites", default=8)
     c.ambig = a.get("ambiguous", "ambig", default=c.ambig) or "best"
+    c.local = a.get_bool("local", default=c.local)
     c.secondary = a.get_bool("secondary", default=c.secondary)
     c.fastareadlen = a.get_int("fastareadlen", default=c.fastareadlen)
     c.batch_reads = a.get_int("batchreads", default=c.batch_reads)
@@ -633,8 +637,25 @@ class BBMap:
         # emit set: the primary winner per read, plus secondary sites when
         # skimmer semantics are on (secondary=t / ambig=all)
         emit: list[tuple[int, int, int, bool]] = []  # (b, i, score, primary)
+        if cfg.ambig == "random":
+            # ambiguous=random (AbstractMapThread AMBIGUOUS_RANDOM):
+            # the primary is drawn uniformly from the sites inside the
+            # winner's clearzone, deterministic per (seed, read)
+            if not hasattr(self, "_ambig_rng"):
+                self._ambig_rng = np.random.default_rng(0)
+            ties_by_read: dict[int, list[int]] = {}
+            for i in range(T):
+                b = int(t_read[i])
+                s0 = best.get(b, (-BIG, -1))[0]
+                cz = clearzone_for(s0, int(max_quality(lengths[b])))
+                if dp_score[i] >= s0 - cz:
+                    ties_by_read.setdefault(b, []).append(i)
         for b, (s, i) in best.items():
             if s >= min_score_for(int(lengths[b]), cfg.min_ratio):
+                if cfg.ambig == "random":
+                    ties = ties_by_read.get(b, [int(i)])
+                    i = ties[int(self._ambig_rng.integers(len(ties)))]
+                    s = int(dp_score[i])
                 emit.append((b, int(i), int(s), True))
         if cfg.secondary or cfg.ambig == "all":
             prim = {b: i for b, (s, i) in best.items()}
@@ -733,6 +754,14 @@ class BBMap:
                 t_read, t_strand, t_anchor, t_votes, task_reads,
                 lengths, bridge, results, best,
             )
+        if cfg.local:
+            for r in results:
+                if r.mapped and r.match:
+                    m2, shift = to_local_match(r.match)
+                    if m2 is not r.match:
+                        r.match = m2
+                        r.flat_start += shift
+                        r.score = score_match_bytes(m2)
         for b in range(B):
             r = results[b]
             if r.mapped:
@@ -1536,6 +1565,59 @@ def score_match_bytes(match: bytes) -> int:
         elif ch == ord("C"):
             pass  # soft-clipped
     return score
+
+
+def to_local_match(match: bytes) -> tuple[bytes, int]:
+    """Clip a glocal match string to its best-scoring LOCAL window
+    (Read.toLocalAlignment / bbmap.sh local=t): per-op streak-aware
+    scores, maximum-sum subarray (Kadane), query-consuming ops outside
+    the window become soft-clips (C) and boundary deletions vanish.
+    Returns (match, ref_start_shift); the original object comes back
+    unchanged when nothing clips."""
+    n = len(match)
+    scores = np.empty(n, np.int64)
+    streak = 0
+    prev = -1
+    for idx in range(n):
+        ch = match[idx]
+        streak = streak + 1 if ch == prev else 1
+        prev = ch
+        if ch in (109, 115):  # m s
+            scores[idx] = MC.POINTS_MATCH if streak == 1 else MC.POINTS_MATCH2
+        elif ch in (83, 86):  # S V
+            scores[idx] = MC.POINTS_SUB_ARRAY[min(streak, 603)]
+        elif ch in (73, 88, 89):  # I X Y
+            scores[idx] = MC.POINTS_INS_ARRAY[min(streak, 603)]
+        elif ch == 68:  # D: per-byte increment of the tiered curve
+            scores[idx] = int(MC.calc_del_score(streak)) - int(
+                MC.calc_del_score(streak - 1)
+            )
+        else:  # N B R C
+            scores[idx] = MC.POINTS_NOCALL
+    # Kadane with window tracking
+    best = cur = np.int64(-1)
+    b0 = b1 = c0 = 0
+    for idx in range(n):
+        if cur < 0:
+            cur = scores[idx]
+            c0 = idx
+        else:
+            cur += scores[idx]
+        if cur > best:
+            best, b0, b1 = cur, c0, idx
+    if best < 0 or (b0 == 0 and b1 == n - 1):
+        return match, 0
+    QRY = (109, 115, 83, 86, 73, 88, 89, 78, 66)  # query-consuming ops
+    REF = (109, 115, 83, 86, 78, 66, 68, 82)  # ref-consuming ops
+    pre = match[:b0]
+    n_pre_q = sum(1 for ch in pre if ch in QRY)
+    pre_ref = sum(1 for ch in pre if ch in REF)
+    suf = match[b1 + 1 :]
+    n_suf_q = sum(1 for ch in suf if ch in QRY)
+    out = b"C" * n_pre_q + match[b0 : b1 + 1] + b"C" * n_suf_q
+    # POS convention: leading C consume ref 1:1 in toCigar14, so the
+    # start shifts by (ref consumed by the clipped prefix) - (#C)
+    return out, pre_ref - n_pre_q
 
 
 def dels_to_introns(cigar: str, intronlen: int) -> str:

@@ -524,3 +524,92 @@ def test_gaptools_utils():
     assert big < 128 * 100
     span = calc_gref_len(0, 20_000, [0, 1000, 15_000, 20_000])
     assert span < 20_001 - 10_000  # 14k gap compressed by ~128x
+
+
+def test_bbmap_local_mode(tmp_path):
+    """local=t (Read.toLocalAlignment role): reads whose ends diverge
+    from the reference get soft-clipped ends instead of mismatch runs;
+    POS moves past the clipped prefix."""
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.bbmap import BBMap, parse_args, to_local_match
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+    from bbtools_tpu.utils.synth import random_genome, write_reads
+
+    # unit: pure helper semantics
+    m, shift = to_local_match(b"SSSS" + b"m" * 60 + b"SSS")
+    assert m == b"CCCC" + b"m" * 60 + b"CCC"
+    assert shift == 0  # prefix subs consume ref 1:1, C does too
+    m2, _ = to_local_match(b"m" * 60)
+    assert m2 == b"m" * 60  # clean alignments untouched
+
+    rng = np.random.default_rng(17)
+    genome = random_genome(30_000, n_scaffolds=1, seed=9)
+    write_fasta(str(tmp_path / "ref.fa"), genome)
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    codes = ref.scaffold_codes(0)
+    recs = []
+    for i in range(40):
+        p = int(rng.integers(500, 25_000))
+        r = codes[p : p + 120].copy()
+        r[:15] = rng.integers(0, 4, 15)  # divergent 5' tail (adapter-ish)
+        recs.append((b"lc%d_%d" % (i, p),
+                     CODE_TO_BASE[np.minimum(r, 4)].tobytes(), b"F" * 120))
+    write_reads(str(tmp_path / "reads.fq"), recs)
+    idx = SeedIndex.build(ref, k=13)
+    cfg = parse_args([f"in={tmp_path}/reads.fq", f"out={tmp_path}/l.sam",
+                      "local=t"])
+    BBMap(cfg, index=idx).run()
+    sam = [l.split(b"\t") for l in
+           (tmp_path / "l.sam").read_bytes().splitlines()
+           if l and not l.startswith(b"@")]
+    n_clip = 0
+    for row in sam:
+        cig = row[5].decode()
+        if cig.startswith(("15S", "14S", "13S", "12S", "11S", "10S")):
+            n_clip += 1
+    assert n_clip >= 30, n_clip  # most divergent tails soft-clipped
+
+
+def test_bbmap_ambig_random(tmp_path):
+    """ambiguous=random: reads from a two-copy perfect repeat spread
+    across BOTH copies (deterministic per seed) instead of always the
+    lexicographically first site."""
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.bbmap import BBMap, parse_args
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+    from bbtools_tpu.utils.synth import random_genome, write_reads
+
+    rng = np.random.default_rng(23)
+    g1 = random_genome(12_000, n_scaffolds=1, seed=31)
+    # duplicate a 3kb block at two loci
+    from bbtools_tpu.io.fasta import iter_fasta
+
+    seq = g1[0][1]
+    seq = seq[:2000] + seq[5000:8000] + seq[2000:]
+    write_fasta(str(tmp_path / "ref.fa"), [(b"chr", seq)])
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    codes = ref.scaffold_codes(0)
+    recs = []
+    for i in range(60):  # reads inside the duplicated block
+        p = int(rng.integers(2100, 4800))
+        r = codes[p : p + 100]
+        recs.append((b"rp%d" % i,
+                     CODE_TO_BASE[np.minimum(r, 4)].tobytes(), b"F" * 100))
+    write_reads(str(tmp_path / "reads.fq"), recs)
+    idx = SeedIndex.build(ref, k=13)
+    cfg = parse_args([f"in={tmp_path}/reads.fq", f"out={tmp_path}/r.sam",
+                      "ambig=random"])
+    BBMap(cfg, index=idx).run()
+    poss = [int(l.split(b"\t")[3]) for l in
+            (tmp_path / "r.sam").read_bytes().splitlines()
+            if l and not l.startswith(b"@") and not int(l.split(b"\t")[1]) & 4]
+    lo = sum(1 for p in poss if p < 5100)
+    hi = len(poss) - lo
+    assert len(poss) >= 55
+    assert lo >= 10 and hi >= 10, (lo, hi)  # spread over both copies
