@@ -657,7 +657,11 @@ class BBMap:
                     i = ties[int(self._ambig_rng.integers(len(ties)))]
                     s = int(dp_score[i])
                 emit.append((b, int(i), int(s), True))
-        if cfg.secondary or cfg.ambig == "all":
+        keep_sites = (
+            cfg.secondary or cfg.ambig == "all"
+            or getattr(self, "_keep_sites", False)
+        )
+        if keep_sites:
             prim = {b: i for b, (s, i) in best.items()}
             by_read: dict[int, list] = {}
             for i in range(T):
@@ -1044,12 +1048,16 @@ class BBMap:
         wm2 = open_output(cfg.outm2) if cfg.outm2 else None
         it2 = iter(reader2) if reader2 else None
         wb1 = open_output(cfg.outb1) if cfg.outb1 else None
+        # paired runs retain top-N candidate sites per read so the
+        # pairing pass can re-select winners (pairSiteScoresFinal role)
+        self._keep_sites = it2 is not None
         for batch in reader:
             results = self.map_batch(batch)
             batch2 = results2 = None
             if it2 is not None:
                 batch2 = next(it2)
                 results2 = self.map_batch(batch2)
+                self.pair_site_scores(batch, results, batch2, results2)
                 if cfg.rescue_mates:
                     self.rescue(batch, results, batch2, results2)
                     self.rescue(batch2, results2, batch, results)
@@ -1261,6 +1269,86 @@ class BBMap:
                         100.0 * ra_ / total, ba_ / 1e6, ru, ra_,
                     )
                 )
+
+    def pair_site_scores(self, ba, rs1, bb, rs2):
+        """Paired site re-selection (AbstractMapThread
+        pairSiteScoresFinal, align2/AbstractMapThread.java:2284-2460):
+        every (site1, site2) combination on one scaffold with sane
+        orientation and inner distance <= MAX_PAIR_DIST earns a paired
+        score — score1 + 1 + max(1, score2*mult - deviation penalty) —
+        and the combination with the best total becomes the primary
+        pair. Repeats resolve consistently: a mate anchored uniquely
+        pulls its partner to the copy that forms a proper pair."""
+        MAX_PAIR_DIST = 32000  # AbstractMapThread.java:3547
+        AVG_PAIR_DIST = 100  # INITIAL_AVERAGE_PAIR_DIST (:3499)
+        for b in range(len(rs1)):
+            r1, r2 = rs1[b], rs2[b]
+            if not (r1.mapped and r2.mapped):
+                continue
+            cands1 = [(r1.flat_start, r1.strand, r1.score, r1.match)]
+            cands1 += r1.sites
+            cands2 = [(r2.flat_start, r2.strand, r2.score, r2.match)]
+            cands2 += r2.sites
+            if len(cands1) == 1 and len(cands2) == 1:
+                continue
+            l1 = int(ba.lengths[b])
+            l2 = int(bb.lengths[b])
+            mult1 = min(0.5, max(0.25, l1 / (4.0 * l2)))
+            mult2 = min(0.5, max(0.25, l2 / (4.0 * l1)))
+            outer_limit = max(l1, l2) * 14 // 32  # OUTER_DIST_MULT/DIV
+            efl = AVG_PAIR_DIST + l1 + l2  # expectedFragLength
+            best = None  # (total, i1, i2, p1, p2)
+            second = -(1 << 40)  # runner-up combo total (ambiguity)
+            for i1, (fs1, st1, s1, m1) in enumerate(cands1):
+                stop1 = fs1 + _reflen(m1)
+                for i2, (fs2, st2, s2, m2) in enumerate(cands2):
+                    if st1 == st2:  # FR orientation only
+                        continue
+                    stop2 = fs2 + _reflen(m2)
+                    outer = max(stop1, stop2) - min(fs1, fs2)
+                    inner = (fs2 - stop1) if fs2 >= stop1 else (fs1 - stop2)
+                    if outer < outer_limit or inner > MAX_PAIR_DIST:
+                        continue
+                    sc1 = self.ref.scaffold_of(
+                        np.asarray([max(fs1, 0), max(fs2, 0)], np.int64)
+                    )
+                    if sc1[0] != sc1[1]:
+                        continue
+                    dev = abs(AVG_PAIR_DIST - inner)
+                    p1 = s1 + 1 + max(
+                        1, int(s2 * mult1) - dev * s2 // max(
+                            100, 10 * efl + 100)
+                    )
+                    p2 = s2 + 1 + max(
+                        1, int(s1 * mult2) - dev * s1 // max(
+                            100, 10 * efl + 100)
+                    )
+                    if best is None or p1 + p2 > best[0]:
+                        if best is not None:
+                            second = max(second, best[0])
+                        best = (p1 + p2, i1, i2, p1, p2)
+                    else:
+                        second = max(second, p1 + p2)
+            if best is None:
+                continue
+            total, i1, i2, p1, p2 = best
+            for r, cands, idx, ps in ((r1, cands1, i1, p1),
+                                      (r2, cands2, i2, p2)):
+                fs, st, s, m = cands[idx]
+                if idx != 0:
+                    # the primary moves to the paired-consistent site;
+                    # the old primary drops into the secondary list
+                    r.sites = [c for ci, c in enumerate(cands[1:])
+                               if ci + 1 != idx]
+                    r.sites.insert(0, cands[0])
+                    r.flat_start, r.strand, r.match = fs, st, m
+                if ps > r.score:
+                    r.score = ps  # setScore(pairedScore)
+                # a decisively best combo resolves repeat ambiguity; a
+                # runner-up combo inside the clearzone keeps it
+                cz = clearzone_for(int(r.score),
+                                   int(max_quality(len(r.match))))
+                r.ambig = second >= total - cz
 
     def rescue(self, ba, ra, bb, rb):
         """Mate rescue (AbstractMapThread.rescue): when read A mapped and
@@ -1506,7 +1594,10 @@ class BBMap:
             )
             # secondary alignments (flag 0x100, seq/qual omitted per SAM
             # convention; AbstractMapThread.java:264 secondary-site print)
-            for fs, st, sc, m in r.sites:
+            for fs, st, sc, m in (
+                r.sites if (self.cfg.secondary or self.cfg.ambig == "all")
+                else ()
+            ):
                 sscaf = int(ref.scaffold_of(np.array([max(fs, 0)]))[0])
                 sstart0 = fs - int(ref.starts[sscaf])
                 out.append(

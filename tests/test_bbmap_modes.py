@@ -613,3 +613,63 @@ def test_bbmap_ambig_random(tmp_path):
     hi = len(poss) - lo
     assert len(poss) >= 55
     assert lo >= 10 and hi >= 10, (lo, hi)  # spread over both copies
+
+
+def test_bbmap_paired_site_selection(tmp_path):
+    """pairSiteScoresFinal (AbstractMapThread:2284-2460): a read from a
+    two-copy repeat is ambiguous alone, but its uniquely-mapped mate
+    pulls it to the copy that forms a proper FR pair."""
+    import numpy as np
+
+    from bbtools_tpu.core.dna import CODE_TO_BASE
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.bbmap import BBMap, parse_args
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+    from bbtools_tpu.utils.synth import random_genome, write_reads
+
+    rng = np.random.default_rng(41)
+    base = random_genome(20_000, n_scaffolds=1, seed=77)[0][1]
+    # copy the 2kb block at 3000..5000 to 12000 (perfect repeat)
+    seq = base[:12_000] + base[3_000:5_000] + base[12_000:]
+    write_fasta(str(tmp_path / "ref.fa"), [(b"chr", seq)])
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    codes = ref.scaffold_codes(0)
+    r1s, r2s = [], []
+    for i in range(40):
+        # r1 inside copy A of the repeat (positions 3000-4900)
+        p1 = int(rng.integers(3_050, 4_800))
+        f = codes[p1 : p1 + 100]
+        # mate 250bp downstream ON THE UNIQUE side is impossible inside
+        # the repeat for most p1; use insert 400 so r2 often leaves it
+        p2 = p1 + 400
+        rcv = codes[p2 : p2 + 100]
+        rc = (3 - rcv[::-1]) % 4
+        r1s.append((b"pp%d_%d" % (i, p1),
+                    CODE_TO_BASE[np.minimum(f, 4)].tobytes(), b"F" * 100))
+        r2s.append((b"pp%d_%d" % (i, p1),
+                    CODE_TO_BASE[np.minimum(rc, 4)].tobytes(), b"F" * 100))
+    write_reads(str(tmp_path / "r1.fq"), r1s)
+    write_reads(str(tmp_path / "r2.fq"), r2s)
+    idx = SeedIndex.build(ref, k=13)
+    cfg = parse_args([
+        f"in={tmp_path}/r1.fq", f"in2={tmp_path}/r2.fq",
+        f"out={tmp_path}/p.sam",
+    ])
+    BBMap(cfg, index=idx).run()
+    rows = [l.split(b"\t") for l in
+            (tmp_path / "p.sam").read_bytes().splitlines()
+            if l and not l.startswith(b"@")]
+    ok = bad = 0
+    for row in rows:
+        flag = int(row[1])
+        if flag & 0x4 or not flag & 0x40:  # read-1 records only
+            continue
+        want = int(row[0].split(b"_")[1]) + 1
+        if int(row[3]) == want:
+            ok += 1
+        else:
+            bad += 1
+    assert ok + bad >= 38
+    # without pairing, ~half would sit on the second copy (+9000);
+    # paired selection places (nearly) all on the true copy
+    assert bad <= 2, (ok, bad)
