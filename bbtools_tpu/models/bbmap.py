@@ -488,6 +488,7 @@ class BBMap:
 
     # ------------------------------------------------------------------
     def map_batch(self, batch) -> list[MapResult]:
+        import jax
         import jax.numpy as jnp
 
         cfg = self.cfg
@@ -599,6 +600,7 @@ class BBMap:
         dp_state = np.full(T, -1, np.int64)
         dp_subidx = np.full(T, -1, np.int64)  # index into the class subset
         dp_planes: dict[int, tuple] = {}
+        dp_dev: dict[int, tuple] = {}
         for c in range(n_cls):
             sel = np.flatnonzero(need_dp & (t_cls == c))
             if not len(sel):
@@ -612,15 +614,33 @@ class BBMap:
             sreads = task_reads[sel]
             slens = task_lens[sel].astype(np.int32)
             bs, bc, bst, planes = msa_fill_tb_auto(L, Wc, sreads, slens, srefs)
-            bs = np.asarray(bs).astype(np.int64)
-            dp_better = bs > ug[sel]
-            dp_score[sel] = np.maximum(bs, ug[sel])
-            dp_col[sel] = np.where(dp_better, np.asarray(bc), -1)
-            dp_state[sel] = np.where(dp_better, np.asarray(bst), -1)
-            dp_subidx[sel] = np.arange(len(sel))
-            dp_planes[c] = (
-                planes, np.asarray(bc), np.asarray(bst), slens, sel, srefs, Wc
+            # fuse the traceback walk for ALL dp tasks of the class into
+            # the same async dispatch chain: the walk is a cheap [B]-lane
+            # scan next to the fill, and doing it now means the batch pays
+            # ONE blocking device->host pull (below) instead of one per
+            # class per phase (~6 tunnel RTTs saved per batch)
+            ops_d, nst_d = msa_walk(
+                L, Wc, planes, jnp.asarray(slens), bc, bst
             )
+            dp_dev[c] = (bs, bc, bst, ops_d, nst_d)
+            dp_planes[c] = (slens, sel, srefs, Wc)
+        if dp_dev:
+            # pull only the small per-task arrays now; the [T, steps] ops
+            # planes stay on device until the winner subset is known (a
+            # device gather pulls just the winner rows — the bulk of the
+            # walk output never crosses the link)
+            pulled = jax.device_get(
+                {c: (v[0], v[1], v[2], v[4]) for c, v in dp_dev.items()}
+            )
+            for c, (bs, bc, bst, nst_c) in pulled.items():
+                slens, sel, srefs, Wc = dp_planes[c]
+                bs = bs.astype(np.int64)
+                dp_better = bs > ug[sel]
+                dp_score[sel] = np.maximum(bs, ug[sel])
+                dp_col[sel] = np.where(dp_better, bc, -1)
+                dp_state[sel] = np.where(dp_better, bst, -1)
+                dp_subidx[sel] = np.arange(len(sel))
+                dp_planes[c] = (dp_dev[c][3], nst_c, bc, slens, sel, srefs, Wc)
         # pick best + second best per read: stable sort by (read, -score)
         # keeps the sequential loop's lowest-task-index tie-break
         worder = np.lexsort((-dp_score, t_read))
@@ -696,17 +716,29 @@ class BBMap:
         bycls: dict[int, list] = {}
         for e in gapped:
             bycls.setdefault(int(t_cls[e[1]]), []).append(e)
+        # gather winner walk rows on device first (async), then one pull
+        subs: dict[int, np.ndarray] = {}
         for c, ws in bycls.items():
-            planes, bc_all, bst_all, slens_all, sel, srefs, Wc = dp_planes[c]
-            ops, nsteps = msa_walk(
-                L, Wc, planes, jnp.asarray(slens_all),
-                jnp.asarray(bc_all), jnp.asarray(bst_all),
-            )
-            ops = np.asarray(ops)
-            nsteps = np.asarray(nsteps)
+            ops_d = dp_planes[c][0]
             sub = np.asarray([dp_subidx[e[1]] for e in ws])
+            subs[c] = sub
+            # pad the gather index to a power-of-two bucket: static shapes
+            # keep the gather's compile cache small across batches
+            cap = max(8, 1 << (len(sub) - 1).bit_length())
+            padded = np.zeros(cap, np.int64)
+            padded[: len(sub)] = sub
+            bycls[c] = (ws, ops_d[jnp.asarray(padded)])
+        ops_pulled = {
+            c: v[: len(subs[c])]
+            for c, v in jax.device_get(
+                {c: v[1] for c, v in bycls.items()}
+            ).items()
+        }
+        for c, (ws, _d) in bycls.items():
+            _ops_d, nsteps, bc_all, slens_all, sel, srefs, Wc = dp_planes[c]
+            sub = subs[c]
             matches = match_strings_np(
-                ops[sub],
+                ops_pulled[c],
                 nsteps[sub],
                 task_reads[sel][sub],
                 slens_all[sub],
