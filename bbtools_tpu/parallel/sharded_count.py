@@ -55,14 +55,14 @@ def sharded_count_step(mesh: Mesh, k: int):
             hist,
         )
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     smapped = shard_map(
         step,
         mesh=mesh,
         in_specs=(P("dp", None), P("dp")),
         out_specs=(P("dp", None), P("dp", None), P("dp"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     del n_dp
     return jax.jit(smapped)
@@ -79,14 +79,14 @@ def sharded_ungapped_score_step(mesh: Mesh, L: int, W: int):
             jnp.full(reads.shape[0], W, jnp.int32),
         )
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     smapped = shard_map(
         step,
         mesh=mesh,
         in_specs=(P("dp", None), P("dp"), P("dp", None), P("dp")),
         out_specs=P("dp"),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped)
 
@@ -129,14 +129,14 @@ def sharded_seed_expand_step(mesh: Mesh, n_shards: int):
         rows = jnp.where(mine[:, :, None], rows, jnp.int32(-1))
         return rows[None]
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     smapped = shard_map(
         step,
         mesh=mesh,
         in_specs=(P(), P("tp", None, None)),
         out_specs=P("tp", None, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped)
 
@@ -157,7 +157,7 @@ def sharded_mm_lookup_step(mesh: Mesh, k: int, mink: int, Kp: int):
         best = jax.lax.pmin(best, "tp")
         return mm_decode_best(best)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     return jax.jit(
         shard_map(
@@ -165,6 +165,6 @@ def sharded_mm_lookup_step(mesh: Mesh, k: int, mink: int, Kp: int):
             mesh=mesh,
             in_specs=(P(None, "tp"), P(None, "tp"), P("dp", None)),
             out_specs=P("dp", None),
-            check_rep=False,
+            check_vma=False,
         )
     )

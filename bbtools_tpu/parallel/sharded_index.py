@@ -86,7 +86,7 @@ def make_sharded_kscan(mesh: Mesh, cfg: KScanConfig, sidx: ShardedKmerIndex,
     the kmer%WAYS design of kmer/KmerTableSet.java:273-285 riding ICI."""
     from functools import partial as _partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops.bbduk_scan import kscan_combined
     from dataclasses import replace
@@ -119,7 +119,7 @@ def make_sharded_kscan(mesh: Mesh, cfg: KScanConfig, sidx: ShardedKmerIndex,
             (P("dp"), P("dp"), P("dp")) if short_left else None,
             (P("dp"), P("dp"), P("dp")) if short_right else None,
         ),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped)
 
@@ -160,7 +160,7 @@ def sharded_bbduk_step(mesh: Mesh, cfg: KScanConfig, sidx: ShardedKmerIndex):
         hist = jax.lax.psum(hist, "dp")  # dp-global histogram
         return nhits, hist
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     smapped = shard_map(
         step,
@@ -172,6 +172,6 @@ def sharded_bbduk_step(mesh: Mesh, cfg: KScanConfig, sidx: ShardedKmerIndex):
             P("tp", None, None),
         ),
         out_specs=(P("dp"), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(smapped)

@@ -60,7 +60,7 @@ def _sharded_add(bases, lengths, keys_c, counts_c, *, mesh, k, n, cap_ex):
         nmax = jax.lax.pmax(n_runs, "dp")
         return nk[None, :cap], nc[None, :cap], ok, nmax
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     return shard_map(
         step,
@@ -82,7 +82,7 @@ def _sharded_hist(keys_c, counts_c, *, mesh, hist_max):
         h = h.at[0].set(0)
         return jax.lax.psum(h, "dp")[None]
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     return shard_map(
         step, mesh=mesh, in_specs=(P("dp"), P("dp")),

@@ -29,9 +29,28 @@ image; derivations recorded in BASELINE.md):
 Prints ONE JSON line: the flagship metric (BBDuk device-compute bases/s
 vs the 8x-of-stream-ceiling target) with every other config's result in
 "extras".
+
+SURVIVAL CONTRACT (round 4): the driver runs this under a timeout and a
+run that dies before printing its JSON line records NOTHING (round 3
+ended rc=124/parsed=null). Three defenses, in order of importance:
+1. A global wall budget (BENCH_BUDGET_S env, default 540 s): sections
+   run in priority order (flagship bbduk panel, khist, host ingest,
+   bbmap e2e first) and any section whose cost estimate exceeds the
+   remaining budget is recorded as {"skipped": "budget"} instead of run.
+2. A persistent XLA compilation cache (.jax_cache/) so the warm-compile
+   walls (347 s for the bbduk e2e graph alone in round 2, more for the
+   bbmap window classes in round 3) are paid once per machine, not once
+   per invocation.
+3. The flagship JSON line is emitted by an atexit hook and a SIGTERM
+   handler with whatever sections have completed, so even a timeout kill
+   leaves a parseable record; BENCH_PARTIAL.json on disk is updated
+   after every section for post-mortems.
 """
 
+import atexit
 import json
+import os
+import signal
 import sys
 import time
 
@@ -42,6 +61,13 @@ JAVA_MAP_32T_BPS = 336e6  # changelog.txt:4950 scaled 4c -> 32t
 
 READ_LEN = 151
 BATCH = 32768
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "540"))
+_T0 = time.monotonic()
+
+
+def _remaining():
+    return BUDGET_S - (time.monotonic() - _T0)
 
 
 def _rng():
@@ -531,7 +557,11 @@ def bench_bbmap_e2e(tmpdir):
     }
     # devseed variant: seed expansion + clustering on device
     # (ops/seed_cluster.py). On this tunneled harness the extra dispatch
-    # RTT dominates; the row tracks it honestly either way.
+    # RTT dominates; the row tracks it honestly either way. Gated on the
+    # wall budget: it recompiles every window class a second time.
+    if _remaining() < 120:
+        out["device_seed"] = {"skipped": "budget"}
+        return out
     try:
         os.remove(out_sam)
         cfg2 = BBMapConfig(in1=reads_fq, out=out_sam, batch_reads=4096,
@@ -627,69 +657,135 @@ def bench_tadpole_bigk():
     }
 
 
+def _round_vals(d):
+    return {
+        k: (round(v, 4) if isinstance(v, float) else v) for k, v in d.items()
+    }
+
+
+_EXTRAS = {}
+_EMITTED = False
+
+
+def _snapshot():
+    dev = _EXTRAS.get("bbduk_device", {})
+    bps = dev.get("bases_per_sec", 0.0) if isinstance(dev, dict) else 0.0
+    return {
+        "metric": "bbduk_device_bases_per_sec_1chip",
+        "value": round(bps, 1),
+        "unit": "bases/s",
+        # target in BASELINE.json is >=8x the 32T Java rate; the
+        # documented Java per-stream ceiling (500 Mbp/s,
+        # DedupeGuide.txt:19) stands in for the unmeasurable
+        # 32T rate — see BASELINE.md for the derivation
+        "vs_baseline": round(bps / JAVA_STREAM_CEILING_BPS, 3),
+        "extras": _EXTRAS,
+    }
+
+
+def _emit():
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    print(json.dumps(_snapshot()), flush=True)
+
+
+def _on_term(signum, frame):
+    _EXTRAS["terminated_by_signal"] = signum
+    _emit()
+    os._exit(0)
+
+
+def _write_partial():
+    try:
+        with open("/root/repo/BENCH_PARTIAL.json", "w") as f:
+            json.dump(_snapshot(), f, indent=1)
+    except OSError:
+        pass
+
+
 def main():
     sys.path.insert(0, "/root/repo")
     import tempfile
 
+    atexit.register(_emit)
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _on_term)
+
+    # Package init handles x64, the JAX_PLATFORMS override (the site hook
+    # forces the tpu plugin via jax.config, which beats the env var), and
+    # the gVisor mallopt tuning — import it before touching jax.devices().
+    import bbtools_tpu  # noqa: F401
     import jax
 
-    platform = jax.devices()[0].platform
-    extras = {"platform": platform, "timing": "in-graph slope (chaintime)"}
-    sections = [
-        ("transfer", bench_transfer),
-        ("bbduk_device", bench_bbduk_device),
-        ("kmercount_k31_device", bench_kmercount),
-        ("bbmerge_overlap_device", bench_bbmerge),
-        ("bbmap_msa_device", bench_bbmap_msa),
-        ("tadpole_k62", bench_tadpole_bigk),
-    ]
-    for name, fn in sections:
-        try:
-            extras[name] = {
-                k: (round(v, 1) if isinstance(v, float) else v)
-                for k, v in fn().items()
-            }
-        except Exception as e:  # record, keep benching
-            extras[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
-    try:
-        with tempfile.TemporaryDirectory() as td:
-            extras["bbduk_end_to_end"] = {
-                k: round(v, 1) for k, v in bench_bbduk_end_to_end(td).items()
-            }
-    except Exception as e:
-        extras["bbduk_end_to_end"] = {"error": f"{type(e).__name__}: {e}"[:300]}
-    try:
-        with tempfile.TemporaryDirectory() as td:
-            extras["bbmap_end_to_end"] = {
-                k: (round(v, 4) if isinstance(v, float) else v)
-                for k, v in bench_bbmap_e2e(td).items()
-            }
-    except Exception as e:
-        extras["bbmap_end_to_end"] = {"error": f"{type(e).__name__}: {e}"[:300]}
-    try:
-        extras["host_ingest"] = {
-            k: round(v, 1) for k, v in bench_host_ingest().items()
-        }
-    except Exception as e:
-        extras["host_ingest"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    # Persistent compile cache: the warm-compile walls through the
+    # ~25 ms-RTT tunnel (hundreds of seconds for the e2e graphs) are the
+    # reason round 3's bench never printed; pay them once per machine.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-    dev = extras.get("bbduk_device", {})
-    bps = dev.get("bases_per_sec", 0.0)
-    print(
-        json.dumps(
-            {
-                "metric": "bbduk_device_bases_per_sec_1chip",
-                "value": round(bps, 1),
-                "unit": "bases/s",
-                # target in BASELINE.json is >=8x the 32T Java rate; the
-                # documented Java per-stream ceiling (500 Mbp/s,
-                # DedupeGuide.txt:19) stands in for the unmeasurable
-                # 32T rate — see BASELINE.md for the derivation
-                "vs_baseline": round(bps / JAVA_STREAM_CEILING_BPS, 3),
-                "extras": extras,
-            }
-        )
+    platform = jax.devices()[0].platform
+    _EXTRAS.update(
+        {
+            "platform": platform,
+            "timing": "in-graph slope (chaintime)",
+            "budget_s": BUDGET_S,
+        }
     )
+
+    td_ctx = tempfile.TemporaryDirectory()
+    td = td_ctx.name
+
+    # (name, fn, conservative cold-cache cost estimate in seconds).
+    # Priority order: the flagship panel row, then the rows VERDICT r3
+    # requires (khist, host ingest, bbmap e2e), then the rest. Estimates
+    # assume a cold compile cache; with .jax_cache warm the real costs
+    # are a small fraction and everything runs.
+    sections = [
+        ("bbduk_device", bench_bbduk_device, 150),
+        ("kmercount_k31_device", bench_kmercount, 120),
+        ("host_ingest", bench_host_ingest, 60),
+        ("bbmap_end_to_end", lambda: bench_bbmap_e2e(td), 200),
+        ("bbduk_end_to_end", lambda: bench_bbduk_end_to_end(td), 90),
+        ("bbmerge_overlap_device", bench_bbmerge, 60),
+        ("bbmap_msa_device", bench_bbmap_msa, 60),
+        ("tadpole_k62", bench_tadpole_bigk, 50),
+        ("transfer", bench_transfer, 30),
+    ]
+    # A warm compile cache shrinks every section dramatically; scale the
+    # cold estimates down when the cache is populated so a warm machine
+    # runs everything.
+    try:
+        cache_warm = len(os.listdir("/root/repo/.jax_cache")) >= 10
+    except OSError:
+        cache_warm = False
+    _EXTRAS["compile_cache_warm"] = cache_warm
+
+    for name, fn, est in sections:
+        if cache_warm:
+            est = max(20, est // 5)
+        rem = _remaining()
+        if rem < min(est, 45):
+            _EXTRAS[name] = {"skipped": "budget", "remaining_s": round(rem, 1)}
+            _write_partial()
+            continue
+        t0 = time.monotonic()
+        try:
+            row = _round_vals(fn())
+        except Exception as e:  # record, keep benching
+            row = {"error": f"{type(e).__name__}: {e}"[:300]}
+        row["elapsed_s"] = round(time.monotonic() - t0, 1)
+        _EXTRAS[name] = row
+        _write_partial()
+        print(f"[bench] {name}: {row.get('elapsed_s')}s", file=sys.stderr)
+
+    try:
+        td_ctx.cleanup()
+    except OSError:
+        pass
+    _emit()
 
 
 if __name__ == "__main__":

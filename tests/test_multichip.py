@@ -2,6 +2,8 @@
 filter, sharded k-mer counting, sharded alignment scoring — each checked
 for exact equality against the single-device implementation."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -288,3 +290,77 @@ def test_kmercountexact_cli_sharded_equals_single(tmp_path):
               f"khist={tmp_path}/h8.txt", f"dump={tmp_path}/d8.fa"])
     assert (tmp_path / "h1.txt").read_bytes() == (tmp_path / "h8.txt").read_bytes()
     assert (tmp_path / "d1.fa").read_bytes() == (tmp_path / "d8.fa").read_bytes()
+
+
+_DIST_WORKER = r"""
+import sys
+import bbtools_tpu  # applies JAX_PLATFORMS env over the site hook
+from bbtools_tpu.parallel.distributed import initialize, global_mesh
+
+ok = initialize()
+assert ok, "initialize() returned False with coordinator env set"
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+mesh = global_mesh()
+assert mesh.devices.shape == (2, 2), mesh.devices.shape
+local = np.full((2, 4), jax.process_index() + 1, np.int32)
+sh = NamedSharding(mesh, P(("dp", "tp"), None))
+g = jax.make_array_from_process_local_data(sh, local)
+total = int(jax.jit(lambda x: x.sum())(g))
+print("DIST_TOTAL=%d" % total)
+"""
+
+
+def test_distributed_two_process_localhost(tmp_path):
+    """The multi-host join path actually runs: two localhost processes
+    join via jax.distributed (coordination service over gRPC), build the
+    global (dp, tp) mesh, and compute over a process-spanning global
+    array. Exercises parallel/distributed.py initialize() + global_mesh()
+    end to end — the reference never shipped its MPI path (SURVEY §2.6.7);
+    this proves ours joins."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "dist_worker.py"
+    script.write_text(_DIST_WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            PYTHONPATH="/root/repo",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, (out.decode(), err.decode()[-2000:])
+        outs.append(out.decode())
+    # 8 cells of 1 (proc 0) + 8 cells of 2 (proc 1)
+    assert all("DIST_TOTAL=24" in o for o in outs), outs
