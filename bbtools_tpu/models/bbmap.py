@@ -13,9 +13,16 @@ SURVEY.md §3.2): the per-read quickMap loop becomes staged batch phases —
               on sites that aren't resolved ungapped
   5. emit:    traceback -> match string -> CIGAR 1.4 / MAPQ / SAM
 
-Site-selection heuristics are a faithful but simplified subset of
-AbstractMapThread (top-N clusters by votes; clearzone ambiguity by score
-gap) — the DP/scoring kernels themselves are bit-exact. Alignment
+Site selection follows AbstractMapThread/BBMapThread: the clearzone
+interpolation ladder (CZP/CZ1/CZ1b/CZ1c with score-dependent
+interpolation, BBMapThread.java:39-74,589-607), the many-near-best-sites
+CLEARZONE1e limit (:619-627), the applyClearzone3 runner-up proximity
+penalty with cz3v2 scaling (:752-766, AbstractMapThread.java:2159), the
+post-local alignment-score floor (:781), and the PENALIZE_AMBIG tip
+penalty (:788, calcTipScorePenalty :2895) — candidate clusters are
+capped at 2*max_sites per read (the one structural divergence; the
+CLEARZONE1e limit uses cap saturation in place of the reference's >40
+site count). The DP/scoring kernels themselves are bit-exact. Alignment
 correctness is validated by the synthesize->grade loop (utils/synth.py,
 utils/graders.py), the reference's own test strategy (SURVEY.md §4).
 """
@@ -131,6 +138,11 @@ class BBMapConfig:
     #: deletions at least this long print as N (intron) CIGAR ops
     #: (SamLine INTRON_LIMIT, bbmap.sh intronlen= — RNAseq output mode)
     intronlen: int = 999999999
+    #: penalizeambiguous=/pambig= (AbstractMapper.java:310): when true
+    #: (reference default) near-best runner-up sites depress the map
+    #: score (applyClearzone3) and messy alignment tips pay a score
+    #: penalty (calcTipScorePenalty) — both feed MAPQ
+    penalize_ambig: bool = True
 
 
 def pacbio_preset(c: "BBMapConfig"):
@@ -193,6 +205,9 @@ def parse_args(argv, preset: str | None = None):
     c.blacklist = a.get("blacklist")
     c.outb1 = a.get("outb", "outb1", "outblacklist", "outblacklist1")
     c.intronlen = a.get_int("intronlen", default=c.intronlen)
+    c.penalize_ambig = a.get_bool(
+        "penalizeambiguous", "penalizeambig", "pambig", default=True
+    )
     c.sam_version = a.get("sam", "samversion", default="1.4") or "1.4"
     c.mhist = a.get("mhist")
     c.idhist = a.get("idhist")
@@ -227,6 +242,8 @@ class MapResult:
     score: int = 0
     match: bytes = b""
     ambig: bool = False
+    #: read base codes in the aligned orientation (tip-penalty input)
+    codes: np.ndarray | None = None
     #: secondary sites (flat_start, strand, score, match) — skimmer output
     sites: list = field(default_factory=list)
 
@@ -751,6 +768,14 @@ class BBMap:
                 ndiag = sum(m.count(x) for x in (b"m", b"S", b"N", b"D"))
                 start_col = int(bc_all[sub[j]]) - ndiag
                 site_out[i] = (int(dp_start[i] + start_col), m)
+        paired_run = cfg.in2 is not None
+        # per-read site score lists (descending, winner first) feed the
+        # ambiguity ladder and the PENALIZE_AMBIG penalties below
+        read_scores: dict[int, list[int]] = {}
+        for i2 in worder:
+            read_scores.setdefault(int(t_read[i2]), []).append(
+                int(dp_score[i2])
+            )
         for b, i, s, primary in emit:
             if i not in site_out:
                 continue
@@ -762,9 +787,41 @@ class BBMap:
                 r.strand = int(t_strand[i])
                 r.flat_start = fs
                 r.match = m
+                r.codes = task_reads[i][: int(lengths[b])]
+                n = int(lengths[b])
+                maxsw = int(max_quality(n))
                 sec = second.get(b, (-BIG, -1))[0]
-                cz = clearzone_for(r.score, int(max_quality(lengths[b])))
+                cz = clearzone_for(r.score, maxsw)
                 r.ambig = sec >= r.score - cz
+                scores_b = read_scores.get(b, [r.score])
+                # The blocks below are the reference's SINGLE-END ladder
+                # (BBMapThread.processRead); its paired path
+                # (processReadPair :1240-1260) uses a stepwise clearzone
+                # with no CLEARZONE3/tip penalties, and pairing happens
+                # before any penalty — so paired runs skip them here.
+                # many-near-best-sites limit (BBMapThread.java:619-627):
+                # the reference marks a read ambiguous when >CLEARZONE_
+                # LIMIT1e sites sit within CLEARZONE1e (one edit) of the
+                # top. Our candidate list is capped at 2*max_sites per
+                # read, so cap saturation with EVERY kept site inside
+                # CLEARZONE1e is the high-copy-repeat detector here.
+                if (
+                    not paired_run
+                    and not r.ambig
+                    and cz < _CZ1E
+                    and len(scores_b) >= 2 * cfg.max_sites
+                    and scores_b[-1] >= r.score - _CZ1E
+                ):
+                    r.ambig = True
+                # runner-up proximity score penalty (applyClearzone3 with
+                # the cz3v2 scaling, BBMapThread.java:752-766); dropping
+                # below the alignment-score floor flips to ambiguous
+                if cfg.penalize_ambig and not paired_run and not r.ambig:
+                    subi = apply_clearzone3(scores_b, r.score, maxsw, n)
+                    if subi:
+                        r.score -= subi
+                        if r.score < min_score_for(n, cfg.min_ratio):
+                            r.ambig = True
                 if cfg.ambig == "toss" and r.ambig:
                     r.mapped = False
                     r.match = b""
@@ -791,16 +848,38 @@ class BBMap:
                 lengths, bridge, results, best,
             )
         if cfg.local:
-            for r in results:
+            for b in range(B):
+                r = results[b]
                 if r.mapped and r.match:
                     m2, shift = to_local_match(r.match)
                     if m2 is not r.match:
                         r.match = m2
                         r.flat_start += shift
                         r.score = score_match_bytes(m2)
+                        # clip can drop the score below the alignment
+                        # floor: unmap unless ambiguity already holds
+                        # (BBMapThread.java:781 post-local clearMapping)
+                        if not r.ambig and r.score < min_score_for(
+                            int(lengths[b]), cfg.min_ratio
+                        ):
+                            r.mapped = False
+                            r.match = b""
         for b in range(B):
             r = results[b]
             if r.mapped:
+                # PENALIZE_AMBIG tip penalty (BBMapThread.java:788-790):
+                # applied last, after local clipping, feeding MAPQ only;
+                # single-end path only (processReadPair has none)
+                if (
+                    cfg.penalize_ambig
+                    and not paired_run
+                    and r.match
+                    and r.codes is not None
+                ):
+                    r.score -= tip_score_penalty(
+                        r.match, r.codes,
+                        int(max_quality(len(r.codes))), r.score,
+                    )
                 self.reads_mapped += 1
                 if self.cfg.mhist or self.cfg.idhist:
                     self._tally_match(r.match)
@@ -923,6 +1002,7 @@ class BBMap:
             r.strand = int(t_strand[ii[p]])
             r.flat_start = int(d1[p])
             r.match = match
+            r.codes = rd[p, :n]
             cz = clearzone_for(int(score), int(max_quality(n)))
             r.ambig = old >= score - cz
 
@@ -1779,30 +1859,145 @@ def min_score_for(length: int, min_ratio: float) -> int:
 # POINTS_MATCH2): an alignment is ambiguous when the runner-up is within
 # `clearzone` of the winner; the zone widens as the best score drops
 # (two-segment linear interpolation CZ1 -> CZ1b -> CZ1c, :590-606).
-_CZP = int(1.6 * MC.POINTS_MATCH2)
-_CZ1 = int(2.0 * MC.POINTS_MATCH2)
-_CZ1B = int(2.6 * MC.POINTS_MATCH2)
-_CZ1C = int(4.6 * MC.POINTS_MATCH2)
+# values follow Java float32 arithmetic: (int)(ratio_f32 * 100) — e.g.
+# 4.6f*100 rounds to 460.0f then truncates to 460, where Python doubles
+# give int(459.999...) = 459. Computed with numpy float32 to stay exact.
+_CZP = int(np.float32(1.6) * MC.POINTS_MATCH2)  # 160
+_CZ1 = int(np.float32(2.0) * MC.POINTS_MATCH2)  # 200
+_CZ1B = int(np.float32(2.6) * MC.POINTS_MATCH2)  # 260
+_CZ1C = int(np.float32(4.6) * MC.POINTS_MATCH2)  # 460
 _CZ1B_FLAT = 12 * MC.POINTS_MATCH2
 _CZ1C_FLAT = 26 * MC.POINTS_MATCH2
 
 
 def clearzone_for(score: int, max_sw: int) -> int:
+    # float32 arithmetic throughout, matching the Java expression types
+    # (BBMapThread.java:595-603: int*int products stay int, the limit
+    # terms and the division are float)
     if score >= max_sw:
         return _CZP
-    blim = max_sw * 0.97 - _CZ1B_FLAT
-    clim = max_sw * 0.92 - _CZ1C_FLAT
+    f32 = np.float32
+    blim = f32(max_sw) * f32(0.97) - f32(_CZ1B_FLAT)
+    clim = f32(max_sw) * f32(0.92) - f32(_CZ1C_FLAT)
     if score > blim:
-        return int(
-            ((max_sw - score) * _CZ1B + (score - blim) * _CZ1)
-            / max(max_sw - blim, 1)
-        )
+        num = f32((max_sw - score) * _CZ1B) + (f32(score) - blim) * f32(_CZ1)
+        return int(num / (f32(max_sw) - blim))
     if score > clim:
-        return int(
-            ((blim - score) * _CZ1C + (score - clim) * _CZ1B)
-            / max(blim - clim, 1)
+        num = (blim - f32(score)) * f32(_CZ1C) + (f32(score) - clim) * f32(
+            _CZ1B
         )
+        return int(num / (blim - clim))
     return _CZ1C
+
+
+# -- PENALIZE_AMBIG machinery (reference default on) ------------------
+# CLEARZONE3 (BBMapThread.java:197) prices runner-up proximity into the
+# map score; CLEARZONE1e (AbstractMapThread.java:145) is the "one edit"
+# score distance used by the many-near-best-sites ambiguity limit.
+_CZ3 = int(8.0 * MC.POINTS_MATCH2)
+_CZ1E = 2 * MC.POINTS_MATCH2 - MC.POINTS_MATCH - MC.POINTS_SUB + 1  # 258
+_CZ3_MULTS = (0.0, 1.0, 0.75, 0.5, 0.25, 0.125, 0.0625)
+
+
+def _cz3_fraction(score1: int, score2: int, cz3: int, inv_cz3: float) -> float:
+    """AbstractMapThread.calcCZ3_fraction: 0 when the runner-up is a full
+    clearzone below the winner, rising superlinearly to 5 at a tie."""
+    dif = score1 - score2
+    if dif >= cz3:
+        return 0.0
+    dif2 = cz3 - dif
+    f = dif2 * inv_cz3
+    f2 = f * f
+    return f + 2.0 * f2 + 2.0 * f2 * f
+
+
+def apply_clearzone3(scores_desc, map_score: int, max_sw: int,
+                     read_len: int) -> int:
+    """Score penalty for unambiguous-but-contested alignments
+    (AbstractMapThread.applyClearzone3 :2159 with the cz3v2 scaling of
+    BBMapThread.java:755-756). Returns the points to subtract from the
+    map score (0 = no change). `scores_desc` is the site score list in
+    descending order, winner first."""
+    if len(scores_desc) < 2 or map_score <= 0:
+        return 0
+    cz3v2 = _CZ3 * min(1.25, max_sw / map_score)
+    cz3i = int(cz3v2)
+    inv = 1.0 / cz3v2
+    score1 = scores_desc[0]
+    sub = 0.0
+    for i in range(1, min(len(_CZ3_MULTS), len(scores_desc))):
+        s2 = int(scores_desc[i])
+        if i > 2 and s2 < int(scores_desc[i - 1]):
+            break
+        f = _cz3_fraction(score1, s2, cz3i, inv)
+        if f <= 0:
+            break
+        sub += f * _CZ3_MULTS[i]
+    if sub <= 0:
+        return 0
+    asymptote = 4.0 + 0.03 * read_len
+    sub *= 1.8
+    sub2 = cz3i * ((asymptote * sub) / (sub + asymptote))
+    subi = int(sub2 + 0.5)
+    if subi >= map_score - 300:
+        subi = map_score - 300
+    return subi if subi > 0 else 0
+
+
+def tip_score_penalty(match: bytes, codes, max_score: int,
+                      map_score: int, tiplen: int = 7) -> int:
+    """Alignment-tip quality penalty (AbstractMapThread.
+    calcTipScorePenalty :2895): errors within `tiplen` bases of either
+    read end, weighted by proximity to the tip, plus homopolymer-tip
+    points; squashed through an asymptote and capped so the score stays
+    above maxScore/10. `codes` are the 0-4 base codes of the aligned
+    read orientation (the homopolymer term is tip-symmetric, so
+    orientation does not change the total)."""
+    n = len(codes)
+    if not match or n < 2 * tiplen:
+        return 0
+    points = 0
+    mlen = len(match)
+    for direction in (1, -1):
+        prev = ord("m")
+        cpos = 0
+        i = 0 if direction == 1 else mlen - 1
+        while cpos <= tiplen and 0 <= i < mlen:
+            b = match[i]
+            if b == ord("m"):
+                cpos += 1
+            elif b == ord("D"):
+                if prev != ord("D"):
+                    points += 2 * (tiplen + 2 - cpos)
+            elif b in (ord("N"), ord("C"), ord("R")):
+                points += tiplen + 2 - cpos
+                cpos += 1
+            else:  # I / S / X / Y
+                points += 2 * (tiplen + 2 - cpos)
+                cpos += 1
+            prev = b
+            i += direction
+    b0 = codes[0]
+    if b0 < 4 and b0 == codes[1]:
+        i = 2
+        while i <= tiplen and codes[i] == b0:
+            points += 1
+            i += 1
+    bl = codes[n - 1]
+    if bl < 4 and bl == codes[n - 2]:
+        i = n - 3
+        while i >= n - 1 - tiplen and codes[i] == bl:
+            points += 1
+            i -= 1
+    if points < 1:
+        return 0
+    asymptote = 80.0
+    f = (asymptote * points) / (points + asymptote)
+    penalty = int(f * 0.0022 * max_score)
+    max_penalty = map_score - max_score // 10
+    if max_penalty <= 0:
+        return 0
+    return min(penalty, max_penalty)
 
 
 def load_ref(path: str):
