@@ -138,6 +138,10 @@ class BBMapConfig:
     #: deletions at least this long print as N (intron) CIGAR ops
     #: (SamLine INTRON_LIMIT, bbmap.sh intronlen= — RNAseq output mode)
     intronlen: int = 999999999
+    #: tpshards=N: shard the alignment compute (ungapped scoring + DP
+    #: fill/walk) data-parallel over an N-device mesh; byte-identical
+    #: output (the reference's worker-thread parallelism, chip-mapped)
+    tp_shards: int = 0
     #: penalizeambiguous=/pambig= (AbstractMapper.java:310): when true
     #: (reference default) near-best runner-up sites depress the map
     #: score (applyClearzone3) and messy alignment tips pay a score
@@ -208,6 +212,7 @@ def parse_args(argv, preset: str | None = None):
     c.penalize_ambig = a.get_bool(
         "penalizeambiguous", "penalizeambig", "pambig", default=True
     )
+    c.tp_shards = a.get_int("tpshards", default=0)
     c.sam_version = a.get("sam", "samversion", default="1.4") or "1.4"
     c.mhist = a.get("mhist")
     c.idhist = a.get("idhist")
@@ -300,6 +305,109 @@ class BBMap:
                 i for i, n in enumerate(self.ref.names)
                 if n.split()[0] in names
             }
+        self._mesh = None
+        self._fill_steps: dict = {}
+        self._ug_steps: dict = {}
+        if cfg.tp_shards > 1:
+            self.enable_mesh(cfg.tp_shards)
+
+    # ------------------------------------------------------------------
+    def enable_mesh(self, n_dp: int | None = None, mesh=None):
+        """Multi-chip mode (bbmap tpshards=N): alignment tasks shard
+        data-parallel over a dp mesh — the ungapped scoring pass and the
+        banded DP fill + traceback walk (the tool's dominant compute) run
+        one slab per chip through shard_map. The reference parallelizes
+        the same loop across worker threads (align2/AbstractMapThread
+        batch loop, align2/BBMap.java:536-561); outputs are byte-identical
+        to the single-device run (tests/test_multichip.py)."""
+        import jax
+
+        from ..parallel.mesh import make_mesh
+
+        if mesh is None:
+            nd = len(jax.devices())
+            n_dp = n_dp or nd
+            if n_dp > nd:
+                raise ValueError(
+                    f"tpshards={n_dp} exceeds {nd} devices"
+                )
+            mesh = make_mesh(n_dp=n_dp, n_tp=1,
+                             devices=jax.devices()[:n_dp])
+        self._mesh = mesh
+        self._fill_steps = {}
+        self._ug_steps = {}
+
+    def _sharded_ungapped(self, L, W, task_reads, task_lens, refwins, pad):
+        import jax.numpy as jnp
+
+        from ..parallel.sharded_count import sharded_ungapped_score_step
+
+        n_dp = int(self._mesh.shape["dp"])
+        T0 = len(task_lens)
+        Tp = ((T0 + n_dp - 1) // n_dp) * n_dp
+        if Tp != T0:
+            extra = Tp - T0
+            task_reads = np.concatenate(
+                [task_reads, np.repeat(task_reads[:1], extra, 0)]
+            )
+            task_lens = np.concatenate(
+                [task_lens, np.repeat(task_lens[:1], extra, 0)]
+            )
+            refwins = np.concatenate(
+                [refwins, np.repeat(refwins[:1], extra, 0)]
+            )
+        fn = self._ug_steps.get((L, W))
+        if fn is None:
+            fn = sharded_ungapped_score_step(self._mesh, L, W)
+            self._ug_steps[(L, W)] = fn
+        scores = fn(
+            jnp.asarray(task_reads),
+            jnp.asarray(task_lens.astype(np.int32)),
+            jnp.asarray(refwins),
+            jnp.asarray(np.full(Tp, pad, np.int32)),
+        )
+        return np.asarray(scores)[:T0]
+
+    def _sharded_fill_walk(self, L, Wc, sreads, slens, srefs):
+        import jax.numpy as jnp
+
+        from ..ops import msa as msa_mod
+        from ..ops.msa_pallas import use_pallas
+        from ..parallel.sharded_count import make_sharded_fill_walk
+
+        n_dp = int(self._mesh.shape["dp"])
+        unit = n_dp * (128 if use_pallas() else 1)
+        B0 = len(slens)
+        Bp = ((B0 + unit - 1) // unit) * unit
+        if Bp != B0:
+            extra = Bp - B0
+            sreads = np.concatenate(
+                [sreads, np.repeat(sreads[:1], extra, 0)]
+            )
+            slens = np.concatenate([slens, np.repeat(slens[:1], extra, 0)])
+            srefs = np.concatenate([srefs, np.repeat(srefs[:1], extra, 0)])
+        fn = self._fill_steps.get((L, Wc))
+        if fn is None:
+            fn = make_sharded_fill_walk(self._mesh, L, Wc)
+            self._fill_steps[(L, Wc)] = fn
+        maxgain = (
+            slens.astype(np.int64) - 1
+        ) * MC.POINTS_MATCH2 + MC.POINTS_MATCH
+        subfloor = -2 * maxgain
+        ref_lens = np.full(Bp, Wc, np.int32)
+        vert, horiz, floor, _ = msa_mod.prepare_limits_np(
+            sreads, slens, srefs, ref_lens, np.zeros(Bp, np.int64)
+        )
+        bs, bc, bst, ops_d, nst_d = fn(
+            jnp.asarray(sreads),
+            jnp.asarray(slens.astype(np.int32)),
+            jnp.asarray(srefs),
+            jnp.asarray(vert.astype(np.int32)),
+            jnp.asarray(horiz.astype(np.int32)),
+            jnp.asarray(floor.astype(np.int32)),
+            jnp.asarray(subfloor.astype(np.int32)),
+        )
+        return bs[:B0], bc[:B0], bst[:B0], ops_d[:B0], nst_d[:B0]
 
     def _load_or_build_index(self) -> SeedIndex:
         """Build the seed index, caching it under `path=` like the
@@ -565,16 +673,21 @@ class BBMap:
         W = L + 2 * cfg.pad
         win_start = t_anchor - cfg.pad
         refwins = self._ref_windows(win_start, W)
-        ug = np.asarray(
-            score_no_indels(
-                L,
-                jnp.asarray(task_reads),
-                jnp.asarray(task_lens.astype(np.int32)),
-                jnp.asarray(refwins),
-                jnp.asarray(np.full(T, cfg.pad, np.int32)),
-                jnp.asarray(np.full(T, W, np.int32)),
+        if self._mesh is not None:
+            ug = self._sharded_ungapped(
+                L, W, task_reads, task_lens, refwins, cfg.pad
             )
-        )
+        else:
+            ug = np.asarray(
+                score_no_indels(
+                    L,
+                    jnp.asarray(task_reads),
+                    jnp.asarray(task_lens.astype(np.int32)),
+                    jnp.asarray(refwins),
+                    jnp.asarray(np.full(T, cfg.pad, np.int32)),
+                    jnp.asarray(np.full(T, W, np.int32)),
+                )
+            )
         maxq = max_quality(task_lens)
         # DP only when an indel alignment could beat the ungapped score
         # (maxImperfectScore gating, MultiStateAligner11ts.java:2293-2304)
@@ -630,15 +743,23 @@ class BBMap:
             srefs = self._ref_windows(dp_start[sel], Wc)
             sreads = task_reads[sel]
             slens = task_lens[sel].astype(np.int32)
-            bs, bc, bst, planes = msa_fill_tb_auto(L, Wc, sreads, slens, srefs)
-            # fuse the traceback walk for ALL dp tasks of the class into
-            # the same async dispatch chain: the walk is a cheap [B]-lane
-            # scan next to the fill, and doing it now means the batch pays
-            # ONE blocking device->host pull (below) instead of one per
-            # class per phase (~6 tunnel RTTs saved per batch)
-            ops_d, nst_d = msa_walk(
-                L, Wc, planes, jnp.asarray(slens), bc, bst
-            )
+            if self._mesh is not None:
+                bs, bc, bst, ops_d, nst_d = self._sharded_fill_walk(
+                    L, Wc, sreads, slens, srefs
+                )
+            else:
+                bs, bc, bst, planes = msa_fill_tb_auto(
+                    L, Wc, sreads, slens, srefs
+                )
+                # fuse the traceback walk for ALL dp tasks of the class
+                # into the same async dispatch chain: the walk is a cheap
+                # [B]-lane scan next to the fill, and doing it now means
+                # the batch pays ONE blocking device->host pull (below)
+                # instead of one per class per phase (~6 tunnel RTTs
+                # saved per batch)
+                ops_d, nst_d = msa_walk(
+                    L, Wc, planes, jnp.asarray(slens), bc, bst
+                )
             dp_dev[c] = (bs, bc, bst, ops_d, nst_d)
             dp_planes[c] = (slens, sel, srefs, Wc)
         if dp_dev:

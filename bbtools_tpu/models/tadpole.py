@@ -64,6 +64,10 @@ class TadpoleConfig:
     rinse: bool = False  # remove bubble branches
     shave_depth: int = 1
     shave_len: int = 150
+    #: shards=N: multi-chip load phase — kmer%N hash-sharded counting
+    #: over a dp mesh (the reference's WAYS table split,
+    #: kmer/KmerTableSet.java:273-285); byte-identical spectrum
+    shards: int = 0
 
     def resolve(self):
         if self.min_contig_len < 0:
@@ -104,6 +108,7 @@ def parse_args(argv):
     c.rinse = a.get_bool("rinse", default=False)
     c.shave_depth = a.get_int("shavedepth", default=1)
     c.shave_len = a.get_int("shavelen", default=150)
+    c.shards = a.get_int("shards", "tpshards", default=0)
     return c.resolve()
 
 
@@ -339,6 +344,38 @@ class Tadpole:
             self.reads_in = reader.reads_in
             self.table = WordSpectrumTable(spec, self.cfg.k)
             self.engine = WordKmerEngine(self.table, self.cfg.k)
+        elif self.cfg.shards > 1:
+            # multi-chip load: hash-sharded spectrum over a dp mesh
+            # (kmer%N ownership, all_to_all exchange — the reference's
+            # WAYS split, kmer/KmerTableSet.java:273-285 / its LoadThread
+            # pool :476-484). The merged spectrum is byte-identical, so
+            # everything downstream (shave/rinse, contig walk, ecc) is
+            # unchanged.
+            import jax
+
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharded_spectrum import ShardedSpectrum
+
+            mesh = make_mesh(
+                n_dp=self.cfg.shards,
+                devices=jax.devices()[: self.cfg.shards],
+            )
+            sspec = ShardedSpectrum(mesh, self.cfg.k)
+            for b in reader:
+                sspec.add_batch(b.bases, b.lengths)
+            kk, cc = sspec.spectrum()
+            spec = KmerSpectrum(self.cfg.k)
+            if len(kk):
+                spec.add_batch(kk, cc)
+            spec.flush()
+            self.reads_in = reader.reads_in
+            self.table = SpectrumTable(spec, self.cfg.k)
+            if self.cfg.shave or self.cfg.rinse:
+                removed = self.shave_rinse()
+                if removed:
+                    print(f"Shaved kmers:        \t{removed}",
+                          file=sys.stderr)
+            self.engine = SmallKmerEngine(self.table, self.cfg.k)
         else:
             spec = KmerSpectrum(self.cfg.k)
             for b in reader:

@@ -141,6 +141,62 @@ def sharded_seed_expand_step(mesh: Mesh, n_shards: int):
     return jax.jit(smapped)
 
 
+def make_sharded_fill_walk(mesh: Mesh, R: int, Cc: int):
+    """Production multi-chip BBMap DP stage (bbmap tpshards=N): the banded
+    fill (fillUnlimited semantics) PLUS the fused traceback walk, tasks
+    sharded on dp. The reference parallelizes this per worker thread
+    (align2/AbstractMapThread batch loop); here every chip fills its slab
+    of DP tasks and the walk ops ride back sharded. fn(reads [T,L] u8,
+    lens [T] i32, refs [T,Cc] u8, vert/horiz/floor/subfloor [T] i32) ->
+    (best_score, best_col, best_state, ops [T, R+Cc] u8, nsteps [T]).
+    T must divide by the dp size (Pallas path additionally needs the
+    per-shard slab to be a tile multiple — callers pad to dp*128 on TPU).
+    """
+    from ..ops import msa as msa_mod
+    from ..ops.msa_pallas import msa_fill_pallas, use_pallas
+
+    pallas = use_pallas()
+
+    def step(reads, lens, refs, vert, horiz, floor, subfloor):
+        if pallas:
+            # kernel ref layout ([B, Cc + 2(R+2)], sentinel 97 pads) built
+            # in-graph so it shards with the tasks
+            PADW = R + 2
+            refp = jnp.full(
+                (reads.shape[0], Cc + 2 * PADW), 97, jnp.uint8
+            )
+            refp = jax.lax.dynamic_update_slice(refp, refs, (0, PADW))
+            tile = min(128, reads.shape[0])
+            bs, bc, bst, planes = msa_fill_pallas(
+                R, Cc, reads, lens, refp, tile=tile, traceback=True
+            )
+        else:
+            ref_lens = jnp.full(reads.shape[0], Cc, jnp.int32)
+            bs, bc, bst, planes = msa_mod.msa_fill(
+                R, Cc, False, True, reads, lens, refs, ref_lens,
+                vert, horiz, floor, subfloor,
+            )
+        ops, nst = msa_mod.msa_walk(R, Cc, planes, lens, bc, bst)
+        return bs, bc, bst, ops, nst
+
+    from jax import shard_map
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(
+                P("dp", None), P("dp"), P("dp", None),
+                P("dp", None), P("dp", None), P("dp"), P("dp"),
+            ),
+            out_specs=(
+                P("dp"), P("dp"), P("dp"), P("dp", None), P("dp"),
+            ),
+            check_vma=False,
+        )
+    )
+
+
 def sharded_mm_lookup_step(mesh: Mesh, k: int, mink: int, Kp: int):
     """Column-sharded MXU k-mer matcher (ops/mm_match.py) on the
     (dp, tp) mesh: `keymat [Kp, Dp]` and `prio [1, Dp]` shard their

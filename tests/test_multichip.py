@@ -364,3 +364,66 @@ def test_distributed_two_process_localhost(tmp_path):
         outs.append(out.decode())
     # 8 cells of 1 (proc 0) + 8 cells of 2 (proc 1)
     assert all("DIST_TOTAL=24" in o for o in outs), outs
+
+
+def test_bbmap_cli_tpshards_equals_single(tmp_path):
+    """CLI-level: bbmap tpshards=8 (dp-sharded ungapped scoring + DP
+    fill/walk through shard_map) produces a byte-identical SAM to the
+    single-device run."""
+    from bbtools_tpu.cli import main as cli_main
+    from bbtools_tpu.core.dna import CODE_TO_BASE, encode
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.utils.synth import random_genome, write_reads
+
+    g = random_genome(60_000, n_scaffolds=2, seed=91)
+    write_fasta(str(tmp_path / "ref.fa"), g)
+    ref = load_reference(str(tmp_path / "ref.fa"))
+    gg = np.random.default_rng(17)
+    recs = []
+    for i in range(300):
+        s = int(gg.integers(0, 2))
+        codes = ref.scaffold_codes(s)
+        p = int(gg.integers(0, len(codes) - 140))
+        r = codes[p : p + 140].copy()
+        if i & 1:
+            r = (3 - r[::-1]).astype(np.uint8)
+        e = gg.random(140) < 0.01
+        r[e] = (r[e] + gg.integers(1, 4, int(e.sum()))) % 4
+        if i % 7 == 0:  # plant an indel so DP classes run
+            q = int(gg.integers(30, 100))
+            r = np.concatenate([r[:q], r[q + 3 :], codes[p : p + 3]])[:140]
+        recs.append((b"r%d" % i, CODE_TO_BASE[np.minimum(r, 4)].tobytes(),
+                     b"F" * 140))
+    write_reads(str(tmp_path / "r.fq"), recs)
+    cli_main(["bbmap", f"ref={tmp_path}/ref.fa", f"in={tmp_path}/r.fq",
+              f"out={tmp_path}/s1.sam", "nodisk"])
+    cli_main(["bbmap", f"ref={tmp_path}/ref.fa", f"in={tmp_path}/r.fq",
+              f"out={tmp_path}/s8.sam", "nodisk", "tpshards=8"])
+
+    def body(p):
+        return [l for l in (tmp_path / p).read_bytes().splitlines()
+                if not l.startswith(b"@PG")]
+
+    assert body("s1.sam") == body("s8.sam")
+
+
+def test_tadpole_cli_shards_equals_single(tmp_path):
+    """CLI-level: tadpole shards=8 load phase (hash-sharded spectrum)
+    produces byte-identical contigs."""
+    from bbtools_tpu.cli import main as cli_main
+
+    g = np.random.default_rng(23)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    genome = ACGT[g.integers(0, 4, 8000)].tobytes()
+    with open(tmp_path / "r.fq", "wb") as f:
+        for i in range(600):
+            p = int(g.integers(0, len(genome) - 100))
+            seq = genome[p : p + 100]
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, b"F" * 100))
+    cli_main(["tadpole", f"in={tmp_path}/r.fq", f"out={tmp_path}/c1.fa",
+              "k=31"])
+    cli_main(["tadpole", f"in={tmp_path}/r.fq", f"out={tmp_path}/c8.fa",
+              "k=31", "shards=8"])
+    c1 = (tmp_path / "c1.fa").read_bytes()
+    assert c1 == (tmp_path / "c8.fa").read_bytes()
+    assert c1.count(b">") >= 1
