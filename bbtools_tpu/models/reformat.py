@@ -27,7 +27,75 @@ from ..ops.trim import apply_trim, optimal_trim_jnp
 
 
 def _read_batches(path: str, qfake: int, batch_reads: int,
-                  qual_offset=None):
+                  qual_offset=None, sam_filter=(False, False, False)):
+    low = path.lower()
+    stem = low[:-3] if low.endswith(".gz") else low
+    if stem.endswith((".sam", ".bam")):
+        # SAM/BAM input (stream/SamReadInputStream role): each record
+        # becomes a read; minus-strand alignments reverse-complement back
+        # to original read orientation (SamLine.toRead :1471,2248).
+        from ..io.sam_read import iter_sam
+
+        mappedonly, unmappedonly, primaryonly = sam_filter
+        seqs, quals, ids = [], [], []
+        ordinal = 0
+        for rec in iter_sam(path):
+            if primaryonly and rec.secondary:
+                continue
+            if mappedonly and not rec.mapped:
+                continue
+            if unmappedonly and rec.mapped:
+                continue
+            seq, q = rec.seq, rec.qual
+            if rec.flag & 0x10:
+                seq = seq.translate(RC)[::-1]
+                q = q[::-1] if q != b"*" else q
+            if q == b"*":
+                q = bytes([33 + qfake]) * len(seq)
+            seqs.append(seq)
+            quals.append(q)
+            ids.append(rec.qname)
+            if len(seqs) >= batch_reads:
+                yield ReadBatch.from_sequences(
+                    seqs, quals=quals, ids=ids, ordinal=ordinal
+                )
+                seqs, quals, ids, ordinal = [], [], [], ordinal + 1
+        if seqs:
+            yield ReadBatch.from_sequences(
+                seqs, quals=quals, ids=ids, ordinal=ordinal
+            )
+        return
+    if stem.endswith(".scarf"):
+        # Illumina scarf (stream/ScarfStreamer.scarfToRead :223):
+        # Header:Sequence:Qualities, parsed right-to-left so headers may
+        # contain colons; qualities are phred+64 ASCII.
+        from ..io.readwrite import open_input
+
+        seqs, quals, ids = [], [], []
+        ordinal = 0
+        with open_input(path) as fh:
+            for line in fh:
+                line = line.rstrip(b"\r\n")
+                if not line:
+                    continue
+                b2 = line.rfind(b":")
+                a2 = line.rfind(b":", 0, max(b2, 0))
+                if a2 < 0 or b2 < 0:
+                    continue
+                ids.append(line[:a2])
+                seqs.append(line[a2 + 1 : b2])
+                quals.append(line[b2 + 1 :])
+                if len(seqs) >= batch_reads:
+                    yield ReadBatch.from_sequences(
+                        seqs, quals=quals, ids=ids, qual_offset=64,
+                        ordinal=ordinal,
+                    )
+                    seqs, quals, ids, ordinal = [], [], [], ordinal + 1
+        if seqs:
+            yield ReadBatch.from_sequences(
+                seqs, quals=quals, ids=ids, qual_offset=64, ordinal=ordinal
+            )
+        return
     if test_input(path).format is Format.FASTA:
         from ..io.fasta import iter_fasta
 
@@ -58,6 +126,70 @@ def _count_reads(path: str) -> int:
 
 
 RC = bytes.maketrans(b"ACGTNacgtn", b"TGCANtgcan")
+
+
+_DEFINED = frozenset(b"ACGTacgt")
+
+
+def _fails_barcode(nm: bytes, bset, fail_if_none: bool) -> bool:
+    """Read.failsBarcode (stream/Read.java:2100-2120): the barcode is the
+    suffix after the LAST ':' (which must come after any ' ' or '/'); no
+    set -> fail on any non-ACGT/+ char; with a set -> fail on absence."""
+    loc = nm.rfind(b":")
+    loc2 = max(nm.find(b" "), nm.find(b"/"))
+    if loc < 0 or loc <= loc2 or loc >= len(nm) - 1:
+        return fail_if_none
+    code = nm[loc + 1 :]
+    if bset is None:
+        return any(c != ord("+") and c not in _DEFINED for c in code)
+    return code.decode("latin-1") not in bset
+
+
+def _pad_batch(bb: ReadBatch, padleft: int, padright: int, sym: int,
+               padq: int) -> ReadBatch:
+    """ReformatReads.pad (:1372-1399): extend every non-empty read with
+    `sym` bases (quality padq) on each end."""
+    from ..core.dna import BASE_TO_CODE
+
+    n, L = bb.bases.shape
+    L2 = L + padleft + padright
+    code = int(BASE_TO_CODE[sym])
+    nonzero = bb.lengths > 0
+    bases = np.full((n, L2), 4, np.uint8)
+    bases[:, padleft : padleft + L] = bb.bases
+    if padleft:
+        bases[nonzero, :padleft] = code
+    ab = None
+    if bb.ascii_bases is not None:
+        ab = np.full((n, L2), sym, np.uint8)
+        ab[:, padleft : padleft + L] = bb.ascii_bases
+    quals = None
+    if bb.quals is not None:
+        quals = np.full((n, L2), padq, np.uint8)
+        quals[:, padleft : padleft + L] = bb.quals
+    lengths = np.where(nonzero, bb.lengths + padleft, bb.lengths).astype(
+        bb.lengths.dtype
+    )
+    if padright:
+        # right pad sits immediately after each read's last base
+        pos = np.arange(L2)[None, :]
+        tail = (pos >= lengths[:, None]) & (
+            pos < (lengths + padright)[:, None]
+        ) & nonzero[:, None]
+        bases[tail] = code
+        if ab is not None:
+            ab[tail] = sym
+        if quals is not None:
+            quals[tail] = padq
+        lengths = np.where(nonzero, lengths + padright, lengths).astype(
+            lengths.dtype
+        )
+    out = ReadBatch(
+        bases=bases, quals=quals, lengths=lengths, ids=bb.ids,
+        ordinal=bb.ordinal,
+    )
+    out.ascii_bases = ab
+    return out
 
 
 def _rc_rows(b: ReadBatch, rows):
@@ -121,6 +253,46 @@ def main(argv=None):
     gchist = a.get("gchist")
     aqhist = a.get("aqhist")
     bhist = a.get("bhist")
+    # round-4: SAM input filters, padding, barcode filters
+    # (jgi/ReformatReads.java:167-179,226-237,305,778)
+    mappedonly = a.get_bool("mappedonly", default=False)
+    unmappedonly = a.get_bool("unmappedonly", default=False)
+    primaryonly = a.get_bool("primaryonly", default=False)
+    padleft = a.get_int("padleft", default=0)
+    padright = a.get_int("padright", default=0)
+    pad_v = a.get("pad")
+    pad_symbol = ord("N")
+    if pad_v:
+        if pad_v[0].isalpha():
+            pad_symbol = ord(pad_v[0])
+        else:
+            padleft = padright = int(pad_v)
+    ps = a.get("padsymbol")
+    if ps:
+        pad_symbol = ord(ps[0])
+    padq = a.get_int("padq", default=0)
+    if chr(pad_symbol) in "ACGTacgt":
+        padq = max(padq, 2)  # ReformatReads.java:275
+    barcodes_arg = a.get("barcodes", "barcode")
+    bfilter = (a.get("badbarcodes", "barcodefilter") or "f").lower()
+    fail_bad_barcodes = bfilter in ("crash", "fail")
+    remove_bad_barcodes = fail_bad_barcodes or bfilter in ("t", "true", "1")
+    fail_no_barcode = a.get_bool("failnobarcode", default=False)
+    barcode_set = None
+    if barcodes_arg:
+        barcode_set = set()
+        for tok in barcodes_arg.split(","):
+            import os as _os
+
+            if _os.path.isfile(tok):
+                with open(tok) as fh:
+                    barcode_set.update(
+                        x.strip() for x in fh if x.strip()
+                    )
+            else:
+                barcode_set.add(tok)
+        if barcode_set and not remove_bad_barcodes:
+            remove_bad_barcodes = True
     from ..core.parser import test_output_files
 
     test_output_files(
@@ -156,8 +328,10 @@ def main(argv=None):
     seen_names: dict[bytes, int] = {}
     import jax.numpy as jnp
 
+    sam_filter = (mappedonly, unmappedonly, primaryonly)
     reader2 = (
-        iter(_read_batches(in2, qfake, 16384, qin)) if in2 else None
+        iter(_read_batches(in2, qfake, 16384, qin, sam_filter))
+        if in2 else None
     )
     rstats = None
     if lhist or qhist or gchist or aqhist or bhist:
@@ -165,7 +339,7 @@ def main(argv=None):
 
         rstats = ReadStats()
     skipped = 0
-    for b in _read_batches(in1, qfake, 16384, qin):
+    for b in _read_batches(in1, qfake, 16384, qin, sam_filter):
         b2 = next(reader2) if reader2 is not None else None
         reads_in += b.n + (b2.n if b2 is not None else 0)
         bases_in += int(b.lengths.sum()) + (
@@ -185,6 +359,22 @@ def main(argv=None):
                 fail = np.array(
                     [b":Y:" in bb.ids[i] for i in range(bb.n)], bool
                 )
+                keep &= ~fail
+        if remove_bad_barcodes or fail_no_barcode:
+            for bb in pair:
+                fail = np.array(
+                    [_fails_barcode(bb.ids[i], barcode_set, fail_no_barcode)
+                     for i in range(bb.n)],
+                    bool,
+                )
+                if fail_bad_barcodes and fail.any():
+                    i = int(np.flatnonzero(fail)[0])
+                    raise RuntimeError(
+                        "Invalid barcode detected: "
+                        + bb.ids[i].decode("latin-1")
+                        + "\nThis can be disabled with the flag "
+                        "barcodefilter=f"
+                    )
                 keep &= ~fail
         if trd:
             for bb in pair:
@@ -266,6 +456,10 @@ def main(argv=None):
             sel = np.flatnonzero(keep)
             if len(sel) > room:
                 keep[sel[room:]] = False
+        if padleft > 0 or padright > 0:
+            b = _pad_batch(b, padleft, padright, pad_symbol, padq)
+            if b2 is not None:
+                b2 = _pad_batch(b2, padleft, padright, pad_symbol, padq)
         rows = np.flatnonzero(keep)
         if rcomp:
             _rc_rows(b, rows)

@@ -1232,3 +1232,76 @@ def test_reformat_flag_matrix(tmp_path):
     out = tmp_path / "iu.fq"
     reformat([f"in={src2}", f"out={out}", "iupacton=t"])
     assert out.read_text().splitlines()[1] == "ACGNNNNN"
+
+
+def test_reformat_sam_scarf_pad_barcode(tmp_path):
+    """Round-4 surface: SAM input (mappedonly/rc-restore), scarf input
+    (phred+64), padleft/padright/padsymbol, and barcode filters
+    (jgi/ReformatReads.java:226-237,305,778; stream/ScarfStreamer:223;
+    stream/Read.failsBarcode:2100)."""
+    from bbtools_tpu.models.reformat import main as reformat
+
+    # --- SAM input: minus-strand read restores original orientation
+    sam = tmp_path / "in.sam"
+    sam.write_text(
+        "@HD\tVN:1.4\n@SQ\tSN:chr\tLN:1000\n"
+        "r0\t0\tchr\t1\t40\t4=\t*\t0\t0\tACGT\tFFFF\n"
+        "r1\t16\tchr\t5\t40\t4=\t*\t0\t0\tACGT\tFFIB\n"
+        "r2\t4\t*\t0\t0\t*\t*\t0\t0\tGGGG\tFFFF\n"
+        "r3\t256\tchr\t9\t40\t4=\t*\t0\t0\tTTTT\tFFFF\n"
+    )
+    out = tmp_path / "sam.fq"
+    reformat([f"in={sam}", f"out={out}"])
+    lines = out.read_text().splitlines()
+    assert lines[0] == "@r0" and lines[1] == "ACGT"
+    # r1 was stored as ACGT on minus strand -> original read is ACGT rc'd
+    assert lines[4] == "@r1" and lines[5] == "ACGT".translate(
+        str.maketrans("ACGT", "TGCA")
+    )[::-1]
+    assert lines[7] == "BIFF"  # quals reversed
+    assert "@r2" in out.read_text()  # unmapped kept by default
+    out2 = tmp_path / "sam_mapped.fq"
+    reformat([f"in={sam}", f"out={out2}", "mappedonly", "primaryonly"])
+    t = out2.read_text()
+    assert "@r2" not in t and "@r3" not in t and "@r0" in t
+
+    # --- scarf input: Header:Seq:Qual with phred+64 quals
+    scarf = tmp_path / "in.scarf"
+    q64 = "".join(chr(64 + 30) for _ in range(6))
+    scarf.write_text(f"HWI:1:X:8#0/1:ACGTAC:{q64}\n")
+    out3 = tmp_path / "scarf.fq"
+    reformat([f"in={scarf}", f"out={out3}"])
+    lines = out3.read_text().splitlines()
+    assert lines[0] == "@HWI:1:X:8#0/1"
+    assert lines[1] == "ACGTAC"
+    assert lines[3] == "".join(chr(33 + 30) for _ in range(6))
+
+    # --- padding
+    fq = tmp_path / "p.fq"
+    fq.write_text("@a\nACGT\n+\nFFFF\n")
+    outp = tmp_path / "pad.fq"
+    reformat([f"in={fq}", f"out={outp}", "padleft=3", "padright=2"])
+    lines = outp.read_text().splitlines()
+    assert lines[1] == "NNNACGTNN"
+    assert lines[3] == "!!!FFFF!!"  # padq=0 -> '!'
+    outp2 = tmp_path / "pad2.fq"
+    reformat([f"in={fq}", f"out={outp2}", "pad=2", "padsymbol=A"])
+    lines = outp2.read_text().splitlines()
+    assert lines[1] == "AAACGTAA"
+    assert lines[3] == '##FFFF##'  # defined symbol -> padq >= 2
+
+    # --- barcode filter
+    bfq = tmp_path / "b.fq"
+    bfq.write_text(
+        "@r0 1:N:0:ACGT\nAAAA\n+\nFFFF\n"
+        "@r1 1:N:0:ACNT\nCCCC\n+\nFFFF\n"
+        "@r2 1:N:0:TTTT\nGGGG\n+\nFFFF\n"
+    )
+    outb = tmp_path / "bc.fq"
+    reformat([f"in={bfq}", f"out={outb}", "barcodefilter=t"])
+    t = outb.read_text()
+    assert "@r0" in t and "@r2" in t and "@r1" not in t  # N in barcode
+    outb2 = tmp_path / "bc2.fq"
+    reformat([f"in={bfq}", f"out={outb2}", "barcodes=ACGT"])
+    t = outb2.read_text()
+    assert "@r0" in t and "@r1" not in t and "@r2" not in t
