@@ -26,6 +26,7 @@ class SamRecord:
     cigar: str
     seq: bytes
     qual: bytes  # phred+33 ascii
+    rnext: bytes = b"*"  # mate's reference name ('=' for same)
 
     @property
     def mapped(self) -> bool:
@@ -73,6 +74,7 @@ def iter_sam(path: str):
                 cigar=f[5].decode(),
                 seq=f[9],
                 qual=f[10],
+                rnext=f[6],
             )
 
 

@@ -344,6 +344,94 @@ def crystal_split(members: list["Contig"],
     return halves
 
 
+def follow_edges_pass(bins: list[list["Contig"]],
+                      pair_edges: dict,
+                      tetra_limit: float = TETRA_DIF_LIMIT,
+                      depth_limit: float = DEPTH_RATIO_LIMIT,
+                      stringency: float = 1.1,
+                      max_edges: int = 2,
+                      min_edge_weight: int = 2,
+                      min_edge_ratio: float = 0.4,
+                      passes: int = 5):
+    """Pair-link graph merging (Binner.followEdges, bin/Binner.java:261,
+    391-431; cascade position and defaults from bin/QuickBin.java:1043-47
+    followEdge2Passes=5 / edgeStringency=1.1, Binner.java:1679-85
+    maxEdges=2 minEdgeWeight=2 minEdgeRatio=0.4).
+
+    Contigs whose read mates map onto another contig carry pairMap edges;
+    a bin merges into the best-similarity neighbor among its strongest
+    edges when the edge weight clears max(minEdgeWeight,
+    ceil(minEdgeRatio * strongest)) and the composition/depth gate
+    (relaxed by `stringency`) agrees. Runs up to `passes` sweeps or until
+    no merge happens."""
+    import math
+
+    name_to_bin: dict[bytes, int] = {}
+    total_merges = 0
+    for _ in range(max(passes, 0)):
+        name_to_bin.clear()
+        for bi, members in enumerate(bins):
+            for c in members:
+                name_to_bin[c.name.split()[0]] = bi
+        # per-bin outgoing edge weights to other bins
+        out_w: list[dict[int, int]] = [dict() for _ in bins]
+        for (a_name, b_name), w in pair_edges.items():
+            ba = name_to_bin.get(a_name)
+            bb = name_to_bin.get(b_name)
+            if ba is None or bb is None or ba == bb:
+                continue
+            out_w[ba][bb] = out_w[ba].get(bb, 0) + w
+        P = np.array([
+            np.average([c.profile for c in m], axis=0,
+                       weights=[len(c.seq) for c in m])
+            for m in bins
+        ])
+        D = np.array([
+            np.average([c.depth for c in m], axis=0,
+                       weights=[len(c.seq) for c in m])
+            for m in bins
+        ])
+        # merge targets, smallest bins first (they benefit most and a
+        # merged bin must not also be a destination this sweep)
+        sizes = [sum(len(c.seq) for c in m) for m in bins]
+        order = np.argsort(sizes)
+        merged_into = {}
+        claimed: set[int] = set()
+        for bi in order:
+            bi = int(bi)
+            if bi in claimed or not out_w[bi]:
+                continue
+            edges = sorted(out_w[bi].items(), key=lambda kv: -kv[1])
+            cap = max_edges + min(2, max_edges) * min(8, len(bins[bi]) - 1)
+            edges = edges[:cap]
+            min_w = max(
+                min_edge_weight,
+                math.ceil(min_edge_ratio * edges[0][1]),
+            )
+            best, best_dif = -1, np.inf
+            for tb, w in edges:
+                if w < min_w or tb in merged_into or tb in claimed:
+                    continue
+                dif = float(np.abs(P[tb] - P[bi]).sum())
+                ratio = float(_max_ratio(D[tb][None], D[bi])[0])
+                if (dif < tetra_limit * stringency
+                        and ratio <= depth_limit * stringency
+                        and dif < best_dif):
+                    best, best_dif = tb, dif
+            if best >= 0:
+                merged_into[bi] = best
+                claimed.add(bi)
+                claimed.add(best)
+        if not merged_into:
+            break
+        for src, dst in merged_into.items():
+            bins[dst].extend(bins[src])
+            bins[src] = []
+        bins = [m for m in bins if m]
+        total_merges += len(merged_into)
+    return bins, total_merges
+
+
 def recluster_pass(bins: list[list["Contig"]],
                    tetra_limit: float = TETRA_DIF_LIMIT,
                    depth_limit: float = DEPTH_RATIO_LIMIT):
@@ -377,7 +465,9 @@ def main(argv=None):
     if cov:
         for path in cov.split(","):
             samples.append(load_depths(path.strip()))
-    elif sam:
+    pair_edges: dict[tuple[bytes, bytes], int] = {}
+    min_mapq = a.get_int("minmapq", default=20)  # bin/DataLoader.java:1625
+    if sam and not cov:
         from ..io.sam_read import iter_sam, parse_cigar
 
         for path in sam.split(","):
@@ -388,6 +478,17 @@ def main(argv=None):
                 n = sum(x for x, op in parse_cigar(rec.cigar)
                         if op in "M=XDN")
                 span[rec.rname] = span.get(rec.rname, 0) + n
+                # pair-link graph edge (bin/SamLoader3.java:344-371):
+                # mate mapped onto a DIFFERENT contig with decent mapq
+                if (
+                    rec.flag & 0x1
+                    and not rec.flag & 0x8
+                    and rec.rnext not in (b"*", b"=")
+                    and rec.rnext != rec.rname
+                    and rec.mapq >= min_mapq
+                ):
+                    key = (rec.rname, rec.rnext)
+                    pair_edges[key] = pair_edges.get(key, 0) + 1
             samples.append(span)  # normalized by length below
 
     contigs = []
@@ -407,6 +508,22 @@ def main(argv=None):
             Contig(rec.name, rec.seq, tetramer_profile(codes), d)
         )
     bins = bin_contigs(contigs, tetra_limit, depth_limit)
+    if (
+        pair_edges
+        and a.get_bool("followedges", "e2", default=True)
+        and len(bins) > 1
+    ):
+        es = a.get_float("edgestringency", "edgestringency2", default=1.1)
+        bins, nmerged = follow_edges_pass(
+            bins, pair_edges, tetra_limit, depth_limit, es,
+            max_edges=a.get_int("maxedges", default=2),
+            min_edge_weight=a.get_int("minedgeweight", default=2),
+            min_edge_ratio=a.get_float("minedgeratio", default=0.4),
+            passes=a.get_int("followedges2", "e2passes", default=5),
+        )
+        if nmerged:
+            print(f"Edge following merged {nmerged} bins.",
+                  file=sys.stderr)
     if a.get_bool("purify", default=True) and bins:
         ps = a.get_float("purifystringency", default=0.75)
         rs = a.get_float("residuestringency", default=1.5)
