@@ -108,6 +108,64 @@ class IdView:
         return self._list
 
 
+class LazyAscii:
+    """Deferred raw-ASCII plane: (chunk buffer, row starts, row lengths)
+    segments gathered into the padded [B, L] matrix only when a consumer
+    actually touches `ascii_bases`. Filter/counting paths that never
+    re-emit the raw bytes skip the plane fill entirely — the remaining
+    ~15% of full-plane ingest cost (NEXT.md lazy-ascii plan)."""
+
+    __slots__ = ("segs", "L")
+
+    def __init__(self, segs, L: int):
+        self.segs = segs  # list[(buf uint8[], starts i64[], lengths i32[])]
+        self.L = L
+
+    def rows(self) -> int:
+        return sum(len(s[1]) for s in self.segs)
+
+    def slice(self, off: int, n: int) -> "LazyAscii":
+        out = []
+        for buf, starts, lengths in self.segs:
+            m = len(starts)
+            if off >= m:
+                off -= m
+                continue
+            take = min(n, m - off)
+            out.append((buf, starts[off : off + take],
+                        lengths[off : off + take]))
+            n -= take
+            off = 0
+            if n == 0:
+                break
+        return LazyAscii(out, self.L)
+
+    def widened(self, L: int) -> "LazyAscii":
+        return LazyAscii(self.segs, max(self.L, L))
+
+    def row(self, i: int) -> bytes | None:
+        for buf, starts, lengths in self.segs:
+            if i < len(starts):
+                s = int(starts[i])
+                return buf[s : s + int(lengths[i])].tobytes()
+            i -= len(starts)
+        return None
+
+    def materialize(self) -> np.ndarray:
+        parts = []
+        for buf, starts, lengths in self.segs:
+            idx = starts[:, None] + np.arange(
+                self.L, dtype=starts.dtype
+            )[None, :]
+            np.minimum(idx, len(buf) - 1, out=idx)
+            rows = buf[idx]
+            rows[np.arange(self.L)[None, :] >= lengths[:, None]] = ord("N")
+            parts.append(rows)
+        if not parts:
+            return np.zeros((0, self.L), np.uint8)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
 @dataclass
 class ReadBatch:
     """A batch of reads as padded SoA arrays (host numpy; device-ready)."""
@@ -121,8 +179,26 @@ class ReadBatch:
     #: raw ASCII bases as read from the file (the reference preserves case
     #: and IUPAC letters in output by default, stream/Read.java:4459
     #: IUPAC_TO_N=false) — kept host-side for byte-exact emission; None
-    #: means emit from codes
-    ascii_bases: np.ndarray | None = None
+    #: means emit from codes. default_factory (not a plain default) so no
+    #: class-level attribute shadows the __getattr__ lazy-materialize hook
+    ascii_bases: np.ndarray | None = field(default_factory=lambda: None)
+
+    def set_lazy_ascii(self, src: "LazyAscii | None"):
+        """Install a deferred ascii plane: the `ascii_bases` attribute
+        materializes it on first touch (via __getattr__); code that never
+        reads it never pays the gather."""
+        self.__dict__.pop("ascii_bases", None)
+        self.__dict__["_lazy_ascii"] = src
+
+    def __getattr__(self, name):
+        # only called when normal lookup fails — i.e. after
+        # set_lazy_ascii removed the eager plane
+        if name == "ascii_bases":
+            src = self.__dict__.get("_lazy_ascii")
+            plane = None if src is None else src.materialize()
+            self.__dict__["ascii_bases"] = plane
+            return plane
+        raise AttributeError(name)
 
     @property
     def n(self) -> int:
@@ -137,6 +213,12 @@ class ReadBatch:
         return np.arange(self.padded_len)[None, :] < self.lengths[:, None]
 
     def sequence(self, i: int) -> bytes:
+        if "ascii_bases" not in self.__dict__:
+            src = self.__dict__.get("_lazy_ascii")
+            if src is not None:  # single row: skip whole-plane gather
+                row = src.row(i)
+                if row is not None:
+                    return row[: int(self.lengths[i])]
         if self.ascii_bases is not None:
             return self.ascii_bases[i, : self.lengths[i]].tobytes()
         return CODE_TO_BASE[

@@ -151,8 +151,12 @@ class FastqReader:
     # hand back the same (already-faulted) planes every chunk.
 
     def _decode_chunk(self, buf, starts, ends):
-        """codec-thread work: one parsed chunk -> SoA planes + ids."""
-        from .batch import IdView
+        """codec-thread work: one parsed chunk -> SoA planes + ids. The
+        raw-ASCII plane is DEFERRED (LazyAscii over the chunk buffer):
+        consumers that never touch `ascii_bases` — filters, counters,
+        anything not re-emitting raw bytes — never pay the third plane's
+        fill (the full-plane vs compute-only ingest gap)."""
+        from .batch import IdView, LazyAscii
 
         nrec = len(starts) // 4
         lengths0 = (ends[1::4] - starts[1::4]).astype(np.int32)
@@ -166,11 +170,15 @@ class FastqReader:
             self.qual_offset = detect_quality_offset(samp[mask])
         res = _native_build(
             [(buf, starts, ends, lengths0)], L, self.qual_offset,
-            self.with_ascii,
+            False,
         )
         if res is None:  # native lib vanished mid-stream; cannot happen
             raise RuntimeError("native codec unavailable")
-        bases, quals, ascii_b, lengths = res
+        bases, quals, _none, lengths = res
+        ascii_b = (
+            LazyAscii([(buf, starts[1::4], lengths0)], L)
+            if self.with_ascii else None
+        )
         ids = IdView(buf, starts[0::4] + 1, ends[0::4])
         return bases, quals, ascii_b, lengths, ids
 
@@ -290,9 +298,13 @@ class FastqReader:
             b = ReadBatch(
                 bases=bases[sl], quals=quals[sl], lengths=lengths[sl],
                 ids=ids[sl], ordinal=ordinal, numeric_id0=numeric_id,
-                ascii_bases=None if ascii_b is None else ascii_b[sl],
+            )
+            b.set_lazy_ascii(
+                None if ascii_b is None else ascii_b.slice(off, use)
             )
         else:
+            from .batch import LazyAscii
+
             L = max(p[0].shape[1] for p, _, _ in parts)
 
             def wide(a, fill):
@@ -312,12 +324,16 @@ class FastqReader:
                 ids=[i for p, o, u in parts for i in p[4][o : o + u]],
                 ordinal=ordinal,
                 numeric_id0=numeric_id,
-                ascii_bases=(
-                    None if parts[0][0][2] is None else np.concatenate(
-                        [wide(p[2][o : o + u], ord("N"))
-                         for p, o, u in parts])
-                ),
             )
+            if parts[0][0][2] is None:
+                b.set_lazy_ascii(None)
+            else:
+                b.set_lazy_ascii(LazyAscii(
+                    [seg
+                     for p, o, u in parts
+                     for seg in p[2].slice(o, u).segs],
+                    L,
+                ))
         self.reads_in += b.n
         self.bases_in += int(b.lengths.sum())
         return b
