@@ -36,6 +36,12 @@ class ServerState:
         self.tree = None
         self.sketches = []  # (name, hashes, k)
         self.clades = []  # Clade profiles (QuickClade DB role)
+        self.acc_map = None  # accession -> taxid (AccessionToTaxid role)
+
+    def load_accessions(self, path: str):
+        from .taxonomy import load_accession_map
+
+        self.acc_map = load_accession_map(path)
 
     def add_clade_fasta(self, path: str):
         if path.endswith(".npz"):  # cladeloader DB
@@ -65,6 +71,155 @@ class ServerState:
         self.sketches.append((path, hashes, k))
 
 
+# reference URL grammar (tax/TaxServer.java toResponse :1062-1210 +
+# typeMap :1789): /tax/{flags...}/{type}/{name,name,...}. Reference
+# clients (tax/TaxClient.java sendAndReceive "pt/name/" etc.) parse the
+# PLAIN-TEXT replies, so those are the interop-critical shapes.
+_TAX_TYPES = {
+    "name", "taxid", "id", "tid", "ncbi", "tax_id", "header",
+    "accession", "gi", "silvaheader", "img",
+}
+_TAX_FLAGS = {
+    "pt", "plaintext", "sc", "semicolon", "pa", "path", "simple",
+    "ancestor", "pp", "printpath", "ps", "size", "printsize", "range",
+    "printrange", "children", "printchildren", "numchildren",
+    "printnumchildren", "mono", "mononomial", "cn", "fixname", "fn",
+    "refseq", "silva", "tax", "",
+}
+_LEVEL_SHORT = {
+    "subspecies": "ss", "species": "s", "genus": "g", "family": "f",
+    "order": "o", "class": "c", "phylum": "p", "kingdom": "k",
+    "superkingdom": "sk", "domain": "d", "life": "l",
+}
+
+
+def _ref_tax_response(state, parts):
+    """Handle a reference-grammar tax query; returns (body str,
+    content_type) or None when the path is not reference-grammar (the
+    caller falls through to the legacy JSON routes)."""
+    import urllib.parse
+
+    from .taxonomy import LEVELS
+
+    t = state.tree
+    simple = parts[0] in ("stax", "simpletax")
+    toks = parts[1:]
+    if not toks:
+        return None
+    plaintext = semicolon = ancestor = False
+    typ = None
+    for s in toks[:-1]:
+        sl = s.lower()
+        if sl in ("pt", "plaintext"):
+            plaintext = True
+        elif sl in ("sc", "semicolon"):
+            semicolon = True
+        elif sl == "ancestor":
+            ancestor = True
+        elif sl == "simple":
+            simple = True
+        elif sl in _TAX_TYPES or sl.startswith(("pt_", "sc_")):
+            typ = sl
+        elif sl in _TAX_FLAGS:
+            pass
+        else:
+            return None
+    if typ is None:
+        return None
+    if typ.startswith("pt_"):
+        plaintext, typ = True, typ[3:]
+    elif typ.startswith("sc_"):
+        semicolon, typ = True, typ[3:]
+    names = [
+        urllib.parse.unquote(x) for x in toks[-1].split(",") if x
+    ]
+
+    def to_tid(nm: str) -> int:
+        if typ in ("taxid", "id", "tid", "ncbi", "tax_id"):
+            try:
+                tid = int(nm)
+            except ValueError:
+                return -1
+            return tid if t.valid(tid) else -1
+        if typ in ("header", "silvaheader"):
+            nm = nm.lstrip("@>")
+            from .taxonomy import taxid_of_header
+
+            tid = taxid_of_header(nm.encode(), state.acc_map)
+            if tid <= 0:
+                tid = t.id_of(nm.replace("_", " "))
+            return tid if tid > 0 and t.valid(tid) else -1
+        if typ == "accession":
+            m = state.acc_map or {}
+            key = nm.split(".")[0].upper().encode()
+            tid = m.get(key, 0) or m.get(nm.encode(), 0)
+            return tid if tid > 0 else -1
+        if typ == "gi":
+            return -1  # GI support suspended in the reference too
+        # name: client sends '_' for ' ' (TaxClient.java:167)
+        tid = t.id_of(nm.replace("_", " "))
+        return tid if tid > 0 and t.valid(tid) else -1
+
+    def semicolon_of(tid: int) -> str:
+        if tid < 0:
+            return "Not found"
+        parts_ = []
+        for a in reversed(t.lineage(tid)):
+            lv = LEVELS[int(t.level[a])]
+            if simple and lv in ("no rank", "subspecies"):
+                continue
+            short = _LEVEL_SHORT.get(lv)
+            nm = t.name_of(a)
+            parts_.append(f"{short}:{nm}" if short else nm)
+        return ";".join(parts_) if parts_ else "Not found"
+
+    def node_json(tid: int) -> dict:
+        return {
+            "name": t.name_of(tid),
+            "tax_id": tid,
+            "level": LEVELS[int(t.level[tid])],
+        }
+
+    tids = [to_tid(nm) for nm in names]
+    if ancestor:
+        ca = -1
+        live = [x for x in tids if x >= 0]
+        if live:
+            ca = live[0]
+            for x in live[1:]:
+                ca = t.common_ancestor(ca, x)
+        if plaintext:
+            return str(ca if ca is not None and ca >= 0 else -1), "text/plain"
+        if ca is None or ca < 0:
+            return json.dumps({"error": "Not found."}), "application/json"
+        if semicolon:
+            return semicolon_of(ca), "text/plain"
+        j = node_json(ca)
+        for a in t.lineage(ca)[1:]:
+            lv = LEVELS[int(t.level[a])]
+            if simple and lv in ("no rank", "subspecies"):
+                continue
+            j[lv] = node_json(a)
+        return json.dumps(j), "application/json"
+    if plaintext:
+        return ",".join(str(x) for x in tids), "text/plain"
+    if semicolon:
+        return ",".join(semicolon_of(x) for x in tids), "text/plain"
+    out = {}
+    for nm, tid in zip(names, tids):
+        if tid < 0:
+            out[nm] = {"error": "Not found."}
+            continue
+        j = node_json(tid)
+        for a in t.lineage(tid)[1:]:
+            lv = LEVELS[int(t.level[a])]
+            if simple and lv in ("no rank", "subspecies"):
+                continue
+            j[lv] = node_json(a)
+        out[nm] = j
+    return json.dumps(out), "application/json"
+
+
 def _make_handler(state: ServerState):
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, obj, code=200):
@@ -78,10 +233,29 @@ def _make_handler(state: ServerState):
         def log_message(self, *a):  # quiet
             pass
 
+        def _reply_raw(self, body: str, ctype: str, code=200):
+            data = body.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def do_GET(self):
             parts = [p for p in self.path.split("/") if p]
             if parts == ["health"]:
                 return self._reply({"status": "ok"})
+            if (
+                parts
+                and parts[0] in ("tax", "stax", "simpletax")
+                and state.tree is not None
+                and len(parts) >= 3
+            ):
+                # reference URL grammar first (TaxServer.java protocol;
+                # reference TaxClient interop); legacy JSON shapes below
+                res = _ref_tax_response(state, parts)
+                if res is not None:
+                    return self._reply_raw(*res)
             if parts and parts[0] == "tax":
                 if state.tree is None:
                     return self._reply({"error": "no taxonomy loaded"}, 503)
@@ -216,6 +390,8 @@ def main(argv=None):
     state = ServerState()
     if a.get("names") and a.get("nodes"):
         state.load_tax(a.get("names"), a.get("nodes"))
+    if a.get("accession"):
+        state.load_accessions(a.get("accession"))
     for path in (a.get("ref") or "").split(","):
         if path.strip():
             state.add_reference_fasta(path.strip(), k=a.get_int("k", default=31))

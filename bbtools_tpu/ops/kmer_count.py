@@ -99,14 +99,24 @@ def count_batch(bases, lengths, k: int):
 @partial(jax.jit, static_argnames=())
 def _merge_spectra(spec_keys, spec_counts, batch_keys):
     """Merge a device spectrum ([C] PAD-padded sorted keys + counts) with
-    a raw batch key stream ([M], PAD-padded): sort-reduce the batch, then
-    one combined 2-op sort + run-sum via the cumsum-carry partition (the
-    scatter-free pattern of sort_reduce, extended to SUM counts instead
-    of counting members). Returns ([C+M] keys, counts, n_runs) —
-    caller slices back to capacity."""
-    bv, bc, _ = sort_reduce(batch_keys)
-    all_k = jnp.concatenate([spec_keys, bv])
-    all_c = jnp.concatenate([spec_counts, bc])
+    a raw batch key stream ([M], PAD-padded): one combined 2-op sort +
+    run-sum via the cumsum-carry partition (the scatter-free pattern of
+    sort_reduce, extended to SUM counts instead of counting members).
+    Returns ([C+M] keys, counts, n_runs) — caller slices back to
+    capacity.
+
+    The raw keys enter the merge sort DIRECTLY with count 1 — a
+    pre-reduce of the batch (round 3 design) bought nothing: static
+    shapes mean the reduced run array is still M rows of concatenated
+    input, so the per-batch sort_reduce (a 1-op M sort plus a 3-op M
+    stable partition) was pure overhead on top of the same-size combined
+    sort. Removing it cut the accumulate:count ratio from 2.1x to ~1.3x
+    (slope-measured, BASELINE.md round-4 khist row)."""
+    all_k = jnp.concatenate([spec_keys, batch_keys])
+    all_c = jnp.concatenate([
+        spec_counts,
+        (batch_keys != PAD).astype(jnp.int64),
+    ])
     s, c = jax.lax.sort((all_k, all_c), num_keys=1)
     n = s.shape[0]
     boundary = jnp.concatenate(

@@ -264,3 +264,36 @@ def test_device_spectrum_matches_host_spectrum():
     assert (dc == ks.counts).all()
     assert (ds.histogram(100) == ks.histogram(100)).all()
     assert ds.cap > 1 << 10  # growth actually happened
+
+
+def test_device_spectrum_adversarial_late_overflow():
+    """Deferred-sync replay correctness under the worst case: with
+    sync_every=4, every batch brings mostly-new keys so the capacity
+    overflows LATE inside each sync window (on unsynced batches whose
+    n_runs scalars are still on device). The checkpoint/replay must
+    reproduce the host spectrum exactly, repeatedly, across several
+    consecutive growth-and-replay cycles."""
+    import numpy as np
+
+    from bbtools_tpu.ops.kmer_count import (
+        DeviceSpectrum,
+        KmerSpectrum,
+        count_batch_np,
+    )
+
+    g = np.random.default_rng(11)
+    ds = DeviceSpectrum(31, cap=1 << 9, sync_every=4)  # 512-row carry
+    ks = KmerSpectrum(31)
+    for bi in range(10):
+        # ~1.6k distinct kmers per batch -> overflow nearly every window
+        bases = g.integers(0, 4, (16, 120)).astype(np.uint8)
+        lengths = np.full(16, 120, np.int32)
+        ds.add_batch(bases, lengths)
+        v, c = count_batch_np(bases, lengths, 31)
+        ks.add_batch(v, c)
+    ks.flush()
+    dk, dc = ds.spectrum()
+    assert (dk == ks.keys).all()
+    assert (dc == ks.counts).all()
+    assert ds.cap >= len(ks.keys)
+    assert (ds.histogram(64) == ks.histogram(64)).all()

@@ -315,3 +315,61 @@ def test_accession_index_ncbi_scale(tmp_path):
     assert isinstance(big, AccessionIndex)
     small = load_accession_map(str(path))
     assert small.get("NZ_0000000") == 1  # dict path unchanged
+
+
+def test_server_reference_protocol(tiny_tree, tmp_path):
+    """Reference TaxServer URL grammar + TaxClient interop shapes
+    (tax/TaxServer.java toResponse :1062-1210, tax/TaxClient.java:166):
+    pt/name/ returns a bare taxid, pt/taxid multi-query returns a comma
+    list with -1 misses, sc_name returns the short-level semicolon
+    lineage, ancestor works, and the default JSON keys each query."""
+    import json
+    import urllib.request
+
+    from bbtools_tpu.models.server import ServerState, start_server
+
+    d, _tree = tiny_tree
+    state = ServerState()
+    state.load_tax(str(d / "names.dmp"), str(d / "nodes.dmp"))
+    srv, port = start_server(state)
+    base = f"http://127.0.0.1:{port}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path) as r:
+            return r.read().decode(), r.headers.get("Content-Type")
+
+    try:
+        # TaxClient.nameToTaxid: sendAndReceive("pt/name/", name_with_underscores)
+        body, ct = get("/tax/pt/name/Escherichia_coli")
+        assert body == "562" and ct.startswith("text/plain")
+        # pt_ prefixed type form
+        body, _ = get("/tax/pt_name/Escherichia_coli")
+        assert body == "562"
+        # multi-query with a miss -> comma list, -1 for not-found
+        body, _ = get("/tax/pt/taxid/562,424242,9606")
+        assert body == "562,-1,9606"
+        # accession type without a loaded table -> -1 (not an error)
+        body, _ = get("/tax/pt/accession/NC_000913.3")
+        assert body == "-1"
+        # semicolon lineage, short level codes (TaxTree.toSemicolon :928)
+        body, _ = get("/tax/sc_name/Escherichia_coli")
+        assert "s:Escherichia coli" in body and "p:Proteobacteria" in body
+        assert body.index("p:") < body.index("g:") < body.index("s:")
+        # ancestor across superkingdoms
+        body, _ = get("/tax/ancestor/pt/taxid/83333,9606")
+        assert body in ("1", "131567")
+        # default JSON: keyed by query, node fields + ancestor levels
+        body, ct = get("/tax/name/Escherichia_coli")
+        j = json.loads(body)
+        node = j["Escherichia_coli"]
+        assert node["tax_id"] == 562 and node["level"] == "species"
+        assert node["genus"]["tax_id"] == 561
+        assert node["phylum"]["name"] == "Proteobacteria"
+        # header type strips @/> and resolves via name fallback
+        body, _ = get("/tax/pt/header/Homo_sapiens")
+        assert body == "9606"
+        # legacy routes still work
+        with urllib.request.urlopen(base + "/tax/562") as r:
+            assert json.loads(r.read())["name"] == "Escherichia coli"
+    finally:
+        srv.shutdown()
