@@ -611,8 +611,39 @@ class BBMap:
             modal[sel2],
         )
 
+    def _prefetch_candidates(self, reader):
+        """Double-buffered host stage: read + seed/cluster for batch i+1
+        run in a worker thread while batch i is in its device phases
+        (the candidate host work was ~0.14 s per 4096 reads, serialized
+        with the device before — the reference overlaps the same stages
+        with its reader/worker thread split, AbstractMapThread :518)."""
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def work():
+            try:
+                for b in reader:
+                    cand = self.candidates_for_batch(
+                        b.bases, b.lengths.astype(np.int64)
+                    )
+                    q.put((b, cand))
+                q.put(None)
+            except BaseException as e:  # surface in the consumer
+                q.put(e)
+
+        threading.Thread(target=work, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     # ------------------------------------------------------------------
-    def map_batch(self, batch) -> list[MapResult]:
+    def map_batch(self, batch, cand=None) -> list[MapResult]:
         import jax
         import jax.numpy as jnp
 
@@ -623,6 +654,8 @@ class BBMap:
         self.reads_in += B
         t_read, t_diag, t_strand, t_votes, t_spread, t_anchor = (
             self.candidates_for_batch(bases, lengths)
+            if cand is None
+            else cand
         )
         if self.bloom is not None:
             from ..ops.kmers import rolling_kmers_np as _rk
@@ -1284,12 +1317,16 @@ class BBMap:
         # paired runs retain top-N candidate sites per read so the
         # pairing pass can re-select winners (pairSiteScoresFinal role)
         self._keep_sites = it2 is not None
-        for batch in reader:
-            results = self.map_batch(batch)
+        it2p = (
+            iter(self._prefetch_candidates(reader2)) if it2 is not None
+            else None
+        )
+        for batch, cand in self._prefetch_candidates(reader):
+            results = self.map_batch(batch, cand)
             batch2 = results2 = None
-            if it2 is not None:
-                batch2 = next(it2)
-                results2 = self.map_batch(batch2)
+            if it2p is not None:
+                batch2, cand2 = next(it2p)
+                results2 = self.map_batch(batch2, cand2)
                 self.pair_site_scores(batch, results, batch2, results2)
                 if cfg.rescue_mates:
                     self.rescue(batch, results, batch2, results2)
