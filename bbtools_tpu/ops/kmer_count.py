@@ -110,8 +110,9 @@ def _merge_spectra(spec_keys, spec_counts, batch_keys):
     shapes mean the reduced run array is still M rows of concatenated
     input, so the per-batch sort_reduce (a 1-op M sort plus a 3-op M
     stable partition) was pure overhead on top of the same-size combined
-    sort. Removing it cut the accumulate:count ratio from 2.1x to ~1.3x
-    (slope-measured, BASELINE.md round-4 khist row)."""
+    sort. Removing it cut the accumulate:count ratio from 2.10x to 1.09x
+    (slope-measured on v5e, tools/exp_khist2.py; BASELINE.md round-4
+    khist row)."""
     all_k = jnp.concatenate([spec_keys, batch_keys])
     all_c = jnp.concatenate([
         spec_counts,
