@@ -37,6 +37,7 @@ class ServerState:
         self.sketches = []  # (name, hashes, k)
         self.clades = []  # Clade profiles (QuickClade DB role)
         self.acc_map = None  # accession -> taxid (AccessionToTaxid role)
+        self.sketches_v2 = []  # HASH_VERSION=2 twins (SendSketch interop)
 
     def load_accessions(self, path: str):
         from .taxonomy import load_accession_map
@@ -65,10 +66,14 @@ class ServerState:
         self.sketches.append((path, hashes, k))
 
     def add_reference_fasta(self, path: str, k: int = 31, size: int = 10000):
-        from .sketch import sketch_file
+        from .sketch import sketch_file, sketch_file_v2
 
         hashes = sketch_file(path, k=k, size=size)
         self.sketches.append((path, hashes, k))
+        # v2 (XOR-code-table) twin so reference SendSketch clients —
+        # which hash with HASH_VERSION=2 (k=32,24) — get real matches
+        keys2, _stats = sketch_file_v2(path, size=size)
+        self.sketches_v2.append((path, keys2, 32))
 
 
 # reference URL grammar (tax/TaxServer.java toResponse :1062-1210 +
@@ -331,6 +336,65 @@ def _make_handler(state: ServerState):
                 }
                 return self._reply(
                     {"assignments": [amap[bc] for bc in observed]}
+                )
+            if (
+                self.path.rstrip("/") == "/sketch"
+                or self.path.startswith("/sketch/")
+            ) and self.path != "/sketch/compare":
+                # reference SendSketch wire protocol: the POST body is
+                # the .sketch text coding (header line + A48 deltas,
+                # sketch/SketchSearcher.loadSketchesFromString); reply is
+                # the FORMAT_QUERY_REF_ANI TSV table
+                # (sketch/DisplayParams.header :1361 — #Query Ref ANI
+                # QSize RefSize QBases RBases KID WKID)
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                from .sketch import compare_sketches, parse_sketch_records
+
+                try:
+                    recs = parse_sketch_records(body)
+                except Exception as e:
+                    return self._reply_raw(
+                        f"\nERROR: could not parse sketch body: {e}\n",
+                        "text/plain", 400,
+                    )
+                if not recs or not state.sketches:
+                    return self._reply_raw(
+                        "\nERROR: This server has no sketches loaded.\n"
+                        if not state.sketches
+                        else "\nERROR: no query sketches in body.\n",
+                        "text/plain", 400,
+                    )
+                lines = [
+                    "#Query\tRef\tANI\tQSize\tRefSize\tQBases\tRBases"
+                    "\tKID\tWKID"
+                ]
+                for hdr, q in recs:
+                    k = int(str(hdr.get("K", "31")).split(",")[0])
+                    qname = hdr.get("NM", hdr.get("FN", "query"))
+                    qbases = int(hdr.get("GS", 0) or 0)
+                    # HASH_VERSION=2 queries (dual-k header) compare
+                    # against the v2-hashed reference twins
+                    hv2 = "," in str(hdr.get("K", "")) or hdr.get("HV") == "2"
+                    refs = state.sketches_v2 if hv2 else state.sketches
+                    rows = []
+                    for rname, rh, k2 in refs:
+                        wkid, ani, m, _sz = compare_sketches(
+                            q, rh, k=min(k, k2)
+                        )
+                        if m <= 0:
+                            continue
+                        kid = m / max(len(q), len(rh), 1)
+                        rows.append((ani, rname, wkid, kid, m, len(rh)))
+                    rows.sort(key=lambda r: -r[0])
+                    for ani, rname, wkid, kid, m, rsz in rows[:20]:
+                        lines.append(
+                            f"{qname}\t{rname}\t{100 * ani:.2f}"
+                            f"\t{len(q)}\t{rsz}\t{qbases}\t0"
+                            f"\t{100 * kid:.2f}\t{100 * wkid:.2f}"
+                        )
+                return self._reply_raw(
+                    "\n".join(lines) + "\n", "text/plain"
                 )
             if self.path != "/sketch/compare":
                 return self._reply({"error": "bad path"}, 404)

@@ -100,6 +100,43 @@ def read_reference_sketch(path: str):
     return np.sort(np.array(hashes, dtype=np.uint64)), header
 
 
+def parse_sketch_records(blob: bytes):
+    """Parse a (possibly multi-record) reference sketch stream — the body
+    SendSketch POSTs to /sketch (sketch/SketchSearcher.
+    loadSketchesFromString; same coding as .sketch files). Returns
+    [(header dict, sorted uint64 hashes), ...]."""
+    records = []
+    header: dict = {}
+    hashes: list = []
+    cur = 0
+    for line in blob.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith(b"#"):
+            if hashes or header:
+                records.append(
+                    (header, np.sort(np.array(hashes, dtype=np.uint64)))
+                )
+            header, hashes, cur = {}, [], 0
+            for kv in line[1:].split(b"\t"):
+                if b":" in kv:
+                    key, val = kv.split(b":", 1)
+                    header[key.decode()] = val.decode()
+            continue
+        tok = line.split(b"\t")[0]
+        try:
+            cur += _a48_value(tok)
+        except (KeyError, IndexError):
+            continue
+        hashes.append(cur)
+    if hashes or header:
+        records.append(
+            (header, np.sort(np.array(hashes, dtype=np.uint64)))
+        )
+    return records
+
+
 def load_blacklist(spec: str) -> np.ndarray:
     """blacklist= keyword (nt/refseq/silva/prokprot) or file path; both
     the reference A48 coding and this repo's TSV sketches parse."""

@@ -373,3 +373,53 @@ def test_server_reference_protocol(tiny_tree, tmp_path):
             assert json.loads(r.read())["name"] == "Escherichia coli"
     finally:
         srv.shutdown()
+
+
+def test_server_sendsketch_wire_protocol(tiny_tree, tmp_path):
+    """Reference SendSketch interop: POST the reference .sketch text
+    coding (A48 deltas, HASH_VERSION=2) to /sketch and get the
+    FORMAT_QUERY_REF_ANI TSV back (tax/TaxServer.java SketchHandler,
+    sketch/DisplayParams.header :1361)."""
+    import io
+    import urllib.request
+
+    from bbtools_tpu.io.fasta import write_fasta
+    from bbtools_tpu.models.server import ServerState, start_server
+    from bbtools_tpu.models.sketch import sketch_file_v2, write_sketch_v2
+    from bbtools_tpu.utils.synth import random_genome
+
+    write_fasta(str(tmp_path / "refA.fa"), random_genome(30_000, 1, seed=21))
+    write_fasta(str(tmp_path / "refB.fa"), random_genome(30_000, 1, seed=22))
+    state = ServerState()
+    state.add_reference_fasta(str(tmp_path / "refA.fa"))
+    state.add_reference_fasta(str(tmp_path / "refB.fa"))
+    srv, port = start_server(state)
+    try:
+        # build the query body exactly as SendSketch would: the v2
+        # .sketch text for refA
+        keys, stats = sketch_file_v2(str(tmp_path / "refA.fa"))
+        write_sketch_v2(str(tmp_path / "q.sketch"), keys, stats,
+                        name="queryA", fname="refA.fa")
+        body = (tmp_path / "q.sketch").read_bytes()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sketch", data=body,
+            headers={"Content-Type": "text/plain"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            text = r.read().decode()
+            ct = r.headers.get("Content-Type")
+        assert ct.startswith("text/plain")
+        lines = text.strip().splitlines()
+        assert lines[0].startswith("#Query\tRef\tANI")
+        assert len(lines) >= 2, text
+        top = lines[1].split("\t")
+        assert "refA" in top[1]
+        assert float(top[2]) > 99.0  # self-match ANI ~100
+        assert float(top[8]) > 90.0  # WKID
+        # refB must not outrank refA
+        for ln in lines[2:]:
+            assert "refB" in ln or "refA" in ln
+            if "refB" in ln:
+                assert float(ln.split("\t")[8]) < 50.0
+    finally:
+        srv.shutdown()
