@@ -119,6 +119,16 @@ class BBDukConfig:
     force_trim_right: int = 0
     force_trim_right2: int = 0
     force_trim_modulo: int = 0
+    #: homopolymer trims/filters (BBDuk2.java:2239-2300, trimPoly
+    #: :3999, detectPolyLeft :4014; Parser.parsePoly t->2)
+    trim_polya: int = 0
+    trim_polyg_left: int = 0
+    trim_polyg_right: int = 0
+    trim_polyc_left: int = 0
+    trim_polyc_right: int = 0
+    filter_polyg: int = 0
+    filter_polyc: int = 0
+    max_non_poly: int = 2
     restrict_left: int = 0
     restrict_right: int = 0
     remove_if_either_bad: bool = True
@@ -294,6 +304,24 @@ def parse_args(argv: list[str]) -> BBDukConfig:
     c.recal_passes = a.get_int(*h("recalpasses"), default=2)
     c.entropy_window = a.get_int(*h("entropywindow"), default=50)
     c.entropy_k = a.get_int(*h("entropyk"), default=5)
+    def parse_poly(*names):
+        v = a.get(*h(*names))
+        if v is None:
+            return 0
+        if v and v[0].isdigit():
+            return int(v)
+        return 2 if v.lower() in ("t", "true", "1") else 0
+
+    c.trim_polya = parse_poly("trimpolya")
+    tg = parse_poly("trimpolyg")
+    c.trim_polyg_left = parse_poly("trimpolygleft") or tg
+    c.trim_polyg_right = parse_poly("trimpolygright") or tg
+    tc = parse_poly("trimpolyc")
+    c.trim_polyc_left = parse_poly("trimpolycleft") or tc
+    c.trim_polyc_right = parse_poly("trimpolycright") or tc
+    c.filter_polyg = parse_poly("filterpolyg")
+    c.filter_polyc = parse_poly("filterpolyc")
+    c.max_non_poly = a.get_int(*h("maxnonpoly"), default=2)
     c.force_trim_left = a.get_int(*h("forcetrimleft", "ftl"), default=0)
     c.force_trim_right = a.get_int(*h("forcetrimright", "ftr"), default=0)
     c.force_trim_right2 = a.get_int(*h("forcetrimright2", "ftr2"), default=0)
@@ -348,6 +376,8 @@ class BBDukStats:
     bases_nfiltered: int = 0
     reads_efiltered: int = 0
     bases_efiltered: int = 0
+    reads_polytrimmed: int = 0
+    bases_polytrimmed: int = 0
     scaffold_reads: np.ndarray | None = None
     scaffold_bases: np.ndarray | None = None
 
@@ -649,6 +679,17 @@ class BBDuk:
         if cfg.trim_by_overlap and b2 is not None:
             b1, b2 = self._tbo_stage(b1, b2, remove)
 
+        # ---- homopolymer trims/filters (BBDuk2.java:2239-2300) ----
+        if (
+            cfg.trim_polya > 0
+            or cfg.trim_polyg_left > 0 or cfg.trim_polyg_right > 0
+            or cfg.trim_polyc_left > 0 or cfg.trim_polyc_right > 0
+            or cfg.filter_polyg > 0 or cfg.filter_polyc > 0
+        ):
+            b1, b2, disc1, disc2, remove = self._poly_stage(
+                b1, b2, disc1, disc2, remove, minlen1, minlen2
+            )
+
         # ---- quality trimming (:1292-1326) ----
         if cfg.qtrim_left or cfg.qtrim_right:
             alive = ~remove
@@ -808,6 +849,83 @@ class BBDuk:
         return b1, b2, keep, single1, single2
 
     # ------------------------------------------------------------------
+    def _poly_stage(self, b1, b2, disc1, disc2, remove, minlen1, minlen2):
+        """Homopolymer trimming/filtering (BBDuk2.java:2239-2300): poly-A
+        (max of A/T end runs, no mismatches), then poly-G / poly-C end
+        trims with up to maxNonPoly interruptions, then whole-read
+        discard when the 5' end starts with filterPolyG/C of G/C."""
+        cfg, st = self.cfg, self.stats
+        for bi, (b, disc, ml) in enumerate((
+            (b1, disc1, minlen1),
+            (b2, disc2, minlen2),
+        )[: 1 + (b2 is not None)]):
+            alive = ~remove & ~disc
+            if cfg.trim_polya > 0:
+                lA = _count_end_run(b, 0, 0)  # A from left
+                lT = _count_end_run(b, 3, 0)
+                rA = _count_end_run(b, 0, 1)
+                rT = _count_end_run(b, 3, 1)
+                left = np.maximum(lA, lT)
+                right = np.maximum(rA, rT)
+                left[left < cfg.trim_polya] = 0
+                right[right < cfg.trim_polya] = 0
+                self._apply_poly_trim(b, left, right, alive, st)
+            for code, pl, pr, pf in (
+                (2, cfg.trim_polyg_left, cfg.trim_polyg_right,
+                 cfg.filter_polyg),
+                (1, cfg.trim_polyc_left, cfg.trim_polyc_right,
+                 cfg.filter_polyc),
+            ):
+                if not (pl or pr or pf):
+                    continue
+                if pf > 0:
+                    hit = (
+                        _detect_poly_left(b, code, pf, cfg.max_non_poly)
+                        >= pf
+                    ) & alive
+                    disc |= hit
+                    st.reads_polytrimmed += int(hit.sum())
+                    alive = alive & ~hit
+                if pl > 0 or pr > 0:
+                    left = (
+                        _detect_poly_left(b, code, pl, cfg.max_non_poly)
+                        if pl > 0 else np.zeros(b.n, np.int32)
+                    )
+                    right = (
+                        _detect_poly_right(b, code, pr, cfg.max_non_poly)
+                        if pr > 0 else np.zeros(b.n, np.int32)
+                    )
+                    self._apply_poly_trim(b, left, right, alive, st)
+            disc |= alive & (b.lengths < ml)
+            if bi == 0:
+                b1 = b
+            else:
+                b2 = b
+        if b2 is not None:
+            remove = remove | (
+                (disc1 | disc2) if cfg.remove_if_either_bad
+                else (disc1 & disc2)
+            )
+        else:
+            remove = remove | disc1
+        return b1, b2, disc1, disc2, remove
+
+    def _apply_poly_trim(self, b, left, right, alive, st):
+        """TrimRead.trimByAmount(minResult=1) over the batch, in place
+        (clamp at :322-325: over-trim keeps the leftmost base)."""
+        left = np.where(alive, left, 0).astype(np.int64)
+        right = np.where(alive, right, 0).astype(np.int64)
+        over = left + right + 1 > b.lengths
+        right = np.where(over, np.maximum(1, b.lengths - 1), right)
+        left = np.where(over, 0, left)
+        trimmed = left + right
+        nz = trimmed > 0
+        st.reads_polytrimmed += int(nz.sum())
+        st.bases_polytrimmed += int(trimmed.sum())
+        res = apply_trim(b, left, right)
+        for attr in ("bases", "quals", "lengths", "ascii_bases"):
+            setattr(b, attr, getattr(res, attr))
+
     def _low_entropy_windows(self, b):
         """bool [B, L]: positions covered by a window whose entropy is
         below the cutoff (maskLowEntropy coverage semantics)."""
@@ -1287,6 +1405,70 @@ class BBDuk:
         bps = st.bases_in / t
         print(f"Reads Processed:    {st.reads_in:>10}\t{rps/1000:.2f}k reads/sec", file=stream)
         print(f"Bases Processed:    {st.bases_in:>10}\t{bps/1e6:.2f}m bases/sec", file=stream)
+
+
+def _count_end_run(b, code: int, side: int) -> np.ndarray:
+    """Length of the homopolymer run of `code` at the left (side=0) or
+    right (side=1) end of each read (Read.countLeft/countRight)."""
+    B, L = b.bases.shape
+    pos = np.arange(L)[None, :]
+    within = pos < b.lengths[:, None]
+    if side == 0:
+        isc = (b.bases == code) & within
+        notc = ~isc & within
+        first_bad = np.where(notc.any(axis=1), notc.argmax(axis=1), b.lengths)
+        return first_bad.astype(np.int32)
+    # right end: mirror per-read
+    rev_idx = b.lengths[:, None] - 1 - pos
+    valid = rev_idx >= 0
+    rev = np.take_along_axis(b.bases, np.maximum(rev_idx, 0), axis=1)
+    isc = (rev == code) & valid
+    notc = ~isc & valid
+    first_bad = np.where(notc.any(axis=1), notc.argmax(axis=1), b.lengths)
+    return first_bad.astype(np.int32)
+
+
+def _detect_poly_scan(bases_iter_cols, lengths, code, min_poly, max_non,
+                      B, L):
+    """Column-sequential state machine shared by left/right detection
+    (BBDuk2.detectPolyLeft :4014): track (polymer run, non-poly count),
+    remember the last position where the run reached min_poly; stop a
+    read once its non-poly count exceeds max_non."""
+    polymer = np.zeros(B, np.int32)
+    nonpoly = np.zeros(B, np.int32)
+    trim_to = np.full(B, -1, np.int32)
+    for i, col in bases_iter_cols:
+        active = (nonpoly <= max_non) & (i < lengths)
+        isc = col == code
+        polymer = np.where(active & isc, polymer + 1,
+                           np.where(active, 0, polymer))
+        hit = active & isc & (polymer >= min_poly)
+        trim_to = np.where(hit, i, trim_to)
+        nonpoly = np.where(
+            hit, 0, np.where(active & ~isc, nonpoly + 1, nonpoly)
+        )
+    return trim_to + 1
+
+
+def _detect_poly_left(b, code: int, min_poly: int, max_non: int):
+    B, L = b.bases.shape
+    return _detect_poly_scan(
+        ((i, b.bases[:, i]) for i in range(L)),
+        b.lengths, code, min_poly, max_non, B, L,
+    )
+
+
+def _detect_poly_right(b, code: int, min_poly: int, max_non: int):
+    """Right-side scan walks i = len-1 down; position i here counts
+    bases FROM the right end (the trim amount)."""
+    B, L = b.bases.shape
+    pos = np.arange(L)
+    rev_idx = np.maximum(b.lengths[:, None] - 1 - pos[None, :], 0)
+    rev = np.take_along_axis(b.bases, rev_idx, axis=1)
+    return _detect_poly_scan(
+        ((i, rev[:, i]) for i in range(L)),
+        b.lengths, code, min_poly, max_non, B, L,
+    )
 
 
 def _subset(b, keep):

@@ -65,6 +65,27 @@ def main(argv=None):
     do_fbt = a.get_bool("filterbytile", "fbt", default=False)
     do_merge = a.get_bool("merge", "domerge", default=False)
     spikein = a.get("spikein", "spikeinref")
+    # RQCFilter2.java round-4 surface: homopolymer trims fold into the
+    # trim stage (:2411-2416, trimPolyGLeft=6 default), pJET vector
+    # filtered by default (:2429, pjetFlag=true :3973), lambda optional,
+    # library=rna adds the truseq RNA adapter set, custom adapter refs
+    def _poly(name, dflt):
+        v = a.get(name)
+        if v is None:
+            return dflt
+        if v and v[0].isdigit():
+            return int(v)
+        return 2 if v.lower() in ("t", "true", "1") else 0
+
+    polyg_l = _poly("trimpolygleft", _poly("trimpolyg", 6))
+    polyg_r = _poly("trimpolygright", _poly("trimpolyg", 0))
+    trimpolya = _poly("trimpolya", 0)
+    filterpolyg = _poly("filterpolyg", 0)
+    do_pjet = a.get_bool("pjet", default=True)
+    do_lambda = a.get_bool("removelambda", "lambda", default=False)
+    library = (a.get("library") or "frag").lower()
+    fragadapter = a.get("fragadapter", "fragadapters")
+    rnaadapter = a.get("rnaadapter", "rnaadapters")
     os.makedirs(outdir, exist_ok=True)
     stem = os.path.basename(in1)
     for ext in (".gz", ".fastq", ".fq", ".fasta", ".fa"):
@@ -154,8 +175,29 @@ def main(argv=None):
         advance("chastity", outp, outp2)
     if do_adapters:
         suffix += "a"
-        args = ["ref=adapters", "ktrim=r", "k=23", "mink=11", "hdist=1",
+        ref = "adapters"
+        if fragadapter:
+            ref = fragadapter
+        if library == "rna":
+            import bbtools_tpu as _pkg
+
+            ref = rnaadapter or os.path.join(
+                os.path.dirname(_pkg.__file__), "resources",
+                "truseq_rna.fa.gz",
+            )
+        args = [f"ref={ref}", "ktrim=r", "k=23", "mink=11", "hdist=1",
                 f"minlen={minlen}"]
+        # homopolymer handling folds into the same bbduk pass
+        # (RQCFilter2.java:2411-2416, maxnonpoly=2)
+        if polyg_l:
+            args.append(f"trimpolygleft={polyg_l}")
+        if polyg_r:
+            args.append(f"trimpolygright={polyg_r}")
+        if trimpolya:
+            args.append(f"trimpolya={trimpolya}")
+        if filterpolyg:
+            args.append(f"filterpolyg={filterpolyg}")
+        args.append("maxnonpoly=2")
         if cur2:
             args += ["tbo=t", "tpe=t"]  # pair-aware trims, like the sh
         stage("ktrim", args, f"{stem}.{suffix}.fastq.gz")
@@ -168,14 +210,24 @@ def main(argv=None):
          f"minlen={minlen}"],
         f"{stem}.{suffix}.fastq.gz",
     )
-    if do_artifacts or do_phix:
+    if do_artifacts or do_phix or do_pjet or do_lambda:
+        import bbtools_tpu as _pkg
+
+        res_dir = os.path.join(os.path.dirname(_pkg.__file__), "resources")
         refs = []
         if do_artifacts:
             refs.append("artifacts")
         if do_phix:
             refs.append("phix")
+        if do_pjet:
+            # pJET1.2 cloning-vector contamination (RQCFilter2 pjetRef)
+            refs.append(os.path.join(res_dir, "pJET1.2.fa"))
+        if do_lambda:
+            refs.append(os.path.join(res_dir, "lambda.fa.gz"))
         suffix += "p" if do_phix else ""
         suffix += "t" if do_artifacts else ""
+        if not (do_phix or do_artifacts):
+            suffix += "v"  # vector-only filter pass (pjet/lambda)
         stage(
             "filter",
             [f"ref={','.join(refs)}", "k=31", "hdist=1",

@@ -628,3 +628,103 @@ def test_speed_and_qskip_flags(tmp_path):
     assert 0 < strided <= base
     # an 11-kmer adapter still detected at every position stride 3
     assert strided >= 140, strided
+
+
+def _java_detect_left(seq, c, min_poly, max_non):
+    """Literal BBDuk2.detectPolyLeft (:4014) oracle."""
+    if len(seq) < min_poly:
+        return 0
+    trim_to = -1
+    polymer = nonpoly = 0
+    i = 0
+    while i < len(seq) and nonpoly <= max_non:
+        if seq[i] == c:
+            polymer += 1
+            if polymer >= min_poly:
+                nonpoly = 0
+                trim_to = i
+        else:
+            polymer = 0
+            nonpoly += 1
+        i += 1
+    return trim_to + 1
+
+
+def _java_detect_right(seq, c, min_poly, max_non):
+    if len(seq) < min_poly:
+        return 0
+    trim_to = len(seq)
+    polymer = nonpoly = 0
+    i = len(seq) - 1
+    while i >= 0 and nonpoly <= max_non:
+        if seq[i] == c:
+            polymer += 1
+            if polymer >= min_poly:
+                nonpoly = 0
+                trim_to = i
+        else:
+            polymer = 0
+            nonpoly += 1
+        i -= 1
+    return len(seq) - trim_to
+
+
+def test_poly_detect_vs_java_oracle():
+    from bbtools_tpu.io.batch import ReadBatch
+    from bbtools_tpu.models.bbduk import (
+        _detect_poly_left,
+        _detect_poly_right,
+    )
+
+    g = np.random.default_rng(4)
+    B, L = 200, 80
+    # poly-G heavy alphabet so runs happen
+    bases = g.choice(np.array([0, 1, 2, 2, 2, 3], np.uint8), (B, L))
+    lengths = g.integers(4, L + 1, B).astype(np.int32)
+    b = ReadBatch(bases=bases, quals=None, lengths=lengths,
+                  ids=[b"r%d" % i for i in range(B)])
+    for min_poly, max_non in ((6, 2), (3, 0), (10, 4)):
+        gl = _detect_poly_left(b, 2, min_poly, max_non)
+        gr = _detect_poly_right(b, 2, min_poly, max_non)
+        for i in range(B):
+            seq = bases[i, : lengths[i]].tolist()
+            assert gl[i] == _java_detect_left(seq, 2, min_poly, max_non), i
+            assert gr[i] == _java_detect_right(seq, 2, min_poly, max_non), i
+
+
+def test_bbduk_polyg_flags(tmp_path):
+    """trimpolyg/filterpolyg/trimpolya end-to-end through the CLI."""
+    from bbtools_tpu.cli import main as cli_main
+
+    recs = [
+        (b"g_tail", b"ACGTACGTACGTACGTACGTACGT" + b"G" * 20),
+        (b"g_head", b"G" * 20 + b"ACGTACGTACGTACGTACGTACGT"),
+        (b"clean", b"ACGTACGTACGTACGTACGTACGTACGTACGTACGT"),
+        (b"a_tail", b"ACGTACGTACGTACGTACGTACGT" + b"A" * 12),
+    ]
+    with open(tmp_path / "in.fq", "wb") as f:
+        for n, s in recs:
+            f.write(b"@%s\n%s\n+\n%s\n" % (n, s, b"F" * len(s)))
+    cli_main(["bbduk", f"in={tmp_path}/in.fq", f"out={tmp_path}/o1.fq",
+              "trimpolyg=6", "minlen=10", "ow=t"])
+    seqs = dict(zip(
+        [l[1:] for l in (tmp_path / "o1.fq").read_bytes().splitlines()[::4]],
+        (tmp_path / "o1.fq").read_bytes().splitlines()[1::4],
+    ))
+    assert seqs[b"g_tail"] == b"ACGTACGTACGTACGTACGTACGT"
+    assert seqs[b"g_head"] == b"ACGTACGTACGTACGTACGTACGT"
+    assert seqs[b"clean"] == recs[2][1]
+    # filterpolyg discards only reads STARTING with poly-G
+    cli_main(["bbduk", f"in={tmp_path}/in.fq", f"out={tmp_path}/o2.fq",
+              "filterpolyg=8", "ow=t"])
+    names = (tmp_path / "o2.fq").read_bytes().splitlines()[::4]
+    assert b"@g_head" not in names and b"@g_tail" in names
+    # trimpolya trims the A tail
+    cli_main(["bbduk", f"in={tmp_path}/in.fq", f"out={tmp_path}/o3.fq",
+              "trimpolya=8", "ow=t"])
+    seqs3 = dict(zip(
+        [l[1:] for l in (tmp_path / "o3.fq").read_bytes().splitlines()[::4]],
+        (tmp_path / "o3.fq").read_bytes().splitlines()[1::4],
+    ))
+    assert seqs3[b"a_tail"] == b"ACGTACGTACGTACGTACGTACGT"
+    assert seqs3[b"clean"] == recs[2][1]

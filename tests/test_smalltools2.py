@@ -823,3 +823,44 @@ def test_rqcfilter_optional_stages_paired(tmp_path):
     assert spikerow[1] == 240 - 2 * 20  # 20 spike pairs removed
     assert os.path.exists(tmp_path / "out" / "r1.ihist_merge.txt")
     assert os.path.exists(tmp_path / "out" / "r1.khist.txt")
+
+
+def test_rqcfilter_poly_and_vector_stages(tmp_path):
+    """Round-4 RQCFilter2 surface: trimpolygleft=6 default folds into the
+    ktrim stage, pjet vector filtering is default-on, removelambda and
+    library=rna select extra refs (RQCFilter2.java:2411-2429)."""
+    import gzip
+    import os
+
+    import numpy as np
+
+    from bbtools_tpu.models.rqcfilter import main as rqc
+
+    g = np.random.default_rng(8)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    pjet = open(
+        "bbtools_tpu/resources/pJET1.2.fa", "rb"
+    ).read().splitlines()
+    pjet_seq = b"".join(l for l in pjet if not l.startswith(b">"))[:80]
+    with open(tmp_path / "in.fq", "wb") as f:
+        for i in range(60):
+            seq = ACGT[g.integers(0, 4, 100)].tobytes()
+            if i % 5 == 0:
+                seq = b"G" * 25 + seq[25:]  # poly-G head (NovaSeq artifact)
+            if i % 7 == 0:
+                seq = pjet_seq + seq[80:]  # vector contamination
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, b"F" * len(seq)))
+    out = tmp_path / "out"
+    rqc([f"in={tmp_path}/in.fq", f"path={out}", "phix=f", "artifacts=f"])
+    fq = [p for p in os.listdir(out) if p.endswith(".fastq.gz")]
+    assert fq, os.listdir(out)
+    final = sorted(fq)[-1]
+    with gzip.open(out / final) as fh:
+        lines = fh.read().splitlines()
+    seqs = lines[1::4]
+    # no poly-G heads survive, no pjet prefixes survive
+    assert all(not s.startswith(b"GGGGGGGG") for s in seqs)
+    assert all(pjet_seq[:31] not in s for s in seqs)
+    # reproduce.sh records the trimpolygleft flag
+    rep = (out / "reproduce.sh").read_text()
+    assert "trimpolygleft=6" in rep and "pJET" in rep
