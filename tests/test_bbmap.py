@@ -82,8 +82,12 @@ def test_bbmap_end_to_end(ecoli_like):
     tool.run()
     g = grade_sam(str(sam), ref.names)
     assert g.total == 400
-    assert g.mapped >= 396, f"mapped {g.mapped}"
-    assert g.correct_strict >= 0.97 * g.mapped, (
+    # reference-derived tight bounds: the current mapper maps and
+    # strictly places ALL 400 of these reads (1% SNP, unique 150 kb
+    # genome — measured 400/400/400); one read of slack guards numeric
+    # jitter, so any site-selection regression trips this immediately
+    assert g.mapped >= 399, f"mapped {g.mapped}"
+    assert g.correct_strict >= g.mapped - 1, (
         f"strict {g.correct_strict}/{g.mapped}: {g.details[:5]}"
     )
 
@@ -118,8 +122,9 @@ def test_bbmap_with_indels(ecoli_like):
     tool = BBMap(cfg, index=idx)
     tool.run()
     g = grade_sam(str(sam), ref.names, tolerance=5)
-    assert g.mapped >= 115
-    assert g.correct_loose >= 0.95 * g.mapped, g.details[:5]
+    # measured 120/120 mapped and loosely placed; one read of slack
+    assert g.mapped >= 119
+    assert g.correct_loose >= g.mapped - 1, g.details[:5]
     # check indel CIGARs present
     text = (sam).read_text()
     assert "D" in text and "I" in text
