@@ -432,6 +432,68 @@ def follow_edges_pass(bins: list[list["Contig"]],
     return bins, total_merges
 
 
+def fuse_pass(bins: list[list["Contig"]],
+              tetra_limit: float = TETRA_DIF_LIMIT,
+              depth_limit: float = DEPTH_RATIO_LIMIT,
+              stringency: float = 1.6,
+              passes: int = 4,
+              lower: int = 5000,
+              upper_src: int = 900_000,
+              upper_dst: int = 9_000_000):
+    """Small-bin fusion (Binner.fuse, bin/Binner.java:1053; defaults
+    :1661-1667 — fuseLowerLimit=5 kb, fuseUpperLimit=900 kb source /
+    9 Mb destination, fuseStringency=1.6, up to 4 passes as in
+    QuickBin.java:555-565): genome fragments that agglomeration left as
+    separate mid-size bins merge into their composition/depth-nearest
+    neighbor under gates relaxed by `stringency`."""
+    total = 0
+    for _ in range(max(passes, 0)):
+        sizes = np.array([sum(len(c.seq) for c in m) for m in bins])
+        if len(bins) < 2:
+            break
+        P = np.array([
+            np.average([c.profile for c in m], axis=0,
+                       weights=[len(c.seq) for c in m])
+            for m in bins
+        ])
+        D = np.array([
+            np.average([c.depth for c in m], axis=0,
+                       weights=[len(c.seq) for c in m])
+            for m in bins
+        ])
+        src = [int(i) for i in np.argsort(sizes)
+               if lower <= sizes[i] <= upper_src]
+        claimed: set[int] = set()
+        plan = {}
+        dr = 1.0 + (depth_limit - 1.0) * stringency
+        for bi in src:
+            if bi in claimed:
+                continue
+            best, best_dif = -1, tetra_limit * stringency
+            for bj in range(len(bins)):
+                if (
+                    bj == bi or bj in claimed or bj in plan
+                    or sizes[bj] > upper_dst or sizes[bj] < lower
+                ):
+                    continue
+                dif = float(np.abs(P[bj] - P[bi]).sum())
+                ratio = float(_max_ratio(D[bj][None], D[bi])[0])
+                if dif < best_dif and ratio <= dr:
+                    best, best_dif = bj, dif
+            if best >= 0:
+                plan[bi] = best
+                claimed.add(bi)
+                claimed.add(best)
+        if not plan:
+            break
+        for s, d in plan.items():
+            bins[d].extend(bins[s])
+            bins[s] = []
+        bins = [m for m in bins if m]
+        total += len(plan)
+    return bins, total
+
+
 def recluster_pass(bins: list[list["Contig"]],
                    tetra_limit: float = TETRA_DIF_LIMIT,
                    depth_limit: float = DEPTH_RATIO_LIMIT):
@@ -532,6 +594,17 @@ def main(argv=None):
             print(f"Purify ejected {len(residue)} contigs.",
                   file=sys.stderr)
             bins = residue_pass(bins, residue, tetra_limit, depth_limit, rs)
+    if a.get_bool("fuse", default=True) and len(bins) > 1:
+        fs = a.get_float("fusestringency", default=1.6)
+        fp = a.get_int("fusepasses", default=4)
+        bins, nfused = fuse_pass(
+            bins, tetra_limit, depth_limit, fs, fp,
+            lower=a.get_int("fuselowerlimit", default=5000),
+            upper_src=a.get_int("fuseupperlimit", default=900_000),
+            upper_dst=a.get_int("fuseupperlimit2", default=9_000_000),
+        )
+        if nfused:
+            print(f"Fusion merged {nfused} bins.", file=sys.stderr)
     if a.get_bool("recluster", "reclusterclusters", default=False):
         bins, nsplit = recluster_pass(bins, tetra_limit, depth_limit)
         if nsplit:

@@ -553,3 +553,36 @@ def test_quickbin_follow_edges_e2e_gradebins(tmp_path):
         best_n[t] = max(best_n.get(t, 0), max(s.values()))
     for t, v in best_e.items():
         assert v >= best_n.get(t, 0), (best_e, best_n)
+
+
+def test_quickbin_fuse_pass():
+    """Binner.fuse (bin/Binner.java:1053,1661-67): mid-size fragments of
+    one genome fuse under the relaxed (1.6x) gates; a composition-
+    distant bin does not; bins below fuseLowerLimit are not sources."""
+    from bbtools_tpu.core.dna import BASE_TO_CODE
+    from bbtools_tpu.models.quickbin import (
+        Contig,
+        fuse_pass,
+        tetramer_profile,
+    )
+
+    rng = np.random.default_rng(77)
+    genome = rng.choice(ACGT, 40_000).tobytes()
+    gc = rng.choice(np.frombuffer(b"GC", np.uint8), 20_000).tobytes()
+    mk = lambda n, s: Contig(
+        n, s,
+        tetramer_profile(BASE_TO_CODE[np.frombuffer(s, np.uint8)]),
+        np.array([10.0]),
+    )
+    bins = [
+        [mk(b"a1", genome[:15_000])],
+        [mk(b"a2", genome[15_000:30_000])],
+        [mk(b"b", gc)],
+        [mk(b"tiny", genome[30_000:33_000])],  # below fuseLowerLimit
+    ]
+    out, merges = fuse_pass(bins)
+    sets = sorted(tuple(sorted(c.name for c in m)) for m in out)
+    assert (b"a1", b"a2") in sets, sets
+    assert (b"b",) in sets
+    assert (b"tiny",) in sets  # 3 kb: not a fusion source
+    assert merges == 1
