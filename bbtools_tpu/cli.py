@@ -838,6 +838,24 @@ def main(argv=None):
         print(f"Unknown tool: {tool}", file=sys.stderr)
         print("tools:", ", ".join(sorted(set(TOOLS))), file=sys.stderr)
         return 2
+    # multi-host: JAX_COORDINATOR/JAX_NUM_PROCESSES/JAX_PROCESS_ID env
+    # joins this process into the cluster before any tool touches jax —
+    # sharded tools (tpshards=/shards=) then span all hosts' devices
+    # (SURVEY §5.8 design; tests/test_multichip.py 2-process proof)
+    import os as _os
+
+    if _os.environ.get("JAX_COORDINATOR"):
+        from .parallel.distributed import initialize
+
+        if initialize():
+            import jax as _jax
+
+            print(
+                f"Joined jax.distributed cluster: process "
+                f"{_jax.process_index()}/{_jax.process_count()}, "
+                f"{_jax.device_count()} global devices",
+                file=sys.stderr,
+            )
     guard_output_files(argv[1:])
     fn(argv[1:])
     return 0

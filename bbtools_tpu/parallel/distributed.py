@@ -32,6 +32,10 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
         process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     if not coordinator or num_processes <= 1:
         return False
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True  # already joined (idempotent re-entry)
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

@@ -313,6 +313,23 @@ sh = NamedSharding(mesh, P(("dp", "tp"), None))
 g = jax.make_array_from_process_local_data(sh, local)
 total = int(jax.jit(lambda x: x.sum())(g))
 print("DIST_TOTAL=%d" % total)
+
+# production tools run inside the joined cluster (each host on its own
+# input shard — the per-host FASTQ feeding design of SURVEY §5.8)
+import os
+import tempfile
+
+from bbtools_tpu.cli import main as cli_main
+
+with tempfile.TemporaryDirectory() as td:
+    with open(os.path.join(td, "r.fq"), "w") as f:
+        for i in range(50):
+            f.write("@r%d\nACGTACGTACGTACGTACGTACGTACGTACGTACGT\n+\n" % i
+                    + "F" * 36 + "\n")
+    cli_main(["kmercountexact", "in=%s/r.fq" % td, "k=31",
+              "khist=%s/h.txt" % td])
+    nlines = len(open(os.path.join(td, "h.txt")).read().splitlines())
+print("DIST_TOOL_OK=%d" % (nlines > 1))
 """
 
 
@@ -364,6 +381,8 @@ def test_distributed_two_process_localhost(tmp_path):
         outs.append(out.decode())
     # 8 cells of 1 (proc 0) + 8 cells of 2 (proc 1)
     assert all("DIST_TOTAL=24" in o for o in outs), outs
+    # CLI tools run inside the joined cluster
+    assert all("DIST_TOOL_OK=1" in o for o in outs), outs
 
 
 def test_bbmap_cli_tpshards_equals_single(tmp_path):
