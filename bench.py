@@ -461,12 +461,17 @@ def bench_host_ingest():
     from bbtools_tpu.io.fastq import FastqReader
 
     rng = _rng()
-    path = os.path.join(tempfile.gettempdir(), "bench_ingest.fq")
-    if not os.path.exists(path) or os.path.getsize(path) < 200e6:
+    # ~66 MB: big enough to measure, small enough that the page cache
+    # keeps it across passes (the 270 MB round-3 file was getting
+    # partially evicted by the bench's own allocations, making the row
+    # swing 226-588 Mb/s between runs)
+    N_READS = 200_000
+    path = os.path.join(tempfile.gettempdir(), "bench_ingest_sm.fq")
+    if not os.path.exists(path) or os.path.getsize(path) < 60e6:
         ACGT = np.frombuffer(b"ACGT", np.uint8)
         with open(path, "wb") as f:
             parts = []
-            for i in range(800_000):
+            for i in range(N_READS):
                 seq = ACGT[rng.integers(0, 4, READ_LEN)].tobytes()
                 parts.append(
                     b"@SRR1234.%d %d length=%d\n%s\n+\n%s\n"
@@ -476,20 +481,18 @@ def bench_host_ingest():
                     f.write(b"".join(parts))
                     parts = []
             f.write(b"".join(parts))
-    with open(path, "rb") as f:  # warm page cache
-        while f.read(1 << 24):
-            pass
-    best = 0.0
-    for _ in range(3):
+    best = best2 = 0.0
+    for rep in range(4):
+        with open(path, "rb") as f:  # re-warm page cache each pass
+            while f.read(1 << 24):
+                pass
         t0 = time.perf_counter()
         bases = 0
         for b in FastqReader(path, batch_reads=8192):
             bases += int(b.lengths.sum())
         dt = time.perf_counter() - t0
         best = max(best, bases / dt)
-    # compute-only readers (kmer counting etc.) skip the raw-byte plane
-    best2 = 0.0
-    for _ in range(3):
+        # compute-only readers (kmer counting etc.) skip the raw plane
         t0 = time.perf_counter()
         bases = 0
         for b in FastqReader(path, batch_reads=8192, with_ascii=False):
