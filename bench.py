@@ -730,11 +730,19 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     platform = jax.devices()[0].platform
+    # start the wall budget AFTER device init: the remote tunnel can take
+    # minutes to accept a client after recent churn, and that stall must
+    # not eat the section budget (observed: a 5-min init left only the
+    # flagship row in an otherwise healthy run)
+    global _T0
+    init_s = time.monotonic() - _T0
+    _T0 = time.monotonic()
     _EXTRAS.update(
         {
             "platform": platform,
             "timing": "in-graph slope (chaintime)",
             "budget_s": BUDGET_S,
+            "device_init_s": round(init_s, 1),
         }
     )
 
