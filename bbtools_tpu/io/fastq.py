@@ -87,14 +87,18 @@ class FastqReader:
         qual_offset: int | None = None,
         pad_to: int | None = None,
         with_ascii: bool = True,
+        with_quals: bool = True,
     ):
         self.path = path
         self.batch_reads = batch_reads
         self.qual_offset = qual_offset
         self.pad_to = pad_to
         #: with_ascii=False skips the raw-byte plane (compute-only
-        #: tools that never re-emit reads save a third of fill writes)
+        #: tools that never re-emit reads save a third of fill writes);
+        #: with_quals=False also skips the quality plane (kmer-spectrum
+        #: readers touch only bases+lengths)
         self.with_ascii = with_ascii
+        self.with_quals = with_quals
         self.reads_in = 0
         self.bases_in = 0
 
@@ -162,15 +166,18 @@ class FastqReader:
         lengths0 = (ends[1::4] - starts[1::4]).astype(np.int32)
         L = bucket_length(int(lengths0.max(initial=1)))
         if self.qual_offset is None:
-            nsamp = min(1024, nrec)
-            samp = _gather_rows(
-                buf, starts[3::4][:nsamp], lengths0[:nsamp], L, 0
-            )
-            mask = np.arange(L)[None, :] < lengths0[:nsamp, None]
-            self.qual_offset = detect_quality_offset(samp[mask])
+            if self.with_quals:
+                nsamp = min(1024, nrec)
+                samp = _gather_rows(
+                    buf, starts[3::4][:nsamp], lengths0[:nsamp], L, 0
+                )
+                mask = np.arange(L)[None, :] < lengths0[:nsamp, None]
+                self.qual_offset = detect_quality_offset(samp[mask])
+            else:
+                self.qual_offset = 33
         res = _native_build(
             [(buf, starts, ends, lengths0)], L, self.qual_offset,
-            False,
+            False, self.with_quals,
         )
         if res is None:  # native lib vanished mid-stream; cannot happen
             raise RuntimeError("native codec unavailable")
@@ -296,7 +303,9 @@ class FastqReader:
             bases, quals, ascii_b, lengths, ids, _ = p
             sl = slice(off, off + use)
             b = ReadBatch(
-                bases=bases[sl], quals=quals[sl], lengths=lengths[sl],
+                bases=bases[sl],
+                quals=None if quals is None else quals[sl],
+                lengths=lengths[sl],
                 ids=ids[sl], ordinal=ordinal, numeric_id0=numeric_id,
             )
             b.set_lazy_ascii(
@@ -317,8 +326,10 @@ class FastqReader:
             b = ReadBatch(
                 bases=np.concatenate(
                     [wide(p[0][o : o + u], 4) for p, o, u in parts]),
-                quals=np.concatenate(
-                    [wide(p[1][o : o + u], 0) for p, o, u in parts]),
+                quals=(
+                    None if parts[0][0][1] is None else np.concatenate(
+                        [wide(p[1][o : o + u], 0) for p, o, u in parts])
+                ),
                 lengths=np.concatenate(
                     [p[3][o : o + u] for p, o, u in parts]),
                 ids=[i for p, o, u in parts for i in p[4][o : o + u]],
@@ -603,7 +614,8 @@ def encode_fastq(
     return b"".join(parts)
 
 
-def _native_build(len_rows, L, qual_offset, with_ascii=True):
+def _native_build(len_rows, L, qual_offset, with_ascii=True,
+                  with_quals=True):
     """Gather all parts with the native codec; None if unavailable."""
     try:
         from ..native import fill_records_native
@@ -612,7 +624,8 @@ def _native_build(len_rows, L, qual_offset, with_ascii=True):
     outs = []
     for buf, starts, ends, lengths in len_rows:
         res = fill_records_native(buf, starts, ends, L, qual_offset,
-                                  with_ascii=with_ascii)
+                                  with_ascii=with_ascii,
+                                  with_quals=with_quals)
         if res is None:
             return None
         outs.append(res)
@@ -620,7 +633,10 @@ def _native_build(len_rows, L, qual_offset, with_ascii=True):
         b, q, a, ln = outs[0]
     else:
         b = np.concatenate([o[0] for o in outs])
-        q = np.concatenate([o[1] for o in outs])
+        q = (
+            np.concatenate([o[1] for o in outs])
+            if outs[0][1] is not None else None
+        )
         a = (
             np.concatenate([o[2] for o in outs])
             if outs[0][2] is not None else None

@@ -53,11 +53,14 @@ class FastaBatchReader:
 
 
 def read_batches(path: str, batch_reads: int = DEFAULT_BATCH_READS,
-                 with_ascii: bool = True):
+                 with_ascii: bool = True, with_quals: bool = True):
     """Return a format-appropriate batch reader (with .reads_in/.bases_in).
-    with_ascii=False skips the raw-byte plane for compute-only consumers
-    (FASTQ path only; FASTA batches are built from codes anyway)."""
+    with_ascii=False skips the raw-byte plane for compute-only consumers;
+    with_quals=False also skips the quality plane (kmer-spectrum readers
+    touch only bases+lengths). FASTQ path only; FASTA batches are built
+    from codes anyway."""
     ff = test_input(path)
     if ff.format is Format.FASTA:
         return FastaBatchReader(path, batch_reads)
-    return FastqReader(path, batch_reads=batch_reads, with_ascii=with_ascii)
+    return FastqReader(path, batch_reads=batch_reads,
+                       with_ascii=with_ascii, with_quals=with_quals)

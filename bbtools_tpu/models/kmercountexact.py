@@ -74,7 +74,7 @@ def run(argv: list[str]):
     for path in [p for p in (in1, in2) if p]:
         # compute-only: the raw-byte plane is never re-emitted here
         reader = read_batches(path, batch_reads=batch_reads,
-                              with_ascii=False)
+                              with_ascii=False, with_quals=False)
         for b in reader:
             if big:
                 keys, c = count_batchw_exact(

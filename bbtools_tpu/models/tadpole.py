@@ -329,7 +329,10 @@ class Tadpole:
 
     # ------------------------------------------------------------------
     def load_kmers(self, path: str):
-        reader = read_batches(path, batch_reads=self.cfg.batch_reads)
+        # load phase counts kmers only — skip the ascii AND quality
+        # planes (the correction/extend passes later re-read with quals)
+        reader = read_batches(path, batch_reads=self.cfg.batch_reads,
+                              with_ascii=False, with_quals=False)
         big = self.cfg.k > 31
         if big:
             from ..ops.kmers2 import WordSpectrum, count_batchw_exact

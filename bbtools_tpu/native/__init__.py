@@ -137,17 +137,20 @@ def _ptr(a: np.ndarray):
 
 def fill_records_native(buf: np.ndarray, line_starts: np.ndarray,
                         line_ends: np.ndarray, pad: int, qual_offset: int,
-                        with_ascii: bool = True):
-    """Native record gather; returns (bases, quals, ascii|None, lengths)
-    or None when the native library is unavailable. with_ascii=False
-    skips the raw-byte plane (compute-only readers save a third of the
-    fill writes)."""
+                        with_ascii: bool = True, with_quals: bool = True):
+    """Native record gather; returns (bases, quals|None, ascii|None,
+    lengths) or None when the native library is unavailable.
+    with_ascii=False skips the raw-byte plane; with_quals=False also
+    skips the quality plane (count-only readers — kmer spectra — write
+    just bases+lengths)."""
     lib = get_lib()
     if lib is None:
         return None
     nrec = len(line_starts) // 4
     bases = np.empty((nrec, pad), dtype=np.uint8)
-    quals = np.empty((nrec, pad), dtype=np.uint8)
+    quals = (
+        np.empty((nrec, pad), dtype=np.uint8) if with_quals else None
+    )
     ascii_b = np.empty((nrec, pad), dtype=np.uint8) if with_ascii else None
     lengths = np.empty(nrec, dtype=np.int32)
     ls = np.ascontiguousarray(line_starts, dtype=np.int64)
@@ -156,7 +159,8 @@ def fill_records_native(buf: np.ndarray, line_starts: np.ndarray,
     lib.fill_records_mt(
         _ptr(bufc), _ptr(ls), _ptr(le),
         ctypes.c_long(nrec), ctypes.c_long(pad), ctypes.c_int(qual_offset),
-        _ptr(bases), _ptr(quals),
+        _ptr(bases),
+        ctypes.c_void_p(0) if quals is None else _ptr(quals),
         ctypes.c_void_p(0) if ascii_b is None else _ptr(ascii_b),
         _ptr(lengths),
         ctypes.c_int(_nthreads()),

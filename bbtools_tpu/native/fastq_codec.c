@@ -62,21 +62,23 @@ int fill_records(const uint8_t *buf,
         if (len > pad) len = pad;
         lengths[r] = (int32_t)len;
         uint8_t *brow = bases + r * pad;
-        uint8_t *qrow = quals + r * pad;
+        uint8_t *qrow = quals ? quals + r * pad : 0;
         uint8_t *arow = ascii ? ascii + r * pad : 0;
         long i = 0;
         for (; i < len; i++) {
             uint8_t c = buf[ss + i];
             if (arow) arow[i] = c;
             brow[i] = lut[c];
-            int q = (int)buf[qs + i] - qual_offset;
-            if (q < 0) q = 0;
-            if (q > 93) q = 93;
-            qrow[i] = (uint8_t)q;
+            if (qrow) {
+                int q = (int)buf[qs + i] - qual_offset;
+                if (q < 0) q = 0;
+                if (q > 93) q = 93;
+                qrow[i] = (uint8_t)q;
+            }
         }
         for (; i < pad; i++) {
             brow[i] = 4;
-            qrow[i] = 0;
+            if (qrow) qrow[i] = 0;
             if (arow) arow[i] = 'N';
         }
     }
@@ -260,7 +262,8 @@ static void *fill_worker(void *arg) {
     j->rc = fill_records(
         j->buf, j->line_starts + 4 * j->r0, j->line_ends + 4 * j->r0,
         j->r1 - j->r0, j->pad, j->qual_offset,
-        j->bases + j->r0 * j->pad, j->quals + j->r0 * j->pad,
+        j->bases + j->r0 * j->pad,
+        j->quals ? j->quals + j->r0 * j->pad : 0,
         j->ascii ? j->ascii + j->r0 * j->pad : 0, j->lengths + j->r0);
     return 0;
 }

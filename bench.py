@@ -495,11 +495,12 @@ def bench_host_ingest():
         # compute-only readers (kmer counting etc.) skip the raw plane
         t0 = time.perf_counter()
         bases = 0
-        for b in FastqReader(path, batch_reads=8192, with_ascii=False):
+        for b in FastqReader(path, batch_reads=8192, with_ascii=False,
+                             with_quals=False):
             bases += int(b.lengths.sum())
         dt = time.perf_counter() - t0
         best2 = max(best2, bases / dt)
-    return {"bases_per_sec": best, "compute_only_bases_per_sec": best2}
+    return {"bases_per_sec": best, "count_only_bases_per_sec": best2}
 
 
 def bench_bbmap_e2e(tmpdir):
