@@ -57,9 +57,15 @@ def sort_reduce(keys):
     n_runs = boundary.sum()
     n_valid = (s != PAD).sum()
     iota = jnp.arange(n, dtype=jnp.int32)
-    nb = (~boundary).astype(jnp.int32)
-    # stable partition: boundaries first, in ascending-key order
-    _, values, pos = jax.lax.sort((nb, s, iota), num_keys=1, is_stable=True)
+    # stable partition: boundaries first, in ascending-key order. The
+    # boundary bit PACKS into the key (canonical k<=31 kmers use < 62
+    # bits; PAD already has bit 62 set, and PAD rows are non-boundary)
+    # so the partition is a 12-byte 2-operand sort instead of the
+    # 16-byte 3-operand (nb, s, iota) — ~25% less sort-unit traffic on
+    # the hot counting path.
+    key2 = s | ((~boundary).astype(jnp.int64) << 62)
+    k2s, pos = jax.lax.sort((key2, iota), num_keys=1, is_stable=True)
+    values = k2s & ~(jnp.int64(1) << 62)
     nxt = jnp.concatenate([pos[1:], jnp.zeros(1, jnp.int32)])
     counts = jnp.where(
         iota < n_runs - 1,
@@ -127,10 +133,11 @@ def _merge_spectra(spec_keys, spec_counts, batch_keys):
     total = c.sum()
     excl = jnp.cumsum(c) - c  # count-sum before this row
     iota = jnp.arange(n, dtype=jnp.int32)
-    nb = (~boundary).astype(jnp.int32)
-    _, values, ex = jax.lax.sort(
-        (nb, s, excl), num_keys=1, is_stable=True
-    )
+    # boundary bit packed into the key (see sort_reduce): a 16-byte
+    # 2-operand partition sort instead of 20-byte 3-operand
+    key2 = s | ((~boundary).astype(jnp.int64) << 62)
+    k2s, ex = jax.lax.sort((key2, excl), num_keys=1, is_stable=True)
+    values = k2s & ~(jnp.int64(1) << 62)
     nxt = jnp.concatenate([ex[1:], jnp.zeros(1, jnp.int64)])
     counts = jnp.where(iota < n_runs - 1, nxt - ex, total - ex)
     live = iota < n_runs
