@@ -47,6 +47,8 @@ def _read_batches(path: str, qfake: int, batch_reads: int,
             if unmappedonly and rec.mapped:
                 continue
             seq, q = rec.seq, rec.qual
+            if seq == b"*":  # sequence-less record (e.g. secondary)
+                continue
             if rec.flag & 0x10:
                 seq = seq.translate(RC)[::-1]
                 q = q[::-1] if q != b"*" else q
