@@ -86,6 +86,10 @@ class BBDukConfig:
     ref: list[str] = field(default_factory=list)
     literal: list[bytes] = field(default_factory=list)
     k: int = 27
+    #: k>31 filter support (BBDukParser.java:164 kbig, BBDukProcessorS.
+    #: countSetKmersBig :1726): the index stores 31-mers and a "big"
+    #: kmer hit is a run of kbig-k+1 consecutive 31-mer hits
+    kbig: int = -1
     mink: int = 0
     hdist: int = 0
     hdist2: int | None = None
@@ -179,6 +183,19 @@ class BBDukConfig:
             # maskMiddle disabled when useShortKmers (BBDukParser.java:291)
             self.mask_middle = False
         self.mid_mask_len = mid_mask_len_default(self.k, self.mask_middle)
+        if self.kbig > self.k and (
+            self.ktrim in ("l", "r", "n") or self.speed > 0 or self.qskip > 1
+        ):
+            # kmer-trimming/masking (and speed/qskip) cap K at 31
+            # (BBDukParser.java:207-224 warn-and-reduce)
+            import sys as _sys
+
+            print(
+                f"WARNING: K has been reduced from {self.kbig} to "
+                f"{self.k} (kbig is filter-only).",
+                file=_sys.stderr,
+            )
+            self.kbig = self.k
         return self
 
     @property
@@ -233,6 +250,11 @@ def parse_args(argv: list[str]) -> BBDukConfig:
     c.ref = [resolve_ref_keyword(r) for r in a.get_list(*h("ref"))]
     c.literal = [s.encode() for s in a.get_list(*h("literal"))]
     c.k = a.get_int(*h("k"), default=27)
+    if c.k > 31:
+        # kbig mechanism (BBDukParser.java:164): the table stores
+        # 31-mers; countSetKmersBig semantics apply at filter time
+        c.kbig = c.k
+        c.k = 31
     c.mink = a.get_int(*h("mink"), default=0) or 0
     c.hdist = a.get_int(*h("hdist", "hammingdistance"), default=0)
     c.hdist2 = a.get_int(*h("hdist2", "hammingdistance2"), default=None)
@@ -1237,7 +1259,18 @@ class BBDuk:
             cid = np.asarray(
                 credit_id(self.scan_cfg, ids_dev, jnp.asarray(max_bad))
             )
-            over = (res["nhits"] > max_bad) & (b.lengths >= cfg.k)
+            if cfg.kbig > cfg.k:
+                # big-kmer counting (countSetKmersBig :1726): each run of
+                # R consecutive 31-mer hits contributes R-(kbig-k) big
+                # hits; reads shorter than kbig contribute none. (The
+                # credit id approximates the reference's lastId-at-
+                # crossing with the ordinal-hit id.)
+                found = _count_big_kmer_hits(
+                    np.asarray(res["hit"]), cfg.kbig - cfg.k - 1
+                )
+                over = (found > max_bad) & (b.lengths >= cfg.kbig)
+            else:
+                over = (res["nhits"] > max_bad) & (b.lengths >= cfg.k)
             ln = b.lengths.astype(np.int64)
             hit_act = over & alive
             np.add.at(st.scaffold_reads, cid[hit_act], 1)
@@ -1405,6 +1438,21 @@ class BBDuk:
         bps = st.bases_in / t
         print(f"Reads Processed:    {st.reads_in:>10}\t{rps/1000:.2f}k reads/sec", file=stream)
         print(f"Bases Processed:    {st.bases_in:>10}\t{bps/1e6:.2f}m bases/sec", file=stream)
+
+
+def _count_big_kmer_hits(hit: np.ndarray, sub: int) -> np.ndarray:
+    """BBDukProcessorS.countSetKmersBig run accounting (:1760-1790): per
+    read, sum max(0, run_len - 1 - sub) over maximal runs of consecutive
+    k-mer hit positions."""
+    B, L = hit.shape
+    pos = np.arange(L)
+    lastmiss = np.where(~hit, pos[None, :], -1)
+    np.maximum.accumulate(lastmiss, axis=1, out=lastmiss)
+    run_end = hit.copy()
+    run_end[:, :-1] &= ~hit[:, 1:]
+    run_len = pos[None, :] - lastmiss
+    contrib = np.where(run_end, np.maximum(run_len - 1 - sub, 0), 0)
+    return contrib.sum(axis=1).astype(np.int32)
 
 
 def _count_end_run(b, code: int, side: int) -> np.ndarray:

@@ -728,3 +728,62 @@ def test_bbduk_polyg_flags(tmp_path):
     ))
     assert seqs3[b"a_tail"] == b"ACGTACGTACGTACGTACGTACGT"
     assert seqs3[b"clean"] == recs[2][1]
+
+
+def _java_count_big(hits, sub):
+    """Literal countSetKmersBig run accounting (:1760-1790) oracle."""
+    found = 0
+    bk_start = bk_stop = -1
+    for i, h in enumerate(hits):
+        if h:
+            if bk_start == -1:
+                bk_start = i
+            bk_stop = i
+        else:
+            if bk_start > -1:
+                dif = bk_stop - bk_start - sub
+                bk_start = bk_stop = -1
+                if dif > 0:
+                    found += dif
+    if bk_start > -1:
+        dif = bk_stop - bk_start - sub
+        if dif > 0:
+            found += dif
+    return found
+
+
+def test_count_big_kmer_hits_vs_oracle():
+    from bbtools_tpu.models.bbduk import _count_big_kmer_hits
+
+    g = np.random.default_rng(6)
+    for sub in (0, 3, 8):
+        hit = g.random((64, 90)) < 0.6
+        got = _count_big_kmer_hits(hit, sub)
+        for i in range(64):
+            assert got[i] == _java_count_big(hit[i].tolist(), sub), i
+
+
+def test_bbduk_kbig_filter(tmp_path):
+    """k>31 filtering (kbig): a read sharing a full 40-mer with the ref
+    is removed; a read sharing only a 31-mer (but no 40-mer run) stays."""
+    from bbtools_tpu.cli import main as cli_main
+
+    g = np.random.default_rng(9)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    ref = ACGT[g.integers(0, 4, 60)].tobytes()
+    with open(tmp_path / "ref.fa", "wb") as f:
+        f.write(b">r\n" + ref + b"\n")
+    bg1 = ACGT[g.integers(0, 4, 30)].tobytes()
+    bg2 = ACGT[g.integers(0, 4, 30)].tobytes()
+    contam = bg1[:10] + ref[5:45] + bg2[:20]  # full 40-mer from ref
+    partial = bg1 + ref[5:36] + bg2[:9]  # exactly a 31-mer, no 40-run
+    clean = ACGT[g.integers(0, 4, 70)].tobytes()
+    with open(tmp_path / "in.fq", "wb") as f:
+        for n, s in ((b"contam", contam), (b"partial", partial),
+                     (b"clean", clean)):
+            f.write(b"@%s\n%s\n+\n%s\n" % (n, s, b"F" * len(s)))
+    cli_main(["bbduk", f"in={tmp_path}/in.fq", f"out={tmp_path}/o.fq",
+              "ref=%s" % (tmp_path / "ref.fa"), "k=40", "ow=t"])
+    names = (tmp_path / "o.fq").read_bytes().splitlines()[::4]
+    assert b"@contam" not in names
+    assert b"@partial" in names and b"@clean" in names
