@@ -90,6 +90,10 @@ class BBDukConfig:
     #: countSetKmersBig :1726): the index stores 31-mers and a "big"
     #: kmer hit is a run of kbig-k+1 consecutive 31-mer hits
     kbig: int = -1
+    #: rename=/findbestmatch= (BBDukParser.java:153,595): credit the
+    #: most-hit scaffold; rename appends "\t<scaf>=<count>" per match
+    rename: bool = False
+    find_best_match: bool = False
     mink: int = 0
     hdist: int = 0
     hdist2: int | None = None
@@ -255,6 +259,14 @@ def parse_args(argv: list[str]) -> BBDukConfig:
         # 31-mers; countSetKmersBig semantics apply at filter time
         c.kbig = c.k
         c.k = 31
+    c.rename = a.get_bool(*h("rename"), default=False)
+    c.find_best_match = a.get_bool(
+        *h("findbestmatch", "fbm"), default=False
+    ) or c.rename
+    if c.find_best_match and c.kbig > c.k:
+        raise ValueError(
+            "K must be less than 32 in 'findBestMatch'/rename mode"
+        )
     c.mink = a.get_int(*h("mink"), default=0) or 0
     c.hdist = a.get_int(*h("hdist", "hammingdistance"), default=0)
     c.hdist2 = a.get_int(*h("hdist2", "hammingdistance2"), default=None)
@@ -1259,6 +1271,37 @@ class BBDuk:
             cid = np.asarray(
                 credit_id(self.scan_cfg, ids_dev, jnp.asarray(max_bad))
             )
+            if cfg.rename or cfg.find_best_match:
+                cid = cid.copy()  # device pull is read-only
+                # findBestMatch/rename (BBDukProcessorS.java:1659-1705;
+                # rename body BBDuk2.java:3654): credit the scaffold with
+                # the MOST kmer hits (first-seen order breaks ties) and
+                # append "\t<scaf>=<count>" per matched scaffold
+                ids_np = np.asarray(res["ids"])
+                nh = np.asarray(res["nhits"])
+                for r in np.flatnonzero((nh > max_bad) & alive):
+                    row = ids_np[r]
+                    row = row[row > 0]
+                    if not len(row):
+                        continue
+                    first_seen: list[int] = []
+                    counts: dict[int, int] = {}
+                    for v in row.tolist():
+                        if v not in counts:
+                            first_seen.append(v)
+                            counts[v] = 0
+                        counts[v] += 1
+                    mx = max(counts[v] for v in first_seen)
+                    for v in first_seen:
+                        if counts[v] == mx:
+                            cid[r] = v
+                            break
+                    if cfg.rename:
+                        b.ids[r] = b.ids[r] + b"".join(
+                            b"\t%s=%d"
+                            % (self.scaffold_names[v - 1], counts[v])
+                            for v in first_seen
+                        )
             if cfg.kbig > cfg.k:
                 # big-kmer counting (countSetKmersBig :1726): each run of
                 # R consecutive 31-mer hits contributes R-(kbig-k) big

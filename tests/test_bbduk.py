@@ -787,3 +787,41 @@ def test_bbduk_kbig_filter(tmp_path):
     names = (tmp_path / "o.fq").read_bytes().splitlines()[::4]
     assert b"@contam" not in names
     assert b"@partial" in names and b"@clean" in names
+
+
+def test_bbduk_rename_findbestmatch(tmp_path):
+    """rename=t (BBDukProcessorS.findBestMatch :1659 + rename
+    BBDuk2.java:3654): matched reads route to outm with
+    '\\t<scaf>=<count>' appended per matched scaffold, and the scaffold
+    stats credit the most-hit scaffold."""
+    from bbtools_tpu.cli import main as cli_main
+
+    g = np.random.default_rng(12)
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    s1 = ACGT[g.integers(0, 4, 40)].tobytes()
+    s2 = ACGT[g.integers(0, 4, 40)].tobytes()
+    with open(tmp_path / "ref.fa", "wb") as f:
+        f.write(b">alpha\n" + s1 + b"\n>beta\n" + s2 + b"\n")
+    # read hits alpha with many kmers and beta with fewer
+    read = s1 + s2[:33]
+    clean = ACGT[g.integers(0, 4, 70)].tobytes()
+    with open(tmp_path / "in.fq", "wb") as f:
+        f.write(b"@hit\n%s\n+\n%s\n" % (read, b"F" * len(read)))
+        f.write(b"@clean\n%s\n+\n%s\n" % (clean, b"F" * len(clean)))
+    cli_main(["bbduk", f"in={tmp_path}/in.fq", f"out={tmp_path}/o.fq",
+              f"outm={tmp_path}/m.fq", "ref=%s" % (tmp_path / "ref.fa"),
+              "k=31", "rename=t", "mm=f", "ow=t",
+              f"stats={tmp_path}/stats.txt"])
+    m = (tmp_path / "m.fq").read_bytes().splitlines()
+    assert m and m[0].startswith(b"@hit\talpha=")
+    assert b"beta=" in m[0]
+    # alpha (10 kmers) before beta (3 kmers) in first-seen order, and
+    # the counts are the per-scaffold kmer hit totals
+    import re
+
+    counts = dict(re.findall(rb"(alpha|beta)=(\d+)", m[0]))
+    assert int(counts[b"alpha"]) == 10 and int(counts[b"beta"]) == 3
+    stats = (tmp_path / "stats.txt").read_text()
+    assert "alpha" in stats  # credit went to the most-hit scaffold
+    o = (tmp_path / "o.fq").read_bytes().splitlines()[::4]
+    assert o == [b"@clean"]
