@@ -244,6 +244,7 @@ def read_bam(path: str):
         else:
             qual = (np.frombuffer(qual_raw, np.uint8) + 33).tobytes()
         rname = refs[refid].name if refid >= 0 else b"*"
+        rnext = _rnext_name(refid, next_refid, refs)
         yield SamRecord(
             qname=name,
             flag=flag,
@@ -253,6 +254,7 @@ def read_bam(path: str):
             cigar=cigar,
             seq=seq if l_seq else b"*",
             qual=qual if l_seq else b"*",
+            rnext=rnext,
         )
     fh.close()
 
@@ -424,4 +426,14 @@ def _decode_record_body(body: bytes, refs):
         qname=name, flag=flag, rname=rname, pos=pos0 + 1, mapq=mapq,
         cigar=cigar, seq=seq if l_seq else b"*",
         qual=qual if l_seq else b"*",
+        rnext=_rnext_name(refid, next_refid, refs),
     )
+
+
+def _rnext_name(refid: int, next_refid: int, refs) -> bytes:
+    """SAM text semantics for the mate reference: '=' when same ref."""
+    if next_refid < 0:
+        return b"*"
+    if next_refid == refid:
+        return b"="
+    return refs[next_refid].name

@@ -884,17 +884,41 @@ class BBDuk:
 
     # ------------------------------------------------------------------
     def _poly_stage(self, b1, b2, disc1, disc2, remove, minlen1, minlen2):
-        """Homopolymer trimming/filtering (BBDuk2.java:2239-2300): poly-A
-        (max of A/T end runs, no mismatches), then poly-G / poly-C end
-        trims with up to maxNonPoly interruptions, then whole-read
-        discard when the 5' end starts with filterPolyG/C of G/C."""
+        """Homopolymer trimming/filtering (BBDuk.java:2954-3056): three
+        sub-stages (poly-A max of A/T end runs, then poly-G, then poly-C
+        with up to maxNonPoly interruptions), each gated on the pair not
+        yet being removed.  Reference accounting, mirrored exactly:
+        already-discarded reads in a surviving pair are still trimmed and
+        counted; a filterPolyG/C discard counts one read in
+        readsPolyTrimmed and suppresses the trim for that read; after
+        each sub-stage shouldRemove() runs and a newly removed pair adds
+        its remaining pairLength() to basesPolyTrimmed.  Quirk preserved:
+        the reference's poly-C *filter* check for r2 reads r1's bases
+        (BBDuk.java:3038)."""
         cfg, st = self.cfg, self.stats
-        for bi, (b, disc, ml) in enumerate((
-            (b1, disc1, minlen1),
-            (b2, disc2, minlen2),
-        )[: 1 + (b2 is not None)]):
-            alive = ~remove & ~disc
-            if cfg.trim_polya > 0:
+        reads = [(b1, disc1, minlen1)]
+        if b2 is not None:
+            reads.append((b2, disc2, minlen2))
+
+        def _close_substage(remove):
+            # shouldRemove + basesPolyTrimmedT += r1.pairLength()
+            if b2 is None:
+                bad = disc1
+            elif cfg.remove_if_either_bad:
+                bad = disc1 | disc2
+            else:
+                bad = disc1 & disc2
+            new = ~remove & bad
+            if new.any():
+                pair_len = b1.lengths.astype(np.int64)
+                if b2 is not None:
+                    pair_len = pair_len + b2.lengths.astype(np.int64)
+                st.bases_polytrimmed += int(pair_len[new].sum())
+            return remove | new
+
+        if cfg.trim_polya > 0:
+            act = ~remove
+            for b, disc, ml in reads:
                 lA = _count_end_run(b, 0, 0)  # A from left
                 lT = _count_end_run(b, 3, 0)
                 rA = _count_end_run(b, 0, 1)
@@ -903,23 +927,31 @@ class BBDuk:
                 right = np.maximum(rA, rT)
                 left[left < cfg.trim_polya] = 0
                 right[right < cfg.trim_polya] = 0
-                self._apply_poly_trim(b, left, right, alive, st)
-            for code, pl, pr, pf in (
-                (2, cfg.trim_polyg_left, cfg.trim_polyg_right,
-                 cfg.filter_polyg),
-                (1, cfg.trim_polyc_left, cfg.trim_polyc_right,
-                 cfg.filter_polyc),
-            ):
-                if not (pl or pr or pf):
-                    continue
+                self._apply_poly_trim(b, left, right, act, st)
+                disc |= act & (b.lengths < ml)
+            remove = _close_substage(remove)
+        for code, pl, pr, pf in (
+            (2, cfg.trim_polyg_left, cfg.trim_polyg_right,
+             cfg.filter_polyg),
+            (1, cfg.trim_polyc_left, cfg.trim_polyc_right,
+             cfg.filter_polyc),
+        ):
+            if not (pl or pr or pf):
+                continue
+            act = ~remove
+            for ri, (b, disc, ml) in enumerate(reads):
+                sub = act
                 if pf > 0:
+                    # reference quirk: the poly-C filter tests r1 even
+                    # when discarding r2 (BBDuk.java:3038)
+                    probe = b1 if (code == 1 and ri == 1) else b
                     hit = (
-                        _detect_poly_left(b, code, pf, cfg.max_non_poly)
+                        _detect_poly_left(probe, code, pf, cfg.max_non_poly)
                         >= pf
-                    ) & alive
+                    ) & act
                     disc |= hit
                     st.reads_polytrimmed += int(hit.sum())
-                    alive = alive & ~hit
+                    sub = act & ~hit
                 if pl > 0 or pr > 0:
                     left = (
                         _detect_poly_left(b, code, pl, cfg.max_non_poly)
@@ -929,19 +961,9 @@ class BBDuk:
                         _detect_poly_right(b, code, pr, cfg.max_non_poly)
                         if pr > 0 else np.zeros(b.n, np.int32)
                     )
-                    self._apply_poly_trim(b, left, right, alive, st)
-            disc |= alive & (b.lengths < ml)
-            if bi == 0:
-                b1 = b
-            else:
-                b2 = b
-        if b2 is not None:
-            remove = remove | (
-                (disc1 | disc2) if cfg.remove_if_either_bad
-                else (disc1 & disc2)
-            )
-        else:
-            remove = remove | disc1
+                    self._apply_poly_trim(b, left, right, sub, st)
+                    disc |= sub & (b.lengths < ml)
+            remove = _close_substage(remove)
         return b1, b2, disc1, disc2, remove
 
     def _apply_poly_trim(self, b, left, right, alive, st):

@@ -21,8 +21,10 @@ penalty with cz3v2 scaling (:752-766, AbstractMapThread.java:2159), the
 post-local alignment-score floor (:781), and the PENALIZE_AMBIG tip
 penalty (:788, calcTipScorePenalty :2895) — candidate clusters are
 capped at 2*max_sites per read (the one structural divergence; the
-CLEARZONE1e limit uses cap saturation in place of the reference's >40
-site count). The DP/scoring kernels themselves are bit-exact. Alignment
+CLEARZONE1e limit uses the reference's tiered 41/81/161 site-count
+thresholds against the pre-cap cluster census, with the kept sites
+confirming CZ1e saturation). The DP/scoring kernels themselves are
+bit-exact. Alignment
 correctness is validated by the synthesize->grade loop (utils/synth.py,
 utils/graders.py), the reference's own test strategy (SURVEY.md §4).
 """
@@ -545,11 +547,14 @@ class BBMap:
                     np.asarray(res[3])[:n],
                     np.asarray(res[4])[:n],
                     np.asarray(res[5])[:n],
+                    np.asarray(res[8]).astype(np.int64),
                 )
         flat_keys = keys.reshape(-1)
         flat_valid = vmask.reshape(-1)
         flat_off = np.broadcast_to(offs[None], (2, B, K)).reshape(-1)
-        empty = tuple(np.empty(0, np.int64) for _ in range(6))
+        empty = tuple(np.empty(0, np.int64) for _ in range(6)) + (
+            np.zeros(B, np.int64),
+        )
         sel = np.flatnonzero(flat_valid)
         if len(sel) == 0:
             return empty
@@ -602,6 +607,8 @@ class BBMap:
         rank = np.arange(len(cg)) - np.searchsorted(cg, cg)
         sel2 = corder[rank < cfg.max_sites]
         grp = cgroup[sel2]
+        # pre-cap cluster census per read (CLEARZONE_LIMIT1e input)
+        nclusters = np.bincount(cgroup // 2, minlength=B)[:B]
         return (
             grp // 2,
             firsts[sel2],
@@ -609,6 +616,7 @@ class BBMap:
             votes[sel2].astype(np.int64),
             spread[sel2],
             modal[sel2],
+            nclusters.astype(np.int64),
         )
 
     def _prefetch_candidates(self, reader):
@@ -652,7 +660,8 @@ class BBMap:
         lengths = batch.lengths.astype(np.int64)
         B, L = bases.shape
         self.reads_in += B
-        t_read, t_diag, t_strand, t_votes, t_spread, t_anchor = (
+        (t_read, t_diag, t_strand, t_votes, t_spread, t_anchor,
+         n_clusters) = (
             self.candidates_for_batch(bases, lengths)
             if cand is None
             else cand
@@ -954,19 +963,28 @@ class BBMap:
                 # with no CLEARZONE3/tip penalties, and pairing happens
                 # before any penalty — so paired runs skip them here.
                 # many-near-best-sites limit (BBMapThread.java:619-627):
-                # the reference marks a read ambiguous when >CLEARZONE_
-                # LIMIT1e sites sit within CLEARZONE1e (one edit) of the
-                # top. Our candidate list is capped at 2*max_sites per
-                # read, so cap saturation with EVERY kept site inside
-                # CLEARZONE1e is the high-copy-repeat detector here.
-                if (
-                    not paired_run
-                    and not r.ambig
-                    and cz < _CZ1E
-                    and len(scores_b) >= 2 * cfg.max_sites
-                    and scores_b[-1] >= r.score - _CZ1E
-                ):
-                    r.ambig = True
+                # the reference marks a read ambiguous when more than
+                # lim sites sit within CLEARZONE1e (one edit) of the
+                # top, lim tiered by CLEARZONE_LIMIT1e=40 (:49) as
+                # 161/81/41 for perfect / near-perfect / other reads.
+                # Our kept list is capped at 2*max_sites, so the site
+                # total comes from the PRE-cap cluster census
+                # (n_clusters) and the kept sites confirm CZ1e
+                # saturation — a 16-40-copy repeat no longer flags
+                # where the reference maps it.
+                if not paired_run and not r.ambig and cz < _CZ1E:
+                    lim = (
+                        int(4.0 * _CZ_LIMIT1E) if r.score >= maxsw
+                        else 2 * _CZ_LIMIT1E
+                        if r.score + _CZ1E >= maxsw
+                        else _CZ_LIMIT1E
+                    ) + 1
+                    if (
+                        int(n_clusters[b]) > lim
+                        and len(scores_b) >= 2 * cfg.max_sites
+                        and scores_b[-1] >= r.score - _CZ1E
+                    ):
+                        r.ambig = True
                 # runner-up proximity score penalty (applyClearzone3 with
                 # the cz3v2 scaling, BBMapThread.java:752-766); dropping
                 # below the alignment-score floor flips to ambiguous
@@ -2054,6 +2072,7 @@ def clearzone_for(score: int, max_sw: int) -> int:
 # score distance used by the many-near-best-sites ambiguity limit.
 _CZ3 = int(8.0 * MC.POINTS_MATCH2)
 _CZ1E = 2 * MC.POINTS_MATCH2 - MC.POINTS_MATCH - MC.POINTS_SUB + 1  # 258
+_CZ_LIMIT1E = 40  # CLEARZONE_LIMIT1e, BBMapThread.java:49
 _CZ3_MULTS = (0.0, 1.0, 0.75, 0.5, 0.25, 0.125, 0.0625)
 
 

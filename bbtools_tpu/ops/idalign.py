@@ -3,11 +3,17 @@
 Reference: idaligner/IDAligner.java (interface: name(), align(q, r[,pos])
 -> identity fraction), idaligner/Factory.java (name -> implementation).
 That package is a 67-file research family (Banded/Drifting/Glocal/
-Quantum/WaveFront...); here the interface is served by two engines:
+Quantum/WaveFront...); here the interface is served by EIGHT engines
+with distinct cost models (see make_id_aligner):
 
   - "glocal": exact glocal DP (query end-to-end, free ref start/end) with
     host traceback for the exact matches/columns identity — the accuracy
     reference (GlocalAligner.java role).
+  - "crosscut": exact anti-diagonal DP, traceback-free.
+  - "quantum": sparse active-set with teleporting deletions.
+  - "wobble": dynamic-width band; "drifting": fixed-width drifting band.
+  - "xdrop": score-threshold window pruning.
+  - "wave"/"wavefront": WFA edit-distance frontier.
   - "banded": the batched banded edit-distance device kernel
     (ops/banded.py) with identity = 1 - edits/max(qlen, window) — the
     throughput engine (BandedAligner.java role).

@@ -72,8 +72,12 @@ def seed_candidates_jnp(
     """Device candidates_for_batch; see module docstring.
 
     Returns (read i32, diag i64, strand i32, votes i64, spread i64,
-    modal i64, n_out i32, ok bool) — fixed-cap [c_cap] arrays, rows >=
-    n_out are padding."""
+    modal i64, n_out i32, ok bool, nclusters i32[B]) — fixed-cap
+    [c_cap] arrays, rows >= n_out are padding; nclusters is the
+    PRE-cap cluster census per read (both strands), feeding the
+    CLEARZONE1e many-near-best-sites limit (BBMapThread.java:619-627,
+    CLEARZONE_LIMIT1e) which needs the true site count, not the capped
+    list length."""
     keys = jnp.stack([fwd_keys, rkm_keys])  # [2, B, K] i32
     valid = jnp.stack([valid0, valid1])
     flat_keys = keys.reshape(-1)
@@ -186,6 +190,13 @@ def seed_candidates_jnp(
         _partition_front(keep, csel)[:c_cap], 0, t_cap - 1
     )
     n_out = jnp.minimum(keep.sum(), c_cap).astype(jnp.int32)
+    # pre-cap cluster census per read: csp is sorted with group in the
+    # top bits (dead rows at the end), so per-read counts are two
+    # binary searches on the group plane — no scatter
+    cg_sorted = jnp.where(csp != _SENT, csp >> 43, jnp.int64(2 * B))
+    qpts = jnp.arange(B + 1, dtype=jnp.int64) * 2
+    bnds = jnp.searchsorted(cg_sorted, qpts)
+    nclusters = jnp.diff(bnds).astype(jnp.int32)
     out_group = cgroup[sel]
     return (
         (out_group // 2).astype(jnp.int32),
@@ -196,4 +207,5 @@ def seed_candidates_jnp(
         modal[sel],
         n_out,
         ok,
+        nclusters,
     )

@@ -56,6 +56,9 @@ def test_bam_roundtrip(tmp_path):
     assert r1.qual == b"FFFFFFFFFF" and r1.mapq == 37
     assert (r2.rname, r2.pos, r2.cigar) == (b"chr2", 500, "4=2I4M")
     assert r3.flag == 4 and r3.rname == b"*" and r3.cigar == "*"
+    # mate reference survives the BAM roundtrip (SAM text semantics:
+    # '=' for same ref) — quickbin's pair-link graph gates on rnext
+    assert (r1.rnext, r2.rnext, r3.rnext) == (b"=", b"*", b"*")
 
     # header + refs parse
     from bbtools_tpu.io.bam import read_bam

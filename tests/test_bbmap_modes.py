@@ -387,6 +387,10 @@ def test_device_seed_cluster_equals_host(tmp_path):
     assert n == len(host[0]), (n, len(host[0]))
     for nm, h, dv in zip(names, host, dev):
         assert (h.astype(np.int64) == dv.astype(np.int64)).all(), nm
+    # pre-cap cluster census (CLEARZONE_LIMIT1e input) matches too
+    assert (
+        host[6].astype(np.int64) == np.asarray(res[8]).astype(np.int64)
+    ).all()
 
 
 def test_bbmap_blacklist_routing(tmp_path):
