@@ -188,9 +188,12 @@ class SamWriter:
             if not line or line.startswith(b"@"):
                 continue
             f = line.split(b"\t")
+            # rnext must ride the record: encode_record's getattr sees
+            # SamRecord's dataclass default b"*" before any kwarg
             rec = _SR(
                 qname=f[0], flag=int(f[1]), rname=f[2], pos=int(f[3]),
                 mapq=int(f[4]), cigar=f[5].decode(), seq=f[9], qual=f[10],
+                rnext=f[6],
             )
             self._bam.write_record(
                 rec,
