@@ -27,6 +27,7 @@ one device call per query row instead of per-pair host loops.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -389,20 +390,127 @@ def trnaconsensus_main(args):
     return 0
 
 
+class HMMSearchLine:
+    """One hmmsearch --domtblout row (hmm/HMMSearchLine.java:37-176).
+
+    Whitespace-tokenized with the reference's exact 23-field typing:
+    name/field1/hmmName/accession/field22 strings; length(tlen) and
+    qlen + the six domain coordinates ints; E-values doubles; scores /
+    biases / acc floats.  field22 is the FIRST token of the free-text
+    description — the reference stops tokenizing there too."""
+
+    __slots__ = (
+        "name", "field1", "length", "hmm_name", "accession", "qlen",
+        "evalue", "score", "bias", "dom_n", "dom_of", "c_evalue",
+        "i_evalue", "dom_score", "dom_bias", "hmm_from", "hmm_to",
+        "ali_from", "ali_to", "env_from", "env_to", "acc", "field22",
+    )
+
+    def __init__(self, line: bytes):
+        f = line.split()
+        if len(f) < 23:
+            raise ValueError(f"domtbl line has {len(f)} fields, need 23")
+        (self.name, self.field1) = (f[0], f[1])
+        self.length = int(f[2])
+        (self.hmm_name, self.accession) = (f[3], f[4])
+        self.qlen = int(f[5])
+        self.evalue = float(f[6])
+        self.score = float(f[7])
+        self.bias = float(f[8])
+        self.dom_n = float(f[9])
+        self.dom_of = float(f[10])
+        self.c_evalue = float(f[11])
+        self.i_evalue = float(f[12])
+        self.dom_score = float(f[13])
+        self.dom_bias = float(f[14])
+        self.hmm_from = int(f[15])
+        self.hmm_to = int(f[16])
+        self.ali_from = int(f[17])
+        self.ali_to = int(f[18])
+        self.env_from = int(f[19])
+        self.env_to = int(f[20])
+        self.acc = float(f[21])
+        self.field22 = f[22]
+
+    def to_text(self) -> bytes:
+        # HMMSearchLine.toText: name \t length \t hmmName
+        return b"%s\t%d\t%s" % (self.name, self.length, self.hmm_name)
+
+
+class ProteinSummary:
+    """hmm/ProteinSummary.java: per-query map of name -> max hit length
+    (keyed by line.name, preserving the reference's behavior)."""
+
+    def __init__(self, name: bytes):
+        self.name = name
+        self.map: dict[bytes, int] = {}
+
+    def add(self, line: HMMSearchLine) -> bool:
+        old = self.map.get(line.name)
+        if old is None or old < line.length:
+            self.map[line.name] = line.length
+            return True
+        return False
+
+
+def parse_domtbl(path: str):
+    """Load an hmmsearch --domtblout report: skip blank and '#' comment
+    lines, parse the rest (HMMSearchReport.load :229-246). Returns
+    (lines, summary_map, lines_processed, bytes_processed)."""
+    from ..io.readwrite import open_input
+
+    lines: list[HMMSearchLine] = []
+    summaries: dict[bytes, ProteinSummary] = {}
+    nlines = nbytes = 0
+    with open_input(path) as fh:
+        for raw in fh:
+            raw = raw.rstrip(b"\r\n")
+            if not raw:
+                continue
+            nlines += 1
+            nbytes += len(raw) + 1
+            if raw.startswith(b"#"):
+                continue
+            hl = HMMSearchLine(raw)
+            lines.append(hl)
+            ps = summaries.get(hl.name)
+            if ps is None:
+                ps = ProteinSummary(hl.name)
+                summaries[hl.name] = ps
+            ps.add(hl)
+    return lines, summaries, nlines, nbytes
+
+
 def runhmm_main(args):
-    """runhmm.sh -> hmm.HMMSearchReport: wraps an external `hmmsearch`
-    binary (not bundled here, same as the reference which requires HMMER
-    on the PATH) and parses its domtbl report."""
-    import shutil
+    """runhmm.sh -> hmm.HMMSearchReport: parses an hmmsearch domtbl
+    report (in=), builds the per-protein summary map, and echoes each
+    parsed line as `name\\tlength\\thmmName` (HMMSearchReport
+    processInner :200-206 + toText).  The reference does NOT run
+    hmmsearch itself — it is purely the report parser."""
+    import time
 
-    if shutil.which("hmmsearch") is None:
-        print("runhmm requires HMMER's `hmmsearch` on the PATH "
-              "(the reference tool shells out to it too); not installed "
-              "in this environment.", file=sys.stderr)
-        return 1
     a = tokenize(args)
-    import subprocess
-
-    cmd = ["hmmsearch", "--domtblout", a.get("out", default="domtbl.txt"),
-           a.get("hmm"), a.get("in")]
-    return subprocess.call(cmd)
+    path = a.get("in", "in1", default=None)
+    if path is None:
+        # bare-filename fallback (reference Parser's File-exists branch)
+        for k, v in a.pairs:
+            if v is None and os.path.exists(k):
+                path = k
+                break
+    if path is None:
+        print("runhmm.sh in=<domtbl file>", file=sys.stderr)
+        return 1
+    t0 = time.time()
+    lines, summaries, nlines, nbytes = parse_domtbl(path)
+    for hl in lines:
+        sys.stderr.buffer.write(hl.to_text() + b"\n")
+    dt = max(time.time() - t0, 1e-9)
+    print(
+        f"Time:                         \t{dt:.3f} seconds.\n"
+        f"Lines Processed:    {nlines:9d} \t"
+        f"{nlines / dt / 1e3:.2f}k lines/sec\n"
+        f"Bytes Processed:    {nbytes:9d} \t"
+        f"{nbytes / dt / 1e6:.2f}m bytes/sec",
+        file=sys.stderr,
+    )
+    return 0

@@ -102,3 +102,41 @@ def test_sample_mt_roundtrip(tmp_path):
     out = tmp_path / "out.fq"
     cli(["a_sample_mt", f"in={fq}", f"out={out}"])
     assert out.read_bytes() == fq.read_bytes()
+
+
+def test_runhmm_domtbl_parser(tmp_path, capsys):
+    """hmm/HMMSearchReport: parse a domtbl report (comments skipped),
+    build the per-protein max-length summary, echo name\\tlen\\thmm per
+    line (HMMSearchLine.toText)."""
+    from bbtools_tpu.models.ssutools import parse_domtbl
+
+    dom = tmp_path / "dom.txt"
+    dom.write_bytes(
+        b"#                        --- full sequence ---\n"
+        b"# target name  accession  tlen query name  accession  qlen ...\n"
+        b"protein_1 - 257 ATP-synt_A PF00119.18 211 1.9e-49 159.6 27.5 "
+        b"1 1 7.3e-51 2.5e-49 159.2 27.5 3 210 41 250 38 251 0.87 - extra\n"
+        b"protein_1 - 300 ATP-synt_C PF00137.16 76 3e-10 40.1 5.0 "
+        b"1 2 1e-11 4e-10 39.0 5.0 1 70 10 85 8 88 0.91 desc words\n"
+        b"protein_2 - 120 ATP-synt_A PF00119.18 211 1e-20 70.0 1.0 "
+        b"1 1 1e-21 2e-20 69.0 1.0 5 200 6 115 4 118 0.80 -\n"
+    )
+    lines, summaries, nlines, nbytes = parse_domtbl(str(dom))
+    assert nlines == 5 and len(lines) == 3
+    l0 = lines[0]
+    assert (l0.name, l0.length, l0.hmm_name) == (
+        b"protein_1", 257, b"ATP-synt_A"
+    )
+    assert l0.accession == b"PF00119.18" and l0.qlen == 211
+    assert abs(l0.evalue - 1.9e-49) < 1e-55 and l0.score == np.float32(159.6)
+    assert (l0.hmm_from, l0.hmm_to, l0.ali_from, l0.ali_to,
+            l0.env_from, l0.env_to) == (3, 210, 41, 250, 38, 251)
+    assert l0.field22 == b"-" and lines[1].field22 == b"desc"
+    # ProteinSummary: keyed by line.name (reference quirk), max length
+    assert summaries[b"protein_1"].map == {b"protein_1": 300}
+    assert summaries[b"protein_2"].map == {b"protein_2": 120}
+    # CLI surface echoes toText lines to stderr
+    assert cli(["runhmm", f"in={dom}"]) == 0
+    err = capsys.readouterr().err
+    assert "protein_1\t257\tATP-synt_A" in err
+    assert "Lines Processed" in err
