@@ -864,3 +864,103 @@ def test_rqcfilter_poly_and_vector_stages(tmp_path):
     # reproduce.sh records the trimpolygleft flag
     rep = (out / "reproduce.sh").read_text()
     assert "trimpolygleft=6" in rep and "pJET" in rep
+
+
+def _nova_flowcell(tmp_path, rng, expected):
+    """Synthetic flowcell with a spatial error gradient: tile 1101 is
+    clean (1% index errors, 600 reads), tile 2308 is a bad quadrant
+    (300 reads, 30% per-position errors, 60 of them a planted exactly-
+    4-error cohort)."""
+    recs = []
+    for i in range(900):
+        e = expected[i % len(expected)]
+        bc = bytearray(e)
+        if i < 600:
+            tile = 1101
+            err = rng.random(8) < 0.01
+        elif i % 5 == 0:  # planted 4-error cohort on the bad tile
+            tile = 2308
+            err = np.zeros(8, bool)
+            err[rng.choice(8, 4, replace=False)] = True
+        else:  # 30% per-position error gradient
+            tile = 2308
+            err = rng.random(8) < 0.30
+        for p in np.flatnonzero(err):
+            alts = [x for x in b"ACGT" if x != e[p]]
+            bc[p] = alts[int(rng.integers(0, 3))]
+        recs.append((
+            b"M0:7:FC1:1:%d:%d:%d 1:N:0:%s" % (tile, i, i, bytes(bc)),
+            b"ACGTACGTACGT", b"",
+        ))
+    _write_fq(tmp_path / "fc.fq", recs)
+
+
+def test_novademux_bytile_beats_global(tmp_path):
+    """TILE_TYPE (PCRMatrix.byTile, NovaDemux.getKey keys bc+tile): on a
+    flowcell with a spatially localized error mode, per-tile matrices
+    assign reads the global matrix rejects (the bad quadrant's 4+-error
+    reads score below minprob under pooled statistics but above it
+    under the tile's own fitted rates)."""
+    rng = np.random.default_rng(11)
+    expected = [b"ACGTACGT", b"TTTTCCCC", b"GGGGAAAA", b"CCAATTGG"]
+    _nova_flowcell(tmp_path, rng, expected)
+    from bbtools_tpu.models.novademux import main as nd_main
+
+    res = {}
+    for mode in ("prob", "tile"):
+        counts, unknown = nd_main([
+            f"in={tmp_path}/fc.fq", "nosplit",
+            "expected=" + ",".join(e.decode() for e in expected),
+            f"mode={mode}", "minratio=1",
+        ])
+        res[mode] = (sum(counts.values()), unknown)
+        # assignment stays balanced across bins (no systematic
+        # misrouting: planted reads are round-robin)
+        vals = list(counts.values())
+        assert max(vals) - min(vals) < 40, counts
+    # the tile model recovers a meaningful share of the bad quadrant
+    assert res["tile"][0] > res["prob"][0] + 40, res
+    assert res["tile"][1] < res["prob"][1], res
+
+
+def test_novademux_hdist_mode(tmp_path):
+    """HDIST_TYPE (PCRMatrixHDist): fewest-mismatch assignment under
+    maxhdist with a clearzone margin; dual '+' indexes measured per
+    half (pairhdist=f default) or summed (pairhdist=t, hdistSum)."""
+    from bbtools_tpu.models.novademux import PCRMatrixHDist
+
+    exp = [b"ACGTACGT", b"TTTTCCCC"]
+    m = PCRMatrixHDist(exp, maxhdist=2, clearzone=2)
+    got = m.assign({
+        b"ACGTACGT": 5,     # exact
+        b"ACGTACGA": 3,     # 1 error -> first
+        b"TTTTCCAA": 2,     # 2 errors -> second
+        b"TTTTAAAA": 1,     # 4 errors -> None (maxhdist)
+        b"ACTTCCCC": 1,     # hd 2 from second, 4 from first -> second
+    })
+    assert got[b"ACGTACGT"] == exp[0] and got[b"ACGTACGA"] == exp[0]
+    assert got[b"TTTTCCAA"] == exp[1]
+    assert got[b"TTTTAAAA"] is None and got[b"ACTTCCCC"] == exp[1]
+    # clearzone: a probe equidistant between two close barcodes is
+    # ambiguous (margin < clearzone -> null, findClosestHDist contract)
+    exp3 = [b"ACGTACGT", b"TTTTCCCC", b"TTTTCCGG"]
+    m3 = PCRMatrixHDist(exp3, maxhdist=2, clearzone=1)
+    g3 = m3.assign({b"TTTTCCAG": 1, b"TTTTCCGC": 1})
+    # TTTTCCAG: hd2 to TTTTCCCC, hd1 to TTTTCCGG -> assigned (margin 1)
+    assert g3[b"TTTTCCAG"] == exp3[2]
+    # TTTTCCGC: hd1 to both -> margin 0 < clearzone -> None
+    assert g3[b"TTTTCCGC"] is None
+    # dual index: each half judged independently by default
+    expd = [b"ACGT+TTTT", b"GGGG+CCCC"]
+    md = PCRMatrixHDist(expd, maxhdist=1, clearzone=1)
+    gd = md.assign({b"ACGT+TTTT": 3, b"ACGA+TTTC": 2, b"ACGA+CCCC": 1,
+                    b"AAGT+TTTT": 1})
+    assert gd[b"ACGT+TTTT"] == expd[0]
+    assert gd[b"ACGA+TTTC"] == expd[0]      # 1+1, each half <= maxhdist
+    assert gd[b"ACGA+CCCC"] is None         # halves from different pairs
+    assert gd[b"AAGT+TTTT"] == expd[0]
+    # pairhdist=t: the SUM must clear maxhdist (hdistSum semantics)
+    ms = PCRMatrixHDist(expd, maxhdist=1, clearzone=1, hdist_sum=True)
+    gs = ms.assign({b"ACGA+TTTC": 2, b"ACGA+TTTT": 1})
+    assert gs[b"ACGA+TTTC"] is None         # sum=2 > maxhdist=1
+    assert gs[b"ACGA+TTTT"] == expd[0]      # sum=1
