@@ -101,6 +101,13 @@ class BBMapConfig:
     #: print secondary alignments (skimmer semantics, flag 0x100)
     secondary: bool = False
     dp_top: int = 3  # gapped-extend the top-N ungapped sites per read
+    #: fused single-dispatch device phase (ops/map_fused.py): ungapped +
+    #: speculative DP + winner selection + walk-row gather in ONE device
+    #: dispatch and ONE pull per batch (the reference's per-thread loop
+    #: has no syncs either, AbstractMapThread.java:518-700). Applies to
+    #: the default single-end path; keep-sites / ambig=random / sharded
+    #: runs use the staged path
+    fused: bool = True
     #: bloom prescreen (bbmap.sh bloomfilter flag): reads sharing NO
     #: k=31 kmer with the reference skip seeding entirely
     bloom_prescreen: bool = False
@@ -208,6 +215,7 @@ def parse_args(argv, preset: str | None = None):
     c.batch_reads = a.get_int("batchreads", default=c.batch_reads)
     c.bloom_prescreen = a.get_bool("bloomfilter", "bloom", default=False)
     c.device_seed = a.get_bool("devseed", "deviceseed", default=False)
+    c.fused = a.get_bool("fused", "fusedpipeline", default=True)
     c.blacklist = a.get("blacklist")
     c.outb1 = a.get("outb", "outb1", "outblacklist", "outblacklist1")
     c.intronlen = a.get_int("intronlen", default=c.intronlen)
@@ -715,6 +723,24 @@ class BBMap:
         W = L + 2 * cfg.pad
         win_start = t_anchor - cfg.pad
         refwins = self._ref_windows(win_start, W)
+        keep_sites = (
+            cfg.secondary or cfg.ambig == "all"
+            or getattr(self, "_keep_sites", False)
+        )
+        if (
+            cfg.fused and self._mesh is None and not keep_sites
+            and cfg.ambig != "random"
+        ):
+            # ONE device dispatch + ONE pull for the whole batch
+            emit, site_out, dp_score, best, second = self._fused_phase(
+                B, L, t_read, t_votes, t_spread, t_anchor, t_diag,
+                task_reads, task_lens, refwins, lengths,
+            )
+            return self._finalize_batch(
+                B, results, emit, site_out, dp_score, best, second,
+                t_read, t_strand, t_anchor, t_votes, task_reads, lengths,
+                n_clusters,
+            )
         if self._mesh is not None:
             ug = self._sharded_ungapped(
                 L, W, task_reads, task_lens, refwins, cfg.pad
@@ -857,10 +883,6 @@ class BBMap:
                     i = ties[int(self._ambig_rng.integers(len(ties)))]
                     s = int(dp_score[i])
                 emit.append((b, int(i), int(s), True))
-        keep_sites = (
-            cfg.secondary or cfg.ambig == "all"
-            or getattr(self, "_keep_sites", False)
-        )
         if keep_sites:
             prim = {b: i for b, (s, i) in best.items()}
             by_read: dict[int, list] = {}
@@ -931,9 +953,195 @@ class BBMap:
                 ndiag = sum(m.count(x) for x in (b"m", b"S", b"N", b"D"))
                 start_col = int(bc_all[sub[j]]) - ndiag
                 site_out[i] = (int(dp_start[i] + start_col), m)
+        return self._finalize_batch(
+            B, results, emit, site_out, dp_score, best, second,
+            t_read, t_strand, t_anchor, t_votes, task_reads, lengths,
+            n_clusters,
+        )
+
+    def _fused_phase(self, B, L, t_read, t_votes, t_spread, t_anchor,
+                     t_diag, task_reads, task_lens, refwins, lengths):
+        """Host prep + ONE fused device dispatch + ONE pull
+        (ops/map_fused.fused_map_step); returns the same
+        (emit, site_out, dp_score, best, second) contract as the staged
+        phase. DP speculation = top dp_top clusters per read by seed
+        votes (host-known), maxImperfect-gated in-graph."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import msa as msa_mod
+        from ..ops.map_fused import NEG, fused_map_step
+        from ..ops.msa_pallas import prepare_refp, use_pallas
+
+        cfg = self.cfg
+        T = len(t_read)
+        K = 2 * cfg.max_sites
+        W = refwins.shape[1]
+        rank = np.arange(T) - np.searchsorted(t_read, t_read)
+        slot_map = np.full((B, K), -1, np.int32)
+        slot_map[t_read, rank] = np.arange(T, dtype=np.int32)
+        flat_slot = (t_read * K + rank).astype(np.int32)
+        # speculative DP set: top dp_top clusters per read by votes
+        vorder = np.lexsort((-t_votes, t_read))
+        tv = t_read[vorder]
+        vrank = np.arange(T) - np.searchsorted(tv, tv)
+        spec = np.zeros(T, bool)
+        spec[vorder[vrank < cfg.dp_top]] = True
+        spec &= task_lens >= cfg.k
+        extras = cfg.window_extras
+        n_cls = len(extras)
+        t_cls = np.full(T, n_cls - 1, np.int64)
+        for c in range(n_cls - 2, -1, -1):
+            t_cls[t_spread <= extras[c] - 2 * cfg.pad] = c
+        clamped = t_spread > extras[-1] - 2 * cfg.pad
+        dp_start = np.where(
+            clamped, t_anchor - extras[-1] // 2, t_diag - cfg.pad
+        )
+        maxq = max_quality(task_lens)
+        max_imperfect = (
+            maxq + min(MC.POINTS_DEL, MC.POINTS_INS - MC.POINTS_MATCH2)
+        )
+        pl = use_pallas()
+        cls_shapes: list[tuple] = []
+        dp_args: list[tuple] = []
+        cls_host: list[tuple] = []
+
+        def padrows(a, padn):
+            if padn == 0:
+                return a
+            return np.concatenate([a, np.repeat(a[:1], padn, 0)], 0)
+
+        for c in range(n_cls):
+            sel = np.flatnonzero(spec & (t_cls == c))
+            n = len(sel)
+            if not n:
+                continue
+            # Pallas tile legality: Sc in {8, 32, k*128}
+            Sc = 8 if n <= 8 else 32 if n <= 32 else ((n + 127) // 128) * 128
+            tile = Sc if Sc < 128 else 128
+            Wc = L + extras[c]
+            srefs = self._ref_windows(dp_start[sel], Wc)
+            padn = Sc - n
+            reads_c = padrows(task_reads[sel], padn)
+            lens_c = padrows(task_lens[sel].astype(np.int32), padn)
+            srefs_p = padrows(srefs, padn)
+            idx = np.concatenate(
+                [sel, np.full(padn, T)]
+            ).astype(np.int32)
+            slotflat = np.concatenate(
+                [flat_slot[sel], np.full(padn, B * K)]
+            ).astype(np.int32)
+            live = np.zeros(Sc, bool)
+            live[:n] = True
+            maximp = padrows(max_imperfect[sel].astype(np.int32), padn)
+            if pl:
+                refmain = prepare_refp(srefs_p, L)
+                v = h = f = sf = np.zeros(Sc, np.int32)
+            else:
+                v, h, f, _ = msa_mod.prepare_limits_np(
+                    reads_c, lens_c, srefs_p,
+                    np.full(Sc, Wc, np.int32), np.zeros(Sc, np.int64),
+                )
+                maxgain = (
+                    lens_c.astype(np.int64) - 1
+                ) * MC.POINTS_MATCH2 + MC.POINTS_MATCH
+                sf = (-2 * maxgain).astype(np.int32)
+                refmain = srefs_p
+            cls_shapes.append((Wc, Sc, tile))
+            dp_args.append(tuple(jnp.asarray(x) for x in (
+                idx, slotflat, live, maximp, reads_c, lens_c, refmain,
+                v.astype(np.int32), h.astype(np.int32),
+                f.astype(np.int32), sf.astype(np.int32),
+            )))
+            cls_host.append((sel, srefs, Wc, dp_start[sel]))
+
+        # task-plane bucket: bounded compile-cache across batch sizes
+        Tp = max(8, 1 << (T - 1).bit_length())
+        task_reads_p = padrows(task_reads, 0)
+        task_lens_p = task_lens.astype(np.int32)
+        refwins_p = refwins
+        if Tp != T:
+            task_reads_p = np.concatenate(
+                [task_reads, np.full((Tp - T, L), 4, np.uint8)]
+            )
+            task_lens_p = np.concatenate(
+                [task_lens_p, np.zeros(Tp - T, np.int32)]
+            )
+            refwins_p = np.concatenate(
+                [refwins, np.full((Tp - T, W), 4, np.uint8)]
+            )
+        out = fused_map_step(
+            L, W, K, tuple(cls_shapes), pl,
+            jnp.asarray(task_reads_p), jnp.asarray(task_lens_p),
+            jnp.asarray(refwins_p), jnp.asarray(slot_map),
+            tuple(dp_args),
+        )
+        (eff, win_task, win_score, second_s, win_used, win_cls,
+         win_pos, win_bc, win_nst, ops_rows) = jax.device_get(out)
+        dp_score = eff[:T].astype(np.int64)
+        best: dict[int, tuple] = {}
+        second: dict[int, tuple] = {}
+        for b in np.flatnonzero(win_task >= 0):
+            b = int(b)
+            best[b] = (int(win_score[b]), int(win_task[b]))
+            if second_s[b] > NEG:
+                second[b] = (int(second_s[b]), -1)
+        emit: list[tuple[int, int, int, bool]] = []
+        for b, (s, i) in best.items():
+            if s >= min_score_for(int(lengths[b]), cfg.min_ratio):
+                emit.append((b, i, s, True))
+        site_out: dict[int, tuple[int, bytes]] = {}
+        plain = [e for e in emit if not win_used[e[0]]]
+        if plain:
+            p_task = np.asarray([e[1] for e in plain])
+            rd = task_reads[p_task]
+            rf = refwins[p_task, cfg.pad : cfg.pad + L]
+            mm = np.where(
+                (rd == rf) & (rd < 4), ord("m"),
+                np.where((rd >= 4) | (rf >= 4), ord("N"), ord("S")),
+            ).astype(np.uint8)
+            mbytes = mm.tobytes()
+            for j, (b, i, s, _p) in enumerate(plain):
+                n = int(lengths[b])
+                site_out[i] = (int(t_anchor[i]), mbytes[j * L : j * L + n])
+        gapped = [e for e in emit if win_used[e[0]]]
+        bycls: dict[int, list] = {}
+        for e in gapped:
+            bycls.setdefault(int(win_cls[e[0]]), []).append(e)
+        for ci, ws in bycls.items():
+            sel, srefs, Wc, dps = cls_host[ci]
+            bs_list = np.asarray([e[0] for e in ws])
+            tk_list = np.asarray([e[1] for e in ws])
+            pos = win_pos[bs_list]
+            matches = match_strings_np(
+                ops_rows[ci][bs_list],
+                win_nst[bs_list],
+                task_reads[tk_list],
+                task_lens[tk_list],
+                srefs[pos],
+                np.full(len(ws), Wc, np.int32),
+                win_bc[bs_list],
+            )
+            for j, (b, i, s, _p) in enumerate(ws):
+                m = matches[j]
+                ndiag = sum(m.count(x) for x in (b"m", b"S", b"N", b"D"))
+                start_col = int(win_bc[b]) - ndiag
+                site_out[i] = (int(dps[pos[j]]) + start_col, m)
+        return emit, site_out, dp_score, best, second
+
+    def _finalize_batch(self, B, results, emit, site_out, dp_score, best,
+                        second, t_read, t_strand, t_anchor, t_votes,
+                        task_reads, lengths, n_clusters):
+        """Shared post-scoring tail for the fused and staged phases:
+        clearzone ambiguity ladder, secondary-site attach, giant-deletion
+        stitch, local clipping, tip penalty (BBMapThread.processRead
+        :589-790 order)."""
+        cfg = self.cfg
+        T = len(t_read)
         paired_run = cfg.in2 is not None
         # per-read site score lists (descending, winner first) feed the
         # ambiguity ladder and the PENALIZE_AMBIG penalties below
+        worder = np.lexsort((-dp_score, t_read))
         read_scores: dict[int, list[int]] = {}
         for i2 in worder:
             read_scores.setdefault(int(t_read[i2]), []).append(
