@@ -111,12 +111,6 @@ class BBMapConfig:
     #: bloom prescreen (bbmap.sh bloomfilter flag): reads sharing NO
     #: k=31 kmer with the reference skip seeding entirely
     bloom_prescreen: bool = False
-    #: run seed expansion + clustering on device (ops/seed_cluster.py;
-    #: output-identical to the host path). Default OFF on this dev
-    #: harness: the extra dispatch costs a ~25 ms tunnel RTT per batch,
-    #: which swamps the saved host work; on a real TPU host it wins
-    #: (host numpy was ~0.14 s per 4096 reads)
-    device_seed: bool = False
     sam_version: str = "1.4"  # sam=1.3 emits M cigars
     mhist: str | None = None  # per-position match/sub/del/ins rates
     idhist: str | None = None  # identity histogram
@@ -214,7 +208,6 @@ def parse_args(argv, preset: str | None = None):
     c.fastareadlen = a.get_int("fastareadlen", default=c.fastareadlen)
     c.batch_reads = a.get_int("batchreads", default=c.batch_reads)
     c.bloom_prescreen = a.get_bool("bloomfilter", "bloom", default=False)
-    c.device_seed = a.get_bool("devseed", "deviceseed", default=False)
     c.fused = a.get_bool("fused", "fusedpipeline", default=True)
     c.blacklist = a.get("blacklist")
     c.outb1 = a.get("outb", "outb1", "outblacklist", "outblacklist1")
@@ -491,72 +484,25 @@ class BBMap:
         vmask[1] = valid_off & (runlen[rows, kidx1] >= k)
         return keys, vmask, offs, K
 
-    def _device_seed_tables(self):
-        """CSR planes on device (int32), cached; None off-TPU or when
-        sites exceed int32."""
-        import jax
-
-        if getattr(self, "_dev_csr", None) is not None:
-            return self._dev_csr if self._dev_csr != () else None
-        self._dev_csr = ()
-        if not self.cfg.device_seed:
-            return None
-        if jax.devices()[0].platform != "tpu":
-            return None
-        idx = self.index
-        if idx.starts[-1] >= (1 << 31):
-            return None
-        import jax.numpy as jnp
-
-        self._dev_csr = (
-            jnp.asarray(idx.starts.astype(np.int32)),
-            jnp.asarray(idx.sites.astype(np.int32)),
-        )
-        return self._dev_csr
-
     def candidates_for_batch(self, bases: np.ndarray, lengths: np.ndarray):
         """Seed + cluster phase, fully vectorized across the batch.
 
         Returns flat candidate arrays (read, diag_start, strand, votes,
-        spread, modal_diag), ordered read-major (then strand, then votes
-        descending) — no per-read Python lists anywhere. On TPU the
-        expansion + clustering runs on device (ops/seed_cluster.py,
-        identical outputs); the host numpy path remains the CPU backend
-        and the overflow fallback.
+        spread, modal_diag, nclusters[B]), ordered read-major (then
+        strand, then votes descending) — no per-read Python lists
+        anywhere. Host numpy: in production this stage runs in the
+        prefetch thread, fully overlapped with the fused device phase
+        of the previous batch (the round-4 device variant,
+        ops/seed_cluster.seed_candidates_jnp, is output-identical but
+        measured slower end-to-end: the extra dispatch cost more than
+        the host work it saved — kept as an op-level building block,
+        tests/test_bbmap_modes.py::test_device_seed_cluster_equals_host).
         """
         cfg = self.cfg
         B, L = bases.shape
         lengths = lengths.astype(np.int64)
         keys, vmask, offs, K = self._seed_slots(bases, lengths)
         bridge = min(cfg.max_indel, cfg.window_extras[-1] - 2 * cfg.pad)
-        csr = self._device_seed_tables()
-        if csr is not None:
-            import jax.numpy as jnp
-
-            from ..ops.seed_cluster import seed_candidates_jnp
-
-            t_cap = 1 << max(18, (4 * B * K).bit_length())
-            c_cap = 2 * B * cfg.max_sites
-            res = seed_candidates_jnp(
-                jnp.asarray(keys[0].astype(np.int32)),
-                jnp.asarray(keys[1].astype(np.int32)),
-                jnp.asarray(vmask[0]), jnp.asarray(vmask[1]),
-                jnp.asarray(offs),
-                csr[0], csr[1], B, K, t_cap, c_cap,
-                cfg.max_sites, int(bridge),
-            )
-            ok = bool(res[7])
-            if ok:
-                n = int(res[6])
-                return (
-                    np.asarray(res[0])[:n].astype(np.int64),
-                    np.asarray(res[1])[:n],
-                    np.asarray(res[2])[:n].astype(np.int64),
-                    np.asarray(res[3])[:n],
-                    np.asarray(res[4])[:n],
-                    np.asarray(res[5])[:n],
-                    np.asarray(res[8]).astype(np.int64),
-                )
         flat_keys = keys.reshape(-1)
         flat_valid = vmask.reshape(-1)
         flat_off = np.broadcast_to(offs[None], (2, B, K)).reshape(-1)
@@ -633,33 +579,54 @@ class BBMap:
         (the candidate host work was ~0.14 s per 4096 reads, serialized
         with the device before — the reference overlaps the same stages
         with its reader/worker thread split, AbstractMapThread :518)."""
-        import queue
-        import threading
+        import os
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
 
-        q: queue.Queue = queue.Queue(maxsize=2)
+        workers = max(1, min(4, (os.cpu_count() or 2) - 1))
+        fused_ok = self._fused_ok() and self.bloom is None
 
-        def work():
-            try:
-                for b in reader:
-                    cand = self.candidates_for_batch(
-                        b.bases, b.lengths.astype(np.int64)
-                    )
-                    q.put((b, cand))
-                q.put(None)
-            except BaseException as e:  # surface in the consumer
-                q.put(e)
+        def work(b):
+            lengths = b.lengths.astype(np.int64)
+            cand = self.candidates_for_batch(b.bases, lengths)
+            prep = None
+            if fused_ok and len(cand[0]):
+                (t_read, _t_diag, t_strand, _t_votes, _t_spread,
+                 t_anchor, _nc) = cand
+                task = self._build_tasks(
+                    b.bases, lengths, t_read, t_strand, t_anchor
+                )
+                task_reads, task_lens, refwins, _W = task
+                fprep = self._fused_prep(
+                    b.bases.shape[0], b.bases.shape[1], cand[0], cand[3],
+                    cand[4], cand[5], cand[1], task_reads, task_lens,
+                    refwins,
+                )
+                prep = (task, fprep)
+            return b, cand, prep
 
-        threading.Thread(target=work, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        with ThreadPoolExecutor(workers) as ex:
+            pending: deque = deque()
+            for b in reader:
+                pending.append(ex.submit(work, b))
+                if len(pending) > workers:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
 
     # ------------------------------------------------------------------
-    def map_batch(self, batch, cand=None) -> list[MapResult]:
+    def _fused_ok(self) -> bool:
+        cfg = self.cfg
+        keep_sites = (
+            cfg.secondary or cfg.ambig == "all"
+            or getattr(self, "_keep_sites", False)
+        )
+        return (
+            cfg.fused and self._mesh is None and not keep_sites
+            and cfg.ambig != "random"
+        )
+
+    def map_batch(self, batch, cand=None, prep=None) -> list[MapResult]:
         import jax
         import jax.numpy as jnp
 
@@ -703,38 +670,22 @@ class BBMap:
             self.reads_unmapped += B
             return results
         T = len(t_read)
-        # task reads (rc for strand 1): precompute ONE rc row per input
-        # read ([B, L], not [T, L]), then row-gather per task
-        task_lens0 = lengths[t_read]
-        pos32 = np.arange(L, dtype=np.int32)[None, :]
-        ln32 = lengths.astype(np.int32)
-        rc_src = ln32[:, None] - 1 - pos32
-        np.clip(rc_src, 0, L - 1, out=rc_src)
-        rc_vals = np.take_along_axis(bases, rc_src, axis=1)
-        rc_all = np.where(rc_vals < 4, 3 - rc_vals, 4).astype(np.uint8)
-        rc_all[pos32 >= ln32[:, None]] = 4
-        task_reads = np.where(
-            (t_strand == 0)[:, None], bases[t_read], rc_all[t_read]
-        )
-        task_reads[pos32 >= task_lens0[:, None]] = 4
-        task_lens = task_lens0
-        # ungapped scoring at the cluster's modal diagonal (the bigger
-        # exact flank when the site has an indel)
-        W = L + 2 * cfg.pad
-        win_start = t_anchor - cfg.pad
-        refwins = self._ref_windows(win_start, W)
+        if prep is not None and self.bloom is None:
+            (task_reads, task_lens, refwins, W), fprep = prep
+        else:
+            task_reads, task_lens, refwins, W = self._build_tasks(
+                bases, lengths, t_read, t_strand, t_anchor
+            )
+            fprep = None
         keep_sites = (
             cfg.secondary or cfg.ambig == "all"
             or getattr(self, "_keep_sites", False)
         )
-        if (
-            cfg.fused and self._mesh is None and not keep_sites
-            and cfg.ambig != "random"
-        ):
+        if self._fused_ok():
             # ONE device dispatch + ONE pull for the whole batch
             emit, site_out, dp_score, best, second = self._fused_phase(
                 B, L, t_read, t_votes, t_spread, t_anchor, t_diag,
-                task_reads, task_lens, refwins, lengths,
+                task_reads, task_lens, refwins, lengths, fprep=fprep,
             )
             return self._finalize_batch(
                 B, results, emit, site_out, dp_score, best, second,
@@ -959,18 +910,38 @@ class BBMap:
             n_clusters,
         )
 
-    def _fused_phase(self, B, L, t_read, t_votes, t_spread, t_anchor,
-                     t_diag, task_reads, task_lens, refwins, lengths):
-        """Host prep + ONE fused device dispatch + ONE pull
-        (ops/map_fused.fused_map_step); returns the same
-        (emit, site_out, dp_score, best, second) contract as the staged
-        phase. DP speculation = top dp_top clusters per read by seed
-        votes (host-known), maxImperfect-gated in-graph."""
-        import jax
+    def _build_tasks(self, bases, lengths, t_read, t_strand, t_anchor):
+        """Task planes for a batch: oriented read rows (rc for strand 1,
+        ONE rc row per input read then row-gather per task) and the
+        ungapped scoring windows at the cluster's modal diagonal (the
+        bigger exact flank when the site has an indel)."""
+        cfg = self.cfg
+        B, L = bases.shape
+        task_lens0 = lengths[t_read]
+        pos32 = np.arange(L, dtype=np.int32)[None, :]
+        ln32 = lengths.astype(np.int32)
+        rc_src = ln32[:, None] - 1 - pos32
+        np.clip(rc_src, 0, L - 1, out=rc_src)
+        rc_vals = np.take_along_axis(bases, rc_src, axis=1)
+        rc_all = np.where(rc_vals < 4, 3 - rc_vals, 4).astype(np.uint8)
+        rc_all[pos32 >= ln32[:, None]] = 4
+        task_reads = np.where(
+            (t_strand == 0)[:, None], bases[t_read], rc_all[t_read]
+        )
+        task_reads[pos32 >= task_lens0[:, None]] = 4
+        W = L + 2 * cfg.pad
+        refwins = self._ref_windows(t_anchor - cfg.pad, W)
+        return task_reads, task_lens0, refwins, W
+
+    def _fused_prep(self, B, L, t_read, t_votes, t_spread, t_anchor,
+                    t_diag, task_reads, task_lens, refwins):
+        """Host half of the fused phase: slot grid, vote-speculated DP
+        subsets per window class (bucketed static shapes), padded task
+        planes, and ready-to-dispatch jit arguments. bench.py reuses
+        this so the measured graph IS the production graph."""
         import jax.numpy as jnp
 
         from ..ops import msa as msa_mod
-        from ..ops.map_fused import NEG, fused_map_step
         from ..ops.msa_pallas import prepare_refp, use_pallas
 
         cfg = self.cfg
@@ -1070,12 +1041,38 @@ class BBMap:
             refwins_p = np.concatenate(
                 [refwins, np.full((Tp - T, W), 4, np.uint8)]
             )
-        out = fused_map_step(
-            L, W, K, tuple(cls_shapes), pl,
-            jnp.asarray(task_reads_p), jnp.asarray(task_lens_p),
-            jnp.asarray(refwins_p), jnp.asarray(slot_map),
-            tuple(dp_args),
+        return {
+            "jit_args": (
+                L, W, K, tuple(cls_shapes), pl,
+                jnp.asarray(task_reads_p), jnp.asarray(task_lens_p),
+                jnp.asarray(refwins_p), jnp.asarray(slot_map),
+                tuple(dp_args),
+            ),
+            "cls_host": cls_host,
+            "K": K,
+            "W": W,
+        }
+
+    def _fused_phase(self, B, L, t_read, t_votes, t_spread, t_anchor,
+                     t_diag, task_reads, task_lens, refwins, lengths,
+                     fprep=None):
+        """ONE fused device dispatch + ONE pull
+        (ops/map_fused.fused_map_step); returns the same
+        (emit, site_out, dp_score, best, second) contract as the staged
+        phase. DP speculation = top dp_top clusters per read by seed
+        votes (host-known), maxImperfect-gated in-graph."""
+        import jax
+
+        from ..ops.map_fused import NEG, fused_map_step
+
+        cfg = self.cfg
+        T = len(t_read)
+        prep = fprep if fprep is not None else self._fused_prep(
+            B, L, t_read, t_votes, t_spread, t_anchor, t_diag,
+            task_reads, task_lens, refwins,
         )
+        cls_host = prep["cls_host"]
+        out = fused_map_step(*prep["jit_args"])
         (eff, win_task, win_score, second_s, win_used, win_cls,
          win_pos, win_bc, win_nst, ops_rows) = jax.device_get(out)
         dp_score = eff[:T].astype(np.int64)
@@ -1547,12 +1544,12 @@ class BBMap:
             iter(self._prefetch_candidates(reader2)) if it2 is not None
             else None
         )
-        for batch, cand in self._prefetch_candidates(reader):
-            results = self.map_batch(batch, cand)
+        for batch, cand, prep in self._prefetch_candidates(reader):
+            results = self.map_batch(batch, cand, prep)
             batch2 = results2 = None
             if it2p is not None:
-                batch2, cand2 = next(it2p)
-                results2 = self.map_batch(batch2, cand2)
+                batch2, cand2, prep2 = next(it2p)
+                results2 = self.map_batch(batch2, cand2, prep2)
                 self.pair_site_scores(batch, results, batch2, results2)
                 if cfg.rescue_mates:
                     self.rescue(batch, results, batch2, results2)

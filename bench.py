@@ -558,30 +558,111 @@ def bench_bbmap_e2e(tmpdir):
         "mapped_fraction": tool.reads_mapped / max(tool.reads_in, 1),
         "index_build_sec": round(t_index, 2),
         "vs_java_map_32t": round((total_bases / dt) / JAVA_MAP_32T_BPS, 4),
+        "note": "tunnel-dispatch-bound on this harness; "
+                "bbmap_device_pipeline is the architecture row",
     }
-    # devseed variant: seed expansion + clustering on device
-    # (ops/seed_cluster.py). On this tunneled harness the extra dispatch
-    # RTT dominates; the row tracks it honestly either way. Gated on the
-    # wall budget: it recompiles every window class a second time.
-    if _remaining() < 120:
-        out["device_seed"] = {"skipped": "budget"}
-        return out
-    try:
-        os.remove(out_sam)
-        cfg2 = BBMapConfig(in1=reads_fq, out=out_sam, batch_reads=4096,
-                           device_seed=True)
-        BBMap(cfg2, index=idx).run()  # warm
-        os.remove(out_sam)
-        t0 = time.perf_counter()
-        t2 = BBMap(cfg2, index=idx).run()
-        dt2 = time.perf_counter() - t0
-        out["device_seed"] = {
-            "reads_per_sec": n / dt2,
-            "mapped_fraction": t2.reads_mapped / max(t2.reads_in, 1),
-        }
-    except Exception as e:
-        out["device_seed"] = {"error": f"{type(e).__name__}: {e}"[:200]}
     return out
+
+
+def bench_bbmap_device_pipeline(tmpdir):
+    """Config #3 architecture row (VERDICT r4 #1): the PRODUCTION fused
+    per-batch device phase — ungapped scoring + speculative DP +
+    in-graph winner selection + winner walk-row gather, the exact graph
+    map_batch dispatches ONCE per batch (ops/map_fused.fused_map_step,
+    prepared by the production BBMap._fused_prep) — measured with the
+    in-graph slope. The host stage (seed+cluster+prep) is wall-timed
+    separately; production overlaps the two via the double-buffered
+    prefetch, so the pipeline rate is the slower of the stages."""
+    import jax
+    import jax.numpy as jnp
+
+    from bbtools_tpu.io.fasta import load_reference, write_fasta
+    from bbtools_tpu.models.bbmap import BBMap, BBMapConfig
+    from bbtools_tpu.models.bbmap_index import SeedIndex
+    from bbtools_tpu.ops.map_fused import fused_map_step
+    from bbtools_tpu.utils.synth import random_genome
+
+    rng = _rng()
+    genome = random_genome(2_000_000, n_scaffolds=4, seed=11)
+    ref_fa = os.path.join(tmpdir, "refdp.fa")
+    write_fasta(ref_fa, genome)
+    ref = load_reference(ref_fa)
+    idx = SeedIndex.build(ref, k=13)
+    tool = BBMap(BBMapConfig(), index=idx)
+    B, L = 4096, READ_LEN
+    bases = np.full((B, L), 4, np.uint8)
+    lengths = np.full(B, L, np.int64)
+    for i in range(B):
+        scaf = int(rng.integers(0, len(ref.lengths)))
+        codes = ref.scaffold_codes(scaf)
+        p = int(rng.integers(0, len(codes) - L))
+        r = codes[p : p + L].copy()
+        if i & 1:
+            r = (3 - r[::-1]).astype(np.uint8)
+        e = rng.random(L) < 0.01
+        r[e] = (r[e] + 1) % 4
+        bases[i] = r
+
+    def host_stage():
+        cand = tool.candidates_for_batch(bases, lengths)
+        t_read, t_diag, t_strand, t_votes, t_spread, t_anchor, _nc = cand
+        task_reads, task_lens, refwins, _W = tool._build_tasks(
+            bases, lengths, t_read, t_strand, t_anchor
+        )
+        return tool._fused_prep(
+            B, L, t_read, t_votes, t_spread, t_anchor, t_diag,
+            task_reads, task_lens, refwins,
+        )
+
+    t0 = time.perf_counter()
+    prep = host_stage()
+    prep = host_stage()
+    t_host = (time.perf_counter() - t0) / 2
+    # production runs the WHOLE host stage in the prefetch thread pool
+    # (BBMap._prefetch_candidates, ordered, bounded in-flight); measure
+    # its aggregate throughput the same way
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, min(4, (os.cpu_count() or 2) - 1))
+    reps = 2 * workers
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(workers) as ex:
+        list(ex.map(lambda _i: host_stage(), range(reps)))
+    t_host_pool = (time.perf_counter() - t0) / reps
+    (L_, W_, K, cls_shapes, pl, tr, tl, rw, sm, dp_args) = prep["jit_args"]
+
+    def step(i):
+        # roll every compute-bearing plane so no iteration can be
+        # hoisted as loop-invariant or deduplicated
+        dp2 = tuple(
+            a[:4] + (jnp.roll(a[4], i, axis=0), a[5],
+                     jnp.roll(a[6], i, axis=0)) + a[7:]
+            for a in dp_args
+        )
+        return fused_map_step(
+            L_, W_, K, cls_shapes, pl,
+            jnp.roll(tr, i, axis=0), tl, jnp.roll(rw, i, axis=0),
+            sm, dp2,
+        )
+
+    dt_dev = step_time(step)
+    n_dp = sum(s[1] for s in cls_shapes)
+    dt_pipe = max(dt_dev, t_host_pool)  # stages overlap via prefetch
+    total_bases = B * L
+    return {
+        "device_reads_per_sec": B / dt_dev,
+        "device_bases_per_sec": total_bases / dt_dev,
+        "host_stage_reads_per_sec": B / t_host,
+        "host_pool_reads_per_sec": B / t_host_pool,
+        "host_pool_workers": workers,
+        "pipeline_reads_per_sec": B / dt_pipe,
+        "pipeline_bases_per_sec": total_bases / dt_pipe,
+        "dp_alignments_per_batch": n_dp,
+        "host_syncs_per_batch": 1,
+        "vs_java_map_32t": round(
+            (total_bases / dt_pipe) / JAVA_MAP_32T_BPS, 4
+        ),
+    }
 
 
 def bench_bbmap_msa():
@@ -759,6 +840,7 @@ def main():
         ("bbduk_device", bench_bbduk_device, 150),
         ("kmercount_k31_device", bench_kmercount, 120),
         ("host_ingest", bench_host_ingest, 60),
+        ("bbmap_device_pipeline", lambda: bench_bbmap_device_pipeline(td), 150),
         ("bbmap_end_to_end", lambda: bench_bbmap_e2e(td), 200),
         ("bbduk_end_to_end", lambda: bench_bbduk_end_to_end(td), 90),
         ("bbmerge_overlap_device", bench_bbmerge, 60),
