@@ -1419,6 +1419,7 @@ class BBDuk:
         if side is not None:
             side.close()
         self.elapsed = time.time() - t0
+        self._globalize_stats()
         self.write_stats_file()
         if rstats is not None:
             paired = cfg.in2 is not None
@@ -1433,6 +1434,36 @@ class BBDuk:
             if cfg.bhist:
                 rstats.write_bhist(cfg.bhist)
         return st
+
+    def _globalize_stats(self):
+        """Multi-host: psum every counter and the per-scaffold hit
+        vectors across processes over the global mesh, so stats=/stderr
+        report the ONE global answer while each process wrote its own
+        ordered output shard (VERDICT r4 #2; per-host input shards +
+        collective merges, SURVEY §5.8). Single-process: no-op."""
+        import jax
+
+        if jax.process_count() == 1:
+            return
+        from ..parallel.distributed import global_sum_array
+
+        st = self.stats
+        fields = [
+            f.name for f in st.__dataclass_fields__.values()
+            if f.name not in ("scaffold_reads", "scaffold_bases")
+        ]
+        vec = np.array([getattr(st, f) for f in fields], np.int64)
+        nsc = len(st.scaffold_reads) if st.scaffold_reads is not None else 0
+        if nsc:
+            vec = np.concatenate(
+                [vec, st.scaffold_reads, st.scaffold_bases]
+            )
+        g = global_sum_array(vec)
+        for i, f in enumerate(fields):
+            setattr(st, f, int(g[i]))
+        if nsc:
+            st.scaffold_reads = g[len(fields) : len(fields) + nsc]
+            st.scaffold_bases = g[len(fields) + nsc :]
 
     def write_stats_file(self):
         """Write the `stats=` scaffold hit-count file, byte-compatible with

@@ -107,6 +107,10 @@ class BBMergeConfig:
     #: default true): when quals exist, mateByOverlapRatioJava_WithQualities
     #: is the production path (BBMergeOverlapper.java:122)
     use_quality: bool = True
+    #: tpshards=N: dp-shard the insert scan over an N-device mesh
+    #: (pairs are independent — pure data parallelism, no collectives);
+    #: outputs byte-identical to the single-device run
+    tpshards: int = 0
 
 
 def parse_args(argv: list[str]) -> BBMergeConfig:
@@ -134,6 +138,7 @@ def parse_args(argv: list[str]) -> BBMergeConfig:
     c.use_quality = a.get_bool("usequality", default=True)
     if a.get("ignorequality") is not None:
         c.use_quality = not a.get_bool("ignorequality", default=False)
+    c.tpshards = a.get_int("tpshards", "shards", default=0)
     c.extend_k = min(a.get_int("k", default=31), 31)
     c.nn = a.get_bool("nn", "makevector", default=False)
     c.net_file = a.get("net")
@@ -150,6 +155,21 @@ def parse_args(argv: list[str]) -> BBMergeConfig:
 
 
 class BBMerge:
+    def _overlap_mesh(self):
+        """dp mesh for tpshards=N (lazy, cached); None when unsharded."""
+        if not self.cfg.tpshards or self.cfg.tpshards <= 1:
+            return None
+        if getattr(self, "_mesh_c", None) is None:
+            import jax
+
+            from ..parallel.mesh import make_mesh
+
+            self._mesh_c = make_mesh(
+                n_dp=self.cfg.tpshards,
+                devices=jax.devices()[: self.cfg.tpshards],
+            )
+        return self._mesh_c
+
     def __init__(self, cfg: BBMergeConfig):
         self.cfg = cfg
         self.preset = PRESETS[cfg.preset].resolve()
@@ -240,7 +260,7 @@ class BBMerge:
             and b1.quals is not None
             and b2.quals is not None
         )
-        if use_pallas():
+        if use_pallas() and self._overlap_mesh() is None:
             # fused device pipeline: insert-scan kernel + mate selection
             # in one jit; only [B] winner arrays come back (the [B, D]
             # count matrices never leave the device)
@@ -261,6 +281,50 @@ class BBMerge:
             ambig = np.asarray(res[2])
             if self.net is not None:
                 nn_stats = {k: np.asarray(v) for k, v in res[3].items()}
+        elif self._overlap_mesh() is not None:
+            # tpshards=N: dp-sharded insert scan (pairs independent)
+            from ..parallel.sharded_count import sharded_overlap_step
+
+            mesh = self._overlap_mesh()
+            dp = mesh.devices.shape[0]
+            B0 = b1.bases.shape[0]
+            Bp = ((B0 + dp - 1) // dp) * dp
+
+            def padb(x):
+                x = np.asarray(x)
+                if Bp == B0:
+                    return x
+                pad = np.zeros((Bp - B0,) + x.shape[1:], x.dtype)
+                return np.concatenate([x, pad], 0)
+
+            sstep = sharded_overlap_step(mesh, p.min_insert0, n_inserts)
+            g_, bd_, o_ = sstep(
+                padb(b1.bases), padb(b_rc), padb(alens), padb(blens)
+            )
+            good, bad, olen = (np.asarray(x)[:B0] for x in (g_, bd_, o_))
+            good_f = bad_f = None
+            if use_q:
+                from ..ops.overlap import overlap_counts_quality_np
+
+                good_f, bad_f, _bi, _ol = overlap_counts_quality_np(
+                    b1.bases, b_rc, b1.quals, bq_rev, alens, blens,
+                    p.min_insert0, n_inserts,
+                )
+            if self.net is not None:
+                insert, bad_int, ambig, nn_stats = mate_by_overlap_ratio_np(
+                    good, bad, olen, alens, blens, p.min_insert0,
+                    mo0, mo, p.min_insert0, p.min_insert,
+                    p.max_ratio, p.min_second_ratio, p.ratio_margin,
+                    p.ratio_offset, extra_mult=4.0, collect=True,
+                    good_f=good_f, bad_f=bad_f,
+                )
+            else:
+                insert, bad_int, ambig = mate_by_overlap_ratio_np(
+                    good, bad, olen, alens, blens, p.min_insert0,
+                    mo0, mo, p.min_insert0, p.min_insert,
+                    p.max_ratio, p.min_second_ratio, p.ratio_margin,
+                    p.ratio_offset, good_f=good_f, bad_f=bad_f,
+                )
         else:
             good, bad, olen = (
                 np.asarray(x)

@@ -89,6 +89,24 @@ def run(argv: list[str]):
         reads += reader.reads_in
         bases += reader.bases_in
     spec.flush()
+    if jax.process_count() > 1 and not big:
+        # multi-host: each process read its own input shard; merge into
+        # ONE global spectrum over the global mesh (identical on every
+        # process), so khist/dump/peaks/stats are the single global
+        # answer (VERDICT r4 #2; KmerTableSet.java:273-285 ownership
+        # merge lifted across hosts)
+        from ..parallel.distributed import global_spectrum, global_sum_array
+
+        if hasattr(spec, "spectrum"):
+            lk, lc = spec.spectrum()
+        else:
+            lk, lc = spec.keys, spec.counts
+        gk, gc = global_spectrum(lk, lc)
+        spec = KmerSpectrum(k)
+        spec.keys, spec.counts = gk, gc
+        reads, bases = (
+            int(x) for x in global_sum_array(np.array([reads, bases]))
+        )
     elapsed = time.time() - t0
     if khist:
         h = spec.histogram(hist_max)

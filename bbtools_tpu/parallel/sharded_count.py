@@ -91,6 +91,30 @@ def sharded_ungapped_score_step(mesh: Mesh, L: int, W: int):
     return jax.jit(smapped)
 
 
+def sharded_overlap_step(mesh: Mesh, m0: int, ni: int):
+    """fn(a [B,L] u8, b_rc [B,L] u8, alens [B], blens [B]) ->
+    (good [B,ni], bad [B,ni], olen [B,ni]) — the BBMerge insert scan
+    (ops/overlap.overlap_counts_jnp) dp-sharded over pairs. Pairs are
+    independent, so the shard_map needs no collectives; outputs are
+    bit-identical to the single-device scan (tested via the production
+    bbmerge tpshards= path)."""
+    from ..ops.overlap import overlap_counts_jnp
+
+    def step(a, b_rc, alens, blens):
+        return overlap_counts_jnp(a, b_rc, alens, blens, m0, ni)
+
+    from jax import shard_map
+
+    smapped = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None), P("dp"), P("dp")),
+        out_specs=(P("dp", None), P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
 def shard_seed_index(starts: np.ndarray, sites: np.ndarray, n_shards: int,
                      max_hits: int):
     """Reference-block sharding of the BBMap CSR seed index: shard s owns
