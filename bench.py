@@ -282,12 +282,28 @@ def bench_bbduk_end_to_end(tmpdir):
         "bbduk", f"in={inp}", f"out={outp}", "ref=adapters", "k=23",
         "mink=11", "hdist=1", "ktrim=r", "minlen=40", "overwrite=t",
     ]
-    cli_main(args)  # warm: compiles + caches
-    os.remove(outp)
+    # budget-capped protocol (VERDICT r4 #3b): ONE cold pass (compile
+    # served from the persistent .jax_cache) timed as-is; a warm pass
+    # only if the cold one stayed within the 60 s cap. This row measures
+    # the harness dispatch path, and a tunnel-RTT figure does not earn a
+    # 300 s warm-up — the device rows carry the architecture numbers.
     t0 = time.perf_counter()
     cli_main(args)
-    dt = time.perf_counter() - t0
-    return {"reads_per_sec": n / dt, "bases_per_sec": total_bases / dt}
+    dt_cold = time.perf_counter() - t0
+    out = {
+        "cold_reads_per_sec": n / dt_cold,
+        "cold_wall_s": round(dt_cold, 1),
+    }
+    if dt_cold <= 60 and _remaining() > dt_cold + 20:
+        os.remove(outp)
+        t0 = time.perf_counter()
+        cli_main(args)
+        dt = time.perf_counter() - t0
+        out["reads_per_sec"] = n / dt
+        out["bases_per_sec"] = total_bases / dt
+    else:
+        out["note"] = "warm pass skipped: cold exceeded the 60 s cap"
+    return out
 
 
 def bench_kmercount():
@@ -451,10 +467,28 @@ def bench_bbmerge():
     }
 
 
+def _contention_probe(iters: int = 2_000_000) -> float:
+    """Fixed-work spin probe (ms). On a quiet machine this is stable
+    run-to-run; inflation/variance across passes is direct evidence of
+    sandbox CPU contention, recorded next to the rates it perturbs."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(iters):
+        x += i & 7
+    if x < 0:  # defeat DCE
+        print(x)
+    return (time.perf_counter() - t0) * 1e3
+
+
 def bench_host_ingest():
     """Host FASTQ parse rate on a warm uncompressed file (the reference's
     500 Mbases/s per-stream ceiling is the bar): raw bytes -> padded SoA
-    batches via the native MT codec + prefetch thread."""
+    batches via the native MT codec + prefetch thread.
+
+    Contention-robust protocol (VERDICT r4 #3a): 5 passes per mode,
+    median AND best reported, with a fixed-work spin probe timed before
+    every pass — if the row misses its bar, the probe series shows
+    whether the machine or the code was slow."""
     import os
     import tempfile
 
@@ -481,8 +515,9 @@ def bench_host_ingest():
                     f.write(b"".join(parts))
                     parts = []
             f.write(b"".join(parts))
-    best = best2 = 0.0
-    for rep in range(4):
+    full_rates, count_rates, probes = [], [], []
+    for rep in range(5):
+        probes.append(round(_contention_probe(), 1))
         with open(path, "rb") as f:  # re-warm page cache each pass
             while f.read(1 << 24):
                 pass
@@ -490,17 +525,27 @@ def bench_host_ingest():
         bases = 0
         for b in FastqReader(path, batch_reads=8192):
             bases += int(b.lengths.sum())
-        dt = time.perf_counter() - t0
-        best = max(best, bases / dt)
+        full_rates.append(bases / (time.perf_counter() - t0))
         # compute-only readers (kmer counting etc.) skip the raw plane
         t0 = time.perf_counter()
         bases = 0
         for b in FastqReader(path, batch_reads=8192, with_ascii=False,
                              with_quals=False):
             bases += int(b.lengths.sum())
-        dt = time.perf_counter() - t0
-        best2 = max(best2, bases / dt)
-    return {"bases_per_sec": best, "count_only_bases_per_sec": best2}
+        count_rates.append(bases / (time.perf_counter() - t0))
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {
+        "bases_per_sec": float(np.median(full_rates)),
+        "bases_per_sec_best": max(full_rates),
+        "count_only_bases_per_sec": float(np.median(count_rates)),
+        "count_only_bases_per_sec_best": max(count_rates),
+        "passes": 5,
+        "contention_probe_ms": probes,
+        "loadavg_1m": load1,
+    }
 
 
 def bench_bbmap_e2e(tmpdir):
