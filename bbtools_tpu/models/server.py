@@ -324,12 +324,12 @@ def _make_handler(state: ServerState):
                     return self._reply({"error": f"bad request: {e}"}, 400)
                 from collections import Counter
 
-                from .novademux import PCRMatrix
+                from .novademux import PCRMatrixProb as PCRMatrix
 
                 model = PCRMatrix(expected)
                 model.fit(Counter(observed))
                 uniq = sorted(set(observed))
-                best, logp = model.score(uniq)
+                best, logp, _margin = model.score(uniq)
                 amap = {
                     bc: (expected[int(b)].decode() if lp >= minprob else None)
                     for bc, b, lp in zip(uniq, best, logp)
