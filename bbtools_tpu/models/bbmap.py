@@ -682,16 +682,19 @@ class BBMap:
             or getattr(self, "_keep_sites", False)
         )
         if self._fused_ok():
-            # ONE device dispatch + ONE pull for the whole batch
-            emit, site_out, dp_score, best, second = self._fused_phase(
+            # ONE device dispatch + ONE pull for the whole batch; None =
+            # walk-cap overflow, redo staged
+            fused_out = self._fused_phase(
                 B, L, t_read, t_votes, t_spread, t_anchor, t_diag,
                 task_reads, task_lens, refwins, lengths, fprep=fprep,
             )
-            return self._finalize_batch(
-                B, results, emit, site_out, dp_score, best, second,
-                t_read, t_strand, t_anchor, t_votes, task_reads, lengths,
-                n_clusters,
-            )
+            if fused_out is not None:
+                emit, site_out, dp_score, best, second = fused_out
+                return self._finalize_batch(
+                    B, results, emit, site_out, dp_score, best, second,
+                    t_read, t_strand, t_anchor, t_votes, task_reads,
+                    lengths, n_clusters,
+                )
         if self._mesh is not None:
             ug = self._sharded_ungapped(
                 L, W, task_reads, task_lens, refwins, cfg.pad
@@ -1041,9 +1044,12 @@ class BBMap:
             refwins_p = np.concatenate(
                 [refwins, np.full((Tp - T, W), 4, np.uint8)]
             )
+        # walked-winner cap: DP-improved winners are the indel reads —
+        # a small fraction of B; overflow falls back to the staged path
+        wcap = max(8, B // 2)
         return {
             "jit_args": (
-                L, W, K, tuple(cls_shapes), pl,
+                L, W, K, tuple(cls_shapes), pl, wcap,
                 jnp.asarray(task_reads_p), jnp.asarray(task_lens_p),
                 jnp.asarray(refwins_p), jnp.asarray(slot_map),
                 tuple(dp_args),
@@ -1074,7 +1080,11 @@ class BBMap:
         cls_host = prep["cls_host"]
         out = fused_map_step(*prep["jit_args"])
         (eff, win_task, win_score, second_s, win_used, win_cls,
-         win_pos, win_bc, win_nst, ops_rows) = jax.device_get(out)
+         win_pos, win_bc, overflow, ops_subs, nst_subs) = jax.device_get(out)
+        if bool(overflow):
+            # more DP-improved winners than the walk cap (pathological
+            # batch): redo on the staged path
+            return None
         dp_score = eff[:T].astype(np.int64)
         best: dict[int, tuple] = {}
         second: dict[int, tuple] = {}
@@ -1110,9 +1120,13 @@ class BBMap:
             bs_list = np.asarray([e[0] for e in ws])
             tk_list = np.asarray([e[1] for e in ws])
             pos = win_pos[bs_list]
+            # walk rows are compacted per class in ascending read order;
+            # reproduce the device's rank with a cumsum over win_cls
+            ranks = np.cumsum(win_cls == ci) - 1
+            rows = ranks[bs_list]
             matches = match_strings_np(
-                ops_rows[ci][bs_list],
-                win_nst[bs_list],
+                ops_subs[ci][rows],
+                nst_subs[ci][rows],
                 task_reads[tk_list],
                 task_lens[tk_list],
                 srefs[pos],

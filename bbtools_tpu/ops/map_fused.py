@@ -9,21 +9,25 @@ the host -> pull winner walk rows).  This module collapses the device
 half to ONE dispatch and ONE pull per batch:
 
   1. ungapped scoreNoIndels on every candidate site (ops/score_ungapped)
-  2. SPECULATIVE banded DP (Pallas wavefront on TPU, XLA scan on CPU) on
-     the top-`dp_top` candidates per read by seed votes — chosen on the
-     host from clustering output, so no ungapped-score round-trip is
-     needed; the reference's maxImperfectScore gate
+  2. SPECULATIVE banded DP fill (Pallas wavefront on TPU, XLA scan on
+     CPU) on the top-`dp_top` candidates per read by seed votes — chosen
+     on the host from clustering output, so no ungapped-score round-trip
+     is needed; the reference's maxImperfectScore gate
      (MultiStateAligner11ts.java:2293-2304) is applied IN-GRAPH when
      combining the two scores
   3. winner + runner-up selection per read over a dense [B, K] slot
      grid (first-max tie-break == the host path's stable
      lowest-task-index lexsort)
-  4. traceback walk + winner ops-row gather, so only [B, steps] winner
-     rows cross the link, never the full [S, steps] walk planes
+  4. traceback walk over ONLY the compacted DP-improved winners (a
+     static `wcap` cap; the walk's per-step random access is the fused
+     step's dominant term — walking all filled tasks measured 2.8M
+     gather rows/batch ≈ 50 ms at the ~50M rows/s access wall, while
+     the consumers only ever read the DP winners' rows).  Cap overflow
+     raises a flag and the host redoes that batch on the staged path.
 
 Everything the host ladder needs comes back in one device_get: the
 per-task effective scores (for the clearzone ladders), the winner
-identity/score/runner-up, and the winner walk rows.
+identity/score/runner-up, and the compacted winner walk rows.
 
 Speculation note: the unfused path extends the top `dp_top` sites by
 UNGAPPED score (+ the top-votes cluster); this path extends the top
@@ -40,35 +44,40 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .msa import msa_fill, msa_walk
+from .msa import msa_fill, msa_walk_subset
 from .msa_pallas import msa_fill_pallas
 from .score_ungapped import score_no_indels
 
 NEG = -(1 << 30)
 
 
-@partial(jax.jit, static_argnames=("L", "W", "K", "cls_shapes", "pl"))
+@partial(
+    jax.jit,
+    static_argnames=("L", "W", "K", "cls_shapes", "pl", "wcap"),
+)
 def fused_map_step(
-    L: int, W: int, K: int, cls_shapes, pl: bool,
+    L: int, W: int, K: int, cls_shapes, pl: bool, wcap: int,
     task_reads, task_lens, refwins, slot_map, dp_args,
 ):
     """One-dispatch map phase.  Static: L read width, W ungapped window
     width, K slots/read, cls_shapes tuple of (Wc, Sc, tile) per active
-    DP class, pl = use the Pallas fill.
+    DP class, pl = use the Pallas fill, wcap = walked winners cap per
+    class.
 
     task_reads [T, L] u8, task_lens [T] i32, refwins [T, W] u8 (4-filled
     outside the reference), slot_map [B, K] i32 task index per read slot
     (-1 pad).  dp_args: per active class a tuple
-    (idx [Sc] i32 task index (T pad), slotflat [Sc] i32 b*K+k (B*K pad),
-     live [Sc] bool, maximp [Sc] i32, reads [Sc, L] u8, lens [Sc] i32,
-     refmain ([Sc, Cc+2(L+2)] refp when pl else [Sc, Wc] refs),
-     vert, horiz, floor, subfloor [Sc] i32 (XLA fill limits; unused
-     under pl)).
+    (idx [Sc] i32 task index (>=T pad), slotflat [Sc] i32 b*K+k (B*K
+    pad), live [Sc] bool, maximp [Sc] i32, reads [Sc, L] u8, lens [Sc]
+    i32, refmain (refp when pl else refs), vert/horiz/floor/subfloor
+    [Sc] i32 (XLA fill limits; unused under pl)).
 
     Returns (eff [T] i32, win_task [B] i32, win_score [B] i32,
-    second [B] i32, win_used [B] bool, win_cls [B] i32 — index into
-    cls_shapes, win_pos [B] i32, win_bc [B] i32, win_nst [B] i32,
-    ops_rows tuple of [B, L+Wc] u8 per class).
+    second [B] i32, win_used [B] bool, win_cls [B] i32, win_pos [B] i32,
+    win_bc [B] i32, overflow bool, ops_subs tuple of [wcap, L+Wc] u8,
+    nst_subs tuple of [wcap] i32).  Winner b's walk row is
+    ops_subs[win_cls[b]][rank of b among class winners by read id] —
+    the host recomputes the rank from win_cls.
     """
     T = task_reads.shape[0]
     B = slot_map.shape[0]
@@ -100,7 +109,6 @@ def fused_map_step(
                 L, Wc, False, True, reads_c, lens_c, refmain,
                 jnp.full(Sc, Wc, i32), vert, horiz, floor, subfloor,
             )
-        ops_c, nst_c = msa_walk(L, Wc, planes, lens_c, bc, bst)
         idxc = jnp.clip(idx, 0, max(T - 1, 0))
         ug_c = ug[idxc]
         # maxImperfectScore gate in-graph: an ungapped-resolved site
@@ -113,7 +121,9 @@ def fused_map_step(
         cls_t = cls_t.at[idx].set(jnp.full(Sc, ci, i32), mode="drop")
         pos_t = pos_t.at[idx].set(jnp.arange(Sc, dtype=i32), mode="drop")
         dense_flat = dense_flat.at[slotflat].set(effc, mode="drop")
-        per_cls.append((ops_c, nst_c.astype(i32), bc.astype(i32)))
+        per_cls.append(
+            (planes, lens_c, bc.astype(i32), bst.astype(i32))
+        )
 
     dense = dense_flat.reshape(B, K)
     k_star = jnp.argmax(dense, axis=1)  # first max == lowest task index
@@ -127,15 +137,28 @@ def fused_map_step(
     win_cls = jnp.where(win_used, cls_t[wt], -1)
     win_pos = jnp.where(win_used, pos_t[wt], 0)
     win_bc = jnp.zeros(B, i32)
-    win_nst = jnp.zeros(B, i32)
-    ops_rows = []
-    for ci, (ops_c, nst_c, bc_c) in enumerate(per_cls):
-        Sc = ops_c.shape[0]
+    overflow = jnp.asarray(False)
+    ops_subs = []
+    nst_subs = []
+    for ci, (planes, lens_c, bc_c, bst_c) in enumerate(per_cls):
+        Wc, Sc, _tile = cls_shapes[ci]
         rowi = jnp.clip(jnp.where(win_cls == ci, win_pos, 0), 0, Sc - 1)
-        ops_rows.append(ops_c[rowi])
         win_bc = jnp.where(win_cls == ci, bc_c[rowi], win_bc)
-        win_nst = jnp.where(win_cls == ci, nst_c[rowi], win_nst)
+        # compact this class's winners (ascending read id — the host
+        # reproduces the same order as a cumsum rank over win_cls)
+        mask = win_cls == ci
+        overflow = overflow | (mask.sum() > wcap)
+        bsel = jnp.clip(
+            jnp.sort(jnp.where(mask, bi, B).astype(i32))[:wcap], 0, B - 1
+        )
+        lane = jnp.clip(win_pos[bsel], 0, Sc - 1)
+        ops_s, nst_s = msa_walk_subset(
+            L, Wc, planes, lane, lens_c[lane], bc_c[lane], bst_c[lane]
+        )
+        ops_subs.append(ops_s)
+        nst_subs.append(nst_s.astype(i32))
     return (
         eff, win_task.astype(i32), win_score, second, win_used,
-        win_cls, win_pos, win_bc, win_nst, tuple(ops_rows),
+        win_cls, win_pos, win_bc, overflow,
+        tuple(ops_subs), tuple(nst_subs),
     )

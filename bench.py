@@ -674,7 +674,9 @@ def bench_bbmap_device_pipeline(tmpdir):
     with ThreadPoolExecutor(workers) as ex:
         list(ex.map(lambda _i: host_stage(), range(reps)))
     t_host_pool = (time.perf_counter() - t0) / reps
-    (L_, W_, K, cls_shapes, pl, tr, tl, rw, sm, dp_args) = prep["jit_args"]
+    (L_, W_, K, cls_shapes, pl, wcap, tr, tl, rw, sm, dp_args) = (
+        prep["jit_args"]
+    )
 
     def step(i):
         # roll every compute-bearing plane so no iteration can be
@@ -685,7 +687,7 @@ def bench_bbmap_device_pipeline(tmpdir):
             for a in dp_args
         )
         return fused_map_step(
-            L_, W_, K, cls_shapes, pl,
+            L_, W_, K, cls_shapes, pl, wcap,
             jnp.roll(tr, i, axis=0), tl, jnp.roll(rw, i, axis=0),
             sm, dp2,
         )
