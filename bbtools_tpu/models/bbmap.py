@@ -1046,7 +1046,7 @@ class BBMap:
             )
         # walked-winner cap: DP-improved winners are the indel reads —
         # a small fraction of B; overflow falls back to the staged path
-        wcap = max(8, B // 2)
+        wcap = max(8, B // 8)
         return {
             "jit_args": (
                 L, W, K, tuple(cls_shapes), pl, wcap,

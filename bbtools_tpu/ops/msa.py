@@ -539,62 +539,6 @@ def msa_walk(R: int, Cc: int, planes, read_lens, max_col, max_state):
     return jnp.moveaxis(ops, 0, 1), nsteps  # [B, STEPS] walk-order
 
 
-@partial(jax.jit, static_argnames=("R", "Cc"))
-def msa_walk_subset(R: int, Cc: int, planes, lane_idx, read_lens,
-                    max_col, max_state):
-    """msa_walk over a SUBSET of plane lanes: lane_idx int32 [W] selects
-    which of the fill's B lanes each walker follows (read_lens/max_col/
-    max_state already gathered to the subset). The per-step random
-    access is the walk's whole cost (one gathered byte per lane per
-    step), so walking only the lanes whose ops are consumed — the
-    DP-improved winners — instead of every filled task cuts the fused
-    map step's dominant term (measured 2.8M -> <=0.7M gather rows per
-    batch at B=4096)."""
-    W = lane_idx.shape[0]
-    STEPS = R + Cc
-    i32 = jnp.int32
-    lanes = jnp.clip(lane_idx.astype(i32), 0, planes.shape[1] - 1)
-
-    def step(carry, _):
-        row, col, state, pos, done = carry
-        d = row + col
-        didx = jnp.clip(d - 2, 0, planes.shape[0] - 1)
-        cell = planes[didx, lanes, jnp.clip(row, 0, R)]
-        prev_ms = (cell & 3).astype(i32)
-        prev_del = ((cell >> 2) & 3).astype(i32)
-        prev_ins = ((cell >> 4) & 3).astype(i32)
-        active = ~done & (row > 0) & (col > 0)
-        op = jnp.where(
-            state == 0, 1, jnp.where(state == 1, 2, 3)
-        ).astype(jnp.uint8)
-        nxt_state = jnp.where(
-            state == 0, prev_ms, jnp.where(state == 1, prev_del, prev_ins)
-        )
-        nrow = jnp.where(state == 1, row, row - 1)
-        ncol = jnp.where(state == 2, col, col - 1)
-        tail = ~done & ~active & (row > 0) & (col != row)
-        op = jnp.where(tail, jnp.uint8(4), jnp.where(active, op, jnp.uint8(0)))
-        emit = active | tail
-        row = jnp.where(active, nrow, jnp.where(tail, row - 1, row))
-        col = jnp.where(active, ncol, jnp.where(tail, col - 1, col))
-        state = jnp.where(active, nxt_state, state)
-        done = done | (~active & ~tail)
-        pos = jnp.where(emit, pos + 1, pos)
-        return (row, col, state, pos, done), op
-
-    init = (
-        read_lens.astype(i32),
-        max_col.astype(i32),
-        max_state.astype(i32),
-        jnp.zeros(W, i32),
-        jnp.zeros(W, bool),
-    )
-    (_, _, _, nsteps, _), ops = jax.lax.scan(
-        step, init, None, length=STEPS
-    )
-    return jnp.moveaxis(ops, 0, 1), nsteps  # [W, STEPS] walk-order
-
-
 def match_strings_np(ops, nsteps, reads, read_lens, refs, ref_lens, max_col):
     """Render match strings from walk ops (host, vectorized over steps).
 
