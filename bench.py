@@ -114,6 +114,44 @@ def step_time(step_fn, m1=4, m2=12):
     return slope_time(step_fn, m1=m1, m2=m2)
 
 
+def bench_device_health():
+    """Degraded-device canary (run FIRST): slope-time two fixed-cost
+    kernels with known healthy-v5e floors — a 1024^3 bf16 matmul chain
+    (healthy: >40 TFLOP/s; MXU peak ~197) and a 1M-row int64 sort
+    (healthy: ~2-3 ms). The dev tunnel's TPU allocation intermittently
+    degrades ~25x (observed round 5: the same bbduk graph measured
+    128 Mb/s and 4.9 Mb/s an hour apart); when that happens every row
+    in the run is garbage, and this section is the evidence. degraded=
+    true means: discard the run's device rows, keep host rows."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = _rng()
+    a = jnp.asarray(rng.standard_normal((1024, 1024)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((1024, 1024)).astype(np.float32))
+    ab = a.astype(jnp.bfloat16)
+    bb = b.astype(jnp.bfloat16)
+
+    def mm(i):
+        x = jnp.roll(ab, i, axis=0)
+        return (x @ bb).astype(jnp.float32)[:4, :4]
+
+    dt_mm = step_time(mm, m1=8, m2=40)
+    tflops = 2 * 1024**3 / dt_mm / 1e12
+    big = jnp.asarray(rng.integers(0, 1 << 60, 1 << 20).astype(np.int64))
+
+    def srt(i):
+        return jnp.sort(jnp.roll(big, i))[:4]
+
+    dt_sort = step_time(srt, m1=4, m2=16)
+    degraded = _on_tpu() and (tflops < 10.0 or dt_sort > 15e-3)
+    return {
+        "matmul_tflops": round(tflops, 2),
+        "sort_1m_ms": round(dt_sort * 1e3, 3),
+        "degraded": bool(degraded),
+    }
+
+
 def bench_transfer():
     """Host->device link rate for a packed read batch (quantifies the
     tunnel bottleneck; on a real TPU host this is PCIe). Completion is
@@ -884,6 +922,7 @@ def main():
     # assume a cold compile cache; with .jax_cache warm the real costs
     # are a small fraction and everything runs.
     sections = [
+        ("device_health", bench_device_health, 30),
         ("bbduk_device", bench_bbduk_device, 150),
         ("kmercount_k31_device", bench_kmercount, 120),
         ("host_ingest", bench_host_ingest, 60),
@@ -894,6 +933,9 @@ def main():
         ("bbmap_msa_device", bench_bbmap_msa, 60),
         ("tadpole_k62", bench_tadpole_bigk, 50),
         ("transfer", bench_transfer, 30),
+        # canary re-check: a run whose START was healthy can degrade
+        # mid-run; bracketed health rows date-stamp the device state
+        ("device_health_end", bench_device_health, 30),
     ]
     # A warm compile cache shrinks every section dramatically; scale the
     # cold estimates down when the cache is populated so a warm machine
