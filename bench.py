@@ -115,41 +115,46 @@ def step_time(step_fn, m1=4, m2=12):
 
 
 def bench_device_health():
-    """Degraded-device canary (run FIRST): slope-time two fixed-cost
-    kernels with known healthy-v5e floors — a 1024^3 bf16 matmul chain
-    (healthy: >40 TFLOP/s; MXU peak ~197) and a 1M-row int64 sort
-    (healthy: ~2-3 ms). The dev tunnel's TPU allocation intermittently
-    degrades ~25x (observed round 5: the same bbduk graph measured
-    128 Mb/s and 4.9 Mb/s an hour apart); when that happens every row
-    in the run is garbage, and this section is the evidence. degraded=
-    true means: discard the run's device rows, keep host rows."""
+    """Degraded-device canary (run FIRST and LAST): slope-time two
+    fixed-cost kernels with known healthy-v5e values — a 32-deep
+    elementwise fma chain over 4M f32 (VPU-bound, no autotune: a matmul
+    canary spent 15+ min in tunnel autotuning and is exactly what a
+    canary must not do) and a 1M-row int64 sort (healthy: ~1.6-1.8 ms).
+    The dev tunnel's TPU allocation intermittently degrades ~25x
+    (observed round 5: the same bbduk graph measured 128 Mb/s and
+    4.9 Mb/s an hour apart); when that happens every row in the run is
+    garbage, and this section is the evidence. degraded=true means:
+    discard the run's device rows, keep host rows."""
     import jax
     import jax.numpy as jnp
 
     rng = _rng()
-    N = 2048  # 2N^3 = 17.2 GFLOP/step: ~87 us at 197 TFLOP/s peak, so
-    # the m2-m1 = 112-step delta is ~10 ms — well above tunnel jitter
-    # (the 1024^3 first cut measured as the 1e-9 slope floor)
-    a = jnp.asarray(rng.standard_normal((N, N)).astype(np.float32))
-    b = jnp.asarray(rng.standard_normal((N, N)).astype(np.float32))
-    ab = a.astype(jnp.bfloat16)
-    bb = b.astype(jnp.bfloat16)
+    NV = 1 << 22
+    v = jnp.asarray(rng.standard_normal(NV).astype(np.float32))
+    DEPTH = 32
 
-    def mm(i):
-        x = jnp.roll(ab, i, axis=0)
-        return (x @ bb).astype(jnp.float32)[:4, :4]
+    def fma(i):
+        # x*(x*eps+1) per step: NONLINEAR (an affine chain x*c+d folds
+        # to a single fma at compile time), numerically stable
+        x = v + i.astype(jnp.float32)
+        for _ in range(DEPTH):
+            x = x * (x * jnp.float32(1e-9) + jnp.float32(1.0))
+        return jnp.abs(x).sum()[None]
 
-    dt_mm = step_time(mm, m1=16, m2=128)
-    tflops = 2 * N**3 / dt_mm / 1e12
+    dt_fma = step_time(fma, m1=8, m2=64)
+    gflops = 3 * NV * DEPTH / dt_fma / 1e9
     big = jnp.asarray(rng.integers(0, 1 << 60, 1 << 20).astype(np.int64))
 
     def srt(i):
         return jnp.sort(jnp.roll(big, i))[:4]
 
     dt_sort = step_time(srt, m1=4, m2=16)
-    degraded = _on_tpu() and (tflops < 10.0 or dt_sort > 15e-3)
+    # measured healthy v5e: fma chain 5886 GFLOP/s, sort 1.6-1.75 ms;
+    # thresholds ~10x below healthy, well inside the observed ~25x
+    # degradation
+    degraded = _on_tpu() and (gflops < 500.0 or dt_sort > 10e-3)
     return {
-        "matmul_tflops": round(tflops, 2),
+        "fma_gflops": round(gflops, 1),
         "sort_1m_ms": round(dt_sort * 1e3, 3),
         "degraded": bool(degraded),
     }
