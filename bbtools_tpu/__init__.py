@@ -32,6 +32,24 @@ jax.config.update("jax_enable_x64", True)
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
+# Persistent compile cache for EVERY entrypoint (CLI, bench, tools/
+# scripts): cold compiles through the dev tunnel's ~27 ms RTT cost
+# minutes; paying them once per machine is the difference between a
+# bench that completes and one that times out. Opt out (or relocate)
+# with BBTOOLS_TPU_COMPILE_CACHE=/path or =off.
+_cache = os.environ.get(
+    "BBTOOLS_TPU_COMPILE_CACHE", "/root/repo/.jax_cache"
+)
+if _cache and _cache.lower() != "off":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5
+        )
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
 # Keep multi-MB host buffers on the malloc heap instead of per-allocation
 # mmaps: under gVisor a fresh mmap costs ~2 us of first-touch fault per
 # 4 KB page, which made the streaming readers allocation-bound (a 1.3 MB
