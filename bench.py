@@ -564,9 +564,27 @@ def bench_host_ingest():
                     f.write(b"".join(parts))
                     parts = []
             f.write(b"".join(parts))
-    full_rates, count_rates, probes = [], [], []
+    # two UNTIMED warmup passes: the first pass after other bench
+    # sections measured as low as 29 Mb/s (codec threads + page/alloc
+    # state cold) and was dragging the median far below steady state
+    for _ in range(2):
+        for b in FastqReader(path, batch_reads=8192):
+            pass
+    bw_buf = np.ones(64 << 20, np.uint8)
+    bw_dst = np.empty_like(bw_buf)  # preallocated: measure copy BW,
+    # not first-touch fault cost of a fresh allocation
+    np.copyto(bw_dst, bw_buf)
+    full_rates, count_rates, probes, bw_probes = [], [], [], []
     for rep in range(5):
         probes.append(round(_contention_probe(), 1))
+        # DRAM-bandwidth probe: a CPU spin loop is register-bound and
+        # blind to memory contention, which is what actually moves this
+        # row; copy 64 MB and record GB/s
+        t0 = time.perf_counter()
+        np.copyto(bw_dst, bw_buf)
+        bw_probes.append(
+            round(len(bw_buf) / (time.perf_counter() - t0) / 1e9, 2)
+        )
         with open(path, "rb") as f:  # re-warm page cache each pass
             while f.read(1 << 24):
                 pass
@@ -593,6 +611,7 @@ def bench_host_ingest():
         "count_only_bases_per_sec_best": max(count_rates),
         "passes": 5,
         "contention_probe_ms": probes,
+        "membw_probe_gbps": bw_probes,
         "loadavg_1m": load1,
     }
 
