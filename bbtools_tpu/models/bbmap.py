@@ -1029,8 +1029,13 @@ class BBMap:
             )))
             cls_host.append((sel, srefs, Wc, dp_start[sel]))
 
-        # task-plane bucket: bounded compile-cache across batch sizes
-        Tp = max(8, 1 << (T - 1).bit_length())
+        # task-plane bucket: bounded compile-cache across batch sizes;
+        # 2048-multiples above 2048 (pow2 padded the ungapped scan up
+        # to 2x — ~8.7k tasks ran as 16384 rows)
+        Tp = (
+            max(8, 1 << (T - 1).bit_length()) if T <= 2048
+            else ((T + 2047) // 2048) * 2048
+        )
         task_reads_p = padrows(task_reads, 0)
         task_lens_p = task_lens.astype(np.int32)
         refwins_p = refwins
