@@ -147,9 +147,14 @@ def fused_map_step(
         # compact this class's winners (ascending read id — the host
         # reproduces the same order as a cumsum rank over win_cls)
         mask = win_cls == ci
-        overflow = overflow | (mask.sum() > wcap)
+        # a class can never have more walked winners than filled lanes:
+        # cap per class at Sc (the wide-window classes have tiny Sc but
+        # thousands of walk steps — walking wcap=512 padded lanes there
+        # measured ~20+ ms of pure padding)
+        wc_c = min(wcap, Sc)
+        overflow = overflow | (mask.sum() > wc_c)
         bsel = jnp.clip(
-            jnp.sort(jnp.where(mask, bi, B).astype(i32))[:wcap], 0, B - 1
+            jnp.sort(jnp.where(mask, bi, B).astype(i32))[:wc_c], 0, B - 1
         )
         lane = jnp.clip(win_pos[bsel], 0, Sc - 1)
         # pre-gather the winner lanes' traceback planes ONCE (D x wcap
