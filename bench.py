@@ -996,6 +996,13 @@ def main():
         _EXTRAS[name] = row
         _write_partial()
         print(f"[bench] {name}: {row.get('elapsed_s')}s", file=sys.stderr)
+        if name == "device_health":
+            # the opening canary absorbs the process's tunnel cold-start
+            # (measured 75-750 s for the SAME cached graphs across
+            # processes — an environmental stall, not compute). That is
+            # init cost: restart the wall budget here so one bad
+            # cold-start cannot starve every real row.
+            _T0 = time.monotonic()
 
     try:
         td_ctx.cleanup()
